@@ -1,0 +1,86 @@
+"""Similarity expression library (reference ops F4, F5; backbone of J5/J6).
+
+The reference scores n-gram Jaccard with strsimpy in a Python loop
+(core/Geocode.py:42-43) and fuzzy ratios with fuzzywuzzy
+(utils/geocode_utils.py:16-19). Both become native Catalyst expressions on
+n-gram / token arrays — codegen'd, no Python, broadcast-join friendly.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def char_ngrams(col: Column | str, n: int) -> Column:
+    """Distinct character n-grams of a string, as an array<string>.
+
+    Uses sequence+transform so the whole thing stays in codegen; strings
+    shorter than ``n`` yield the string itself (matching strsimpy, which
+    treats short strings as a single shingle).
+    """
+    c = _c(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a_grams: Column, b_grams: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| on two distinct-element arrays (F4)."""
+    inter = F.size(F.array_intersect(a_grams, b_grams)).cast("double")
+    union = F.size(F.array_union(a_grams, b_grams)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard(a: Column | str, b: Column | str, n: int) -> Column:
+    """Reference F4: Jaccard over character n-grams of two strings."""
+    return jaccard(char_ngrams(a, n), char_ngrams(b, n))
+
+
+def adaptive_ngram_size(col: Column | str, floor: int = 5) -> Column:
+    """Reference n-size rule: ``max(5, round(sqrt(len/2)))``
+    (core/Geocode.py:53)."""
+    c = _c(col)
+    return F.greatest(F.lit(floor), F.round(F.sqrt(F.length(c) / 2)).cast("int"))
+
+
+def levenshtein_ratio(a: Column | str, b: Column | str) -> Column:
+    """Fuzzy score (F5) as a 0-100 similarity: the classic
+    ``(1 - dist/max_len) * 100`` Levenshtein ratio (fuzzywuzzy's core)."""
+    ca, cb = _c(a), _c(b)
+    max_len = F.greatest(F.length(ca), F.length(cb))
+    return F.when(max_len == 0, F.lit(100.0)).otherwise(
+        (F.lit(1.0) - F.levenshtein(ca, cb) / max_len) * 100.0
+    )
+
+
+def word_shingles(col: Column | str, k: int) -> Column:
+    """Distinct k-word shingles (space-joined) — unit for MinHash dedup."""
+    c = _c(col)
+    toks = F.split(F.trim(c), r"\s+")
+    n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two float arrays, fully JVM-side via
+    aggregate/zip_with — the brute-force ANN kernel."""
+    ca, cb = _c(a), _c(b)
+    dot = F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))

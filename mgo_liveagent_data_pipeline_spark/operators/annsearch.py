@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set against
+the corpus, score with native array expressions (zip_with/aggregate — JVM
+codegen, no Python), take per-query top-k with a window. One corpus scan,
+no shuffle of the vectors themselves beyond the top-k aggregation.
+
+Scale path: IVF (inverted-file) — assign every vector to its nearest
+centroid once (a narrow column), then answer queries by probing only the
+nearest centroid's posting list. At 100 TB the corpus is bucketed/partitioned
+by ``cluster_id`` so a probe is a partition-pruned scan, not a full pass.
+
+Centroid choice here is deterministic (lowest-id vector per label) so the
+DuckDB oracle reproduces the exact same clustering without shared RNG state;
+swap in k-means centroids in production — the plan shape is identical.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.similarity import cosine
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda v: v.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key: str = "query_id",
+) -> DataFrame:
+    """Brute-force exact top-k: for each query vector, the k most cosine-
+    similar corpus vectors (self-matches excluded by key)."""
+    c = corpus.select(
+        F.col(key_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_key), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("corpus_id") != F.col(query_key))
+        .withColumn("cosine_sim", F.round(cosine(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_key, "corpus_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic centroids: the lowest-key vector of each label bucket.
+    (Production: k-means means; deterministic pick keeps the oracle exact.)"""
+    w = Window.partitionBy(label_col).orderBy(F.asc(key_col))
+    return (
+        corpus.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(label_col).alias("cluster_id"),
+            _as_double(F.col(vec_col)).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_col: str = "label",
+    query_key: str = "query_id",
+) -> DataFrame:
+    """IVF probe: route each query to its nearest centroid, scan only that
+    posting list. Approximate (recall < 1 vs brute force) but the probe cost
+    is |corpus|/n_clusters — the 100 TB path."""
+    cents = ivf_centroids(corpus, vec_col, key_col, label_col)
+    q = queries.select(query_key, _as_double(F.col(vec_col)).alias("qv"))
+
+    # route: argmax centroid per query (tiny cross join — both sides small)
+    routed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cosine(F.col("qv"), F.col("centroid")), 6))
+    )
+    wq = Window.partitionBy(query_key).orderBy(F.desc("csim"), F.asc("cluster_id"))
+    probe = (
+        routed.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") == 1)
+        .select(query_key, "qv", "cluster_id")
+    )
+
+    # scan only the probed cluster's posting list (partition-pruned at scale)
+    c = corpus.select(
+        F.col(key_col).alias("corpus_id"),
+        F.col(label_col).alias("cluster_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(probe), on="cluster_id")
+        .where(F.col("corpus_id") != F.col(query_key))
+        .withColumn("cosine_sim", F.round(cosine(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy(query_key).orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_key, "corpus_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,247 @@
+"""Deduplication operators — the training-data-pipeline extension.
+
+The reference dedups only by key (MERGE on id / drop_duplicates); a 100 TB
+corpus pipeline needs content-level dedup. Four strategies, cheapest first:
+
+* exact        — hash-groupBy on a content digest; one shuffle.
+* minhash LSH  — shingle → minhash signature → band → bucket join; candidate
+                 pairs grow ~linearly with corpus size instead of O(n²).
+* simhash      — 32-bit similarity fingerprint; identical fingerprints are
+                 near-dup candidates; a single groupBy.
+* n-gram Jaccard / embedding cosine — verification kernels, run only inside
+  buckets/blocks so the pair count stays bounded.
+
+Cross-engine determinism: every hash is md5 (identical in Spark, DuckDB,
+Python), minhash takes the lexicographic min of hex digests, and all joins /
+aggregations are order-independent — so the DuckDB oracle hash-matches
+bit-for-bit at any parallelism.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine, jaccard, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the lowest-key row per content digest.
+
+    One hash-aggregate (partial+final) on a 128-bit digest — at 100 TB this
+    shuffles only (digest, key), never the payload."""
+    digest = F.md5(F.col(text_col))
+    return (
+        df.groupBy(digest.alias("content_hash"))
+        .agg(
+            F.min(key_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """doc → (key, shingles, sig[num_hashes]).
+
+    sig_i = min over shingles of md5(i ‖ ':' ‖ shingle). Lexicographic min of
+    hex digests ≈ a random permutation min — the standard MinHash estimator
+    with md5 as the hash family (seeded by prefix).
+    """
+    sh = word_shingles(F.col(text_col), shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(key_col).alias("key"), sh.alias("shingles"))
+        .withColumn("sig", sig)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    Plan shape (scales to 100 TB):
+      1. signature pass — narrow map, no shuffle;
+      2. explode to ``bands`` rows per doc, band key = concat of its rows —
+         shuffle of (band_key, key) only;
+      3. self-join within band buckets → candidate pairs (equi-join on the
+         band key, AQE handles skewed mega-buckets);
+      4. verify candidates with true shingle Jaccard ≥ threshold.
+
+    Returns distinct (id_a < id_b, jaccard_sim) verified pairs.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, text_col, key_col, num_hashes, shingle_k)
+
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col("sig")[b * rows + r] for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "key", "shingles", F.explode(band_arr).alias("band_key")
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on="band_key")
+        .where(F.col("a.key") < F.col("b.key"))
+        .select(
+            F.col("a.key").alias("id_a"),
+            F.col("b.key").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+    return (
+        cand.withColumn("jaccard_sim", sim)
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def simhash_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash: per-token 32-bit md5-derived hash; fingerprint bit j is the
+    sign of Σ_tokens (±1 at bit j). Docs sharing a fingerprint are near-dup
+    candidates. Pure Catalyst expressions (hex-nibble bit tests), no UDF.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+
+    # per token: ``bits`` bits from the leading hex chars of md5(token);
+    # bit j = (hex_digit[j//4] >> (3 - j%4)) & 1, written with conv/floor so
+    # it stays in codegen and has an exact DuckDB twin.
+    def tok_bits(t: Column) -> Column:
+        h = F.md5(t)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda j: F.when(
+                F.floor(
+                    F.conv(h.substr((j / 4).cast("int") + 1, F.lit(1)), 16, 10)
+                    .cast("double")
+                    / F.pow(F.lit(2.0), (F.lit(3) - j % 4).cast("double"))
+                ).cast("int")
+                % 2
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+    zero = F.transform(F.sequence(F.lit(1), F.lit(bits)), lambda _: F.lit(0))
+    acc = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, b: a + b),
+    )
+    fp = F.array_join(
+        F.transform(acc, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+    return df.select(F.col(key_col).alias("key"), fp.alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical simhash fingerprints → candidate duplicate clusters."""
+    fps = simhash_fingerprint(df, text_col, key_col)
+    return (
+        fps.groupBy("simhash")
+        .agg(F.min("key").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    shingle_k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked n-gram Jaccard dedup: only pairs sharing a block key are
+    scored (classic blocking — keeps the join from going quadratic; blocks
+    are what LSH buckets generalize)."""
+    base = df.select(
+        F.col(key_col).alias("key"),
+        *block_cols,
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6)
+    return (
+        a.join(b, on=list(block_cols))
+        .where(F.col("a.key") < F.col("b.key"))
+        .withColumn("jaccard_sim", sim)
+        .where(F.col("jaccard_sim") >= threshold)
+        .select(
+            F.col("a.key").alias("id_a"),
+            F.col("b.key").alias("id_b"),
+            "jaccard_sim",
+        )
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup within blocks (IVF-style: compare only
+    within the same coarse cluster — at 100 TB the block is the posting
+    list, so the pair count is Σ|block|² not n²)."""
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(block_col).alias("block"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, F.col("a.block") == F.col("b.block"))
+        .where(F.col("a.key") < F.col("b.key"))
+        .withColumn("cosine_sim", sim)
+        .where(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("a.key").alias("id_a"),
+            F.col("b.key").alias("id_b"),
+            "cosine_sim",
+        )
+    )

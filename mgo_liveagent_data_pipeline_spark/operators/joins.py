@@ -1,0 +1,189 @@
+"""Join operators (reference §2.3, J1-J7).
+
+The reference performs every join as a Python dict lookup or boolean-mask
+semi-join on the driver; here each is a real distributed join with an
+explicit strategy choice:
+
+* dimensions (agents/users ≈ nation/supplier) → ``F.broadcast`` hash join:
+  no shuffle of the fact side, scales to any fact size as long as the dim
+  fits in executor memory (the reference's in-memory caches prove it does).
+* large-large equi-joins → shuffle hash/sort-merge on the key, left to
+  Catalyst + AQE (skew splitting on hot keys).
+* similarity joins → two-phase candidate pruning so the theta-join never
+  goes quadratic on the big side (reference's coarse→fine trick,
+  core/Geocode.py:55-74, kept as explicit plan structure).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.similarity import (
+    char_ngrams,
+    jaccard,
+    levenshtein_ratio,
+)
+
+
+def broadcast_enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """J1: fact ⟕ broadcast(dim) — the reference's dict-lookup enrichment
+    (core/TicketMessageProcessor.py:207-292) as a broadcast hash join."""
+    return fact.join(F.broadcast(dim), fact[fact_key] == dim[dim_key], how)
+
+
+def missing_keys(candidates: DataFrame, known: DataFrame, key: str) -> DataFrame:
+    """J2: left-anti join — ids we have not cached yet
+    (core/TicketMessageProcessor.py:103-106)."""
+    return candidates.join(known, on=key, how="left_anti")
+
+
+def semi_join(df: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+    """J4/E2: keep rows whose key appears in ``keys``."""
+    return df.join(keys, on=key, how="left_semi")
+
+
+def correlated_attach(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """J3: the reference fetches messages per ticket and copies ticket
+    metadata onto each message row (core/Ticket.py:96-106); relationally
+    it's an equi-join child ⋈ parent."""
+    return child.join(parent, child[child_key] == parent[parent_key], "inner")
+
+
+def similarity_join_argmax(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    keep_right: list[str] | None = None,
+) -> DataFrame:
+    """J5 + W2: score left×broadcast(right) by n-gram Jaccard, keep the
+    argmax candidate per left row if it clears the threshold.
+
+    The reference's geocoder (core/Geocode.py:45-89). The right side must be
+    a (small) gazetteer-like dim — it is broadcast, so the plan is a single
+    pass over ``left`` with no shuffle until the per-row argmax, which is a
+    ``max_by`` aggregation (partial+final, no window sort).
+
+    At 100 TB the left side is huge but the plan is still scan→broadcast
+    nested loop→partial agg; the quadratic blowup is bounded by |right|.
+    """
+    lg = char_ngrams(F.col("__l"), n)
+    rg = char_ngrams(F.col("__r"), n)
+    keep_right = keep_right if keep_right is not None else [right_col]
+
+    l = left.withColumn("__l", F.lower(F.col(left_col)))
+    r = right.withColumn("__r", F.lower(F.col(right_col)))
+    scored = (
+        l.crossJoin(F.broadcast(r))
+        .withColumn("__score", jaccard(lg, rg))
+        .where(F.col("__score") >= threshold)
+    )
+    # deterministic argmax: best score, ties broken by right value
+    best = F.max_by(
+        F.struct(*[F.col(c) for c in keep_right], F.col("__score").alias("score")),
+        F.struct(F.col("__score"), *[F.col(c).desc() for c in keep_right]),
+    )
+    group_cols = [F.col(c) for c in left.columns]
+    return (
+        scored.groupBy(*group_cols)
+        .agg(best.alias("__best"))
+        .select(*left.columns, "__best.*")
+    )
+
+
+def two_phase_similarity_join(
+    addresses: DataFrame,
+    gazetteer: DataFrame,
+    addr_col: str = "address",
+    gaz_col: str = "address",
+    coarse_levels: tuple[str, ...] = ("municity", "provdist"),
+    level_col: str = "geo_level",
+    code_cols: tuple[str, ...] = ("municity_code", "provdist_code"),
+    n: int = 5,
+    coarse_threshold: float = 0.1,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """The reference geocoder's full two-phase plan (core/Geocode.py:45-89):
+
+    phase 1 (coarse): score each address against only municipality/province
+    rows; collect the codes of plausible candidates.
+    phase 2 (fine): score against barangay rows *semi-joined* to those codes
+    (J4), then argmax ≥ threshold (W2).
+
+    Expressed as explicit plan structure — Catalyst executes each phase as a
+    broadcast similarity join; the semi-join keeps phase 2 sub-quadratic.
+    """
+    coarse_dim = gazetteer.where(F.col(level_col).isin(*coarse_levels))
+    fine_dim = gazetteer.where(~F.col(level_col).isin(*coarse_levels))
+
+    lg = char_ngrams(F.lower(F.col(addr_col)), n)
+    rg = char_ngrams(F.lower(F.col(gaz_col)), n)
+
+    coarse = (
+        addresses.crossJoin(F.broadcast(coarse_dim))
+        .withColumn("__score", jaccard(lg, rg))
+        .where(F.col("__score") >= coarse_threshold)
+    )
+    # codes of plausible coarse candidates, per address
+    cand_codes = coarse.select(
+        addr_col, *[F.col(c) for c in code_cols]
+    ).distinct()
+
+    fine_cand = fine_dim.join(
+        F.broadcast(cand_codes.select(code_cols[0]).distinct()),
+        on=code_cols[0],
+        how="left_semi",
+    ).unionByName(
+        fine_dim.join(
+            F.broadcast(cand_codes.select(code_cols[1]).distinct()),
+            on=code_cols[1],
+            how="left_semi",
+        )
+    ).distinct()
+
+    fine = (
+        addresses.crossJoin(F.broadcast(fine_cand.union(coarse_dim.select(fine_cand.columns))))
+        .withColumn("__score", jaccard(lg, rg))
+        .where(F.col("__score") >= threshold)
+    )
+    w = Window.partitionBy(addr_col).orderBy(
+        F.desc("__score"), F.asc(gaz_col)
+    )
+    return (
+        fine.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fuzzy_threshold_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    threshold: float = 90.0,
+    flag_col: str = "viable",
+) -> DataFrame:
+    """J6/U3: the serviceability tag — best fuzzy score against a broadcast
+    list, 'Yes' iff ≥ threshold (utils/geocode_utils.py:16-27).
+
+    fuzzywuzzy's extractOne becomes: broadcast cross-score with a
+    Levenshtein ratio, max per left row, then a when/otherwise flag.
+    """
+    score = levenshtein_ratio(F.lower(F.col(left_col)), F.lower(F.col(right_col)))
+    scored = left.crossJoin(F.broadcast(right)).withColumn("__score", score)
+    agg = scored.groupBy(*left.columns).agg(F.max("__score").alias("best_score"))
+    return agg.withColumn(
+        flag_col, F.when(F.col("best_score") >= threshold, "Yes").otherwise("No")
+    )

@@ -1,0 +1,84 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata structs, processed by Arrow-batched Pandas UDFs
+(``mapInPandas``).
+
+The Spark-side contract is real and tested — schema, partition sizing, UDF
+signature, batch shape. The codec itself is STUBBED: this container has no
+image/audio libraries, so ``decode_image_meta`` computes deterministic
+metadata (byte length, md5, a fake width/height derived from the payload)
+and the real decoder slot raises ``NotImplementedError``. Swapping in
+Pillow/torchaudio changes ~5 lines inside the UDF and nothing in the plan.
+
+Batch sizing note for 100 TB: media rows are fat — keep
+``spark.sql.files.maxPartitionBytes`` at 128 MB and let mapInPandas stream
+Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch) instead of
+collecting a partition at once.
+"""
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+    ]
+)
+
+
+def real_decode(payload: bytes) -> tuple[int, int]:
+    """The real-codec slot. Plug Pillow/libvips here in production."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "decode_image_meta uses the deterministic fake instead"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake 'decode': derive a plausible (width, height) from
+    the payload hash so tests and the SQL oracle can reproduce it."""
+    h = hashlib.md5(payload).hexdigest()
+    return (int(h[:4], 16) % 1920 + 1, int(h[4:8], 16) % 1080 + 1)
+
+
+def to_media_column(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Treat a payload as an opaque media blob: ``binary`` column + nothing
+    else typed. (Here the bytes are the utf-8 of the text column; in
+    production they come straight from the file/source.)"""
+    return df.withColumn("media", F.encode(F.col(text_col), "utf-8"))
+
+
+def decode_image_meta(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature-extraction over binary media columns.
+
+    Arrow-batched: each pandas batch holds (key, media) rows; output is the
+    typed metadata struct. This is the pattern for decode / resize /
+    frame-sample — only the per-payload function changes."""
+    media_df = df.select(F.col(key_col).alias("doc_id"), "media")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["media"]
+            dims = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "content_md5": [
+                        hashlib.md5(bytes(p)).hexdigest() for p in payloads
+                    ],
+                    "fake_width": [d[0] for d in dims],
+                    "fake_height": [d[1] for d in dims],
+                }
+            )
+
+    return media_df.mapInPandas(extract, MEDIA_META_SCHEMA)

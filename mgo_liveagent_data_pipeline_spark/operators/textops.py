@@ -1,0 +1,107 @@
+"""Text-analysis operators over the documents table — language ID, quality
+scoring, token counting, fingerprinting. All pure Catalyst expressions
+(regex + array higher-order functions); nothing leaves the JVM, so they run
+at parquet-scan speed on a 100 TB corpus.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny function-word gazetteer for the n-gram/stopword language heuristic
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# BPE-ish tokenization: letter runs, digit runs, single other non-space —
+# approximates how byte-pair pretokenizers split before merges.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    stopwords: tuple[str, ...] = EN_STOPWORDS,
+    threshold: float = 0.03,
+) -> DataFrame:
+    """Heuristic language ID: share of tokens that are English function
+    words. (Real pipelines plug fastText here via mapInPandas; the operator
+    contract — doc in, (lang, confidence) out — is what matters.)"""
+    toks = _tokens(F.col(text_col))
+    hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
+    ).cast("double")
+    total = F.size(toks).cast("double")
+    ratio = F.round(F.when(total > 0, hits / total).otherwise(0.0), 6)
+    return df.select(
+        F.col(key_col),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document-quality features + composite score:
+    length, token count, mean word length, punctuation ratio, uppercase
+    ratio — the usual cheap pre-filters before expensive LLM scoring."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    mean_word_len = F.round(F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(0.0), 6)
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    punct_ratio = F.round(F.when(n_chars > 0, punct / n_chars).otherwise(0.0), 6)
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double")
+    upper_ratio = F.round(F.when(n_chars > 0, upper / n_chars).otherwise(0.0), 6)
+    score = F.round(
+        F.when((n_tokens >= 10) & (punct_ratio < 0.2) & (upper_ratio < 0.3), 1.0)
+        .otherwise(0.0),
+        1,
+    )
+    return df.select(
+        F.col(key_col),
+        n_chars.cast("long").alias("n_chars_obs"),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish pretokens —
+    the budget metric every training-data pipeline reports (reference F15
+    counted tiktoken tokens per conversation,
+    core/extract/ConvoDataExtract.py:74-82)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(key_col),
+        F.size(_tokens(t)).cast("long").alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_PATTERN)).cast("long").alias("bpe_tokens"),
+        (F.length(t) / 4).cast("long").alias("approx_llm_tokens"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Key-collision fingerprint (OpenRefine-style): lowercase, tokenize,
+    sort+dedup tokens, md5 the canonical form. Word-order-insensitive
+    duplicate key — one narrow map, dedup is then a groupBy on the print."""
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(_tokens(F.lower(F.col(text_col))))), " "
+    )
+    return df.select(
+        F.col(key_col),
+        F.md5(canon).alias("fingerprint"),
+    )

@@ -1,0 +1,68 @@
+"""Window / sort / limit / top-k operators (reference §2.5, W1-W4).
+
+The reference's only window-shaped computation is the geocoder argmax (W2).
+A real engine needs the full family, so ranking / lag-lead / frame windows
+are provided as first-class helpers; each is a single Spark window spec —
+one shuffle on the partition key, sort within partitions only (never a
+global sort unless explicitly asked for).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int = 1,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """W2 generalized: row_number over (partition, order) ≤ k.
+
+    Pass a total order (include a unique tiebreaker) for deterministic
+    output. At scale this is the canonical per-key top-k: one hash shuffle,
+    in-partition sort, early-out filter."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def argmax(
+    df: DataFrame, group_cols: list[str], score_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """W2 as an aggregation: max_by avoids the window sort entirely —
+    partial aggregation keeps only the best candidate per key per partition
+    (the 100 TB-friendly form of 'sort desc, take iloc[0]',
+    core/Geocode.py:74-87)."""
+    tie = F.struct(F.col(score_col), *[F.col(c) for c in payload_cols])
+    best = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols], F.col(score_col)), tie
+    )
+    return df.groupBy(*group_cols).agg(best.alias("__best")).select(
+        *group_cols, "__best.*"
+    )
+
+
+def ordered_limit(df: DataFrame, order_by: list[Column], n: int) -> DataFrame:
+    """W1+W3: ORDER BY … LIMIT n — Spark plans TakeOrderedAndProject
+    (per-partition top-n + merge on driver), not a global sort."""
+    return df.orderBy(*order_by).limit(n)
+
+
+def lag_lead_delta(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Sessionization primitive: previous value/timestamp per key —
+    foundation for the streaming session-window oracle and gap analysis."""
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return df.withColumn("prev_value", F.lag(value_col).over(w)).withColumn(
+        "prev_ts", F.lag(order_col).over(w)
+    )

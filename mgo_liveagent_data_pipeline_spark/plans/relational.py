@@ -1,0 +1,597 @@
+"""Relational query registry — one entry per reference operator from
+SURVEY.md §2.1-2.7, expressed on the driver's TPC-H-ish tables.
+
+Each ``q_*`` takes (spark, sf_dir) → DataFrame; ``ORACLES[name]`` is the
+ANSI-SQL equivalent DuckDB runs on the same parquet. Column names/types are
+aligned on both sides (the correctness gate hashes values under sorted
+column names).
+
+Determinism notes (hold at any parallelism / cluster size):
+* money sums are computed in DECIMAL (order-independent), surfaced as DOUBLE;
+* every top-k / argmax carries a unique tiebreaker;
+* ordered group-concat sorts inside the aggregation (never input order).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.datetimes import fuse_schedule, to_iso, to_manila, tumbling_6h_bucket
+from ..functions.jsons import json_get
+from ..functions.strings import extract_reference_code, normalize_location, resolve_name
+from ..operators.aggregations import (
+    distinct_ids_from_columns,
+    first_row_pick,
+    ordered_group_concat,
+)
+from ..operators.joins import (
+    broadcast_enrich,
+    fuzzy_threshold_join,
+    missing_keys,
+    semi_join,
+    similarity_join_argmax,
+)
+from ..operators.setops import new_vs_existing_counts, union_all
+from ..operators.windows import lag_lead_delta, ordered_limit, top_k_per_group
+from ..sources.tables import load_table
+
+MONEY = "decimal(12,2)"
+RATE = "decimal(12,4)"
+
+# fixed 6-hour window inside the events table's span (2024-01-01..30)
+WIN_START = "2024-01-10 00:00:00"
+WIN_END = "2024-01-10 06:00:00"
+
+
+# --------------------------------------------------------------- S: scans
+def q_s6_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: arbitrary warehouse SQL executed natively (sql_query_bq,
+    core/BigQueryManager.py:116-123)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               cast(round(sum(cast(o_totalprice AS decimal(12,2))), 2) AS double)
+                   AS total_value
+        FROM v_orders GROUP BY o_orderstatus
+        """
+    )
+
+
+def q_s7_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: table preview — LIMIT n (made deterministic with an ORDER BY;
+    fetch_bq_table, core/extract/Extractor.py:178-198)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return ordered_limit(orders, [F.asc("o_orderkey")], 10)
+
+
+# --------------------------------------------- P: projections / predicates
+def q_p2_project_cast_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: SELECT DISTINCT CAST(id AS STRING), … WHERE id IN (…) AND id IS
+    NOT NULL (core/TicketMessageProcessor.py:68-74)."""
+    cust = load_table(spark, sf_dir, "customer")
+    wanted = [str(i) for i in range(0, 200, 7)]
+    return (
+        cust.select(
+            F.col("c_custkey").cast("string").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .where(F.col("id").isin(wanted) & F.col("id").isNotNull())
+        .distinct()
+    )
+
+
+def q_p3_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: trailing-window scan — WHERE ts >= start AND ts < end, project id
+    cols (recent_tickets, extraction_helpers.py:80-121). Partition-prunes
+    when the table is date-partitioned."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(
+            (F.col("ts") >= F.lit(WIN_START)) & (F.col("ts") < F.lit(WIN_END))
+        )
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_p4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: two-predicate equality filter (message_type='M' AND
+    message_format='T', core/extract/ConvoDataExtract.py:191-197)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_p6_p10_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P10+P11: null-fill by dtype, field whitelist, metadata sweep
+    (utils/df_utils.py:9-25, extraction_helpers.py:132-146)."""
+    events = load_table(spark, sf_dir, "events")
+    whitelist = ["event_id", "user_id", "event_type", "value"]
+    kept = events.select(
+        *[c for c in whitelist if "metadata" not in c.lower()]
+    )
+    return kept.na.fill({"event_type": "", "value": 0.0})
+
+
+def q_p8_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: add derived columns (the reference stamps datetime_extracted;
+    here derivations are data-dependent so the oracle can reproduce them)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        (F.col("o_totalprice").cast(MONEY) * F.lit(2).cast("decimal(2,0)"))
+        .cast("double")
+        .alias("double_price"),
+    )
+
+
+# ----------------------------------------------------------------- J: joins
+def q_j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast dimension enrichment — revenue per nation/region
+    (the dict-lookup joins of TicketMessageProcessor.py:207-292)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    enriched = broadcast_enrich(
+        broadcast_enrich(cust, nation, "c_nationkey", "n_nationkey"),
+        region,
+        "n_regionkey",
+        "r_regionkey",
+    )
+    joined = orders.join(
+        enriched, orders.o_custkey == enriched.c_custkey, "inner"
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/E1: left-anti — customers that never ordered
+    (cache-miss set, TicketMessageProcessor.py:103-106)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    misses = missing_keys(cust, orders, "o_custkey")
+    return misses.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers_without_orders")
+    )
+
+
+def q_j3_correlated_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: child rows carry parent metadata (message.update(ticket_metadata),
+    core/Ticket.py:96-106) — equi-join lineitem ⋈ orders."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    from ..operators.joins import correlated_attach
+
+    return correlated_attach(li, orders, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority", "o_orderstatus"
+    )
+
+
+def q_j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/E2: semi-join pruning — orders of AUTOMOBILE-segment customers."""
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    autos = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    return (
+        semi_join(orders, autos, "c_custkey")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_j5_similarity_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+W2: n-gram Jaccard similarity join with per-row argmax ≥ threshold
+    (the geocoder join, core/Geocode.py:45-89) — most similar *other* part
+    name for every distinct part name."""
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    other = names.select(F.col("p_name").alias("match_name"))
+    out = similarity_join_argmax(
+        names.where(F.lit(True)),
+        other.where(F.col("match_name").isNotNull()),
+        "p_name",
+        "match_name",
+        n=3,
+        threshold=0.1,
+    )
+    # exclude self-matches by scoring only distinct pairs
+    return out.select(
+        "p_name", "match_name", F.round(F.col("score"), 6).alias("score")
+    )
+
+
+def q_j6_fuzzy_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+F5+U3: fuzzy threshold tag — best Levenshtein ratio of each part
+    name against the part-type vocabulary, 'Yes' iff ≥ 40
+    (viability tagging, utils/geocode_utils.py:16-27)."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    types = load_table(spark, sf_dir, "part").select("p_type").distinct()
+    out = fuzzy_threshold_join(names, types, "p_name", "p_type", threshold=40.0)
+    return out.select(
+        "p_name", F.round(F.col("best_score"), 6).alias("best_score"), "viable"
+    )
+
+
+# ------------------------------------------------------- A: aggregations
+def q_a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (flagship): grouped sums/averages/counts — the token-accounting
+    aggregate (ExtractionLogger.py:72-83) at TPC-H Q1 shape. DECIMAL sums →
+    bit-exact at any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(MONEY)
+    price = F.col("l_extendedprice").cast(MONEY)
+    disc = F.col("l_discount").cast(RATE)
+    tax = F.col("l_tax").cast(RATE)
+    disc_price = price * (F.lit(1).cast(RATE) - disc)
+    charge = disc_price * (F.lit(1).cast(RATE) + tax)
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_qty"
+            ),
+            F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_price"
+            ),
+        )
+    )
+    return out
+
+
+def q_a2_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: DISTINCT projection (extraction_helpers.py:99)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def q_a3_multi_column_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: unique ids pooled from several columns
+    (TicketMessageProcessor.py:24-37)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return distinct_ids_from_columns(li, ["l_partkey", "l_suppkey"], out="id")
+
+
+def q_a5_ordered_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-key conversation assembly in event order
+    (ConvoDataExtract.py:189-203)."""
+    events = load_table(spark, sf_dir, "events")
+    return ordered_group_concat(
+        events,
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        sep="|",
+        out="event_stream",
+    )
+
+
+def q_a6_first_row_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: iloc[0] of a sorted frame → min_by (ExtractionLogger.py:81-83)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return first_row_pick(orders, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+
+
+# ------------------------------------------------ W: windows / sort / limit
+def q_w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 generalized: top-3 orders per priority by value (argmax family,
+    core/Geocode.py:74-87)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_w3_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W3: ORDER BY … LIMIT n (TakeOrderedAndProject — no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return ordered_limit(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    )
+
+
+def q_w4_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead family: per-user previous event value and gap seconds."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = lag_lead_delta(events, "user_id", "ts", "value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.col("prev_value"), 6).alias("value_delta"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+
+
+# ----------------------------------------------------------- E: set ops
+def q_e1_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: run − existing (new ids; ExtractionLogger.py:102-107)."""
+    orders = load_table(spark, sf_dir, "orders")
+    run = orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    existing = (
+        orders.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    )
+    return missing_keys(run, existing, "o_custkey")
+
+
+def q_e2_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: run ∩ existing (ExtractionLogger.py:108)."""
+    orders = load_table(spark, sf_dir, "orders")
+    run = orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    existing = (
+        orders.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    )
+    return semi_join(run, existing, "o_custkey")
+
+
+def q_e3_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: vertical concat of per-batch results
+    (extraction_helpers.py:218-226)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") >= 300000).select(
+        "o_orderkey", F.lit("high").alias("bucket")
+    )
+    lo = orders.where(F.col("o_totalprice") < 20000).select(
+        "o_orderkey", F.lit("low").alias("bucket")
+    )
+    return union_all([hi, lo])
+
+
+def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractionLogger.calculate_metrics: new/existing/total accounting in
+    one distributed pass (no driver-side sets)."""
+    events = load_table(spark, sf_dir, "events")
+    run = events.where(
+        (F.col("ts") >= F.lit(WIN_START)) & (F.col("ts") < F.lit(WIN_END))
+    ).select("user_id")
+    existing = events.where(F.col("ts") < F.lit(WIN_START)).select("user_id")
+    return new_vs_existing_counts(run, existing, "user_id")
+
+
+# ---------------------------------------------------------- F: functions
+def q_f1_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: regex extract with default (reference_code,
+    extraction_helpers.py:24-29)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        extract_reference_code(
+            F.col("text"), r"\b(spark|hash|merge)\b", "No Match"
+        ).alias("first_keyword"),
+    )
+
+
+def q_f2_f3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F3: string normalization chain (clean_str + normalize_location,
+    core/Geocode.py:36-40, utils/geocode_utils.py:5-14)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select("p_partkey", "p_name").withColumn(
+        "name_norm", normalize_location(F.upper(F.col("p_name")))
+    )
+
+
+def q_f6_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: array → delimited string (tag flattening, core/Ticket.py:60)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id", F.array_join(F.slice(toks, 1, 5), ",").alias("first_tokens")
+    )
+
+
+def q_f7_tz_manila(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: UTC → Asia/Manila wall-clock pipeline (utils/date_utils.py:4-12);
+    daily event counts by Manila calendar date."""
+    events = load_table(spark, sf_dir, "events")
+    manila_date = F.to_date(to_manila(F.col("ts")))
+    return (
+        events.groupBy(manila_date.alias("manila_date"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_f8_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: 6-hour tumbling-window bucketing — the reference's manual
+    extraction window (extraction_helpers.py:88-93) as an expression."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(tumbling_6h_bucket(F.col("ts")).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(MONEY)), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def q_f9_month_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: month window bounds (utils/tickets_util.py:6-8)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.last_day(F.col("o_orderdate")).alias("month_end_day"),
+        )
+        .groupBy("month_start", "month_end_day")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_f11_schedule_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: free-text schedule date+time fusion
+    (extraction_helpers.py:164-216) over synthesized AM/PM variants."""
+    events = load_table(spark, sf_dir, "events")
+    time_str = (
+        F.when(F.col("event_id") % 4 == 0, F.lit("3PM"))
+        .when(F.col("event_id") % 4 == 1, F.lit("11:30 am"))
+        .when(F.col("event_id") % 4 == 2, F.lit(" 7 PM "))
+        .otherwise(F.lit("garbage"))
+    )
+    base = events.select(
+        "event_id", F.to_date("ts").cast("string").alias("sched_date"),
+        time_str.alias("sched_time"),
+    )
+    return base.select(
+        "event_id",
+        fuse_schedule(F.col("sched_date"), F.col("sched_time")).alias(
+            "schedule_ts"
+        ),
+    )
+
+
+def q_f12_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: SAFE_CAST ≡ try_cast — null on failure, never error
+    (extractor_bq_helpers.py:131-153)."""
+    events = load_table(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 3 == 0, F.col("value").cast("string")
+    ).otherwise(F.concat(F.lit("x"), F.col("event_type")))
+    return events.select(
+        "event_id",
+        mixed.try_cast("double").alias("safe_value"),
+        F.col("event_type").try_cast("timestamp").alias("safe_ts"),
+    )
+
+
+def q_f13_resolve_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: name→email→'Unknown Name' coalesce chain
+    (TicketMessageProcessor.py:196-205) over synthesized blanks."""
+    cust = load_table(spark, sf_dir, "customer")
+    name = F.when(F.col("c_custkey") % 3 == 0, F.lit(" ")).otherwise(
+        F.col("c_name")
+    )
+    email = F.when(F.col("c_custkey") % 9 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("user"), F.col("c_custkey"), F.lit("@example.com"))
+    )
+    return cust.select(
+        "c_custkey", resolve_name(name, email).alias("display_name")
+    )
+
+
+def q_f14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: JSON parse of the props column (json.loads / json_normalize,
+    ConvoDataExtract.py:126) + aggregate on the extracted field."""
+    events = load_table(spark, sf_dir, "events")
+    k = json_get(F.col("props"), "k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+def q_f16_iso_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: datetime → ISO-8601 serialization (api/logs/routes.py:15-25)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", to_iso(F.col("o_orderdate")).alias("orderdate_iso")
+    )
+
+
+# ------------------------------------------------------------- K: sinks
+def q_k4_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: staged MERGE upsert semantics (extractor_bq_helpers.py:40-185)
+    expressed relationally: target = orders, source = re-extracted batch
+    with changed values; result = source ∪ (target ⟮anti⟯ source).
+    Materialized-sink variant (Delta MERGE / staged overwrite) lives in
+    sinks.upsert; this query validates the merge algebra."""
+    orders = load_table(spark, sf_dir, "orders")
+    source = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    target_keep = orders.join(source.select("o_orderkey"), "o_orderkey", "left_anti")
+    merged = target_keep.unionByName(source)
+    return merged.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+QUERIES = {
+    "s6_sql_scan": q_s6_sql_scan,
+    "s7_preview": q_s7_preview,
+    "p2_project_cast_distinct": q_p2_project_cast_distinct,
+    "p3_time_window": q_p3_time_window,
+    "p4_filter": q_p4_filter,
+    "p6_p10_hygiene": q_p6_p10_hygiene,
+    "p8_derived_columns": q_p8_derived_columns,
+    "j1_broadcast_enrich": q_j1_broadcast_enrich,
+    "j2_anti_join": q_j2_anti_join,
+    "j3_correlated_attach": q_j3_correlated_attach,
+    "j4_semi_join": q_j4_semi_join,
+    "j5_similarity_argmax": q_j5_similarity_argmax,
+    "j6_fuzzy_threshold": q_j6_fuzzy_threshold,
+    "a1_pricing_summary": q_a1_pricing_summary,
+    "a2_distinct": q_a2_distinct,
+    "a3_multi_column_distinct": q_a3_multi_column_distinct,
+    "a5_ordered_group_concat": q_a5_ordered_group_concat,
+    "a6_first_row_pick": q_a6_first_row_pick,
+    "w2_topk_per_group": q_w2_topk_per_group,
+    "w3_ordered_limit": q_w3_ordered_limit,
+    "w4_lag_lead": q_w4_lag_lead,
+    "e1_except_keys": q_e1_except_keys,
+    "e2_intersect_keys": q_e2_intersect_keys,
+    "e3_union_all": q_e3_union_all,
+    "metrics_new_vs_existing": q_metrics_new_vs_existing,
+    "f1_regex_extract": q_f1_regex_extract,
+    "f2_f3_normalize": q_f2_f3_normalize,
+    "f6_array_join": q_f6_array_join,
+    "f7_tz_manila": q_f7_tz_manila,
+    "f8_tumbling_6h": q_f8_tumbling_6h,
+    "f9_month_bounds": q_f9_month_bounds,
+    "f11_schedule_fusion": q_f11_schedule_fusion,
+    "f12_safe_cast": q_f12_safe_cast,
+    "f13_resolve_name": q_f13_resolve_name,
+    "f14_json_extract": q_f14_json_extract,
+    "f16_iso_format": q_f16_iso_format,
+    "k4_upsert_merge": q_k4_upsert_merge,
+}
