@@ -50,8 +50,18 @@ def adaptive_ngram_size(col: Column | str, floor: int = 5) -> Column:
 
 
 def levenshtein_ratio(a: Column | str, b: Column | str) -> Column:
-    """Fuzzy score (F5) as a 0-100 similarity: the classic
-    ``(1 - dist/max_len) * 100`` Levenshtein ratio (fuzzywuzzy's core)."""
+    """Fuzzy score (F5) as a 0-100 similarity: ``(1 - dist/max_len) * 100``.
+
+    Documented deviation: fuzzywuzzy's ratio (reference viable(),
+    utils/geocode_utils.py:16-19) is indel-based — ``2*M/(len_a+len_b)*100``
+    with substitutions costed 2 — so scores differ near the threshold.
+    Spark's built-in ``F.levenshtein`` costs substitutions 1 and there is no
+    JVM-side LCS primitive; rather than drop to a Python UDF in a
+    broadcast-join hot path, the J6 threshold is calibrated against this
+    formula (fuzzy_threshold_join default, q_j6 uses 40). Both formulas are
+    monotone in edit distance for same-length inputs, so threshold semantics
+    are preserved after calibration.
+    """
     ca, cb = _c(a), _c(b)
     max_len = F.greatest(F.length(ca), F.length(cb))
     return F.when(max_len == 0, F.lit(100.0)).otherwise(

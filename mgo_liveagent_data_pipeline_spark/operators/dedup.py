@@ -86,10 +86,14 @@ def minhash_lsh_dedup(
     Plan shape (scales to 100 TB):
       1. signature pass — narrow map, no shuffle;
       2. explode to ``bands`` rows per doc, band key = concat of its rows —
-         shuffle of (band_key, key) only;
-      3. self-join within band buckets → candidate pairs (equi-join on the
-         band key, AQE handles skewed mega-buckets);
-      4. verify candidates with true shingle Jaccard ≥ threshold.
+         the band join shuffles **(band_key, key) only**, never the shingle
+         arrays (at 100 TB carrying shingles through the explode+self-join
+         would shuffle the whole corpus ×bands);
+      3. self-join within band buckets → candidate (id_a, id_b) pairs
+         (equi-join on the band key, AQE handles skewed mega-buckets);
+      4. re-attach shingles to the deduped pair list by key (two joins
+         against the narrow signature relation — pairs ≪ corpus after LSH),
+         then verify with true shingle Jaccard ≥ threshold.
 
     Returns distinct (id_a < id_b, jaccard_sim) verified pairs.
     """
@@ -106,9 +110,7 @@ def minhash_lsh_dedup(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        "key", "shingles", F.explode(band_arr).alias("band_key")
-    )
+    banded = sigs.select("key", F.explode(band_arr).alias("band_key"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -118,10 +120,23 @@ def minhash_lsh_dedup(
         .select(
             F.col("a.key").alias("id_a"),
             F.col("b.key").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    shingle_map = sigs.select("key", "shingles")
+    cand = (
+        cand.join(
+            shingle_map.select(
+                F.col("key").alias("id_a"), F.col("shingles").alias("sh_a")
+            ),
+            on="id_a",
+        )
+        .join(
+            shingle_map.select(
+                F.col("key").alias("id_b"), F.col("shingles").alias("sh_b")
+            ),
+            on="id_b",
+        )
     )
     sim = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
     return (

@@ -66,17 +66,26 @@ def similarity_join_argmax(
     n: int = 3,
     threshold: float = 0.1,
     keep_right: list[str] | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """J5 + W2: score left×broadcast(right) by n-gram Jaccard, keep the
     argmax candidate per left row if it clears the threshold.
 
-    The reference's geocoder (core/Geocode.py:45-89). The right side must be
-    a (small) gazetteer-like dim — it is broadcast, so the plan is a single
-    pass over ``left`` with no shuffle until the per-row argmax, which is a
-    ``max_by`` aggregation (partial+final, no window sort).
+    The reference's geocoder (core/Geocode.py:45-89). The right side MUST be
+    a bounded gazetteer-like dimension — it is broadcast, so the plan is a
+    single pass over ``left`` with no shuffle until the per-row argmax, which
+    is a ``min_by`` aggregation (partial+final, no window sort). For
+    self-similarity over an unbounded relation use the LSH path in
+    ``operators.dedup`` instead; a broadcast that grows with the fact table
+    would OOM at scale.
 
-    At 100 TB the left side is huge but the plan is still scan→broadcast
-    nested loop→partial agg; the quadratic blowup is bounded by |right|.
+    ``exclude_self`` drops identical-string pairs before the argmax (the
+    reference's geocoder never scores an address against itself;
+    core/Geocode.py:74-87 takes the best *other* candidate).
+
+    Deterministic argmax with no SortOrder-in-struct: ``min_by`` on
+    ``struct(-score, *keep_right)`` = max score, ties broken by the smallest
+    right value (struct comparison is field-by-field ascending).
     """
     lg = char_ngrams(F.col("__l"), n)
     rg = char_ngrams(F.col("__r"), n)
@@ -84,15 +93,15 @@ def similarity_join_argmax(
 
     l = left.withColumn("__l", F.lower(F.col(left_col)))
     r = right.withColumn("__r", F.lower(F.col(right_col)))
-    scored = (
-        l.crossJoin(F.broadcast(r))
-        .withColumn("__score", jaccard(lg, rg))
-        .where(F.col("__score") >= threshold)
+    scored = l.crossJoin(F.broadcast(r))
+    if exclude_self:
+        scored = scored.where(F.col("__l") != F.col("__r"))
+    scored = scored.withColumn("__score", jaccard(lg, rg)).where(
+        F.col("__score") >= threshold
     )
-    # deterministic argmax: best score, ties broken by right value
-    best = F.max_by(
+    best = F.min_by(
         F.struct(*[F.col(c) for c in keep_right], F.col("__score").alias("score")),
-        F.struct(F.col("__score"), *[F.col(c).desc() for c in keep_right]),
+        F.struct((-F.col("__score")).alias("neg"), *[F.col(c) for c in keep_right]),
     )
     group_cols = [F.col(c) for c in left.columns]
     return (
@@ -123,7 +132,14 @@ def two_phase_similarity_join(
 
     Expressed as explicit plan structure — Catalyst executes each phase as a
     broadcast similarity join; the semi-join keeps phase 2 sub-quadratic.
+
+    The best match's gazetteer text is returned as ``matched_<gaz_col>``
+    (renamed internally so identical addr_col/gaz_col names — both default
+    to 'address' — never produce an ambiguous reference).
     """
+    out_gaz = f"matched_{gaz_col}"
+    gazetteer = gazetteer.withColumnRenamed(gaz_col, out_gaz)
+    gaz_col = out_gaz
     coarse_dim = gazetteer.where(F.col(level_col).isin(*coarse_levels))
     fine_dim = gazetteer.where(~F.col(level_col).isin(*coarse_levels))
 

@@ -1,0 +1,376 @@
+"""Training-data-pipeline query registry — dedup, text analysis, and
+similarity search over the ``documents`` and ``embeddings`` tables.
+
+These extend the reference's key-level dedup (MERGE on id) to the
+content-level operators a 100 TB corpus pipeline needs. Every operator was
+built md5/lexicographic-deterministic (operators/dedup.py:14-17) precisely
+so a DuckDB oracle can reproduce it bit-for-bit at any parallelism — this
+module finishes that job by writing the oracles.
+
+DuckDB deltas: 1-based list indexing (Spark arrays are 0-based in
+``col[i]``), ``list_*`` functions vs Spark higher-order functions,
+``string_split_regex`` vs ``F.split``, explicit BIGINT casts on integer
+sums.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.annsearch import cosine_topk, ivf_topk
+from ..operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from ..operators.textops import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+from ..sources.tables import load_table
+
+# MinHash/LSH parameters shared by query and oracle
+NUM_HASHES = 16
+BANDS = 4
+SHINGLE_K = 3
+LSH_THRESHOLD = 0.4
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via md5 digest groupBy (one shuffle of
+    (digest, key) only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=LSH_THRESHOLD,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint clusters (identical 32-bit fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dedup(docs, "text", "doc_id")
+
+
+def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup pairs (block = lang × source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("lang", "source"),
+        shingle_k=2, threshold=0.5,
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup within label blocks (IVF posting lists)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, "embedding", "vec_id", "label", threshold=0.9)
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenRefine-style collision fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs, "text", "doc_id")
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs, "text", "doc_id")
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality features + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs, "text", "doc_id")
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace / BPE-ish / len-4 token counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs, "text", "doc_id")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first five vectors as queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5, query_key="query_id")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-5 (deterministic centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, query_key="query_id")
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "dedup_embedding": q_dedup_embedding,
+    "text_fingerprint": q_text_fingerprint,
+    "text_language_id": q_text_language_id,
+    "text_quality_score": q_text_quality_score,
+    "text_token_counts": q_text_token_counts,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+}
+
+
+# shared SQL fragments -------------------------------------------------------
+
+# distinct word 3-shingles of a document (tokens on \s+, space-joined runs)
+_SHINGLES = r"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(string_split_regex(trim(text), '\s+')) - {km1}, 1) + 1),
+           i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+{km1}], ' ')
+         )) AS sh
+  FROM documents
+"""
+
+_JACCARD = (
+    "CAST(length(list_intersect({a}, {b})) AS DOUBLE)"
+    " / CAST(length(list_distinct(list_concat({a}, {b}))) AS DOUBLE)"
+)
+
+# minhash signature entry i: lexicographic min of md5('<i>:' || shingle)
+_SIG = """
+  SELECT doc_id, sh,
+         [{mins}] AS sig
+  FROM shingled
+"""
+
+
+def _minhash_oracle() -> str:
+    rows = NUM_HASHES // BANDS
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        for i in range(NUM_HASHES)
+    )
+    # DuckDB lists are 1-based: Spark sig[b*rows+r] → sig[b*rows+r+1]
+    bands = ", ".join(
+        "'"
+        + str(b)
+        + "|' || "
+        + " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        for b in range(BANDS)
+    )
+    shingled = _SHINGLES.format(km1=SHINGLE_K - 1)
+    sig = _SIG.format(mins=mins)
+    return f"""
+        WITH shingled AS ({shingled}),
+        sigs AS ({sig}),
+        banded AS (
+          SELECT doc_id AS key, unnest([{bands}]) AS band_key FROM sigs),
+        cand AS (
+          SELECT DISTINCT a.key AS id_a, b.key AS id_b
+          FROM banded a JOIN banded b USING (band_key)
+          WHERE a.key < b.key),
+        pairs AS (
+          SELECT c.id_a, c.id_b, sa.sh AS sh_a, sb.sh AS sh_b
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.id_a
+          JOIN sigs sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b,
+               round({_JACCARD.format(a="sh_a", b="sh_b")}, 6) AS jaccard_sim
+        FROM pairs
+        WHERE {_JACCARD.format(a="sh_a", b="sh_b")} >= {LSH_THRESHOLD}
+    """
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    # bit j of token t: (hexdigit(md5(t))[j//4] >> (3 - j%4)) & 1 → ±1
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(string_split_regex(trim(text), '\\s+')) AS tk
+          FROM documents),
+        fp AS (
+          SELECT doc_id,
+                 array_to_string(list_transform(range(0, {bits}), j ->
+                   CASE WHEN list_sum(list_transform(tk, t ->
+                     CASE WHEN CAST(floor(
+                       CAST(strpos('0123456789abcdef',
+                            substring(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1 AS DOUBLE)
+                       / power(2.0, CAST(3 - j % 4 AS DOUBLE))) AS INT) % 2 = 1
+                     THEN 1 ELSE -1 END)) > 0
+                   THEN '1' ELSE '0' END), '') AS simhash
+          FROM toks)
+        SELECT simhash, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_docs
+        FROM fp GROUP BY simhash HAVING count(*) > 1
+    """
+
+
+_COSINE = """
+  CASE WHEN sqrt(list_sum(list_transform({a}, x -> x * x))) > 0
+        AND sqrt(list_sum(list_transform({b}, x -> x * x))) > 0
+       THEN list_sum(list_transform(range(1, length({a}) + 1), i -> {a}[i] * {b}[i]))
+            / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+               * sqrt(list_sum(list_transform({b}, x -> x * x))))
+       ELSE 0.0 END
+"""
+
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_ngram_pairs": f"""
+        WITH base AS (
+          SELECT doc_id AS key, lang, source,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - 1, 1) + 1),
+                   i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+1], ' ')
+                 )) AS sh
+          FROM documents)
+        SELECT a.key AS id_a, b.key AS id_b,
+               round({_JACCARD.format(a="a.sh", b="b.sh")}, 6) AS jaccard_sim
+        FROM base a JOIN base b USING (lang, source)
+        WHERE a.key < b.key
+          AND round({_JACCARD.format(a="a.sh", b="b.sh")}, 6) >= 0.5
+    """,
+    "dedup_embedding": f"""
+        WITH base AS (
+          SELECT vec_id AS key, label AS block,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+        SELECT a.key AS id_a, b.key AS id_b,
+               round({_COSINE.format(a="a.v", b="b.v")}, 6) AS cosine_sim
+        FROM base a JOIN base b ON a.block = b.block
+        WHERE a.key < b.key
+          AND round({_COSINE.format(a="a.v", b="b.v")}, 6) >= 0.9
+    """,
+    "text_fingerprint": r"""
+        SELECT doc_id,
+               md5(array_to_string(
+                 list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))),
+                 ' ')) AS fingerprint
+        FROM documents
+    """,
+    "text_language_id": r"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        r AS (
+          SELECT doc_id,
+                 CASE WHEN length(tk) > 0
+                      THEN round(CAST(length(list_filter(tk, x -> lower(x) IN
+                             ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+                           / CAST(length(tk) AS DOUBLE), 6)
+                      ELSE 0.0 END AS stopword_ratio
+          FROM t)
+        SELECT doc_id, stopword_ratio,
+               CASE WHEN stopword_ratio >= 0.03 THEN 'en' ELSE 'other' END AS lang_pred
+        FROM r
+    """,
+    "text_quality_score": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+                 CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS upper_c
+          FROM documents),
+        f AS (
+          SELECT doc_id, n_chars, n_tokens,
+                 CASE WHEN n_tokens > 0
+                      THEN round((n_chars - (n_tokens - 1)) / n_tokens, 6) ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN n_chars > 0 THEN round(punct / n_chars, 6) ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_chars > 0 THEN round(upper_c / n_chars, 6) ELSE 0.0 END AS upper_ratio
+          FROM t)
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars_obs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               mean_word_len, punct_ratio, upper_ratio,
+               CASE WHEN n_tokens >= 10 AND punct_ratio < 0.2 AND upper_ratio < 0.3
+                    THEN 1.0 ELSE 0.0 END AS quality
+        FROM f
+    """,
+    "text_token_counts": r"""
+        SELECT doc_id,
+               CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+               CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+               CAST(floor(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+        FROM documents
+    """,
+    "ann_cosine_topk": f"""
+        WITH c AS (
+          SELECT vec_id AS corpus_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, c.corpus_id,
+                 round({_COSINE.format(a="c.cv", b="q.qv")}, 6) AS cosine_sim
+          FROM c CROSS JOIN q
+          WHERE c.corpus_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, corpus_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= 5
+    """,
+    "ann_ivf_topk": f"""
+        WITH cents AS (
+          SELECT label AS cluster_id,
+                 arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS centroid
+          FROM embeddings GROUP BY label),
+        q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        routed AS (
+          SELECT q.query_id, q.qv, c.cluster_id,
+                 round({_COSINE.format(a="q.qv", b="c.centroid")}, 6) AS csim,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY round({_COSINE.format(a="q.qv", b="c.centroid")}, 6) DESC,
+                                             c.cluster_id ASC) AS rn
+          FROM q CROSS JOIN cents c),
+        probe AS (
+          SELECT query_id, qv, cluster_id FROM routed WHERE rn = 1),
+        scored AS (
+          SELECT p.query_id, e.vec_id AS corpus_id,
+                 round({_COSINE.format(a="list_transform(e.embedding, x -> CAST(x AS DOUBLE))", b="p.qv")}, 6) AS cosine_sim
+          FROM embeddings e JOIN probe p ON e.label = p.cluster_id
+          WHERE e.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, corpus_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= 5
+    """,
+}

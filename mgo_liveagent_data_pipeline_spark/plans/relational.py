@@ -215,14 +215,14 @@ def q_j5_similarity_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     other = names.select(F.col("p_name").alias("match_name"))
     out = similarity_join_argmax(
-        names.where(F.lit(True)),
+        names,
         other.where(F.col("match_name").isNotNull()),
         "p_name",
         "match_name",
         n=3,
         threshold=0.1,
+        exclude_self=True,
     )
-    # exclude self-matches by scoring only distinct pairs
     return out.select(
         "p_name", "match_name", F.round(F.col("score"), 6).alias("score")
     )
@@ -515,7 +515,7 @@ def q_f14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14: JSON parse of the props column (json.loads / json_normalize,
     ConvoDataExtract.py:126) + aggregate on the extracted field."""
     events = load_table(spark, sf_dir, "events")
-    k = json_get(F.col("props"), "k").cast("long")
+    k = json_get(F.col("props"), "k").try_cast("long")
     return (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -554,6 +554,277 @@ def q_k4_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins. Same column names/aliases as the Spark queries (the
+# correctness gate sorts columns by name before hashing values). DuckDB
+# deltas handled throughout: regexp_replace needs the 'g' flag, integer
+# sums are cast to BIGINT (DuckDB sum(int) → HUGEINT), date_trunc is cast
+# to TIMESTAMP, epoch seconds via epoch_us(ts)//1000000 (truncating, same
+# as Spark's unix_timestamp).
+_P2_IDS = ", ".join(f"'{i}'" for i in range(0, 200, 7))
+
+ORACLES: dict[str, str] = {
+    "s6_sql_scan": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "s7_preview": "SELECT * FROM orders ORDER BY o_orderkey ASC LIMIT 10",
+    "p2_project_cast_distinct": f"""
+        SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS id, c_name AS name,
+               c_mktsegment AS segment
+        FROM customer
+        WHERE CAST(c_custkey AS VARCHAR) IN ({_P2_IDS}) AND c_custkey IS NOT NULL
+    """,
+    "p3_time_window": f"""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE ts >= TIMESTAMP '{WIN_START}' AND ts < TIMESTAMP '{WIN_END}'
+    """,
+    "p4_filter": """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+    """,
+    "p6_p10_hygiene": """
+        SELECT event_id, user_id, coalesce(event_type, '') AS event_type,
+               coalesce(value, 0.0) AS value
+        FROM events
+    """,
+    "p8_derived_columns": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(month(o_orderdate) AS BIGINT) AS order_month,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS double_price
+        FROM orders
+    """,
+    "j1_broadcast_enrich": """
+        SELECT n.n_name AS nation, r.r_name AS region, count(*) AS n_orders,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+    """,
+    "j2_anti_join": """
+        SELECT c_mktsegment AS segment, count(*) AS n_customers_without_orders
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY c_mktsegment
+    """,
+    "j3_correlated_attach": """
+        SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, o_orderstatus
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "j4_semi_join": """
+        SELECT o_orderstatus AS status, count(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        GROUP BY o_orderstatus
+    """,
+    "j5_similarity_argmax": r"""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        g AS (
+          SELECT p_name, lower(p_name) AS l,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(p_name) - 2, 1) + 1),
+                   i -> substring(lower(p_name), CAST(i AS INT), 3))) AS grams
+          FROM names),
+        scored AS (
+          SELECT a.p_name, b.p_name AS match_name,
+                 CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 CAST(length(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS s
+          FROM g a CROSS JOIN g b
+          WHERE a.l <> b.l),
+        ranked AS (
+          SELECT p_name, match_name, s,
+                 row_number() OVER (PARTITION BY p_name ORDER BY s DESC, match_name ASC) AS rn
+          FROM scored WHERE s >= 0.1)
+        SELECT p_name, match_name, round(s, 6) AS score FROM ranked WHERE rn = 1
+    """,
+    "j6_fuzzy_threshold": """
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        types AS (SELECT DISTINCT p_type FROM part),
+        scored AS (
+          SELECT p_name,
+                 CASE WHEN greatest(length(p_name), length(p_type)) = 0 THEN 100.0
+                      ELSE (1.0 - CAST(levenshtein(lower(p_name), lower(p_type)) AS DOUBLE)
+                            / greatest(length(p_name), length(p_type))) * 100.0
+                 END AS s
+          FROM names CROSS JOIN types)
+        SELECT p_name, round(max(s), 6) AS best_score,
+               CASE WHEN max(s) >= 40.0 THEN 'Yes' ELSE 'No' END AS viable
+        FROM scored GROUP BY p_name
+    """,
+    "a1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_charge,
+               count(*) AS count_order,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "a2_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "a3_multi_column_distinct": """
+        SELECT DISTINCT id FROM (
+          SELECT l_partkey AS id FROM lineitem
+          UNION ALL SELECT l_suppkey AS id FROM lineitem)
+        WHERE id IS NOT NULL
+    """,
+    "a5_ordered_group_concat": """
+        SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS event_stream
+        FROM events GROUP BY user_id
+    """,
+    "a6_first_row_pick": """
+        SELECT arg_min(o_totalprice, o_orderkey) AS o_totalprice,
+               arg_min(o_orderstatus, o_orderkey) AS o_orderstatus
+        FROM orders
+    """,
+    "w2_topk_per_group": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(rn AS BIGINT) AS "rank"
+        FROM (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= 3
+    """,
+    "w3_ordered_limit": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "w4_lag_lead": """
+        SELECT event_id, user_id,
+               round(value - lag(value) OVER w, 6) AS value_delta,
+               (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER w) // 1000000) AS gap_seconds
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+    "e1_except_keys": """
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        AND o_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "e2_intersect_keys": """
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        AND o_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "e3_union_all": """
+        SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice >= 300000
+        UNION ALL
+        SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 20000
+    """,
+    "metrics_new_vs_existing": f"""
+        WITH run AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE ts >= TIMESTAMP '{WIN_START}' AND ts < TIMESTAMP '{WIN_END}'),
+        ex AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '{WIN_START}'),
+        t AS (
+          SELECT r.user_id, CASE WHEN e.user_id IS NULL THEN 1 ELSE 0 END AS is_new
+          FROM run r LEFT JOIN ex e USING (user_id))
+        SELECT CAST(sum(is_new) AS BIGINT) AS n_new,
+               CAST(sum(1 - is_new) AS BIGINT) AS n_existing,
+               count(*) AS n_total
+        FROM t
+    """,
+    "f1_regex_extract": r"""
+        SELECT doc_id,
+               coalesce(nullif(regexp_extract(text, '\b(spark|hash|merge)\b', 1), ''),
+                        'No Match') AS first_keyword
+        FROM documents
+    """,
+    "f2_f3_normalize": r"""
+        SELECT p_partkey, p_name,
+               trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(p_name), '[^a-z\s]', ' ', 'g'),
+                       '\b(city of|municipality of|city|municipality)\b', ' ', 'g'),
+                     '\bgen\b', 'general', 'g'),
+                   '\bsto\b', 'santo', 'g'),
+                 '\s+', ' ', 'g')) AS name_norm
+        FROM part
+    """,
+    "f6_array_join": r"""
+        SELECT doc_id,
+               array_to_string(string_split_regex(trim(text), '\s+')[1:5], ',') AS first_tokens
+        FROM documents
+    """,
+    "f7_tz_manila": """
+        SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS manila_date, count(*) AS n_events
+        FROM events GROUP BY 1
+    """,
+    "f8_tumbling_6h": """
+        WITH b AS (
+          SELECT make_timestamp((((epoch_us(ts) // 1000000)
+                 - (epoch_us(ts) // 1000000) % 21600)) * 1000000) AS window_start,
+                 value
+          FROM events)
+        SELECT window_start, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM b GROUP BY window_start
+    """,
+    "f9_month_bounds": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               last_day(o_orderdate) AS month_end_day,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    """,
+    "f11_schedule_fusion": """
+        SELECT event_id,
+               make_timestamp(epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+                 + CAST(CASE CAST(event_id % 4 AS INT)
+                      WHEN 0 THEN 54000 WHEN 1 THEN 41400 WHEN 2 THEN 68400
+                      ELSE 0 END AS BIGINT) * 1000000) AS schedule_ts
+        FROM events
+    """,
+    "f12_safe_cast": """
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN value ELSE NULL END AS safe_value,
+               CAST(NULL AS TIMESTAMP) AS safe_ts
+        FROM events
+    """,
+    "f13_resolve_name": """
+        SELECT c_custkey,
+               coalesce(
+                 nullif(trim(CASE WHEN c_custkey % 3 = 0 THEN ' ' ELSE c_name END), ''),
+                 nullif(trim(CASE WHEN c_custkey % 9 = 0 THEN ''
+                             ELSE 'user' || CAST(c_custkey AS VARCHAR) || '@example.com' END), ''),
+                 'Unknown Name') AS display_name
+        FROM customer
+    """,
+    "f14_json_extract": """
+        SELECT event_type,
+               CAST(sum(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               count(TRY_CAST(props->>'$.k' AS BIGINT)) AS n_with_k
+        FROM events GROUP BY event_type
+    """,
+    "f16_iso_format": """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS orderdate_iso
+        FROM orders
+    """,
+    "k4_upsert_merge": """
+        WITH source AS (
+          SELECT * REPLACE ('X' AS o_orderstatus) FROM orders WHERE o_orderkey % 10 = 0),
+        target_keep AS (
+          SELECT * FROM orders
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)),
+        merged AS (
+          SELECT * FROM target_keep UNION ALL SELECT * FROM source)
+        SELECT o_orderstatus AS status, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM merged GROUP BY o_orderstatus
+    """,
+}
 
 
 QUERIES = {

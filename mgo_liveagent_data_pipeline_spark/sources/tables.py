@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TPCH_TABLES = (
     "region",
@@ -36,9 +37,28 @@ TPCH_TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+# Tables whose parquet carries TIMESTAMP(NANOS) columns. Spark refuses
+# nanosecond parquet timestamps unless they are surfaced as raw longs
+# (spark.sql.legacy.parquet.nanosAsLong); we convert back to a proper
+# timestamp with exact integer division (the generator emits whole
+# microseconds, verified: max(ns % 1000) == 0).
+NANOS_TS_TABLES = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Lazy; no IO until an action runs."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = NANOS_TS_TABLES.get(name)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    # Runtime-settable SQL conf; affects only NANOS-precision columns, so
+    # micros tables (orders/lineitem) are untouched.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(
