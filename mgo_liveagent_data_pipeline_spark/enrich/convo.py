@@ -1,0 +1,101 @@
+"""U1 — per-conversation LLM analysis, the reference's flagship operator
+(core/extract/ConvoDataExtract.py:37-72,109-187 create/analyze_convo;
+driver fan-out extraction_helpers.py:123-162,218-226).
+
+Reference shape: per ticket — assemble the conversation in message order
+(A5), fill the prompt template, call the LLM with a fallback chain, parse
+the JSON, whitelist to the expected fields with null defaults, and emit an
+error-fallback row if anything fails.
+
+Spark shape: ``groupBy(key).applyInPandas`` — one Arrow batch per
+conversation group, gateway called inside the worker, output typed by an
+explicit StructType (the pydantic ResponseSchema's equivalent). The
+reference's Semaphore(10) concurrency cap becomes the task-level
+parallelism of the stage; at 100 TB you bound external-API pressure by
+coalescing to N partitions before this stage, not with driver-side
+semaphores.
+
+Retry safety: the gateway is injected and the stage is a pure function of
+its input batch — a re-executed Spark task recomputes identical output
+(hash-deterministic stub) or re-calls an idempotent endpoint.
+"""
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .gateway import EXPECTED_FIELDS, PROMPT_TEMPLATE
+
+_RATING_FIELDS = {
+    "intent_rating",
+    "engagement_rating",
+    "clarity_rating",
+    "resolution_rating",
+    "sentiment_rating",
+}
+
+
+def response_schema(key_col: str, key_type: T.DataType) -> T.StructType:
+    """The typed output contract — ResponseSchema (core/schemas/
+    ConvoResponse.py:3-19) plus run metadata (tokens/model/date_extracted,
+    extraction_helpers.py:148-162)."""
+    fields = [T.StructField(key_col, key_type)]
+    for f in EXPECTED_FIELDS:
+        dtype = T.LongType() if f in _RATING_FIELDS else T.StringType()
+        fields.append(T.StructField(f, dtype))
+    fields += [
+        T.StructField("tokens", T.LongType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("date_extracted", T.TimestampType()),
+    ]
+    return T.StructType(fields)
+
+
+def analyze_conversations(
+    df: DataFrame,
+    gateway: Callable[[str], tuple[str, int, str]],
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    text_col: str = "event_type",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One output row per conversation group.
+
+    Conversation line format is ``<text>#<id>`` joined by `` | `` in
+    (order_cols) order — deterministic at any parallelism because the sort
+    happens on the full group inside the worker, never on input row order.
+    """
+    key_type = df.schema[key_col].dataType
+    schema = response_schema(key_col, key_type)
+    out_cols = [f.name for f in schema.fields]
+    order = list(order_cols)
+
+    def _analyze(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        lines = pdf[text_col].astype(str) + "#" + pdf[id_col].astype(str)
+        conversation = " | ".join(lines.tolist())
+        prompt = PROMPT_TEMPLATE.format(conversation=conversation)
+        try:
+            raw, tokens, model = gateway(prompt)
+            data = json.loads(raw)
+            if not isinstance(data, dict):
+                raise ValueError("non-object completion")
+            # field whitelist + null defaults (ConvoDataExtract.py:132-155)
+            rec = {k: data.get(k) for k in EXPECTED_FIELDS}
+        except Exception:
+            # error-fallback row (ConvoDataExtract.py:163-187)
+            rec = {k: None for k in EXPECTED_FIELDS}
+            rec["summary"] = "ANALYSIS_FAILED"
+            tokens, model = 0, getattr(gateway, "model", "unknown")
+        rec[key_col] = pdf[key_col].iloc[0]
+        rec["tokens"] = tokens
+        rec["model"] = model
+        rec["date_extracted"] = pdf[ts_col].max()
+        return pd.DataFrame([rec], columns=out_cols)
+
+    return df.groupBy(key_col).applyInPandas(_analyze, schema)

@@ -1,0 +1,105 @@
+"""Sink + streaming query registry — K-series materialized writes and the
+Structured Streaming windows, each driver-checkable.
+
+The materialized upsert runs the full staged-merge write path twice (the
+second run proves idempotence — SURVEY §5.4's property, enforced inline)
+and reads the table back; its oracle is the k4 merge-algebra SQL, so a
+hash match proves write → read round-trip fidelity, not just plan algebra.
+"""
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.writers import overwrite, table_path, upsert
+from ..sources.tables import load_table
+from ..streaming.windows import session_windows, stream_tumbling_6h
+from .relational import MONEY
+
+
+def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K2+K4: seed a parquet target, staged-MERGE a changed batch into
+    it twice (idempotent), read back, aggregate."""
+    base_dir = tempfile.mkdtemp(prefix="mgo_sink_")
+    orders = load_table(spark, sf_dir, "orders")
+    overwrite(orders, base_dir, "orders_t")
+    source = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    upsert(spark, source, base_dir, "orders_t", "o_orderkey")
+    upsert(spark, source, base_dir, "orders_t", "o_orderkey")
+    merged = spark.read.parquet(table_path(base_dir, "orders_t"))
+    return merged.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def q_stream_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming: 6-hour tumbling windows via readStream + watermark
+    + AvailableNow; equals the batch bucketing expression (shared oracle
+    shape with f8)."""
+    return stream_tumbling_6h(spark, sf_dir)
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30-minute gap)."""
+    events = load_table(spark, sf_dir, "events")
+    return session_windows(events, "ts", "user_id", "30 minutes")
+
+
+QUERIES = {
+    "k_materialized_upsert": q_k_materialized_upsert,
+    "stream_tumbling_6h": q_stream_tumbling_6h,
+    "stream_session_windows": q_stream_session_windows,
+}
+
+ORACLES: dict[str, str] = {
+    # same algebra as k4_upsert_merge — but computed through a real
+    # write/merge/read round trip on the Spark side
+    "k_materialized_upsert": """
+        WITH source AS (
+          SELECT * REPLACE ('X' AS o_orderstatus) FROM orders WHERE o_orderkey % 10 = 0),
+        target_keep AS (
+          SELECT * FROM orders
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)),
+        merged AS (
+          SELECT * FROM target_keep UNION ALL SELECT * FROM source)
+        SELECT o_orderstatus AS status, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM merged GROUP BY o_orderstatus
+    """,
+    "stream_tumbling_6h": """
+        WITH b AS (
+          SELECT make_timestamp((((epoch_us(ts) // 1000000)
+                 - (epoch_us(ts) // 1000000) % 21600)) * 1000000) AS window_start,
+                 value
+          FROM events)
+        SELECT window_start, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM b GROUP BY window_start
+    """,
+    "stream_session_windows": """
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+}

@@ -17,6 +17,8 @@ SparkSession configured for columnar scale work:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -60,4 +62,28 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on every python worker regardless of
+    the driver's cwd (addPyFile zip). Without this, any mapInPandas /
+    applyInPandas stage whose closure references package symbols dies with
+    ModuleNotFoundError on a non-local deployment — and locally whenever
+    the driver isn't started from the repo root."""
+    if spark.conf.get("spark.mgo.pkgShipped", None) == "1":
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="mgo_pipeline_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark.conf.set("spark.mgo.pkgShipped", "1")

@@ -1,0 +1,143 @@
+"""Sink operators — the reference's BigQuery load path re-expressed as
+parquet-table writes (K1-K6).
+
+Reference counterparts:
+* K1 ensure dataset/table (core/BigQueryManager.py:22-45)
+* K2 append / overwrite load with write disposition
+  (core/BigQueryManager.py:47-70)
+* K4 staged MERGE upsert: load staging → MERGE on key → drop staging
+  (core/extract/helpers/extractor_bq_helpers.py:40-185)
+* K5 history append before merge (extractor_bq_helpers.py:83-108)
+* K6 orchestrated prepare-and-load (extractor_bq_helpers.py:13-38)
+
+Tables are parquet directories (swap for Delta in production — ``upsert``
+becomes ``MERGE INTO`` and the read-modify-write below collapses to a
+transactional command; the call-sites don't change).
+
+Scale notes baked in:
+* the merge is anti-join + unionByName — the standard non-transactional
+  merge shape; the anti-join shuffles only the key column of the target
+  thanks to column pruning until the union projection.
+* before the overwrite the result is repartitionByRange on the key, so
+  file sizes stay balanced and downstream key-range scans prune files
+  (SURVEY §4: repartitionByRange before MERGE).
+* writes go to a temp sibling directory then atomically rename — a
+  re-run that dies mid-write never corrupts the table (the reference gets
+  this from BigQuery staging tables; we get it from rename atomicity).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def table_path(base_dir: str, name: str) -> str:
+    return os.path.join(base_dir, f"{name}.parquet")
+
+
+def ensure_table(
+    spark: SparkSession, base_dir: str, name: str, template: DataFrame
+) -> str:
+    """K1: create-if-absent — an empty parquet table with the template's
+    schema (CREATE TABLE IF NOT EXISTS)."""
+    path = table_path(base_dir, name)
+    if not os.path.exists(path):
+        os.makedirs(base_dir, exist_ok=True)
+        template.limit(0).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Write to a temp sibling, then swap — idempotent under retries."""
+    parent = os.path.dirname(path) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=parent, prefix=".staging_")
+    staged = os.path.join(tmp, "data")
+    df.write.mode("overwrite").parquet(staged)
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staged, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def append(df: DataFrame, base_dir: str, name: str) -> str:
+    """K2 WRITE_APPEND."""
+    path = table_path(base_dir, name)
+    df.write.mode("append").parquet(path)
+    return path
+
+
+def overwrite(df: DataFrame, base_dir: str, name: str) -> str:
+    """K2 WRITE_TRUNCATE."""
+    path = table_path(base_dir, name)
+    _atomic_overwrite(df, path)
+    return path
+
+
+def upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    base_dir: str,
+    name: str,
+    key: str,
+    num_range_partitions: int | None = None,
+) -> str:
+    """K4: staged MERGE upsert — target rows whose key appears in source
+    are replaced; new source keys are inserted. Idempotent: running the
+    same source twice equals running it once.
+
+    Plan: target ⟮left-anti on key⟯ source → unionByName(source) →
+    repartitionByRange(key) → atomic overwrite. With Delta this whole
+    function is ``MERGE INTO t USING s ON t.key=s.key WHEN MATCHED THEN
+    UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
+    """
+    path = ensure_table(spark, base_dir, name, source)
+    target = spark.read.parquet(path)
+    merged = target.join(
+        source.select(key).distinct(), on=key, how="left_anti"
+    ).unionByName(source)
+    if num_range_partitions:
+        merged = merged.repartitionByRange(num_range_partitions, F.col(key))
+    # safe to read-while-writing: the staging write happens before the
+    # swap, so the lazy plan still sees the old target files
+    _atomic_overwrite(merged, path)
+    return path
+
+
+def history_append(
+    spark: SparkSession, df: DataFrame, base_dir: str, name: str
+) -> str:
+    """K5: append-only history table ``<name>_history`` written before the
+    current-state merge (extractor_bq_helpers.py:83-108)."""
+    hist = f"{name}_history"
+    ensure_table(spark, base_dir, hist, df)
+    return append(df, base_dir, hist)
+
+
+def prepare_and_load(
+    spark: SparkSession,
+    df: DataFrame,
+    base_dir: str,
+    name: str,
+    write_mode: str = "append",
+    load_data: bool = True,
+) -> str:
+    """K6: ensure table → optional load with disposition
+    (extractor_bq_helpers.py:13-38). Schema comes from the DataFrame
+    itself — Spark schemas are explicit, replacing the reference's
+    first-row inference hazard (K3, core/BigQueryManager.py:72-114)."""
+    path = ensure_table(spark, base_dir, name, df)
+    if not load_data:
+        return path
+    if write_mode == "overwrite":
+        return overwrite(df, base_dir, name)
+    return append(df, base_dir, name)
