@@ -55,14 +55,18 @@ def minhash_signature(
     with md5 as the hash family (seeded by prefix).
     """
     sh = word_shingles(F.col(text_col), shingle_k)
+
+    def _family(i: int):
+        # single-parameter lambda, prefix captured as a plain string.
+        # NB: a two-parameter lambda here (e.g. ``lambda s, i=i``) would be
+        # interpreted by F.transform as the (element, index) form and the
+        # prefix would silently become the index column.
+        prefix = f"{i}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-                )
-            )
+            F.array_min(F.transform(F.col("shingles"), _family(i)))
             for i in range(num_hashes)
         ]
     )

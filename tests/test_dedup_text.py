@@ -1,0 +1,112 @@
+"""Dedup + text-analysis operator tests, including the LSH properties."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from mgo_liveagent_data_pipeline_spark.operators.textops import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en", "web"),
+    (2, "the quick brown fox jumps over the lazy dog", "en", "web"),  # exact dup
+    (3, "the quick brown fox jumps over a lazy dog", "en", "web"),  # near dup
+    (4, "completely different text with other words entirely", "en", "web"),
+    (5, "lorem ipsum dolor sit amet consectetur adipiscing", "la", "book"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang", "source"])
+
+
+def test_exact_dedup_groups_identical(spark):
+    out = {
+        r["content_hash"]: (r["keep_id"], r["n_copies"])
+        for r in exact_dedup(docs_df(spark)).collect()
+    }
+    assert sorted(n for _, n in out.values()) == [1, 1, 1, 2]
+    dup = [v for v in out.values() if v[1] == 2][0]
+    assert dup[0] == 1  # lowest key kept
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = docs_df(spark)
+    s1 = minhash_signature(df, num_hashes=8).collect()
+    s2 = minhash_signature(df.repartition(4), num_hashes=8).collect()
+    m1 = {r["key"]: r["sig"] for r in s1}
+    m2 = {r["key"]: r["sig"] for r in s2}
+    assert m1 == m2  # parallelism-invariant
+    assert all(len(sig) == 8 for sig in m1.values())
+    assert m1[1] == m1[2]  # identical docs → identical signatures
+
+
+def test_lsh_finds_exact_and_near_dups(spark):
+    # bands=8 (r=2): collision probability ≈0.97 at J≈0.6 — near-dup pair
+    # reliably surfaces; default r=4 is tuned for larger corpora
+    pairs = minhash_lsh_dedup(
+        docs_df(spark), num_hashes=16, bands=8, shingle_k=2, threshold=0.3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.3 <= got[(1, 3)] < 1.0
+    # canonical ordering property: every pair has id_a < id_b
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_clusters_identical_docs(spark):
+    out = simhash_dedup(docs_df(spark)).collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == 1 and out[0]["n_docs"] == 2
+
+
+def test_ngram_pairs_respect_blocks(spark):
+    pairs = ngram_jaccard_pairs(
+        docs_df(spark), block_cols=("lang", "source"), shingle_k=2, threshold=0.3
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids
+    # doc 5 is in another block — never compared
+    assert not any(5 in p for p in ids)
+
+
+def test_language_id(spark):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs_df(spark)).collect()}
+    assert out[1] == "en"
+    assert out[5] == "other"
+
+
+def test_quality_score_features(spark):
+    row = {
+        r["doc_id"]: r for r in quality_score(docs_df(spark)).collect()
+    }[1]
+    assert row["n_tokens"] == 9
+    assert row["quality"] == 0.0  # < 10 tokens fails the length gate
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "ab cd, ef 12!")], ["doc_id", "text"])
+    r = token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    # bpe-ish: ab, cd, ',', ef, 12, '!'
+    assert r["bpe_tokens"] == 6
+    assert r["approx_llm_tokens"] == len("ab cd, ef 12!") // 4
+
+
+def test_fingerprint_word_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a"), (3, "a b d")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]

@@ -1,0 +1,65 @@
+"""U1 enrichment stage + streaming window tests."""
+from __future__ import annotations
+
+import datetime as dt
+
+from mgo_liveagent_data_pipeline_spark.enrich.convo import analyze_conversations
+from mgo_liveagent_data_pipeline_spark.enrich.gateway import (
+    EXPECTED_FIELDS,
+    FailingGateway,
+    StubGateway,
+)
+from mgo_liveagent_data_pipeline_spark.streaming.windows import session_windows
+
+EVENTS = [
+    (100, dt.datetime(2024, 1, 1, 10, 0), 1, "view"),
+    (101, dt.datetime(2024, 1, 1, 10, 5), 1, "click"),
+    (102, dt.datetime(2024, 1, 1, 12, 0), 1, "purchase"),  # >30min gap → new session
+    (103, dt.datetime(2024, 1, 1, 9, 0), 2, "signup"),
+]
+
+
+def events_df(spark):
+    return spark.createDataFrame(
+        EVENTS, ["event_id", "ts", "user_id", "event_type"]
+    )
+
+
+def test_u1_stub_deterministic_and_whitelisted(spark):
+    df = events_df(spark)
+    out1 = analyze_conversations(df, StubGateway()).collect()
+    out2 = analyze_conversations(df.repartition(4), StubGateway()).collect()
+    m1 = {r["user_id"]: r.asDict() for r in out1}
+    m2 = {r["user_id"]: r.asDict() for r in out2}
+    assert m1 == m2  # parallelism-invariant
+    r = m1[1]
+    # conversation assembled in (ts, event_id) order
+    assert r["summary"].startswith("view#100 | click#101 | purchase#102"[:40])
+    assert "debug" not in r  # whitelist dropped the extra LLM field
+    assert set(EXPECTED_FIELDS) <= set(r)
+    assert 1 <= r["intent_rating"] <= 5
+    assert r["model"] == "stub-v1"
+    assert r["tokens"] > 0
+    assert r["date_extracted"] == dt.datetime(2024, 1, 1, 12, 0)
+
+
+def test_u1_failing_gateway_emits_fallback_row(spark):
+    out = analyze_conversations(events_df(spark), FailingGateway()).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["summary"] == "ANALYSIS_FAILED"
+        assert r["service_category"] is None
+        assert r["tokens"] == 0
+        assert r["model"] == "failing"
+
+
+def test_session_windows_gap_split(spark):
+    out = session_windows(events_df(spark), "ts", "user_id", "30 minutes")
+    rows = sorted(
+        out.collect(), key=lambda r: (r["user_id"], r["session_start"])
+    )
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 2), (1, 1), (2, 1)]
+    first = rows[0]
+    assert first["session_start"] == dt.datetime(2024, 1, 1, 10, 0)
+    # window ends gap after the last event of the session
+    assert first["session_end"] == dt.datetime(2024, 1, 1, 10, 35)

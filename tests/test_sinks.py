@@ -1,0 +1,81 @@
+"""Sink property tests — K4 idempotence is SURVEY §5.4's headline property."""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+    append,
+    ensure_table,
+    history_append,
+    overwrite,
+    table_path,
+    upsert,
+)
+
+
+def seed(spark, tmp, rows):
+    df = spark.createDataFrame(rows, ["id", "v"])
+    overwrite(df, tmp, "t")
+    return df
+
+
+def read(spark, tmp, name="t"):
+    return spark.read.parquet(table_path(tmp, name))
+
+
+def test_ensure_table_creates_empty_once(spark, tmp_path):
+    tmp = str(tmp_path)
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    ensure_table(spark, tmp, "t", df)
+    assert read(spark, tmp).count() == 0
+    # second call is a no-op even with different data
+    ensure_table(spark, tmp, "t", df.withColumn("v", F.lit("zzz")))
+    assert read(spark, tmp).count() == 0
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    tmp = str(tmp_path)
+    seed(spark, tmp, [(1, "old"), (2, "keep")])
+    src = spark.createDataFrame([(1, "new"), (3, "ins")], ["id", "v"])
+    upsert(spark, src, tmp, "t", "id")
+    got = {r["id"]: r["v"] for r in read(spark, tmp).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    tmp = str(tmp_path)
+    seed(spark, tmp, [(1, "old"), (2, "keep")])
+    src = spark.createDataFrame([(1, "new"), (3, "ins")], ["id", "v"])
+    upsert(spark, src, tmp, "t", "id")
+    once = sorted(map(tuple, read(spark, tmp).collect()))
+    upsert(spark, src, tmp, "t", "id")
+    twice = sorted(map(tuple, read(spark, tmp).collect()))
+    assert once == twice
+
+
+def test_upsert_creates_missing_target(spark, tmp_path):
+    tmp = str(tmp_path)
+    src = spark.createDataFrame([(1, "a")], ["id", "v"])
+    upsert(spark, src, tmp, "t", "id")
+    assert read(spark, tmp).count() == 1
+
+
+def test_history_append_accumulates(spark, tmp_path):
+    tmp = str(tmp_path)
+    batch = spark.createDataFrame([(1, "a")], ["id", "v"])
+    history_append(spark, batch, tmp, "t")
+    history_append(spark, batch, tmp, "t")
+    assert read(spark, tmp, "t_history").count() == 2
+
+
+def test_append_then_overwrite(spark, tmp_path):
+    tmp = str(tmp_path)
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    append(df, tmp, "t")
+    append(df, tmp, "t")
+    assert read(spark, tmp).count() == 2
+    overwrite(df, tmp, "t")
+    assert read(spark, tmp).count() == 1
+    assert not os.path.exists(table_path(tmp, "t") + ".old")
