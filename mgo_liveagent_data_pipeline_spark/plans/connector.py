@@ -1,0 +1,71 @@
+"""Connector query registry — the REST source driven end-to-end through
+``spark.read.format("liveagent")`` against canned pages (the transport is
+injectable; no network in the correctness gate). The oracle is a VALUES
+relation of the same canned rows, so a hash match proves the partitioned
+pagination + envelope unwrap + schema defaulting round trip.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.rest import HAS_DATASOURCE_API, LiveAgentDataSource
+
+_PAGES = [
+    [
+        {"id": "t1", "status": "open", "owner_name": "ana"},
+        {"id": "t2", "status": "closed", "owner_name": "bob"},
+    ],
+    [
+        {"id": "t3", "status": "open", "owner_name": "cyn"},
+        {"id": "t4", "status": "pending", "owner_name": "dre"},
+    ],
+    [{"id": "t5", "status": "open"}],  # missing key → NULL (P9)
+    [],  # empty page terminates pagination; later pages unreachable
+    [{"id": "t9", "status": "never"}],
+]
+
+SCHEMA_DDL = "id string, status string, owner_name string"
+
+
+def q_s1_rest_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+S5+P9: partitioned paginated scan of a REST source."""
+    if not HAS_DATASOURCE_API:
+        raise RuntimeError("Python DataSource API unavailable")
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="liveagent_fixture_")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"tickets": _PAGES}, f)
+    spark.dataSource.register(LiveAgentDataSource)
+    return (
+        spark.read.format("liveagent")
+        .option("schema_ddl", SCHEMA_DDL)
+        .option("endpoint", "tickets")
+        .option("fixture_path", path)
+        .option("max_pages", "10")
+        .option("per_page", "5")
+        .option("num_partitions", "2")
+        .option("throttle", "false")
+        .load()
+    )
+
+
+QUERIES = {"s1_rest_connector": q_s1_rest_connector}
+
+ORACLES: dict[str, str] = {
+    # pages 1-3 surface; the empty page stops each partition's block scan.
+    # NB: partition blocks are contiguous page ranges, so with 10 max pages
+    # and 2 partitions, block 2 starts at page 6 — after the terminator —
+    # and sees the empty tail.
+    "s1_rest_connector": """
+        SELECT * FROM (VALUES
+            ('t1', 'open', 'ana'),
+            ('t2', 'closed', 'bob'),
+            ('t3', 'open', 'cyn'),
+            ('t4', 'pending', 'dre'),
+            ('t5', 'open', NULL)
+        ) AS t(id, status, owner_name)
+    """,
+}

@@ -6,12 +6,12 @@ Merged from the per-domain plan modules; duplicate names are a bug.
 """
 from __future__ import annotations
 
-from . import enrichment, persistence, pipeline, relational
+from . import connector, enrichment, persistence, pipeline, relational
 
 QUERIES = {}
 ORACLES: dict[str, str] = {}
 
-for _mod in (relational, pipeline, enrichment, persistence):
+for _mod in (relational, pipeline, enrichment, persistence, connector):
     for _k in _mod.QUERIES:
         if _k in QUERIES:
             raise ValueError(f"duplicate query name: {_k}")

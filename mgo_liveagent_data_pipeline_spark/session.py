@@ -53,6 +53,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # let Python DataSources (sources/rest.py) receive pushed filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # 128 MB input splits: right-sized tasks at any SF.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")

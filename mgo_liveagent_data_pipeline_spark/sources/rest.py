@@ -1,0 +1,310 @@
+"""REST connector — the reference's LiveAgent API client re-expressed as a
+Spark Python DataSource (S1-S5, F10).
+
+Reference counterparts:
+* S1 paginate: ``_page`` cursor loop, stop on empty page / max_pages,
+  unwrap the ``data`` envelope (core/LiveAgentClient.py:138-185)
+* S2 throttle: 180 req/min honored with a delay per call
+  (core/LiveAgentClient.py:36-48, config/constants.py:6,16)
+* S3/S4 correlated + point-lookup scans, chunked with bounded concurrency
+  (core/Ticket.py:109-186, core/TicketMessageProcessor.py:91-194)
+* S5 unpaginated single-request scan (core/Tag.py:16-20)
+* F10 filter-expression builder pushed to the source API
+  (utils/tickets_util.py:5-15, core/schemas/TicketFilter.py:3-5)
+
+Spark-first design: pagination is *partitioned* — the page space
+[1..max_pages] is split into contiguous blocks, one InputPartition each, so
+N executors pull pages concurrently (the reference fetches sequentially on
+one event loop). Each partition stops early at the first empty page in its
+block. Catalyst filter pushdown reaches the API: ``pushFilters`` translates
+supported comparisons into the LiveAgent ``_filters`` JSON (F10) exactly
+like the reference's TicketFilter, and unsupported predicates stay in the
+plan.
+
+Transport is injectable: ``fixture_path`` (canned JSON pages, used by
+tests/CI — no network in this environment) or ``base_url`` (stdlib urllib
+HTTP with the api key header). Both are plain strings, so the reader
+pickles cleanly to executors.
+
+At 100 TB-equivalent source scale the same reader shape holds: more
+partitions, an ingest checkpoint per block, and the token bucket bounds
+global request pressure at rate/num_partitions per partition.
+"""
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Iterator
+
+try:  # Spark 4 Python DataSource API
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - older Spark
+    HAS_DATASOURCE_API = False
+
+    class DataSource:  # type: ignore[no-redef]
+        def __init__(self, options=None):
+            self.options = options or {}
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        def __init__(self, value):
+            self.value = value
+
+
+from pyspark.sql.types import StructType
+
+DEFAULT_RATE_PER_MIN = 180  # LiveAgent v3 API limit
+DEFAULT_PER_PAGE = 100
+DEFAULT_MAX_PAGES = 100
+
+
+class TokenBucket:
+    """Per-partition rate limiter: ``rate_per_min`` tokens/minute with burst
+    ``capacity``. The reference used Semaphore(15) + 0.4 s sleeps on one
+    process; in a distributed reader each partition gets rate/partitions."""
+
+    def __init__(
+        self,
+        rate_per_min: float,
+        capacity: float | None = None,
+        clock=time.monotonic,
+        sleep=time.sleep,
+    ):
+        self.rate = rate_per_min / 60.0
+        self.capacity = capacity if capacity is not None else max(1.0, self.rate)
+        self.tokens = self.capacity
+        self.clock = clock
+        self.sleep = sleep
+        self.last = clock()
+
+    def acquire(self, n: float = 1.0) -> None:
+        while True:
+            now = self.clock()
+            self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
+            self.last = now
+            if self.tokens >= n:
+                self.tokens -= n
+                return
+            self.sleep((n - self.tokens) / self.rate)
+
+
+def build_filter_expr(conditions: list[tuple[str, str, str]]) -> str:
+    """F10: the LiveAgent ``_filters`` JSON — a list of [field, op, value]
+    triples (utils/tickets_util.py:5-15). Date ops use the API's D-prefixed
+    comparators."""
+    return json.dumps([[f, op, v] for f, op, v in conditions])
+
+
+_OP_MAP = {
+    "GreaterThan": "D>",
+    "GreaterThanOrEqual": "D>=",
+    "LessThan": "D<",
+    "LessThanOrEqual": "D<=",
+    "EqualTo": "=",
+}
+
+
+def _fixture_fetch(fixture_path: str, endpoint: str, params: dict) -> list[dict]:
+    """Canned-page transport: the fixture file maps endpoint → list of
+    pages (each a list of row dicts), mimicking the API's data envelope."""
+    with open(fixture_path) as f:
+        fixtures = json.load(f)
+    pages = fixtures.get(endpoint, [])
+    page = int(params.get("_page", 1))
+    if page > len(pages):
+        return []
+    rows = pages[page - 1]
+    per_page = int(params.get("_perPage", len(rows) or 1))
+    return rows[:per_page]
+
+
+def _http_fetch(
+    base_url: str, api_key: str, endpoint: str, params: dict
+) -> list[dict]:  # pragma: no cover - no network in this environment
+    """Production transport: stdlib urllib GET with the API-key header;
+    unwraps the ``data`` envelope like the reference client."""
+    import urllib.parse
+    import urllib.request
+
+    url = f"{base_url.rstrip('/')}/{endpoint.lstrip('/')}"
+    if params:
+        url += "?" + urllib.parse.urlencode(params)
+    req = urllib.request.Request(url, headers={"apikey": api_key})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        payload = json.load(resp)
+    if isinstance(payload, dict):
+        return payload.get("data", [])
+    return payload
+
+
+def paginate(
+    fetch,
+    endpoint: str,
+    base_params: dict | None = None,
+    max_pages: int = DEFAULT_MAX_PAGES,
+    per_page: int = DEFAULT_PER_PAGE,
+    first_page: int = 1,
+    bucket: TokenBucket | None = None,
+) -> Iterator[dict]:
+    """S1: page-cursor loop — stops at the first empty page or max_pages;
+    each request pays a token (S2)."""
+    params = dict(base_params or {})
+    for page in range(first_page, first_page + max_pages):
+        if bucket is not None:
+            bucket.acquire()
+        params["_page"] = page
+        params["_perPage"] = per_page
+        rows = fetch(endpoint, params)
+        if not rows:
+            return
+        yield from rows
+
+
+class LiveAgentReader(DataSourceReader):
+    """Partitioned, pushdown-capable reader over a paginated REST source."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.endpoint = options.get("endpoint", "tickets")
+        self.max_pages = int(options.get("max_pages", DEFAULT_MAX_PAGES))
+        self.per_page = int(options.get("per_page", DEFAULT_PER_PAGE))
+        self.num_partitions = int(options.get("num_partitions", 4))
+        self.rate_per_min = float(options.get("rate_per_min", DEFAULT_RATE_PER_MIN))
+        self.throttle = options.get("throttle", "true").lower() == "true"
+        self.fixture_path = options.get("fixture_path")
+        self.base_url = options.get("base_url")
+        self.api_key = options.get("api_key", "")
+        self.pushed: list[tuple[str, str, str]] = []
+        explicit = options.get("filters")
+        if explicit:
+            self.pushed.extend(tuple(c) for c in json.loads(explicit))
+
+    # F10: Catalyst → API filter translation (SupportsPushDownFilters)
+    def pushFilters(self, filters):  # noqa: N802 - Spark API name
+        if self.fixture_path:
+            # the canned-page transport does not evaluate _filters; a
+            # consumed-but-unapplied filter would silently widen results,
+            # so in fixture mode everything stays in the Spark plan
+            return filters
+        unsupported = []
+        for flt in filters:
+            op = _OP_MAP.get(type(flt).__name__)
+            col = getattr(flt, "attribute", None)
+            val = getattr(flt, "value", None)
+            if op and col and val is not None and not isinstance(val, (list, dict)):
+                self.pushed.append(("/".join(col), op, str(val)))
+            else:
+                unsupported.append(flt)
+        return unsupported
+
+    def partitions(self):
+        """Contiguous page blocks — parallel pagination."""
+        n = min(self.num_partitions, self.max_pages)
+        block = self.max_pages // n
+        extra = self.max_pages % n
+        parts, start = [], 1
+        for i in range(n):
+            size = block + (1 if i < extra else 0)
+            parts.append(InputPartition((start, size)))
+            start += size
+        return parts
+
+    def _fetch(self):
+        if self.fixture_path:
+            fixture = self.fixture_path
+            return lambda ep, params: _fixture_fetch(fixture, ep, params)
+        base_url, api_key = self.base_url, self.api_key
+        if not base_url:
+            raise ValueError("liveagent source needs fixture_path or base_url")
+        return lambda ep, params: _http_fetch(base_url, api_key, ep, params)
+
+    def read(self, partition):
+        first_page, n_pages = partition.value
+        bucket = (
+            TokenBucket(self.rate_per_min / max(1, self.num_partitions))
+            if self.throttle
+            else None
+        )
+        params: dict = {}
+        if self.pushed:
+            params["_filters"] = build_filter_expr(self.pushed)
+        names = self.schema_.fieldNames()
+        for row in paginate(
+            self._fetch(),
+            self.endpoint,
+            params,
+            max_pages=n_pages,
+            per_page=self.per_page,
+            first_page=first_page,
+            bucket=bucket,
+        ):
+            # P9: schema-enforced defaulting of missing keys
+            yield tuple(row.get(c) for c in names)
+
+
+class LiveAgentDataSource(DataSource):
+    """spark.read.format("liveagent") — register with
+    ``spark.dataSource.register(LiveAgentDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "liveagent"
+
+    def schema(self):
+        ddl = self.options.get("schema_ddl")
+        if not ddl:
+            raise ValueError("liveagent source requires a schema_ddl option")
+        return ddl
+
+    def reader(self, schema: StructType) -> LiveAgentReader:
+        return LiveAgentReader(schema, dict(self.options))
+
+
+def fetch_correlated(
+    keys_df,
+    schema: StructType,
+    fixture_path: str,
+    endpoint_template: str = "tickets/{key}/messages",
+    key_col: str = "id",
+    chunk_size: int = 50,
+    rate_per_min: float = DEFAULT_RATE_PER_MIN,
+    throttle: bool = False,
+):
+    """S3/S4: correlated sub-entity scan — for each key row, fetch the
+    child rows and flatten (logically ``tickets → messages``). Distributed
+    via mapInPandas: each partition drains its keys in chunks behind its
+    own token bucket (the reference's Semaphore(10)+chunks of 50 become
+    partition-level parallelism × per-partition rate)."""
+    import pandas as pd
+
+    names = schema.fieldNames()
+
+    def part(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        bucket = TokenBucket(rate_per_min) if throttle else None
+        for pdf in batches:
+            out: list[tuple] = []
+            keys = pdf[key_col].tolist()
+            for i in range(0, len(keys), chunk_size):
+                for key in keys[i : i + chunk_size]:
+                    if bucket is not None:
+                        bucket.acquire()
+                    rows = _fixture_fetch(
+                        fixture_path, endpoint_template.format(key=key), {}
+                    )
+                    out.extend(tuple(r.get(c) for c in names) for r in rows)
+            yield pd.DataFrame(out, columns=names)
+
+    return keys_df.mapInPandas(part, schema)

@@ -1,0 +1,138 @@
+"""REST connector tests against canned JSON pages (no network)."""
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mgo_liveagent_data_pipeline_spark.sources.rest import (
+    HAS_DATASOURCE_API,
+    LiveAgentDataSource,
+    LiveAgentReader,
+    TokenBucket,
+    build_filter_expr,
+    paginate,
+    _fixture_fetch,
+    fetch_correlated,
+)
+
+TICKETS = [
+    [{"id": "t1", "status": "open", "owner_name": "ana"},
+     {"id": "t2", "status": "closed", "owner_name": "bob"}],
+    [{"id": "t3", "status": "open"}],  # owner_name missing → schema default
+    [],  # empty page → stop
+    [{"id": "t9", "status": "never-reached"}],
+]
+
+SCHEMA_DDL = "id string, status string, owner_name string"
+
+
+@pytest.fixture()
+def fixture_path(tmp_path):
+    p = tmp_path / "pages.json"
+    p.write_text(
+        json.dumps(
+            {
+                "tickets": TICKETS,
+                "tickets/t1/messages": [[{"ticket_id": "t1", "message": "hi"},
+                                         {"ticket_id": "t1", "message": "yo"}]],
+                "tickets/t2/messages": [[{"ticket_id": "t2", "message": "ok"}]],
+                "tickets/t3/messages": [[]],
+            }
+        )
+    )
+    return str(p)
+
+
+def test_token_bucket_math():
+    clock = [0.0]
+    slept = []
+
+    def sleep(s):
+        slept.append(s)
+        clock[0] += s
+
+    b = TokenBucket(60, capacity=1, clock=lambda: clock[0], sleep=sleep)
+    b.acquire()  # burst token
+    b.acquire()  # must wait ~1s at 1 token/sec
+    assert pytest.approx(sum(slept), rel=1e-6) == 1.0
+
+
+def test_build_filter_expr_matches_reference_shape():
+    expr = build_filter_expr([("date_changed", "D>", "2024-01-01 00:00:00")])
+    assert json.loads(expr) == [["date_changed", "D>", "2024-01-01 00:00:00"]]
+
+
+def test_paginate_stops_on_empty_page(fixture_path):
+    rows = list(
+        paginate(
+            lambda ep, params: _fixture_fetch(fixture_path, ep, params),
+            "tickets",
+            max_pages=10,
+            per_page=5,
+        )
+    )
+    assert [r["id"] for r in rows] == ["t1", "t2", "t3"]  # t9 never reached
+
+
+def test_reader_pushdown_translation(spark):
+    if not HAS_DATASOURCE_API:
+        pytest.skip("no Python DataSource API")
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(SCHEMA_DDL)
+    r = LiveAgentReader(schema, {"endpoint": "tickets"})
+    rest = r.pushFilters([GreaterThan(("date_changed",), "2024-01-01"),
+                          EqualTo(("status",), "open")])
+    assert list(rest) == []
+    assert ("date_changed", "D>", "2024-01-01") in r.pushed
+    assert ("status", "=", "open") in r.pushed
+
+
+def test_reader_partitions_cover_page_space(spark):
+    from pyspark.sql.types import StructType
+
+    r = LiveAgentReader(
+        StructType.fromDDL(SCHEMA_DDL),
+        {"max_pages": "10", "num_partitions": "3"},
+    )
+    parts = [p.value for p in r.partitions()]
+    assert sum(n for _, n in parts) == 10
+    starts = [s for s, _ in parts]
+    assert starts == sorted(starts) and starts[0] == 1
+
+
+def test_datasource_end_to_end(spark, fixture_path):
+    if not HAS_DATASOURCE_API:
+        pytest.skip("no Python DataSource API")
+    spark.dataSource.register(LiveAgentDataSource)
+    df = (
+        spark.read.format("liveagent")
+        .option("schema_ddl", SCHEMA_DDL)
+        .option("endpoint", "tickets")
+        .option("fixture_path", fixture_path)
+        .option("max_pages", "10")
+        .option("per_page", "5")
+        .option("num_partitions", "2")
+        .option("throttle", "false")
+        .load()
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {"t1", "t2", "t3"}
+    assert rows["t3"]["owner_name"] is None  # P9 defaulting
+    assert rows["t1"]["status"] == "open"
+
+
+def test_fetch_correlated_flattens_children(spark, fixture_path):
+    from pyspark.sql.types import StructType
+
+    keys = spark.createDataFrame([("t1",), ("t2",), ("t3",)], ["id"])
+    out = fetch_correlated(
+        keys,
+        StructType.fromDDL("ticket_id string, message string"),
+        fixture_path,
+    ).collect()
+    got = sorted((r["ticket_id"], r["message"]) for r in out)
+    assert got == [("t1", "hi"), ("t1", "yo"), ("t2", "ok")]
