@@ -11,10 +11,10 @@ corpus pipeline needs content-level dedup. Four strategies, cheapest first:
 * n-gram Jaccard / embedding cosine — verification kernels, run only inside
   buckets/blocks so the pair count stays bounded.
 
-Cross-engine determinism: every hash is md5 (identical in Spark, DuckDB,
-Python), minhash takes the lexicographic min of hex digests, and all joins /
-aggregations are order-independent — so the DuckDB oracle hash-matches
-bit-for-bit at any parallelism.
+Cross-engine determinism: every hash derives from md5 (identical in Spark,
+DuckDB, Python) — minhash families are integer mixes of the md5 halves —
+and all joins / aggregations are order-independent, so the DuckDB oracle
+hash-matches bit-for-bit at any parallelism.
 """
 from __future__ import annotations
 
@@ -50,29 +50,40 @@ def minhash_signature(
 ) -> DataFrame:
     """doc → (key, shingles, sig[num_hashes]).
 
-    sig_i = min over shingles of md5(i ‖ ':' ‖ shingle). Lexicographic min of
-    hex digests ≈ a random permutation min — the standard MinHash estimator
-    with md5 as the hash family (seeded by prefix).
+    sig_i = min over shingles of (a + i·b), where (a, b) are the two 48-bit
+    halves of md5(shingle) — the Carter-Wegman trick: ONE md5 per shingle,
+    then each of the ``num_hashes`` families is a cheap long multiply-add.
+    Hashing per family instead (md5(i‖shingle)) costs num_hashes× more and
+    measured ~9 s vs ~1 s on 5k docs (higher-order functions are
+    interpreted, so per-element work dominates). a + i·b stays < 2^52 —
+    no long overflow. Exactly reproducible cross-engine: any SQL engine
+    with md5 + hex-parse computes the identical signature (the DuckDB
+    oracle does).
     """
     sh = word_shingles(F.col(text_col), shingle_k)
+    # inner transform: ONE md5 per shingle; outer: split into halves
+    halves = F.transform(
+        F.transform(F.col("shingles"), lambda s: F.md5(s)),
+        lambda h: F.struct(
+            F.conv(h.substr(1, 12), 16, 10).cast("long").alias("a"),
+            F.conv(h.substr(13, 12), 16, 10).cast("long").alias("b"),
+        ),
+    )
 
     def _family(i: int):
-        # single-parameter lambda, prefix captured as a plain string.
-        # NB: a two-parameter lambda here (e.g. ``lambda s, i=i``) would be
-        # interpreted by F.transform as the (element, index) form and the
-        # prefix would silently become the index column.
-        prefix = f"{i}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+        return lambda p: p["a"] + F.lit(i) * p["b"]
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("shingles"), _family(i)))
+            F.array_min(F.transform(F.col("halves"), _family(i)))
             for i in range(num_hashes)
         ]
     )
     return (
         df.select(F.col(key_col).alias("key"), sh.alias("shingles"))
+        .withColumn("halves", halves)
         .withColumn("sig", sig)
+        .drop("halves")
     )
 
 
@@ -103,6 +114,15 @@ def minhash_lsh_dedup(
     """
     rows = num_hashes // bands
     sigs = minhash_signature(df, text_col, key_col, num_hashes, shingle_k)
+    # materialize the narrow (key, shingles, sig) relation once: it is
+    # referenced four times below (both self-join sides + two shingle
+    # re-attach joins), and without a persist Catalyst's projection
+    # collapse would inline — and re-evaluate — the 16-hash signature
+    # expression at every reference (measured 20× slowdown at sf0.1).
+    # MEMORY_AND_DISK: spills rather than recomputes at corpus scale.
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     band_arr = F.array(
         *[

@@ -87,18 +87,23 @@ def similarity_join_argmax(
     ``struct(-score, *keep_right)`` = max score, ties broken by the smallest
     right value (struct comparison is field-by-field ascending).
     """
-    lg = char_ngrams(F.col("__l"), n)
-    rg = char_ngrams(F.col("__r"), n)
     keep_right = keep_right if keep_right is not None else [right_col]
 
-    l = left.withColumn("__l", F.lower(F.col(left_col)))
-    r = right.withColumn("__r", F.lower(F.col(right_col)))
+    # grams are materialized as columns BEFORE the cross join: computed
+    # O(|left|+|right|) in the scan stages instead of O(|left|×|right|)
+    # inside the join projection
+    l = left.withColumn("__l", F.lower(F.col(left_col))).withColumn(
+        "__lg", char_ngrams(F.lower(F.col(left_col)), n)
+    )
+    r = right.withColumn("__r", F.lower(F.col(right_col))).withColumn(
+        "__rg", char_ngrams(F.lower(F.col(right_col)), n)
+    )
     scored = l.crossJoin(F.broadcast(r))
     if exclude_self:
         scored = scored.where(F.col("__l") != F.col("__r"))
-    scored = scored.withColumn("__score", jaccard(lg, rg)).where(
-        F.col("__score") >= threshold
-    )
+    scored = scored.withColumn(
+        "__score", jaccard(F.col("__lg"), F.col("__rg"))
+    ).where(F.col("__score") >= threshold)
     best = F.min_by(
         F.struct(*[F.col(c) for c in keep_right], F.col("__score").alias("score")),
         F.struct((-F.col("__score")).alias("neg"), *[F.col(c) for c in keep_right]),
@@ -140,15 +145,22 @@ def two_phase_similarity_join(
     out_gaz = f"matched_{gaz_col}"
     gazetteer = gazetteer.withColumnRenamed(gaz_col, out_gaz)
     gaz_col = out_gaz
+    # grams materialized as columns before the joins (computed per row,
+    # not per candidate pair)
+    addresses = addresses.withColumn(
+        "__ag", char_ngrams(F.lower(F.col(addr_col)), n)
+    )
+    gazetteer = gazetteer.withColumn(
+        "__gg", char_ngrams(F.lower(F.col(gaz_col)), n)
+    )
     coarse_dim = gazetteer.where(F.col(level_col).isin(*coarse_levels))
     fine_dim = gazetteer.where(~F.col(level_col).isin(*coarse_levels))
 
-    lg = char_ngrams(F.lower(F.col(addr_col)), n)
-    rg = char_ngrams(F.lower(F.col(gaz_col)), n)
+    score = jaccard(F.col("__ag"), F.col("__gg"))
 
     coarse = (
         addresses.crossJoin(F.broadcast(coarse_dim))
-        .withColumn("__score", jaccard(lg, rg))
+        .withColumn("__score", score)
         .where(F.col("__score") >= coarse_threshold)
     )
     # codes of plausible coarse candidates, per address
@@ -169,8 +181,10 @@ def two_phase_similarity_join(
     ).distinct()
 
     fine = (
-        addresses.crossJoin(F.broadcast(fine_cand.union(coarse_dim.select(fine_cand.columns))))
-        .withColumn("__score", jaccard(lg, rg))
+        addresses.crossJoin(
+            F.broadcast(fine_cand.union(coarse_dim.select(fine_cand.columns)))
+        )
+        .withColumn("__score", score)
         .where(F.col("__score") >= threshold)
     )
     w = Window.partitionBy(addr_col).orderBy(
@@ -179,7 +193,7 @@ def two_phase_similarity_join(
     return (
         fine.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__ag", "__gg")
     )
 
 

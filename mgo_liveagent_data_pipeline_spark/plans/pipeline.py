@@ -156,18 +156,22 @@ _JACCARD = (
     " / CAST(length(list_distinct(list_concat({a}, {b}))) AS DOUBLE)"
 )
 
-# minhash signature entry i: lexicographic min of md5('<i>:' || shingle)
+# minhash signature entry i: min over shingles of (a + i*b), a/b = 48-bit
+# halves of md5(shingle) — mirrors operators/dedup.py:minhash_signature
 _SIG = """
   SELECT doc_id, sh,
          [{mins}] AS sig
   FROM shingled
 """
 
+_A = "CAST(('0x' || substring(md5(s), 1, 12)) AS BIGINT)"
+_B = "CAST(('0x' || substring(md5(s), 13, 12)) AS BIGINT)"
+
 
 def _minhash_oracle() -> str:
     rows = NUM_HASHES // BANDS
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        f"list_min(list_transform(sh, s -> {_A} + {i} * {_B}))"
         for i in range(NUM_HASHES)
     )
     # DuckDB lists are 1-based: Spark sig[b*rows+r] → sig[b*rows+r+1]
