@@ -41,13 +41,14 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     spark = get_spark("bench")
+    # warm the JVM (codegen, shuffle machinery) outside any timed region so
+    # the first query doesn't absorb session startup cost
+    spark.range(1000).selectExpr("sum(id)").collect()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        # warm the JVM/scan caches out of the timed region only for the
-        # first query (session startup otherwise dominates it)
         t0 = time.time()
         df = fn(spark, SF_DIR)
         n = df.count()

@@ -8,12 +8,14 @@ training-data-pipeline extensions (dedup, similarity search, text analysis,
 multimodal plumbing) designed for a 100 TB / 1000-executor envelope.
 
 Layout:
-    session     SparkSession factory (AQE, Arrow, shuffle sizing)
-    sources     table loaders + the paginated REST connector pattern
+    session     SparkSession factory (AQE, Arrow, executor package shipping)
+    schemas     explicit StructTypes for every domain table (K3)
+    sources     table/CSV loaders + the partitioned REST DataSource (S1-S5)
     functions   scalar expression library (strings / datetime / json / sim)
     operators   relational + extension operators (joins, aggs, dedup, ANN, …)
     sinks       upsert (staged MERGE), history append, overwrite/append
-    plans       end-to-end pipelines mirroring the reference's routes
+    enrich      U1 LLM stage (applyInPandas) + U2 geocode w/ fallback
+    plans       query/oracle registry — the driver contract surface
     streaming   Structured Streaming formalization of the 6-h batch windows
 """
 

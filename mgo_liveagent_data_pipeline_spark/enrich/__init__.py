@@ -10,5 +10,6 @@
 """
 from .convo import analyze_conversations
 from .gateway import StubGateway
+from .geocode import geocode_with_fallback
 
-__all__ = ["analyze_conversations", "StubGateway"]
+__all__ = ["analyze_conversations", "StubGateway", "geocode_with_fallback"]

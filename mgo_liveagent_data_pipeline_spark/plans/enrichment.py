@@ -103,10 +103,41 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(to_media_column(docs))
 
 
+def q_u2_geocode_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 full wrapper: gazetteer bulk resolution + rate-limited external
+    fallback for the residual misses (stubbed deterministic geocoder)."""
+    ship_package(spark)
+    from ..enrich.geocode import geocode_with_fallback
+
+    nation = load_table(spark, sf_dir, "nation")
+    gaz = nation.select(
+        F.lower("n_name").alias("address"),
+        F.lit("municity").alias("geo_level"),
+        F.col("n_nationkey").cast("int").alias("municity_code"),
+        F.col("n_regionkey").cast("int").alias("provdist_code"),
+        (F.col("n_nationkey") * F.lit(1.5)).alias("latitude"),
+        (F.col("n_regionkey") * F.lit(10.0)).alias("longitude"),
+    )
+    hits = nation.select(
+        F.concat(F.lower("n_name"), F.lit(" nrth")).alias("address")
+    )
+    misses = nation.select(
+        F.concat(F.lit("zzqx"), F.col("n_nationkey").cast("string")).alias(
+            "address"
+        )
+    )
+    addrs = hits.unionByName(misses)
+    return geocode_with_fallback(
+        addrs, gaz, n=3, threshold=0.1, throttle=False,
+        max_external_partitions=4,
+    )
+
+
 QUERIES = {
     "u1_convo_analysis": q_u1_convo_analysis,
     "u5_flatten_messages": q_u5_flatten_messages,
     "u2_geocode_two_phase": q_u2_geocode_two_phase,
+    "u2_geocode_fallback": q_u2_geocode_fallback,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -121,6 +152,16 @@ def _hex4(col: str, start: int) -> str:
     parts = [
         f"{_hexd(f'substring(md5({col}), {start + i}, 1)')} * {16 ** (3 - i)}"
         for i in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _hexn(expr: str, start: int, n: int) -> str:
+    """DuckDB: integer value of n hex chars of an md5-hex column."""
+    parts = [
+        f"CAST({_hexd(f'substring({expr}, {start + i}, 1)')} AS BIGINT)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
     ]
     return "(" + " + ".join(parts) + ")"
 
@@ -233,8 +274,53 @@ def _u2_oracle() -> str:
     """
 
 
+def _u2_fallback_oracle() -> str:
+    jac = _JAC3.format(a="a.agr", b="g.ggr")
+    lat6 = _hexn("hx", 1, 6)
+    lon6 = _hexn("hx", 7, 6)
+    return f"""
+        WITH gaz AS (
+          SELECT lower(n_name) AS g,
+                 CAST(n_nationkey AS DOUBLE) * 1.5 AS latitude,
+                 CAST(n_regionkey AS DOUBLE) * 10.0 AS longitude
+          FROM nation),
+        addrs AS (
+          SELECT lower(n_name) || ' nrth' AS address FROM nation
+          UNION ALL
+          SELECT 'zzqx' || CAST(n_nationkey AS VARCHAR) FROM nation),
+        ag AS (SELECT address, {_GRAMS3.format(s="address")} AS agr FROM addrs),
+        gg AS (SELECT *, {_GRAMS3.format(s="g")} AS ggr FROM gaz),
+        ranked AS (
+          SELECT a.address, g.g, g.latitude, g.longitude, {jac} AS s,
+                 row_number() OVER (PARTITION BY a.address
+                                    ORDER BY {jac} DESC, g.g ASC) AS rn
+          FROM ag a CROSS JOIN gg g
+          WHERE {jac} >= 0.1),
+        hits AS (
+          SELECT address, g AS matched_address, latitude, longitude,
+                 'gazetteer' AS source
+          FROM ranked WHERE rn = 1),
+        miss AS (
+          SELECT address, md5(address) AS hx FROM addrs
+          WHERE address NOT IN (SELECT address FROM hits))
+        SELECT address, matched_address, latitude, longitude, source FROM hits
+        UNION ALL
+        SELECT address,
+               CASE WHEN substring(hx, 1, 1) = 'f' THEN NULL
+                    ELSE upper(address) END AS matched_address,
+               CASE WHEN substring(hx, 1, 1) = 'f' THEN NULL
+                    ELSE ({lat6} % 18000) / 100.0 - 90.0 END AS latitude,
+               CASE WHEN substring(hx, 1, 1) = 'f' THEN NULL
+                    ELSE ({lon6} % 36000) / 100.0 - 180.0 END AS longitude,
+               CASE WHEN substring(hx, 1, 1) = 'f' THEN 'unresolved'
+                    ELSE 'external' END AS source
+        FROM miss
+    """
+
+
 ORACLES: dict[str, str] = {
     "u1_convo_analysis": _u1_oracle(),
+    "u2_geocode_fallback": _u2_fallback_oracle(),
     "u5_flatten_messages": r"""
         WITH base AS (
           SELECT doc_id,

@@ -67,6 +67,35 @@ def load_tables(
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def load_csv(
+    spark: SparkSession, path: str, schema=None, header: bool = True
+) -> DataFrame:
+    """S8: CSV reference-table scan (the serviceable-municipality list,
+    utils/geocode_utils.py:23). Explicit schema preferred (K3); header
+    inference otherwise."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def cached_gazetteer(
+    spark: SparkSession, path: str, clean_col: str = "address"
+) -> DataFrame:
+    """S9: gazetteer scan + derived cleaned column + cache — the
+    reference loads the PSGC table once per process and keeps it in memory
+    (core/Geocode.py:25-29); here it's a cached DataFrame that every
+    similarity join broadcasts."""
+    from ..functions.strings import clean_str
+
+    gaz = spark.read.parquet(path).withColumn(
+        f"{clean_col}_cleaned", clean_str(F.col(clean_col))
+    )
+    return gaz.cache()
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> None:
