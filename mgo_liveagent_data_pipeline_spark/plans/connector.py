@@ -52,7 +52,40 @@ def q_s1_rest_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"s1_rest_connector": q_s1_rest_connector}
+_MESSAGES = {
+    "tickets/t1/messages": [
+        [
+            {"ticket_id": "t1", "message": "hello Ref: AB1"},
+            {"ticket_id": "t1", "message": "thanks"},
+        ]
+    ],
+    "tickets/t2/messages": [[{"ticket_id": "t2", "message": "ok"}]],
+    "tickets/t3/messages": [[]],
+}
+
+
+def q_s3_correlated_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4: correlated sub-entity scan — per parent key, fetch child rows
+    and flatten, distributed via mapInPandas with chunking."""
+    from ..session import ship_package
+    from ..sources.rest import fetch_correlated
+
+    ship_package(spark)
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="liveagent_msgs_")
+    with os.fdopen(fd, "w") as f:
+        json.dump(_MESSAGES, f)
+    keys = spark.createDataFrame([("t1",), ("t2",), ("t3",)], ["id"])
+    from pyspark.sql.types import StructType
+
+    return fetch_correlated(
+        keys, StructType.fromDDL("ticket_id string, message string"), path
+    )
+
+
+QUERIES = {
+    "s1_rest_connector": q_s1_rest_connector,
+    "s3_correlated_fetch": q_s3_correlated_fetch,
+}
 
 ORACLES: dict[str, str] = {
     # pages 1-3 surface; the empty page stops each partition's block scan.
@@ -67,5 +100,12 @@ ORACLES: dict[str, str] = {
             ('t4', 'pending', 'dre'),
             ('t5', 'open', NULL)
         ) AS t(id, status, owner_name)
+    """,
+    "s3_correlated_fetch": """
+        SELECT * FROM (VALUES
+            ('t1', 'hello Ref: AB1'),
+            ('t1', 'thanks'),
+            ('t2', 'ok')
+        ) AS t(ticket_id, message)
     """,
 }
