@@ -94,6 +94,44 @@ def q_u2_geocode_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j1_sender_receiver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 rule cascade: the reference's sender/receiver resolution
+    (TicketMessageProcessor.py:207-292) over message-shaped rows synthesized
+    from events, agents dim from nation (+ the special id)."""
+    from ..transforms.messages import resolve_sender_receiver
+
+    events = load_table(spark, sf_dir, "events")
+    msgs = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.lit("system00"))
+        .when(F.col("event_id") % 13 == 0, F.lit("00054iwg"))
+        .otherwise(F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")))
+        .alias("userid"),
+        F.concat(F.lit("u"), (F.col("user_id") % 7).cast("string")).alias(
+            "agentid"
+        ),
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("owner"), F.col("user_id").cast("string")))
+        .alias("owner_name"),
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    agents = nation.select(
+        F.concat(F.lit("u"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.col("n_name").alias("name"),
+    ).unionByName(
+        spark.createDataFrame([("00054iwg", "Special Raw")], ["id", "name"])
+    )
+    out = resolve_sender_receiver(msgs, agents)
+    return out.select(
+        "event_id",
+        "sender_name",
+        "sender_type",
+        "receiver_name",
+        "receiver_type",
+        "agent_name",
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → mapInPandas metadata
     extraction (deterministic fake codec; real codec slot is a declared
@@ -138,6 +176,7 @@ QUERIES = {
     "u5_flatten_messages": q_u5_flatten_messages,
     "u2_geocode_two_phase": q_u2_geocode_two_phase,
     "u2_geocode_fallback": q_u2_geocode_fallback,
+    "j1_sender_receiver": q_j1_sender_receiver,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -318,9 +357,57 @@ def _u2_fallback_oracle() -> str:
     """
 
 
+_J1_SENDER_RECEIVER_ORACLE = """
+    WITH agents AS (
+      SELECT 'u' || CAST(n_nationkey AS VARCHAR) AS id, n_name AS name
+      FROM nation
+      UNION ALL SELECT '00054iwg', 'Special Raw'),
+    msgs AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 0 THEN 'system00'
+                  WHEN event_id % 13 = 0 THEN '00054iwg'
+                  ELSE 'u' || CAST(user_id % 50 AS VARCHAR) END AS userid,
+             'u' || CAST(user_id % 7 AS VARCHAR) AS agentid,
+             CASE WHEN event_id % 17 = 0 THEN NULL
+                  ELSE 'owner' || CAST(user_id AS VARCHAR) END AS owner_name
+      FROM events),
+    j AS (
+      SELECT m.*,
+             sa.name AS sa_name, sa.id IS NOT NULL AS sa_hit,
+             ta.name AS ta_name, ta.id AS ta_id, ta.id IS NOT NULL AS ta_hit
+      FROM msgs m
+      LEFT JOIN agents sa ON m.userid = sa.id
+      LEFT JOIN agents ta ON m.agentid = ta.id),
+    r AS (
+      SELECT *,
+             coalesce(owner_name, 'Unknown User') AS owner_r,
+             CASE WHEN ta_hit AND ta_id = '00054iwg' THEN 'MechaniGo.ph'
+                  WHEN ta_hit THEN coalesce(ta_name, 'Unknown Agent')
+                  ELSE 'Unknown Agent' END AS ticket_agent,
+             userid = 'system00' AS is_sys,
+             userid = '00054iwg' AS is_sp
+      FROM j)
+    SELECT event_id,
+           CASE WHEN is_sys THEN 'System'
+                WHEN is_sp THEN 'MechaniGo.ph'
+                WHEN sa_hit THEN coalesce(sa_name, 'Unknown Agent')
+                ELSE owner_r END AS sender_name,
+           CASE WHEN is_sys OR is_sp THEN 'system'
+                WHEN sa_hit THEN 'agent'
+                ELSE 'client' END AS sender_type,
+           CASE WHEN is_sys OR is_sp OR sa_hit THEN owner_r
+                ELSE ticket_agent END AS receiver_name,
+           CASE WHEN is_sys OR is_sp OR sa_hit THEN 'client'
+                ELSE 'agent' END AS receiver_type,
+           CASE WHEN ta_hit THEN coalesce(ta_name, 'Unknown Agent')
+                ELSE 'Unknown Agent' END AS agent_name
+    FROM r
+"""
+
 ORACLES: dict[str, str] = {
     "u1_convo_analysis": _u1_oracle(),
     "u2_geocode_fallback": _u2_fallback_oracle(),
+    "j1_sender_receiver": _J1_SENDER_RECEIVER_ORACLE,
     "u5_flatten_messages": r"""
         WITH base AS (
           SELECT doc_id,
