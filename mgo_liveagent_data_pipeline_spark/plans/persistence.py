@@ -52,10 +52,21 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(events, "ts", "user_id", "30 minutes")
 
 
+def q_stream_upsert_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 production path: streaming windowed agg foreachBatch-upserted
+    into a parquet table, read back — exactly-once incremental MERGE."""
+    from ..streaming.windows import stream_upsert_6h
+
+    base_dir = tempfile.mkdtemp(prefix="mgo_stream_sink_")
+    path = stream_upsert_6h(spark, sf_dir, base_dir)
+    return spark.read.parquet(path)
+
+
 QUERIES = {
     "k_materialized_upsert": q_k_materialized_upsert,
     "stream_tumbling_6h": q_stream_tumbling_6h,
     "stream_session_windows": q_stream_session_windows,
+    "stream_upsert_6h": q_stream_upsert_6h,
 }
 
 ORACLES: dict[str, str] = {
@@ -74,6 +85,16 @@ ORACLES: dict[str, str] = {
         FROM merged GROUP BY o_orderstatus
     """,
     "stream_tumbling_6h": """
+        WITH b AS (
+          SELECT make_timestamp((((epoch_us(ts) // 1000000)
+                 - (epoch_us(ts) // 1000000) % 21600)) * 1000000) AS window_start,
+                 value
+          FROM events)
+        SELECT window_start, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM b GROUP BY window_start
+    """,
+    "stream_upsert_6h": """
         WITH b AS (
           SELECT make_timestamp((((epoch_us(ts) // 1000000)
                  - (epoch_us(ts) // 1000000) % 21600)) * 1000000) AS window_start,

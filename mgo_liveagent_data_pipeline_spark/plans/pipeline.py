@@ -68,18 +68,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked n-gram Jaccard near-dup pairs (block = lang × source)."""
+    """Blocked n-gram Jaccard near-dup pairs (block = lang × source).
+    Unigram shingles / threshold 0.5 — calibrated to this corpus so the
+    pair set is non-trivial (bigrams find ~1 pair: a vacuous check)."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "text", "doc_id", block_cols=("lang", "source"),
-        shingle_k=2, threshold=0.5,
+        shingle_k=1, threshold=0.5,
     )
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup within label blocks (IVF posting lists)."""
+    """Embedding-cosine near-dup within label blocks (IVF posting lists).
+    Threshold 0.3 ≈ this corpus's p99 within-block similarity (max 0.47 —
+    a 0.9 threshold returns zero rows and checks nothing)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, "embedding", "vec_id", "label", threshold=0.9)
+    return embedding_near_dup(emb, "embedding", "vec_id", "label", threshold=0.3)
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,10 +254,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_pairs": f"""
         WITH base AS (
           SELECT doc_id AS key, lang, source,
-                 list_distinct(list_transform(
-                   range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - 1, 1) + 1),
-                   i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+1], ' ')
-                 )) AS sh
+                 list_distinct(string_split_regex(trim(text), '\\s+')) AS sh
           FROM documents)
         SELECT a.key AS id_a, b.key AS id_b,
                round({_JACCARD.format(a="a.sh", b="b.sh")}, 6) AS jaccard_sim
@@ -270,7 +271,7 @@ ORACLES: dict[str, str] = {
                round({_COSINE.format(a="a.v", b="b.v")}, 6) AS cosine_sim
         FROM base a JOIN base b ON a.block = b.block
         WHERE a.key < b.key
-          AND round({_COSINE.format(a="a.v", b="b.v")}, 6) >= 0.9
+          AND round({_COSINE.format(a="a.v", b="b.v")}, 6) >= 0.3
     """,
     "text_fingerprint": r"""
         SELECT doc_id,

@@ -159,12 +159,18 @@ def q_j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2/E1: left-anti — customers that never ordered
-    (cache-miss set, TicketMessageProcessor.py:103-106)."""
+    """J2/E1: left-anti — customers with no completed ('F') order
+    (cache-miss set, TicketMessageProcessor.py:103-106). Restricted to
+    F-status so the miss set is non-empty at every SF (every customer has
+    *some* order in this data — an unrestricted anti-join checks nothing)."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
     misses = missing_keys(cust, orders, "o_custkey")
     return misses.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_customers_without_orders")
@@ -608,7 +614,8 @@ ORACLES: dict[str, str] = {
     "j2_anti_join": """
         SELECT c_mktsegment AS segment, count(*) AS n_customers_without_orders
         FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         GROUP BY c_mktsegment
     """,
     "j3_correlated_attach": """

@@ -74,6 +74,54 @@ def stream_tumbling_6h(
     return spark.table(name)
 
 
+def stream_upsert_6h(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    table: str = "events",
+    sink_name: str = "events_6h",
+) -> str:
+    """The production incremental path: streaming 6-hour windowed
+    aggregation MERGE-upserted into a parquet table via foreachBatch —
+    the reference's manual 6-h re-extraction + BigQuery MERGE
+    (tickets_route_helpers.py:13-16 + K4) as exactly-once Structured
+    Streaming. Late/changed rows simply re-emit their window row and the
+    upsert replaces it (same reconciliation the reference gets from MERGE).
+    """
+    from ..sinks.writers import table_path, upsert
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(raw_schema).parquet(_as_stream_dir(path))
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(MONEY)), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert(spark, batch_df, base_dir, sink_name, "window_start")
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table_path(base_dir, sink_name)
+
+
 def session_windows(
     df: DataFrame,
     ts_col: str = "ts",

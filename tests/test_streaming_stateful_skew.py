@@ -1,0 +1,104 @@
+"""applyInPandasWithState, foreachBatch streaming upsert, salting."""
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mgo_liveagent_data_pipeline_spark.operators.skew import (
+    salted_join,
+    salted_sum,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_upsert_6h_equals_batch(spark, tmp_path):
+    from mgo_liveagent_data_pipeline_spark.functions.datetimes import (
+        tumbling_6h_bucket,
+    )
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_upsert_6h,
+    )
+
+    path = stream_upsert_6h(spark, SF_DIR, str(tmp_path))
+    streamed = {
+        r["window_start"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(path).collect()
+    }
+    events = load_table(spark, SF_DIR, "events")
+    batch = {
+        r["w"]: (r["n"], r["v"])
+        for r in events.groupBy(tumbling_6h_bucket(F.col("ts")).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("v"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    import json
+    import os
+
+    from mgo_liveagent_data_pipeline_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    rows = [
+        {"user_id": 1, "value": 2.0},
+        {"user_id": 1, "value": 3.0},
+        {"user_id": 2, "value": 5.0},
+    ]
+    with open(src_dir / "batch1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("user_id bigint, value double").json(
+        str(src_dir)
+    )
+    out = running_user_totals(stream)
+    name = f"stateful_{os.getpid()}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in spark.table(name).collect()}
+    assert got == {1: (2, 5.0), 2: (1, 5.0)}
+
+
+def test_salted_sum_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(500)] + [("cold", 1.0)],
+        ["k", "v"],
+    )
+    out = {
+        r["k"]: (r["total"], r["n"])
+        for r in salted_sum(
+            df,
+            ["k"],
+            {"total": F.sum("v"), "n": F.count(F.lit(1))},
+            salt_buckets=4,
+        ).collect()
+    }
+    assert out["hot"] == (sum(range(500)), 500)
+    assert out["cold"] == (1.0, 1)
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.createDataFrame(
+        [(1, f"r{i}") for i in range(200)] + [(2, "x")], ["k", "payload"]
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], ["k", "name"])
+    salted = salted_join(big, dim, "k", salt_buckets=4).orderBy("payload")
+    plain = big.join(dim, "k").orderBy("payload")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
