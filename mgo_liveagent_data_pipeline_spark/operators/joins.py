@@ -137,6 +137,9 @@ def two_phase_similarity_join(
 
     Expressed as explicit plan structure — Catalyst executes each phase as a
     broadcast similarity join; the semi-join keeps phase 2 sub-quadratic.
+    The addresses side is scanned twice (coarse + fine) — the textbook
+    two-phase tradeoff: two pruned scans of the fact table instead of one
+    full cross-product against the whole gazetteer.
 
     The best match's gazetteer text is returned as ``matched_<gaz_col>``
     (renamed internally so identical addr_col/gaz_col names — both default
