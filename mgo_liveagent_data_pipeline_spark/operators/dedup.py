@@ -182,29 +182,36 @@ def simhash_fingerprint(
     """
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
 
-    # per token: ``bits`` bits from the leading hex chars of md5(token);
-    # bit j = (hex_digit[j//4] >> (3 - j%4)) & 1, written with conv/floor so
-    # it stays in codegen and has an exact DuckDB twin.
-    def tok_bits(t: Column) -> Column:
-        h = F.md5(t)
+    # stage 1: ONE md5+conv per token — its own transform pass, so the
+    # parse runs once per token. (Capturing the conv expression inside the
+    # per-bit lambda would re-evaluate it per bit: HOFs are interpreted
+    # and captured subtrees re-run per element; captured lambda VARIABLES
+    # are already-evaluated values and are free.)
+    tok_ints = F.transform(
+        toks, lambda t: F.conv(F.md5(t).substr(1, bits // 4), 16, 10).cast("double")
+    )
+
+    # stage 2: fold ±1 bit vectors; h is aggregate's lambda var (a value).
+    # bit j (big-endian) = floor(h / 2^(bits-1-j)) mod 2 — h < 2^bits ≤
+    # 2^32, so double division by powers of two is exact.
+    def h_bits(h: Column) -> Column:
         return F.transform(
             F.sequence(F.lit(0), F.lit(bits - 1)),
             lambda j: F.when(
                 F.floor(
-                    F.conv(h.substr((j / 4).cast("int") + 1, F.lit(1)), 16, 10)
-                    .cast("double")
-                    / F.pow(F.lit(2.0), (F.lit(3) - j % 4).cast("double"))
-                ).cast("int")
+                    h / F.pow(F.lit(2.0), (F.lit(bits - 1) - j).cast("double"))
+                ).cast("long")
                 % 2
                 == 1,
                 F.lit(1),
             ).otherwise(F.lit(-1)),
         )
+
     zero = F.transform(F.sequence(F.lit(1), F.lit(bits)), lambda _: F.lit(0))
     acc = F.aggregate(
-        toks,
+        tok_ints,
         zero,
-        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, b: a + b),
+        lambda acc, h: F.zip_with(acc, h_bits(h), lambda a, b: a + b),
     )
     fp = F.array_join(
         F.transform(acc, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))),
