@@ -59,7 +59,10 @@ def month_end_day(ts: Column | str) -> Column:
 # The reference tries '%I%p' then '%I:%M%p' on AM/PM-ish free text, strips
 # spaces, defaults to midnight, null-safe throughout.
 def fuse_schedule(date_col: Column | str, time_col: Column | str) -> Column:
-    d = F.to_date(_c(date_col))
+    # try_cast, not to_date: under ANSI (Spark 4 default) to_date throws on
+    # malformed input; the reference's contract is coerce-to-null
+    # (errors='coerce', extraction_helpers.py:176)
+    d = _c(date_col).try_cast("date")
     t_raw = F.upper(F.regexp_replace(_c(time_col), r"\s+", ""))
     parsed = F.coalesce(
         F.try_to_timestamp(t_raw, F.lit("ha")),      # '3PM'

@@ -1,0 +1,110 @@
+"""Property tests (hypothesis) — SURVEY §5.4.
+
+Spark roundtrips are expensive per example, so example counts are small
+and frames are tiny; the properties still cover the interesting space
+(arbitrary unicode, nulls, duplicate keys, adversarial time strings).
+"""
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mgo_liveagent_data_pipeline_spark.functions.datetimes import fuse_schedule
+from mgo_liveagent_data_pipeline_spark.functions.similarity import (
+    jaccard,
+    levenshtein_ratio,
+    word_shingles,
+)
+from mgo_liveagent_data_pipeline_spark.sinks.writers import table_path, upsert
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texty = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(texty, texty), min_size=1, max_size=5))
+def test_fuse_schedule_is_total(spark, rows):
+    """Arbitrary date/time garbage never errors — nulls, never exceptions
+    (the reference's errors='coerce' contract)."""
+    df = spark.createDataFrame(rows, "d string, t string")
+    out = df.select(fuse_schedule("d", "t").alias("ts")).collect()
+    assert len(out) == len(rows)
+
+
+@SETTINGS
+@given(
+    st.lists(texty, min_size=0, max_size=6),
+    st.lists(texty, min_size=0, max_size=6),
+)
+def test_jaccard_symmetric_bounded(spark, a, b):
+    df = spark.createDataFrame(
+        [(a, b)], "a array<string>, b array<string>"
+    ).select(
+        F.array_distinct("a").alias("a"), F.array_distinct("b").alias("b")
+    )
+    r = df.select(
+        jaccard(F.col("a"), F.col("b")).alias("ab"),
+        jaccard(F.col("b"), F.col("a")).alias("ba"),
+    ).collect()[0]
+    assert r["ab"] == r["ba"]
+    assert 0.0 <= r["ab"] <= 1.0
+
+
+@SETTINGS
+@given(texty, texty)
+def test_levenshtein_ratio_props(spark, a, b):
+    df = spark.createDataFrame([(a, b)], "a string, b string")
+    r = df.select(
+        levenshtein_ratio("a", "b").alias("ab"),
+        levenshtein_ratio("b", "a").alias("ba"),
+        levenshtein_ratio("a", "a").alias("aa"),
+    ).collect()[0]
+    assert r["ab"] == r["ba"]
+    assert 0.0 <= r["ab"] <= 100.0
+    assert r["aa"] == 100.0
+
+
+@SETTINGS
+@given(st.text(alphabet="ab ", max_size=40), st.integers(1, 4))
+def test_word_shingles_distinct_and_total(spark, text, k):
+    df = spark.createDataFrame([(text,)], "t string")
+    sh = df.select(word_shingles("t", k).alias("s")).collect()[0]["s"]
+    assert len(sh) == len(set(sh))  # distinct
+    assert len(sh) >= 1  # never empty (short text → whole text)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_upsert_idempotent_random_frames(spark, tmp_path_factory, target, source):
+    base = str(tmp_path_factory.mktemp("ups"))
+    tdf = spark.createDataFrame(target, "id int, v int").dropDuplicates(["id"])
+    sdf = spark.createDataFrame(source, "id int, v int").dropDuplicates(["id"])
+    tdf.write.mode("overwrite").parquet(table_path(base, "t"))
+    upsert(spark, sdf, base, "t", "id")
+    once = sorted(map(tuple, spark.read.parquet(table_path(base, "t")).collect()))
+    upsert(spark, sdf, base, "t", "id")
+    twice = sorted(map(tuple, spark.read.parquet(table_path(base, "t")).collect()))
+    assert once == twice
+    # every source key's value won; non-source keys retained
+    got = dict(once)
+    for k, v in dict(map(tuple, sdf.collect())).items():
+        assert got[k] == v
