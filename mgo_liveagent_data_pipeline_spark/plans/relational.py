@@ -333,6 +333,47 @@ def q_w3_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w5_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window: 7-day rolling revenue per priority —
+    rangeBetween(-6, 0) over day numbers. DECIMAL inside the frame sum
+    keeps it order-independent; one shuffle on the partition key."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("day_no"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(MONEY)).alias("day_total"))
+    )
+    w = Window.partitionBy("priority").orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        "priority",
+        "day_no",
+        F.round(F.sum("day_total").over(w), 2)
+        .cast("double")
+        .alias("rolling_7d"),
+    )
+
+
+def q_a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set family: ROLLUP(status, priority) with subtotal and
+    grand-total rows (beyond the reference — no cube/rollup there)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def q_w4_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead family: per-user previous event value and gap seconds."""
     events = load_table(spark, sf_dir, "events").select(
@@ -714,6 +755,24 @@ ORACLES: dict[str, str] = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     """,
+    "w5_rolling_window": """
+        WITH daily AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
+                 sum(CAST(o_totalprice AS DECIMAL(12,2))) AS day_total
+          FROM orders GROUP BY 1, 2)
+        SELECT priority, day_no,
+               CAST(round(sum(day_total) OVER (
+                 PARTITION BY priority ORDER BY day_no
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_7d
+        FROM daily
+    """,
+    "a7_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
     "e1_except_keys": """
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
         AND o_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
@@ -854,6 +913,8 @@ QUERIES = {
     "w2_topk_per_group": q_w2_topk_per_group,
     "w3_ordered_limit": q_w3_ordered_limit,
     "w4_lag_lead": q_w4_lag_lead,
+    "w5_rolling_window": q_w5_rolling_window,
+    "a7_rollup": q_a7_rollup,
     "e1_except_keys": q_e1_except_keys,
     "e2_intersect_keys": q_e2_intersect_keys,
     "e3_union_all": q_e3_union_all,
