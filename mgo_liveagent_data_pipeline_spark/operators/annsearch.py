@@ -77,6 +77,87 @@ def ivf_centroids(
     )
 
 
+def rh_planes(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane components: component d of plane
+    p is +1 iff the hex digit md5('p:d')[0] is even. Derived from md5 so
+    any engine (and the DuckDB oracle) regenerates the identical planes —
+    no shared RNG state, same trick as the minhash families."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def rh_signature(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-bit signature string: bit p = 1 iff vec · plane_p > 0. The
+    planes are tiny literals, so each bit is one JVM-side zip_with dot."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def rh_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key: str = "query_id",
+) -> DataFrame:
+    """Random-hyperplane LSH top-k: vectors sharing the query's sign
+    signature are the candidate set; exact cosine ranks within the bucket.
+
+    The 100 TB shape: the corpus signature is a narrow derived column the
+    table is bucketed/partitioned by, so a query probes one bucket —
+    ~|corpus|/2^planes vectors — instead of scanning everything. Approximate
+    (recall < 1): a near neighbor on the far side of one hyperplane lands
+    in another bucket (multi-probe = flip one bit per probe, not done here).
+    """
+    planes = rh_planes(num_planes, dim)
+    c = corpus.select(
+        F.col(key_col).alias("corpus_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("sig", rh_signature(F.col("cv"), planes))
+    q = queries.select(
+        F.col(query_key), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("sig", rh_signature(F.col("qv"), planes))
+
+    scored = (
+        c.join(F.broadcast(q), on="sig")
+        .where(F.col("corpus_id") != F.col(query_key))
+        .withColumn("cosine_sim", F.round(cosine(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_key, "corpus_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

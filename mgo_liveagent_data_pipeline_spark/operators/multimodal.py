@@ -57,6 +57,40 @@ def to_media_column(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("media", F.encode(F.col(text_col), "utf-8"))
 
 
+def frame_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    media_col: str = "media",
+    frame_len: int = 64,
+) -> DataFrame:
+    """Frame sampling: one media blob → N fixed-size frames (video frame
+    extraction's plumbing — the codec that would decode real frames plugs
+    into the per-frame projection). Pure Catalyst: byte-slice + explode,
+    no Python; frames carry (frame_no, frame_md5, frame_bytes_len) so
+    downstream per-frame stages (decode, embed) fan out row-per-frame.
+
+    At scale this is the row-explosion pattern for video: keep frames
+    with their parent key so a later groupBy(key) re-assembles clips
+    without a shuffle beyond the original partitioning."""
+    media = F.col(media_col)
+    n_frames = F.greatest(
+        F.ceil(F.length(media) / F.lit(float(frame_len))).cast("int"), F.lit(1)
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.substring(media, i * frame_len + 1, frame_len),
+    )
+    out = df.select(
+        F.col(key_col), F.posexplode_outer(frames).alias("frame_no", "frame")
+    )
+    return out.select(
+        key_col,
+        "frame_no",
+        F.md5(F.col("frame")).alias("frame_md5"),
+        F.length(F.col("frame")).cast("long").alias("frame_bytes"),
+    )
+
+
 def decode_image_meta(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """mapInPandas feature-extraction over binary media columns.
 

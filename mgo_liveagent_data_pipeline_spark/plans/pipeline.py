@@ -128,6 +128,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, query_key="query_id")
 
 
+def q_ann_rh_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed top-5 (md5-derived planes)."""
+    from ..operators.annsearch import rh_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rh_lsh_topk(emb, queries, k=5, num_planes=8, dim=64)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: media blob → fixed-size frame rows with digests."""
+    from ..operators.multimodal import frame_sample, to_media_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(to_media_column(docs))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -140,6 +159,8 @@ QUERIES = {
     "text_token_counts": q_text_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_rh_lsh_topk": q_ann_rh_lsh_topk,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 
@@ -242,7 +263,60 @@ _COSINE = """
 """
 
 
+def _rh_lsh_oracle(num_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    from ..operators.annsearch import rh_planes
+
+    planes = rh_planes(num_planes, dim)
+
+    def sig(v: str) -> str:
+        bits = []
+        for plane in planes:
+            lit = "[" + ", ".join(f"{float(w):.1f}" for w in plane) + "]"
+            bits.append(
+                f"CASE WHEN list_sum(list_transform(range(1, {dim + 1}),"
+                f" i -> {v}[i] * ({lit})[i])) > 0 THEN '1' ELSE '0' END"
+            )
+        return " || ".join(bits)
+
+    return f"""
+        WITH c AS (
+          SELECT vec_id AS corpus_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+        cs AS (SELECT corpus_id, cv, {sig("cv")} AS sig FROM c),
+        q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        qs AS (SELECT query_id, qv, {sig("qv")} AS sig FROM q),
+        scored AS (
+          SELECT qs.query_id, cs.corpus_id,
+                 round({_COSINE.format(a="cs.cv", b="qs.qv")}, 6) AS cosine_sim
+          FROM cs JOIN qs USING (sig)
+          WHERE cs.corpus_id <> qs.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, corpus_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= {k}
+    """
+
+
 ORACLES: dict[str, str] = {
+    "ann_rh_lsh_topk": _rh_lsh_oracle(),
+    "multimodal_frames": """
+        WITH base AS (
+          SELECT doc_id, text,
+                 greatest(CAST(ceil(strlen(text) / 64.0) AS INT), 1) AS nf
+          FROM documents),
+        e AS (SELECT doc_id, text, unnest(range(0, nf)) AS f FROM base)
+        SELECT doc_id, CAST(f AS INT) AS frame_no,
+               md5(substring(text, CAST(f * 64 + 1 AS INT), 64)) AS frame_md5,
+               CAST(strlen(substring(text, CAST(f * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_bytes
+        FROM e
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
                CAST(min(doc_id) AS BIGINT) AS keep_id,

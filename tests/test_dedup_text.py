@@ -110,3 +110,39 @@ def test_fingerprint_word_order_insensitive(spark):
     out = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_frame_sample_reassembles(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        frame_sample,
+        to_media_column,
+    )
+
+    df = spark.createDataFrame([(1, "a" * 100), (2, "xy")], ["doc_id", "text"])
+    out = frame_sample(to_media_column(df), frame_len=64).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 2  # 100 bytes → 64 + 36
+    assert sorted(r["frame_bytes"] for r in by_doc[1]) == [36, 64]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["frame_bytes"] == 2
+    assert all(r["frame_md5"] for r in out)
+
+
+def test_rh_lsh_buckets_identical_vectors(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import rh_lsh_topk
+
+    vec = [float(i % 7 - 3) for i in range(64)]
+    other = [float((i * 3) % 11 - 5) for i in range(64)]
+    corpus = spark.createDataFrame(
+        [(1, vec), (2, vec), (3, other)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.where("vec_id = 1").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = rh_lsh_topk(corpus, queries, k=5, num_planes=8, dim=64).collect()
+    ids = {r["corpus_id"] for r in out}
+    assert 2 in ids  # identical vector shares every sign bit
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["corpus_id"] == 2 and top["cosine_sim"] == 1.0
