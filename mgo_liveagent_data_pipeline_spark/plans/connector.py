@@ -35,6 +35,14 @@ def q_s1_rest_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S2+S5+P9: partitioned paginated scan of a REST source."""
     if not HAS_DATASOURCE_API:
         raise RuntimeError("Python DataSource API unavailable")
+    from ..session import ship_package
+
+    # the DataSource class is instantiated inside python workers — the
+    # package must be on their sys.path regardless of driver cwd
+    ship_package(spark)
+    # the reader implements pushFilters; Spark refuses it unless the
+    # (runtime-settable) python filter-pushdown flag is on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     fd, path = tempfile.mkstemp(suffix=".json", prefix="liveagent_fixture_")
     with os.fdopen(fd, "w") as f:
         json.dump({"tickets": _PAGES}, f)
