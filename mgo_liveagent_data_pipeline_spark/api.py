@@ -32,6 +32,7 @@ from .pipelines import (
     run_convo_pipeline,
     run_logs_pipeline,
     run_message_pipeline,
+    run_tags_pipeline,
     run_ticket_pipeline,
 )
 
@@ -101,6 +102,7 @@ class Engine:
         # (api/app.py:45-49: agents → tags → tickets → convo → logs)
         self.routes: dict[str, Callable[..., object]] = {
             "extract/process-agents": self._process_agents,
+            "extract/process-tags": self._process_tags,
             "extract/process-tickets-and-messages": self._process_tickets_and_messages,
             "extract/process-convo": self._process_convo,
             "process-logs": self._process_logs,
@@ -116,6 +118,9 @@ class Engine:
     # route bodies — one pipeline call each -------------------------------
     def _process_agents(self, raw_agents: DataFrame):
         return run_agents_pipeline(self.spark, raw_agents, self.base_dir)
+
+    def _process_tags(self, raw_tags: DataFrame):
+        return run_tags_pipeline(self.spark, raw_tags, self.base_dir)
 
     def _process_tickets_and_messages(
         self, raw_tickets: DataFrame, raw_messages: DataFrame, now=None
@@ -141,7 +146,7 @@ class Engine:
 
     def _fetch_table(self, table: str, limit: int = 10):
         # allowlist like the reference (api/routes/tables.py:12-23)
-        allowed = {"tickets", "messages", "agents", "convo_analysis", "logs"}
+        allowed = {"tickets", "messages", "agents", "tags", "convo_analysis", "logs"}
         if table not in allowed:
             raise ValueError(f"table not allowed: {table}")
         return read_table(self.spark, self.base_dir, table).limit(limit)

@@ -23,7 +23,7 @@ from .functions.datetimes import fuse_schedule
 from .operators.setops import new_vs_existing_counts
 from .sinks.writers import append, history_append, overwrite, table_path, upsert
 from .transforms.messages import process_messages
-from .transforms.tickets import process_agents, process_tickets
+from .transforms.tickets import process_agents, process_tags, process_tickets
 
 
 def run_ticket_pipeline(
@@ -55,6 +55,14 @@ def run_agents_pipeline(
 ) -> str:
     """Dimension refresh: WRITE_TRUNCATE (Extractor.py:212)."""
     return overwrite(process_agents(raw_agents), base_dir, "agents")
+
+
+def run_tags_pipeline(
+    spark: SparkSession, raw_tags: DataFrame, base_dir: str
+) -> str:
+    """Tags dimension refresh: NaN-fill + WRITE_TRUNCATE
+    (Extractor.py:239, extraction_helpers.py:242-245)."""
+    return overwrite(process_tags(raw_tags), base_dir, "tags")
 
 
 def run_convo_pipeline(

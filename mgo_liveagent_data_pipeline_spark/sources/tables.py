@@ -46,11 +46,15 @@ NANOS_TS_TABLES = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Lazy; no IO until an action runs."""
+    """Scan one table. Lazy; no IO until an action runs. Known small
+    dimensions carry a broadcast hint — every join against them becomes a
+    broadcast hash join regardless of size estimation (the reference kept
+    exactly these as in-process dict caches)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = NANOS_TS_TABLES.get(name)
     if not nanos_cols:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        return F.broadcast(df) if name in BROADCAST_DIMS else df
     # Runtime-settable SQL conf; affects only NANOS-precision columns, so
     # micros tables (orders/lineitem) are untouched.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -98,3 +98,10 @@ def process_tickets(df: DataFrame, now: Column | None = None) -> DataFrame:
 def process_agents(df: DataFrame) -> DataFrame:
     """Agent dimension refresh transform (extraction_helpers.py:71-78)."""
     return normalize_timezones(df, ("last_pswd_change",))
+
+
+def process_tags(df: DataFrame) -> DataFrame:
+    """P6 on the raw tags payload: NaN-fill by dtype — strings → '',
+    numerics → 0 (extraction_helpers.py:242-245); loaded WRITE_TRUNCATE
+    like agents."""
+    return df.na.fill("").na.fill(0)

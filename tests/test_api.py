@@ -71,3 +71,16 @@ def test_unknown_route_and_table_guard(spark, engine):
         engine.dispatch("fetch", table="users; DROP TABLE")
     assert engine.tracker.health()["status"] == "degraded"
     assert engine.tracker.summary()["fetch"]["failed"] == 1
+
+
+def test_tags_route_nan_fill_truncate(spark, engine):
+    tags = spark.createDataFrame(
+        [("g1", None, None), ("g2", "urgent", "red")],
+        "id string, name string, color string",
+    )
+    engine.dispatch("extract/process-tags", raw_tags=tags)
+    engine.dispatch("extract/process-tags", raw_tags=tags)  # truncate, not append
+    rows = {r["id"]: r for r in engine.dispatch("fetch", table="tags").collect()}
+    assert len(rows) == 2
+    assert rows["g1"]["name"] == ""  # NaN-filled
+    assert rows["g2"]["color"] == "red"
