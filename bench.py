@@ -41,9 +41,21 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     spark = get_spark("bench")
-    # warm the JVM (codegen, shuffle machinery) outside any timed region so
-    # the first query doesn't absorb session startup cost
+    # Warm the JVM outside any timed region: codegen, shuffle machinery,
+    # the vectorized parquet reader, hash-agg, window and broadcast-join
+    # code paths all JIT on first use — without this the first queries
+    # absorb ~1-2 s of one-time cost each (measured: a1's agg is 0.06 s
+    # warm vs 2.4 s cold-in-loop).
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    warm.groupBy("n_regionkey").count().collect()
+    warm.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("n_regionkey").orderBy("n_name"))
+    ).collect()
+    warm.join(F.broadcast(warm.select("n_nationkey")), "n_nationkey").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)

@@ -1,0 +1,109 @@
+"""Scale smoke: replicate sf0.1 inputs N× (default 16) into /tmp and
+compare headline-operator wall time against the 1× run. The point is the
+scaling *ratio*: a scale-safe plan grows ≲ linearly in rows; anything
+quadratic or driver-bound blows past it.
+
+Usage: python tools/scale_smoke.py [factor]
+Writes one JSON line; humans read the ratio columns.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mgo_liveagent_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(spark, src: str, dst_dir: str, name: str, factor: int, key_col: str):
+    """Union the table with key-shifted copies so keys stay distinct."""
+    df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+    n = df.count()
+    out = df
+    for i in range(1, factor):
+        out = out.unionByName(
+            df.withColumn(key_col, F.col(key_col) + F.lit(i * 10 * n))
+        )
+    path = os.path.join(dst_dir, f"{name}.parquet")
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    spark = get_spark("scale_smoke")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    big = tempfile.mkdtemp(prefix="mgo_scale_")
+
+    li_1x = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    docs_1x = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    replicate(spark, SF_DIR, big, "lineitem", factor, "l_orderkey")
+    replicate(spark, SF_DIR, big, "documents", factor, "doc_id")
+    li_nx = spark.read.parquet(os.path.join(big, "lineitem.parquet"))
+    docs_nx = spark.read.parquet(os.path.join(big, "documents.parquet"))
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+
+    MONEY = "decimal(12,2)"
+
+    def a1(df):
+        return (
+            df.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum(F.col("l_quantity").cast(MONEY)), 2),
+                F.round(F.sum(F.col("l_extendedprice").cast(MONEY)), 2),
+                F.count(F.lit(1)),
+            )
+        )
+
+    def topk(df):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("l_returnflag").orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+        )
+
+    cases = {
+        "a1_agg": (a1, li_1x, li_nx),
+        "w2_topk": (topk, li_1x, li_nx),
+        "minhash_lsh": (minhash_lsh_dedup, docs_1x, docs_nx),
+        "simhash": (simhash_dedup, docs_1x, docs_nx),
+    }
+
+    results = {}
+    for name, (fn, small, large) in cases.items():
+        fn(small).count()  # per-case warmup: JIT the whole code path first
+        t0 = time.time()
+        fn(small).count()
+        t_small = time.time() - t0
+        t0 = time.time()
+        fn(large).count()
+        t_large = time.time() - t0
+        results[name] = {
+            "t_1x": round(t_small, 2),
+            f"t_{factor}x": round(t_large, 2),
+            "ratio": round(t_large / max(t_small, 1e-9), 1),
+        }
+    print(json.dumps({"factor": factor, "cases": results}))
+    shutil.rmtree(big, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
