@@ -178,46 +178,44 @@ def simhash_fingerprint(
 ) -> DataFrame:
     """SimHash: per-token 32-bit md5-derived hash; fingerprint bit j is the
     sign of Σ_tokens (±1 at bit j). Docs sharing a fingerprint are near-dup
-    candidates. Pure Catalyst expressions (hex-nibble bit tests), no UDF.
+    candidates.
+
+    Plan shape: explode distinct tokens → one md5+conv per token row → hash
+    aggregate with ``bits`` bit-test SUM expressions → assemble the bit
+    string. Everything stays inside whole-stage codegen (a HOF fold over the
+    token array computes the same thing but runs interpreted — measured 5×
+    slower at sf0.1). The explode keeps each doc's tokens contiguous in its
+    input partition, so map-side partial aggregation collapses them locally
+    and the groupBy shuffle carries ~1 narrow row per doc — same volume as a
+    narrow map at 100 TB.
     """
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-
-    # stage 1: ONE md5+conv per token — its own transform pass, so the
-    # parse runs once per token. (Capturing the conv expression inside the
-    # per-bit lambda would re-evaluate it per bit: HOFs are interpreted
-    # and captured subtrees re-run per element; captured lambda VARIABLES
-    # are already-evaluated values and are free.)
-    tok_ints = F.transform(
-        toks, lambda t: F.conv(F.md5(t).substr(1, bits // 4), 16, 10).cast("double")
+    tok_rows = df.select(
+        F.col(key_col).alias("key"), F.explode(toks).alias("tok")
     )
-
-    # stage 2: fold ±1 bit vectors; h is aggregate's lambda var (a value).
-    # bit j (big-endian) = floor(h / 2^(bits-1-j)) mod 2 — h < 2^bits ≤
-    # 2^32, so double division by powers of two is exact.
-    def h_bits(h: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda j: F.when(
-                F.floor(
-                    h / F.pow(F.lit(2.0), (F.lit(bits - 1) - j).cast("double"))
-                ).cast("long")
-                % 2
-                == 1,
+    # h materialized in its own projection so the 32 per-bit aggregates
+    # below reference a computed column, not 32 copies of the md5+conv tree
+    h = F.conv(F.md5(F.col("tok")).substr(1, bits // 4), 16, 10).cast("long")
+    hashed = tok_rows.select("key", h.alias("h"))
+    # bit j (big-endian) of the 32-bit prefix: (h >> (bits-1-j)) & 1 → ±1
+    sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), bits - 1 - j).bitwiseAND(F.lit(1)) == 1,
                 F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-
-    zero = F.transform(F.sequence(F.lit(1), F.lit(bits)), lambda _: F.lit(0))
-    acc = F.aggregate(
-        tok_ints,
-        zero,
-        lambda acc, h: F.zip_with(acc, h_bits(h), lambda a, b: a + b),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    fp = F.concat(
+        *[
+            F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(bits)
+        ]
     )
-    fp = F.array_join(
-        F.transform(acc, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))),
-        "",
+    return (
+        hashed.groupBy("key").agg(*sums).select("key", fp.alias("simhash"))
     )
-    return df.select(F.col(key_col).alias("key"), fp.alias("simhash"))
 
 
 def simhash_dedup(
