@@ -48,42 +48,47 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """doc → (key, shingles, sig[num_hashes]).
+    """doc → (key, sig[num_hashes]).
 
     sig_i = min over shingles of (a + i·b), where (a, b) are the two 48-bit
     halves of md5(shingle) — the Carter-Wegman trick: ONE md5 per shingle,
     then each of the ``num_hashes`` families is a cheap long multiply-add.
-    Hashing per family instead (md5(i‖shingle)) costs num_hashes× more and
-    measured ~9 s vs ~1 s on 5k docs (higher-order functions are
-    interpreted, so per-element work dominates). a + i·b stays < 2^52 —
-    no long overflow. Exactly reproducible cross-engine: any SQL engine
-    with md5 + hex-parse computes the identical signature (the DuckDB
-    oracle does).
+    a + i·b stays < 2^52 — no long overflow. Exactly reproducible
+    cross-engine: any SQL engine with md5 + hex-parse computes the
+    identical signature (the DuckDB oracle does).
+
+    Plan shape: explode shingles → one md5 per shingle row → hash aggregate
+    with ``num_hashes`` MIN expressions. Everything stays inside
+    whole-stage codegen (a per-family HOF transform computes the same
+    minima but runs interpreted). Each doc's shingle rows stay contiguous
+    in their input partition, so map-side partial aggregation collapses
+    them locally and the groupBy shuffle carries ~1 narrow row per doc.
+    Docs whose shingle set is empty produce no signature row (they cannot
+    be LSH candidates either way).
     """
     sh = word_shingles(F.col(text_col), shingle_k)
-    # inner transform: ONE md5 per shingle; outer: split into halves
-    halves = F.transform(
-        F.transform(F.col("shingles"), lambda s: F.md5(s)),
-        lambda h: F.struct(
-            F.conv(h.substr(1, 12), 16, 10).cast("long").alias("a"),
-            F.conv(h.substr(13, 12), 16, 10).cast("long").alias("b"),
-        ),
+    exploded = df.select(F.col(key_col).alias("key"), sh.alias("shingles")).select(
+        "key", F.explode("shingles").alias("s")
     )
-
-    def _family(i: int):
-        return lambda p: p["a"] + F.lit(i) * p["b"]
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("halves"), _family(i)))
-            for i in range(num_hashes)
-        ]
+    # h materialized in its own projection so the per-family aggregates
+    # reference computed columns, not num_hashes copies of the md5 tree
+    h = F.md5(F.col("s"))
+    halves = exploded.select(
+        "key",
+        F.conv(h.substr(1, 12), 16, 10).cast("long").alias("a"),
+        F.conv(h.substr(13, 12), 16, 10).cast("long").alias("b"),
     )
+    mins = [
+        F.min(F.col("a") + F.lit(i) * F.col("b")).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
     return (
-        df.select(F.col(key_col).alias("key"), sh.alias("shingles"))
-        .withColumn("halves", halves)
-        .withColumn("sig", sig)
-        .drop("halves")
+        halves.groupBy("key")
+        .agg(*mins)
+        .select(
+            "key",
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     )
 
 
@@ -99,30 +104,26 @@ def minhash_lsh_dedup(
     """MinHash + LSH near-duplicate pairs.
 
     Plan shape (scales to 100 TB):
-      1. signature pass — narrow map, no shuffle;
+      1. signature pass — explode + codegen'd MIN aggregates; map-side
+         partial agg means the groupBy shuffle carries ~1 narrow row/doc;
       2. explode to ``bands`` rows per doc, band key = concat of its rows —
          the band join shuffles **(band_key, key) only**, never the shingle
          arrays (at 100 TB carrying shingles through the explode+self-join
          would shuffle the whole corpus ×bands);
       3. self-join within band buckets → candidate (id_a, id_b) pairs
          (equi-join on the band key, AQE handles skewed mega-buckets);
-      4. re-attach shingles to the deduped pair list by key (two joins
-         against the narrow signature relation — pairs ≪ corpus after LSH),
-         then verify with true shingle Jaccard ≥ threshold.
+      4. verify only what survived LSH: shingles are recomputed for the
+         keys that appear in candidate pairs (semi-join prune of the
+         corpus), never materialized corpus-wide — the only persisted
+         relations are the narrow band table, the pair list, and the
+         pruned shingle map, all of which stay ≪ corpus at any scale.
 
     Returns distinct (id_a < id_b, jaccard_sim) verified pairs.
     """
     rows = num_hashes // bands
-    sigs = minhash_signature(df, text_col, key_col, num_hashes, shingle_k)
-    # materialize the narrow (key, shingles, sig) relation once: it is
-    # referenced four times below (both self-join sides + two shingle
-    # re-attach joins), and without a persist Catalyst's projection
-    # collapse would inline — and re-evaluate — the 16-hash signature
-    # expression at every reference (measured 20× slowdown at sf0.1).
-    # MEMORY_AND_DISK: spills rather than recomputes at corpus scale.
     from pyspark.storagelevel import StorageLevel
 
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signature(df, text_col, key_col, num_hashes, shingle_k)
 
     band_arr = F.array(
         *[
@@ -134,7 +135,11 @@ def minhash_lsh_dedup(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("key", F.explode(band_arr).alias("band_key"))
+    # persisted: both sides of the self-join below read it — without a
+    # persist the whole signature pipeline runs twice.
+    banded = sigs.select("key", F.explode(band_arr).alias("band_key")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -146,8 +151,24 @@ def minhash_lsh_dedup(
             F.col("b.key").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    shingle_map = sigs.select("key", "shingles")
+    # shingles only for keys that survived LSH — a semi-join prune of the
+    # corpus, so the expensive shingle arrays are computed for pairs ≪
+    # corpus rows and the persisted relation is small by construction
+    pair_keys = (
+        cand.select(F.col("id_a").alias("key"))
+        .union(cand.select(F.col("id_b").alias("key")))
+        .distinct()
+    )
+    shingle_map = (
+        df.join(pair_keys.withColumnRenamed("key", key_col), on=key_col, how="left_semi")
+        .select(
+            F.col(key_col).alias("key"),
+            word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = (
         cand.join(
             shingle_map.select(
