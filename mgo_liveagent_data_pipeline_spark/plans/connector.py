@@ -90,9 +90,65 @@ def q_s3_correlated_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_USERS = {
+    # one single-row page per user — the GET /users/{id} point lookup
+    "users/u1": [[{"id": "u1", "name": "Ana", "role": "agent"}]],
+    "users/u2": [[{"id": "u2", "name": "Bob", "role": "user"}]],
+    "users/u4": [[{"id": "u4", "name": "Dre", "role": "agent"}]],
+}
+
+
+def q_s4_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S2+J2: point-lookup refresh — candidate ids deduped, already-
+    cached ids removed with a left-anti join, the rest fetched one
+    GET /users/{id} at a time in chunks behind the per-partition token
+    bucket (core/User.py:16-20, core/TicketMessageProcessor.py:91-194).
+    Unknown ids (u3) tolerate a miss and yield no row."""
+    from ..session import ship_package
+    from ..sources.rest import fetch_correlated
+
+    ship_package(spark)
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="liveagent_users_")
+    with os.fdopen(fd, "w") as f:
+        json.dump(_USERS, f)
+    candidates = spark.createDataFrame(
+        [("u1",), ("u2",), ("u2",), ("u3",), ("u4",), ("u5",)], ["id"]
+    ).distinct()
+    cached = spark.createDataFrame([("u5",)], ["id"])
+    missing = candidates.join(cached, on="id", how="left_anti")
+    from pyspark.sql.types import StructType
+
+    return fetch_correlated(
+        missing,
+        StructType.fromDDL("id string, name string, role string"),
+        path,
+        endpoint_template="users/{key}",
+        chunk_size=2,
+        rate_per_min=60000.0,  # real token bucket, negligible delay
+        throttle=True,
+    )
+
+
+def q_s8_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: CSV scan (utils/geocode_utils.py:23) — write the nation dim out
+    as headered CSV, read it back with an explicit schema (no inference
+    job), proving the quote/header/type round trip."""
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    out_dir = tempfile.mkdtemp(prefix="mgo_csv_")
+    path = os.path.join(out_dir, "nation_csv")
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True)
+        .csv(path)
+    )
+
+
 QUERIES = {
     "s1_rest_connector": q_s1_rest_connector,
     "s3_correlated_fetch": q_s3_correlated_fetch,
+    "s4_point_lookup": q_s4_point_lookup,
+    "s8_csv_scan": q_s8_csv_scan,
 }
 
 ORACLES: dict[str, str] = {
@@ -116,4 +172,13 @@ ORACLES: dict[str, str] = {
             ('t2', 'ok')
         ) AS t(ticket_id, message)
     """,
+    # u3 has no fixture page (tolerated miss), u5 is cache-hit (anti-joined)
+    "s4_point_lookup": """
+        SELECT * FROM (VALUES
+            ('u1', 'Ana', 'agent'),
+            ('u2', 'Bob', 'user'),
+            ('u4', 'Dre', 'agent')
+        ) AS t(id, name, role)
+    """,
+    "s8_csv_scan": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 }

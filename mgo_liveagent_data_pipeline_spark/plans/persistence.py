@@ -13,7 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sinks.writers import overwrite, table_path, upsert
+from ..sinks.writers import history_append, overwrite, prepare_and_load, table_path, upsert
 from ..sources.tables import load_table
 from ..streaming.windows import session_windows, stream_tumbling_6h
 from .relational import MONEY
@@ -37,6 +37,26 @@ def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5+K6+K2: every batch is appended to ``<t>_history`` before the
+    current-state merge (extractor_bq_helpers.py:83-108) — two batches via
+    the orchestrated loader (K6 ensure-table → append), then the history
+    table read back: both batches present, overlap rows twice."""
+    base_dir = tempfile.mkdtemp(prefix="mgo_hist_")
+    nation = load_table(spark, sf_dir, "nation")
+    b1 = nation.where(F.col("n_regionkey") <= 2).withColumn(
+        "batch_id", F.lit(1)
+    )
+    b2 = nation.where(F.col("n_regionkey") >= 2).withColumn(
+        "batch_id", F.lit(2)
+    )
+    history_append(spark, b1, base_dir, "nation_cur")
+    history_append(spark, b2, base_dir, "nation_cur")
+    # current state still goes through the orchestrated loader (K6)
+    prepare_and_load(spark, b2.drop("batch_id"), base_dir, "nation_cur", "overwrite")
+    return spark.read.parquet(table_path(base_dir, "nation_cur_history"))
 
 
 def q_stream_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,6 +84,7 @@ def q_stream_upsert_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "k_materialized_upsert": q_k_materialized_upsert,
+    "k5_history_sink": q_k5_history_sink,
     "stream_tumbling_6h": q_stream_tumbling_6h,
     "stream_session_windows": q_stream_session_windows,
     "stream_upsert_6h": q_stream_upsert_6h,
@@ -83,6 +104,13 @@ ORACLES: dict[str, str] = {
         SELECT o_orderstatus AS status, count(*) AS n,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
         FROM merged GROUP BY o_orderstatus
+    """,
+    "k5_history_sink": """
+        SELECT n_nationkey, n_name, n_regionkey, 1 AS batch_id
+        FROM nation WHERE n_regionkey <= 2
+        UNION ALL
+        SELECT n_nationkey, n_name, n_regionkey, 2 AS batch_id
+        FROM nation WHERE n_regionkey >= 2
     """,
     "stream_tumbling_6h": """
         WITH b AS (

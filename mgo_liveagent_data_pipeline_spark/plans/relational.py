@@ -244,6 +244,28 @@ def q_j6_fuzzy_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j7_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: positional (zip) join — the reference aligns enrichment rows to
+    source rows by position, ``pd.concat(axis=1)`` (core/extract/
+    Extractor.py:290-291). Spark rows carry no order, so the alignment key
+    is made explicit: row_number over a stated total order on each side,
+    then an equi-join on it. A global row_number is a single-partition
+    sort — acceptable only for the bounded enrichment frames the reference
+    zips; at scale the replacement is the keyed equi-join the pipelines
+    use (ticket_id carried through enrichment, SURVEY §2.3 J7)."""
+    from pyspark.sql.window import Window
+
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.orderBy("n_nationkey")
+    left = nation.select(
+        F.row_number().over(w).alias("rn"), "n_name"
+    )
+    right = nation.select(
+        F.row_number().over(w).alias("rn"), "n_regionkey"
+    )
+    return left.join(right, on="rn").select("rn", "n_name", "n_regionkey")
+
+
 # ------------------------------------------------------- A: aggregations
 def q_a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 (flagship): grouped sums/averages/counts — the token-accounting
@@ -703,6 +725,13 @@ ORACLES: dict[str, str] = {
                CASE WHEN max(s) >= 40.0 THEN 'Yes' ELSE 'No' END AS viable
         FROM scored GROUP BY p_name
     """,
+    "j7_positional_join": """
+        WITH l AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS rn, n_name
+                   FROM nation),
+             r AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS rn, n_regionkey
+                   FROM nation)
+        SELECT rn, n_name, n_regionkey FROM l JOIN r USING (rn)
+    """,
     "a1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
@@ -905,6 +934,7 @@ QUERIES = {
     "j4_semi_join": q_j4_semi_join,
     "j5_similarity_argmax": q_j5_similarity_argmax,
     "j6_fuzzy_threshold": q_j6_fuzzy_threshold,
+    "j7_positional_join": q_j7_positional_join,
     "a1_pricing_summary": q_a1_pricing_summary,
     "a2_distinct": q_a2_distinct,
     "a3_multi_column_distinct": q_a3_multi_column_distinct,
