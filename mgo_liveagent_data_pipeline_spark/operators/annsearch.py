@@ -132,7 +132,8 @@ def rh_lsh_topk(
     table is bucketed/partitioned by, so a query probes one bucket —
     ~|corpus|/2^planes vectors — instead of scanning everything. Approximate
     (recall < 1): a near neighbor on the far side of one hyperplane lands
-    in another bucket (multi-probe = flip one bit per probe, not done here).
+    in another bucket — ``rh_multiprobe_topk`` recovers those by also
+    probing every Hamming-distance-1 bucket.
     """
     planes = rh_planes(num_planes, dim)
     c = corpus.select(
@@ -145,6 +146,65 @@ def rh_lsh_topk(
 
     scored = (
         c.join(F.broadcast(q), on="sig")
+        .where(F.col("corpus_id") != F.col(query_key))
+        .withColumn("cosine_sim", F.round(cosine(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_key, "corpus_id", "cosine_sim", "rank")
+    )
+
+
+def rh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key: str = "query_id",
+) -> DataFrame:
+    """Multi-probe random-hyperplane LSH top-k: each query probes its own
+    signature bucket plus the ``num_planes`` buckets at Hamming distance 1
+    (one sign bit flipped per probe), then exact cosine ranks the union.
+
+    Recall recovery for the single-probe failure mode — a true neighbor on
+    the far side of exactly one hyperplane. Probe cost grows from
+    |corpus|/2^P to (1+P)·|corpus|/2^P per query while the corpus-side
+    layout is unchanged (still ONE signature per vector, so the same
+    bucketed/partitioned table serves single- and multi-probe readers).
+    A (query, corpus) pair can match at most one probe signature (the
+    corpus vector has a single signature), so no dedup is needed.
+    """
+    planes = rh_planes(num_planes, dim)
+    c = corpus.select(
+        F.col(key_col).alias("corpus_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("sig", rh_signature(F.col("cv"), planes))
+    q = queries.select(
+        F.col(query_key), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("sig", rh_signature(F.col("qv"), planes))
+
+    def flip(j: int) -> Column:
+        """sig with bit j toggled (1-indexed substr arithmetic)."""
+        return F.concat(
+            F.col("sig").substr(1, j),
+            F.when(F.col("sig").substr(j + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.col("sig").substr(j + 2, num_planes - j - 1),
+        )
+
+    probes = F.array(F.col("sig"), *[flip(j) for j in range(num_planes)])
+    qp = q.select(query_key, "qv", F.explode(probes).alias("sig"))
+
+    scored = (
+        c.join(F.broadcast(qp), on="sig")
         .where(F.col("corpus_id") != F.col(query_key))
         .withColumn("cosine_sim", F.round(cosine(F.col("cv"), F.col("qv")), 6))
     )

@@ -139,6 +139,17 @@ def q_ann_rh_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rh_lsh_topk(emb, queries, k=5, num_planes=8, dim=64)
 
 
+def q_ann_rh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe RH-LSH top-5: own bucket + all Hamming-1 buckets."""
+    from ..operators.annsearch import rh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rh_multiprobe_topk(emb, queries, k=5, num_planes=8, dim=64)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: media blob → fixed-size frame rows with digests."""
     from ..operators.multimodal import frame_sample, to_media_column
@@ -160,6 +171,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_rh_lsh_topk": q_ann_rh_lsh_topk,
+    "ann_rh_multiprobe_topk": q_ann_rh_multiprobe_topk,
     "multimodal_frames": q_multimodal_frames,
 }
 
@@ -304,8 +316,59 @@ def _rh_lsh_oracle(num_planes: int = 8, dim: int = 64, k: int = 5) -> str:
     """
 
 
+def _rh_multiprobe_oracle(num_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    from ..operators.annsearch import rh_planes
+
+    planes = rh_planes(num_planes, dim)
+
+    def sig(v: str) -> str:
+        bits = []
+        for plane in planes:
+            lit = "[" + ", ".join(f"{float(w):.1f}" for w in plane) + "]"
+            bits.append(
+                f"CASE WHEN list_sum(list_transform(range(1, {dim + 1}),"
+                f" i -> {v}[i] * ({lit})[i])) > 0 THEN '1' ELSE '0' END"
+            )
+        return " || ".join(bits)
+
+    # probe list: the signature itself plus each one-bit flip
+    flips = ", ".join(
+        f"substr(sig, 1, {j}) || (CASE WHEN substr(sig, {j + 1}, 1) = '1'"
+        f" THEN '0' ELSE '1' END) || substr(sig, {j + 2})"
+        for j in range(num_planes)
+    )
+
+    return f"""
+        WITH c AS (
+          SELECT vec_id AS corpus_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+        cs AS (SELECT corpus_id, cv, {sig("cv")} AS sig FROM c),
+        q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        qs AS (SELECT query_id, qv, {sig("qv")} AS sig FROM q),
+        qp AS (
+          SELECT query_id, qv, unnest([sig, {flips}]) AS sig FROM qs),
+        scored AS (
+          SELECT qp.query_id, cs.corpus_id,
+                 round({_COSINE.format(a="cs.cv", b="qp.qv")}, 6) AS cosine_sim
+          FROM cs JOIN qp USING (sig)
+          WHERE cs.corpus_id <> qp.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, corpus_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= {k}
+    """
+
+
 ORACLES: dict[str, str] = {
     "ann_rh_lsh_topk": _rh_lsh_oracle(),
+    "ann_rh_multiprobe_topk": _rh_multiprobe_oracle(),
     "multimodal_frames": """
         WITH base AS (
           SELECT doc_id, text,

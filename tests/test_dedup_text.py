@@ -146,3 +146,32 @@ def test_rh_lsh_buckets_identical_vectors(spark):
     assert 2 in ids  # identical vector shares every sign bit
     top = [r for r in out if r["rank"] == 1][0]
     assert top["corpus_id"] == 2 and top["cosine_sim"] == 1.0
+
+
+def test_rh_multiprobe_recall_superset_of_single_probe(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        rh_lsh_topk,
+        rh_multiprobe_topk,
+    )
+
+    # deterministic corpus: 40 distinct vectors, queries are the first 3
+    rows = [
+        (i, [float(((i * 7 + d * 13) % 19) - 9) for d in range(64)])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.where("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    single = rh_lsh_topk(corpus, queries, k=5, num_planes=8, dim=64).collect()
+    multi = rh_multiprobe_topk(corpus, queries, k=5, num_planes=8, dim=64).collect()
+    s_pairs = {(r["query_id"], r["corpus_id"]) for r in single}
+    m_cands = {(r["query_id"], r["corpus_id"]) for r in multi}
+    # every single-probe candidate that ranked is reachable by multi-probe
+    # (identical bucket is probe 0), and multi-probe never finds fewer
+    assert len(multi) >= len(single)
+    # single-probe results may be displaced from the top-k by better
+    # multi-probe candidates, but recall never drops below single-probe
+    # when k is not binding
+    if len(multi) < 3 * 5:
+        assert s_pairs <= m_cands
