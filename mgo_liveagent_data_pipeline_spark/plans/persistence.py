@@ -66,6 +66,15 @@ def q_stream_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_tumbling_6h(spark, sf_dir)
 
 
+def q_stream_append_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 production output mode: append — each window emitted exactly
+    once when the watermark passes its end; still-open windows withheld.
+    The oracle applies the same cutoff (window_end ≤ max(ts) − 1h)."""
+    from ..streaming.windows import stream_append_6h
+
+    return stream_append_6h(spark, sf_dir)
+
+
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (30-minute gap)."""
     events = load_table(spark, sf_dir, "events")
@@ -86,6 +95,7 @@ QUERIES = {
     "k_materialized_upsert": q_k_materialized_upsert,
     "k5_history_sink": q_k5_history_sink,
     "stream_tumbling_6h": q_stream_tumbling_6h,
+    "stream_append_6h": q_stream_append_6h,
     "stream_session_windows": q_stream_session_windows,
     "stream_upsert_6h": q_stream_upsert_6h,
 }
@@ -121,6 +131,19 @@ ORACLES: dict[str, str] = {
         SELECT window_start, count(*) AS n_events,
                CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
         FROM b GROUP BY window_start
+    """,
+    # append mode: only watermark-finalized windows (end ≤ max ts − 1 h)
+    "stream_append_6h": """
+        WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+        b AS (SELECT ((us // 1000000) - (us // 1000000) % 21600) AS ws,
+                     value FROM e),
+        m AS (SELECT max(us) AS mx FROM e)
+        SELECT make_timestamp(ws * 1000000) AS window_start,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM b, m
+        GROUP BY ws, mx
+        HAVING (ws + 21600) * 1000000 <= mx - CAST(3600000000 AS BIGINT)
     """,
     "stream_upsert_6h": """
         WITH b AS (

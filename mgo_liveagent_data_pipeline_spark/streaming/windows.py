@@ -74,6 +74,48 @@ def stream_tumbling_6h(
     return spark.table(name)
 
 
+def stream_append_6h(
+    spark: SparkSession, sf_dir: str, table: str = "events", delay: str = "1 hour"
+) -> DataFrame:
+    """Append-mode 6-hour tumbling windows: a window row is emitted exactly
+    once, when the watermark (max event time − ``delay``) passes its end —
+    the unbounded-state-safe production mode (complete mode re-emits the
+    whole result and keeps all state forever). Windows still open when the
+    stream drains (end > final watermark) are withheld; the batch oracle
+    applies the same cutoff. At 100 TB this is the only viable output mode:
+    state for closed windows is dropped eagerly and the sink receives
+    inserts only.
+    """
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(raw_schema).parquet(_as_stream_dir(path))
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(MONEY)), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+    name = f"mgo_stream_append_{os.getpid()}_{next(_MEMSINK_IDS)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_upsert_6h(
     spark: SparkSession,
     sf_dir: str,

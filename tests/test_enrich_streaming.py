@@ -63,3 +63,26 @@ def test_session_windows_gap_split(spark):
     assert first["session_start"] == dt.datetime(2024, 1, 1, 10, 0)
     # window ends gap after the last event of the session
     assert first["session_end"] == dt.datetime(2024, 1, 1, 10, 35)
+
+
+def test_append_mode_withholds_open_windows(spark):
+    """Append mode emits a window exactly once, when the watermark passes
+    its end — the final (still-open) window must be withheld relative to
+    complete mode."""
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_append_6h,
+        stream_tumbling_6h,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    appended = stream_append_6h(spark, sf).collect()
+    complete = stream_tumbling_6h(spark, sf).collect()
+    assert 0 < len(appended) < len(complete)
+    # emitted rows agree with complete mode on shared windows
+    by_start = {r["window_start"]: r for r in complete}
+    for r in appended:
+        c = by_start[r["window_start"]]
+        assert (r["n_events"], r["total_value"]) == (
+            c["n_events"],
+            c["total_value"],
+        )
