@@ -1,0 +1,79 @@
+"""Plan-shape regression tests: the scale properties the operators were
+designed around — predicate pushdown into the parquet footer, column
+pruning, broadcast-vs-shuffle join choice, rank-limit pushdown — asserted
+on the formatted physical plan so they cannot silently regress.
+
+These run at sf0.001 (plan shape is scale-invariant; only the stats-based
+join choices need data, and the dims are far under the broadcast
+threshold at every SF).
+"""
+from __future__ import annotations
+
+import pytest
+
+from mgo_liveagent_data_pipeline_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_a1_filter_reaches_parquet_and_aggregates_partially(spark):
+    s = plan(spark, "a1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in s  # pushed to the scan
+    # partial+final hash agg with exactly one shuffle between them
+    assert s.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+
+
+def test_p3_events_range_predicate_pushed_on_raw_nanos(spark):
+    s = plan(spark, "p3_time_window")
+    # the 6-h window must prune row groups on the RAW int64 nanos column —
+    # filtering a derived timestamp would read everything
+    assert "GreaterThanOrEqual(ts," in s and "LessThan(ts," in s
+
+
+def test_j1_dims_broadcast_not_shuffled(spark):
+    s = plan(spark, "j1_broadcast_enrich")
+    assert "BroadcastExchange" in s
+    assert "SortMergeJoin" not in s  # fact side must not sort-shuffle
+
+
+def test_ann_scan_prunes_unused_columns(spark):
+    s = plan(spark, "ann_cosine_topk")
+    # embeddings table has (vec_id, embedding, label); label is unused
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in s
+    assert "label" not in s
+
+
+def test_w2_rank_limit_pushed_into_window(spark):
+    s = plan(spark, "w2_topk_per_group")
+    # Spark turns row_number()<=k into WindowGroupLimit (per-group top-k
+    # without materializing full partitions)
+    assert "WindowGroupLimit" in s
+
+
+def test_lsh_never_goes_quadratic(spark):
+    s = plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "f8_tumbling_6h"])
+def test_single_shuffle_aggregations(spark, name):
+    s = plan(spark, name)
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+    # one logical aggregation: partial+final pair around one exchange
+    assert s.count("HashAggregate") >= 2
+
+
+def test_token_counts_is_a_pure_narrow_map(spark):
+    s = plan(spark, "text_token_counts")
+    # per-row scalar work fused into the scan stage: no shuffle anywhere
+    assert "Exchange" not in s
+    assert "codegen" in s  # whole-stage codegen'd projection
