@@ -144,11 +144,30 @@ def q_s8_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s9_gazetteer_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+F2: gazetteer scan + derived cleaned column + cache
+    (core/Geocode.py:25-29) — loaded once, normalized (ñ/mojibake → n,
+    lowercase), kept cached for every similarity join to broadcast."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import cached_gazetteer
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    gdir = tempfile.mkdtemp(prefix="mgo_gaz_")
+    path = os.path.join(gdir, "gaz.parquet")
+    nation.select(
+        F.col("n_nationkey").alias("gaz_id"),
+        F.concat(F.col("n_name"), F.lit(" Niño")).alias("address"),
+    ).write.mode("overwrite").parquet(path)
+    return cached_gazetteer(spark, path)
+
+
 QUERIES = {
     "s1_rest_connector": q_s1_rest_connector,
     "s3_correlated_fetch": q_s3_correlated_fetch,
     "s4_point_lookup": q_s4_point_lookup,
     "s8_csv_scan": q_s8_csv_scan,
+    "s9_gazetteer_cached": q_s9_gazetteer_cached,
 }
 
 ORACLES: dict[str, str] = {
@@ -181,4 +200,11 @@ ORACLES: dict[str, str] = {
         ) AS t(id, name, role)
     """,
     "s8_csv_scan": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s9_gazetteer_cached": """
+        SELECT n_nationkey AS gaz_id,
+               n_name || ' Niño' AS address,
+               lower(regexp_replace(regexp_replace(n_name || ' Niño',
+                     'ã±', 'n', 'g'), 'ñ', 'n', 'g')) AS address_cleaned
+        FROM nation
+    """,
 }
