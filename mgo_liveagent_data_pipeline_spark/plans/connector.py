@@ -115,7 +115,10 @@ def q_s4_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("u1",), ("u2",), ("u2",), ("u3",), ("u4",), ("u5",)], ["id"]
     ).distinct()
     cached = spark.createDataFrame([("u5",)], ["id"])
-    missing = candidates.join(cached, on="id", how="left_anti")
+    from pyspark.sql import functions as F
+
+    # the known-ids side is a bounded cache — broadcast the anti-join
+    missing = candidates.join(F.broadcast(cached), on="id", how="left_anti")
     from pyspark.sql.types import StructType
 
     return fetch_correlated(
