@@ -148,6 +148,7 @@ def two_phase_similarity_join(
     out_gaz = f"matched_{gaz_col}"
     gazetteer = gazetteer.withColumnRenamed(gaz_col, out_gaz)
     gaz_col = out_gaz
+    addr_cols = list(addresses.columns)
     # grams materialized as columns before the joins (computed per row,
     # not per candidate pair)
     addresses = addresses.withColumn(
@@ -190,13 +191,20 @@ def two_phase_similarity_join(
         .withColumn("__score", score)
         .where(F.col("__score") >= threshold)
     )
-    w = Window.partitionBy(addr_col).orderBy(
-        F.desc("__score"), F.asc(gaz_col)
+    # argmax per address as a min_by aggregation (partial+final combine —
+    # no per-address sort; same trick as similarity_join_argmax): best =
+    # highest score, ties broken by the smallest matched text
+    payload = [
+        c for c in fine.columns if c not in (*addr_cols, "__ag", "__gg")
+    ]
+    best = F.min_by(
+        F.struct(*[F.col(c) for c in payload]),
+        F.struct((-F.col("__score")).alias("neg"), F.col(gaz_col)),
     )
     return (
-        fine.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__ag", "__gg")
+        fine.groupBy(*[F.col(c) for c in addr_cols])
+        .agg(best.alias("__best"))
+        .select(*addr_cols, "__best.*")
     )
 
 
