@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "u1_convo_analysis",
 ]
 
 
