@@ -100,6 +100,7 @@ def minhash_lsh_dedup(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
@@ -110,9 +111,19 @@ def minhash_lsh_dedup(
          the band join shuffles **(band_key, key) only**, never the shingle
          arrays (at 100 TB carrying shingles through the explode+self-join
          would shuffle the whole corpus ×bands);
-      3. self-join within band buckets → candidate (id_a, id_b) pairs
-         (equi-join on the band key, AQE handles skewed mega-buckets);
-      4. verify only what survived LSH: shingles are recomputed for the
+      3. mega-bucket cap: buckets larger than ``max_bucket_size`` are
+         dropped before the self-join. Boilerplate-heavy corpora (shared
+         headers/footers — or any large shared-shingle pool) collapse huge
+         sets of dissimilar docs into one bucket whose B² candidate pairs
+         are almost entirely verification failures; measured 27× blowup on
+         an 8× corpus with ~50% shared filler tokens, linear after the
+         cap. A true near-dup pair loses only the capped band and still
+         collides in its other bands, so recall impact at J ≥ threshold is
+         negligible. The cap is part of the operator's definition (the
+         DuckDB oracle applies the same rule) — set ``None`` to disable;
+      4. self-join within surviving buckets → candidate (id_a, id_b)
+         pairs (equi-join on the band key, AQE splits remaining skew);
+      5. verify only what survived LSH: shingles are recomputed for the
          keys that appear in candidate pairs (semi-join prune of the
          corpus), never materialized corpus-wide — the only persisted
          relations are the narrow band table, the pair list, and the
@@ -122,6 +133,7 @@ def minhash_lsh_dedup(
     """
     rows = num_hashes // bands
     from pyspark.storagelevel import StorageLevel
+    from pyspark.sql.window import Window
 
     sigs = minhash_signature(df, text_col, key_col, num_hashes, shingle_k)
 
@@ -135,11 +147,18 @@ def minhash_lsh_dedup(
             for b in range(bands)
         ]
     )
+    banded = sigs.select("key", F.explode(band_arr).alias("band_key"))
+    if max_bucket_size is not None:
+        # bucket-size count as an unordered window over band_key: one
+        # shuffle, no sort, and the self-join below reuses the same
+        # hash partitioning
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_key"))
+        banded = banded.withColumn("__bn", bucket_n).where(
+            F.col("__bn") <= F.lit(max_bucket_size)
+        ).drop("__bn")
     # persisted: both sides of the self-join below read it — without a
-    # persist the whole signature pipeline runs twice.
-    banded = sigs.select("key", F.explode(band_arr).alias("band_key")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # persist the whole signature (+ bucket-cap) pipeline runs twice.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -38,6 +38,7 @@ NUM_HASHES = 16
 BANDS = 4
 SHINGLE_K = 3
 LSH_THRESHOLD = 0.4
+LSH_MAX_BUCKET = 1000
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,6 +59,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         shingle_k=SHINGLE_K,
         threshold=LSH_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
 
 
@@ -206,6 +208,7 @@ _B = "CAST(('0x' || substring(md5(s), 13, 12)) AS BIGINT)"
 
 
 def _minhash_oracle() -> str:
+    max_bucket = LSH_MAX_BUCKET
     rows = NUM_HASHES // BANDS
     mins = ", ".join(
         f"list_min(list_transform(sh, s -> {_A} + {i} * {_B}))"
@@ -224,8 +227,12 @@ def _minhash_oracle() -> str:
     return f"""
         WITH shingled AS ({shingled}),
         sigs AS ({sig}),
-        banded AS (
+        banded0 AS (
           SELECT doc_id AS key, unnest([{bands}]) AS band_key FROM sigs),
+        banded AS (
+          -- mega-bucket cap (operators/dedup.py:minhash_lsh_dedup step 3)
+          SELECT key, band_key FROM banded0
+          QUALIFY count(*) OVER (PARTITION BY band_key) <= {max_bucket}),
         cand AS (
           SELECT DISTINCT a.key AS id_a, b.key AS id_b
           FROM banded a JOIN banded b USING (band_key)

@@ -24,15 +24,33 @@ from mgo_liveagent_data_pipeline_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def replicate(spark, src: str, dst_dir: str, name: str, factor: int, key_col: str):
-    """Union the table with key-shifted copies so keys stay distinct."""
+def replicate(
+    spark,
+    src: str,
+    dst_dir: str,
+    name: str,
+    factor: int,
+    key_col: str,
+    perturb_col: str | None = None,
+):
+    """Union the table with key-shifted copies so keys stay distinct.
+
+    ``perturb_col``: prefix every word of the replica's text with the
+    replica id so replica sub-corpora share NO shingles — without this an
+    N× documents corpus makes every doc an N-way duplicate cluster (or,
+    with shared filler tokens, a giant false-positive candidate pool) and
+    dedup ratios measure pair blowup instead of corpus growth."""
     df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
     n = df.count()
     out = df
     for i in range(1, factor):
-        out = out.unionByName(
-            df.withColumn(key_col, F.col(key_col) + F.lit(i * 10 * n))
-        )
+        rep = df.withColumn(key_col, F.col(key_col) + F.lit(i * 10 * n))
+        if perturb_col is not None:
+            rep = rep.withColumn(
+                perturb_col,
+                F.regexp_replace(F.col(perturb_col), r"(\S+)", f"r{i}x$1"),
+            )
+        out = out.unionByName(rep)
     path = os.path.join(dst_dir, f"{name}.parquet")
     out.write.mode("overwrite").parquet(path)
     return path
@@ -47,7 +65,7 @@ def main() -> None:
     li_1x = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
     docs_1x = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     replicate(spark, SF_DIR, big, "lineitem", factor, "l_orderkey")
-    replicate(spark, SF_DIR, big, "documents", factor, "doc_id")
+    replicate(spark, SF_DIR, big, "documents", factor, "doc_id", perturb_col="text")
     li_nx = spark.read.parquet(os.path.join(big, "lineitem.parquet"))
     docs_nx = spark.read.parquet(os.path.join(big, "documents.parquet"))
 
