@@ -175,3 +175,30 @@ def test_rh_multiprobe_recall_superset_of_single_probe(spark):
     # when k is not binding
     if len(multi) < 3 * 5:
         assert s_pairs <= m_cands
+
+
+def test_lsh_mega_bucket_cap_drops_boilerplate_but_keeps_true_dups(spark):
+    """Docs sharing only a boilerplate pool collide on band buckets; the
+    cap drops those candidates while a true duplicate pair (identical
+    text) still surfaces through its uncapped bands."""
+    boiler = "shared header footer legal disclaimer contact us terms"
+    rows = [(i, boiler, "en", "web") for i in range(100)]
+    rows += [
+        (200, "a genuinely unique duplicated document body here", "en", "web"),
+        (201, "a genuinely unique duplicated document body here", "en", "web"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    capped = minhash_lsh_dedup(
+        df, num_hashes=16, bands=8, shingle_k=2, threshold=0.3,
+        max_bucket_size=10,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (200, 201) in pairs  # true dup survives (its own buckets are size 2)
+    assert not any(a < 100 and b < 100 for a, b in pairs)  # boilerplate capped
+    # uncapped run DOES enumerate the boilerplate cluster — the cap is
+    # what changed, not the corpus
+    uncapped = minhash_lsh_dedup(
+        df, num_hashes=16, bands=8, shingle_k=2, threshold=0.3,
+        max_bucket_size=None,
+    )
+    assert uncapped.count() > len(capped)
