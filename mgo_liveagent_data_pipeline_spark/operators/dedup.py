@@ -277,15 +277,29 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang", "source"),
     shingle_k: int = 2,
     threshold: float = 0.5,
+    max_block_size: int | None = 10_000,
 ) -> DataFrame:
     """Blocked n-gram Jaccard dedup: only pairs sharing a block key are
     scored (classic blocking — keeps the join from going quadratic; blocks
-    are what LSH buckets generalize)."""
+    are what LSH buckets generalize).
+
+    ``max_block_size`` guards the degenerate block — on a web corpus the
+    ("en", "web") block IS most of the corpus, and Σ|block|² is then n².
+    Blocks past the cap are skipped (same contract and oracle rule as the
+    LSH mega-bucket cap); route such corpora through ``minhash_lsh_dedup``
+    whose buckets don't depend on coarse metadata."""
+    from pyspark.sql.window import Window
+
     base = df.select(
         F.col(key_col).alias("key"),
         *block_cols,
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
+    if max_block_size is not None:
+        bn = F.count(F.lit(1)).over(Window.partitionBy(*block_cols))
+        base = base.withColumn("__bn", bn).where(
+            F.col("__bn") <= F.lit(max_block_size)
+        ).drop("__bn")
     a, b = base.alias("a"), base.alias("b")
     sim = F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6)
     return (
@@ -307,15 +321,25 @@ def embedding_near_dup(
     key_col: str = "vec_id",
     block_col: str = "label",
     threshold: float = 0.9,
+    max_block_size: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup within blocks (IVF-style: compare only
     within the same coarse cluster — at 100 TB the block is the posting
-    list, so the pair count is Σ|block|² not n²)."""
+    list, so the pair count is Σ|block|² not n²). ``max_block_size``
+    skips degenerate posting lists (same contract as the LSH bucket cap);
+    re-cluster with more centroids instead of scoring a quadratic list."""
+    from pyspark.sql.window import Window
+
     base = df.select(
         F.col(key_col).alias("key"),
         F.col(block_col).alias("block"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),
     )
+    if max_block_size is not None:
+        bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
+        base = base.withColumn("__bn", bn).where(
+            F.col("__bn") <= F.lit(max_block_size)
+        ).drop("__bn")
     a, b = base.alias("a"), base.alias("b")
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
     return (

@@ -399,7 +399,9 @@ ORACLES: dict[str, str] = {
         WITH base AS (
           SELECT doc_id AS key, lang, source,
                  list_distinct(string_split_regex(trim(text), '\\s+')) AS sh
-          FROM documents)
+          FROM documents
+          -- block-size cap (operators/dedup.py:ngram_jaccard_pairs)
+          QUALIFY count(*) OVER (PARTITION BY lang, source) <= 10000)
         SELECT a.key AS id_a, b.key AS id_b,
                round({_JACCARD.format(a="a.sh", b="b.sh")}, 6) AS jaccard_sim
         FROM base a JOIN base b USING (lang, source)
@@ -410,7 +412,9 @@ ORACLES: dict[str, str] = {
         WITH base AS (
           SELECT vec_id AS key, label AS block,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings)
+          FROM embeddings
+          -- block-size cap (operators/dedup.py:embedding_near_dup)
+          QUALIFY count(*) OVER (PARTITION BY label) <= 100000)
         SELECT a.key AS id_a, b.key AS id_b,
                round({_COSINE.format(a="a.v", b="b.v")}, 6) AS cosine_sim
         FROM base a JOIN base b ON a.block = b.block
