@@ -396,6 +396,52 @@ def q_a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: groupBy(key, salt) partial → groupBy(key)
+    final (operators/skew.py:salted_sum). The oracle is the PLAIN group-by
+    — a hash match proves salting is algebra-invariant for decomposable
+    aggregates at any parallelism."""
+    from ..operators.skew import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_sum(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.sum(F.col("l_quantity").cast(MONEY)),
+            "n_rows": F.count(F.lit(1)),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("sum_qty"), 2).cast("double").alias("sum_qty"),
+        "n_rows",
+    )
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join: hot side salted, dim side replicated bucket-times
+    (operators/skew.py:salted_join); shuffle key (key, salt) spreads a hot
+    orderkey over 8 reducers. Oracle is the plain equi-join + aggregate —
+    salting must not change join semantics."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, "okey", salt_buckets=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice").cast(MONEY)), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 def q_w4_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead family: per-user previous event value and gap seconds."""
     events = load_table(spark, sf_dir, "events").select(
@@ -796,6 +842,19 @@ ORACLES: dict[str, str] = {
                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_7d
         FROM daily
     """,
+    # salting is algebra-invariant → the oracle is the UNsalted query
+    "skew_salted_sum": """
+        SELECT l_returnflag,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "skew_salted_join": """
+        SELECT o_orderstatus, count(*) AS n_items,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
     "a7_rollup": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
@@ -945,6 +1004,8 @@ QUERIES = {
     "w4_lag_lead": q_w4_lag_lead,
     "w5_rolling_window": q_w5_rolling_window,
     "a7_rollup": q_a7_rollup,
+    "skew_salted_sum": q_skew_salted_sum,
+    "skew_salted_join": q_skew_salted_join,
     "e1_except_keys": q_e1_except_keys,
     "e2_intersect_keys": q_e2_intersect_keys,
     "e3_union_all": q_e3_union_all,
