@@ -270,6 +270,79 @@ def simhash_dedup(
     )
 
 
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 32,
+    radius: int = 1,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``radius`` —
+    upgrades ``simhash_dedup``'s identical-fingerprint-only clustering.
+
+    Candidates by multi-probe banding: every doc posts its fingerprint
+    plus each one-bit flip (1 + bits probes); any pair within Hamming
+    distance 2 collides on some probe, and the exact distance is then
+    verified ≤ ``radius`` (currently 1 — flip probes cover it exactly).
+    Same mega-bucket cap as the LSH path: a probe bucket larger than
+    ``max_bucket_size`` is dropped (degenerate fingerprints — e.g. empty
+    docs — would otherwise contribute B² candidate pairs).
+
+    Returns (id_a < id_b, hamming_dist ≤ radius) pairs.
+    """
+    from pyspark.sql.window import Window
+
+    fps = simhash_fingerprint(df, text_col, key_col, bits)
+
+    def flip(j: int) -> Column:
+        return F.concat(
+            F.col("simhash").substr(1, j),
+            F.when(
+                F.col("simhash").substr(j + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1")),
+            F.col("simhash").substr(j + 2, bits - j - 1),
+        )
+
+    probes = F.array(F.col("simhash"), *[flip(j) for j in range(bits)])
+    posted = fps.select(
+        "key", F.col("simhash"), F.explode(probes).alias("probe")
+    )
+    if max_bucket_size is not None:
+        bn = F.count(F.lit(1)).over(Window.partitionBy("probe"))
+        posted = posted.withColumn("__bn", bn).where(
+            F.col("__bn") <= F.lit(max_bucket_size)
+        ).drop("__bn")
+    from pyspark.storagelevel import StorageLevel
+
+    posted = posted.persist(StorageLevel.MEMORY_AND_DISK)
+
+    a, b = posted.alias("a"), posted.alias("b")
+    cand = (
+        a.join(b, on="probe")
+        .where(F.col("a.key") < F.col("b.key"))
+        .select(
+            F.col("a.key").alias("id_a"),
+            F.col("b.key").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = None
+    for j in range(bits):
+        term = F.when(
+            F.col("fp_a").substr(j + 1, 1) != F.col("fp_b").substr(j + 1, 1),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        dist = term if dist is None else dist + term
+    return (
+        cand.withColumn("hamming_dist", dist)
+        .where(F.col("hamming_dist") <= radius)
+        .select("id_a", "id_b", "hamming_dist")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -69,6 +69,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(docs, "text", "doc_id")
 
 
+def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 1 (multi-probe)."""
+    from ..operators.dedup import simhash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup(docs, "text", "doc_id", bits=32, radius=1)
+
+
 def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard near-dup pairs (block = lang × source).
     Unigram shingles / threshold 0.5 — calibrated to this corpus so the
@@ -164,6 +172,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_near": q_dedup_simhash_near,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_embedding": q_dedup_embedding,
     "text_fingerprint": q_text_fingerprint,
@@ -249,10 +258,10 @@ def _minhash_oracle() -> str:
     """
 
 
-def _simhash_oracle(bits: int = 32) -> str:
-    # bit j of token t: (hexdigit(md5(t))[j//4] >> (3 - j%4)) & 1 → ±1
-    return f"""
-        WITH toks AS (
+def _simhash_fp_cte(bits: int = 32) -> str:
+    """Shared toks+fp CTE body — bit j of token t:
+    (hexdigit(md5(t))[j//4] >> (3 - j%4)) & 1 → ±1."""
+    return f"""toks AS (
           SELECT doc_id,
                  list_distinct(string_split_regex(trim(text), '\\s+')) AS tk
           FROM documents),
@@ -266,9 +275,45 @@ def _simhash_oracle(bits: int = 32) -> str:
                        / power(2.0, CAST(3 - j % 4 AS DOUBLE))) AS INT) % 2 = 1
                      THEN 1 ELSE -1 END)) > 0
                    THEN '1' ELSE '0' END), '') AS simhash
-          FROM toks)
+          FROM toks)"""
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    return f"""
+        WITH {_simhash_fp_cte(bits)}
         SELECT simhash, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_docs
         FROM fp GROUP BY simhash HAVING count(*) > 1
+    """
+
+
+def _simhash_near_dup_oracle(
+    bits: int = 32, radius: int = 1, max_bucket: int = 1000
+) -> str:
+    flips = ", ".join(
+        f"substr(simhash, 1, {j}) || (CASE WHEN substr(simhash, {j + 1}, 1) = '1'"
+        f" THEN '0' ELSE '1' END) || substr(simhash, {j + 2})"
+        for j in range(bits)
+    )
+    hamming = (
+        f"list_sum(list_transform(range(1, {bits} + 1), j -> CASE WHEN"
+        " substring(fp_a, CAST(j AS INT), 1) <> substring(fp_b, CAST(j AS INT), 1)"
+        " THEN 1 ELSE 0 END))"
+    )
+    return f"""
+        WITH {_simhash_fp_cte(bits)},
+        posted0 AS (
+          SELECT doc_id AS key, simhash, unnest([simhash, {flips}]) AS probe
+          FROM fp),
+        posted AS (
+          SELECT key, simhash, probe FROM posted0
+          QUALIFY count(*) OVER (PARTITION BY probe) <= {max_bucket}),
+        cand AS (
+          SELECT DISTINCT a.key AS id_a, b.key AS id_b,
+                 a.simhash AS fp_a, b.simhash AS fp_b
+          FROM posted a JOIN posted b USING (probe)
+          WHERE a.key < b.key)
+        SELECT id_a, id_b, CAST({hamming} AS INT) AS hamming_dist
+        FROM cand WHERE {hamming} <= {radius}
     """
 
 
@@ -395,6 +440,7 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
+    "dedup_simhash_near": _simhash_near_dup_oracle(),
     "dedup_ngram_pairs": f"""
         WITH base AS (
           SELECT doc_id AS key, lang, source,

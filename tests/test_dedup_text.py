@@ -202,3 +202,23 @@ def test_lsh_mega_bucket_cap_drops_boilerplate_but_keeps_true_dups(spark):
         max_bucket_size=None,
     )
     assert uncapped.count() > len(capped)
+
+
+def test_simhash_near_dup_hamming_radius(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        simhash_fingerprint,
+        simhash_near_dup,
+    )
+
+    out = simhash_near_dup(docs_df(spark), radius=1).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming_dist"] for r in out}
+    assert pairs[(1, 2)] == 0  # identical docs → identical fingerprints
+    # every reported pair is within the radius, and the distances agree
+    # with a direct fingerprint comparison
+    fps = {
+        r["key"]: r["simhash"]
+        for r in simhash_fingerprint(docs_df(spark)).collect()
+    }
+    for (a, b), d in pairs.items():
+        true_d = sum(x != y for x, y in zip(fps[a], fps[b]))
+        assert d == true_d <= 1
