@@ -226,10 +226,14 @@ def ivf_topk(
     key_col: str = "vec_id",
     label_col: str = "label",
     query_key: str = "query_id",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """IVF probe: route each query to its nearest centroid, scan only that
-    posting list. Approximate (recall < 1 vs brute force) but the probe cost
-    is |corpus|/n_clusters — the 100 TB path."""
+    """IVF probe: route each query to its ``n_probes`` nearest centroids,
+    scan only those posting lists. Approximate (recall < 1 vs brute force)
+    but the probe cost is n_probes·|corpus|/n_clusters — the 100 TB path.
+    Multi-probe (n_probes > 1) recovers neighbors that live just across a
+    cluster boundary; a (query, corpus) pair can match at most once since
+    each corpus vector belongs to exactly one cluster."""
     cents = ivf_centroids(corpus, vec_col, key_col, label_col)
     q = queries.select(query_key, _as_double(F.col(vec_col)).alias("qv"))
 
@@ -241,7 +245,7 @@ def ivf_topk(
     wq = Window.partitionBy(query_key).orderBy(F.desc("csim"), F.asc("cluster_id"))
     probe = (
         routed.withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") == 1)
+        .where(F.col("__rn") <= n_probes)
         .select(query_key, "qv", "cluster_id")
     )
 

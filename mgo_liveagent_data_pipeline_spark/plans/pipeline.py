@@ -138,6 +138,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, query_key="query_id")
 
 
+def q_ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with 2-probe routing: neighbors just across a cluster boundary
+    are recovered by scanning the two nearest posting lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, query_key="query_id", n_probes=2)
+
+
 def q_ann_rh_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketed top-5 (md5-derived planes)."""
     from ..operators.annsearch import rh_lsh_topk
@@ -181,6 +191,7 @@ QUERIES = {
     "text_token_counts": q_text_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_multiprobe_topk": q_ann_ivf_multiprobe_topk,
     "ann_rh_lsh_topk": q_ann_rh_lsh_topk,
     "ann_rh_multiprobe_topk": q_ann_rh_multiprobe_topk,
     "multimodal_frames": q_multimodal_frames,
@@ -418,6 +429,40 @@ def _rh_multiprobe_oracle(num_planes: int = 8, dim: int = 64, k: int = 5) -> str
     """
 
 
+def _ivf_oracle(n_probes: int = 1) -> str:
+    return f"""
+        WITH cents AS (
+          SELECT label AS cluster_id,
+                 arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS centroid
+          FROM embeddings GROUP BY label),
+        q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        routed AS (
+          SELECT q.query_id, q.qv, c.cluster_id,
+                 round({_COSINE.format(a="q.qv", b="c.centroid")}, 6) AS csim,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY round({_COSINE.format(a="q.qv", b="c.centroid")}, 6) DESC,
+                                             c.cluster_id ASC) AS rn
+          FROM q CROSS JOIN cents c),
+        probe AS (
+          SELECT query_id, qv, cluster_id FROM routed WHERE rn <= {n_probes}),
+        scored AS (
+          SELECT p.query_id, e.vec_id AS corpus_id,
+                 round({_COSINE.format(a="list_transform(e.embedding, x -> CAST(x AS DOUBLE))", b="p.qv")}, 6) AS cosine_sim
+          FROM embeddings e JOIN probe p ON e.label = p.cluster_id
+          WHERE e.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, corpus_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= 5
+    """
+
+
 ORACLES: dict[str, str] = {
     "ann_rh_lsh_topk": _rh_lsh_oracle(),
     "ann_rh_multiprobe_topk": _rh_multiprobe_oracle(),
@@ -541,35 +586,6 @@ ORACLES: dict[str, str] = {
         SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
         FROM ranked WHERE rn <= 5
     """,
-    "ann_ivf_topk": f"""
-        WITH cents AS (
-          SELECT label AS cluster_id,
-                 arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS centroid
-          FROM embeddings GROUP BY label),
-        q AS (
-          SELECT vec_id AS query_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-          FROM embeddings WHERE vec_id < 5),
-        routed AS (
-          SELECT q.query_id, q.qv, c.cluster_id,
-                 round({_COSINE.format(a="q.qv", b="c.centroid")}, 6) AS csim,
-                 row_number() OVER (PARTITION BY q.query_id
-                                    ORDER BY round({_COSINE.format(a="q.qv", b="c.centroid")}, 6) DESC,
-                                             c.cluster_id ASC) AS rn
-          FROM q CROSS JOIN cents c),
-        probe AS (
-          SELECT query_id, qv, cluster_id FROM routed WHERE rn = 1),
-        scored AS (
-          SELECT p.query_id, e.vec_id AS corpus_id,
-                 round({_COSINE.format(a="list_transform(e.embedding, x -> CAST(x AS DOUBLE))", b="p.qv")}, 6) AS cosine_sim
-          FROM embeddings e JOIN probe p ON e.label = p.cluster_id
-          WHERE e.vec_id <> p.query_id),
-        ranked AS (
-          SELECT query_id, corpus_id, cosine_sim,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cosine_sim DESC, corpus_id ASC) AS rn
-          FROM scored)
-        SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
-        FROM ranked WHERE rn <= 5
-    """,
+    "ann_ivf_topk": _ivf_oracle(1),
+    "ann_ivf_multiprobe_topk": _ivf_oracle(2),
 }
