@@ -108,3 +108,36 @@ def test_upsert_idempotent_random_frames(spark, tmp_path_factory, target, source
     got = dict(once)
     for k, v in dict(map(tuple, sdf.collect())).items():
         assert got[k] == v
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-10_000, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_salted_sum_equals_plain_sum(spark, rows):
+    """Salting is algebra-invariant for decomposable aggregates: any key
+    distribution, any salt bucket count."""
+    from mgo_liveagent_data_pipeline_spark.operators.skew import salted_sum
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    salted = {
+        r["k"]: (r["total"], r["n"])
+        for r in salted_sum(
+            df, ["k"], {"total": F.sum("v"), "n": F.count(F.lit(1))},
+            salt_buckets=4,
+        ).collect()
+    }
+    plain = {
+        r["k"]: (r["total"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == plain
