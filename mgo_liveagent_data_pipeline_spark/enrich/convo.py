@@ -112,6 +112,16 @@ def analyze_conversations(
                     # field whitelist + null defaults
                     # (ConvoDataExtract.py:132-155)
                     rec = {k: data.get(k) for k in EXPECTED_FIELDS}
+                    # pydantic-style coercion: ratings must land as ints
+                    # or the Arrow cast at yield kills the task instead
+                    # of producing the fallback row
+                    for k in _RATING_FIELDS:
+                        v = rec.get(k)
+                        if v is not None:
+                            iv = int(v)  # ValueError → fallback row
+                            if isinstance(v, float) and iv != v:
+                                raise ValueError(f"non-integral {k}: {v}")
+                            rec[k] = iv
                 except Exception:
                     # error-fallback row (ConvoDataExtract.py:163-187)
                     rec = {k: None for k in EXPECTED_FIELDS}

@@ -23,6 +23,32 @@ from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine, jaccard, word_shingles
 
+# Intermediates persisted by the multi-stage operators below (band tables,
+# candidate lists, pruned shingle maps). They must outlive the operator
+# call — the returned DataFrame is lazy — so each call registers its
+# persists here and the *caller* releases them once the result is
+# materialized (``release_intermediates()``; bench/verify harnesses do).
+# Left unreleased in a long-lived session they accumulate cached
+# relations; re-running the identical plan before releasing is fine
+# (CacheManager dedupes) and keeps warm-cache steady-state performance.
+_INTERMEDIATES: list[DataFrame] = []
+
+
+def release_intermediates() -> None:
+    """Unpersist every intermediate cached by dedup calls so far. Call
+    after materializing a result; any still-lazy dedup DataFrame simply
+    recomputes without the cache (correct, slower)."""
+    while _INTERMEDIATES:
+        _INTERMEDIATES.pop().unpersist()
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _INTERMEDIATES.append(out)
+    return out
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
@@ -132,7 +158,6 @@ def minhash_lsh_dedup(
     Returns distinct (id_a < id_b, jaccard_sim) verified pairs.
     """
     rows = num_hashes // bands
-    from pyspark.storagelevel import StorageLevel
     from pyspark.sql.window import Window
 
     sigs = minhash_signature(df, text_col, key_col, num_hashes, shingle_k)
@@ -158,7 +183,7 @@ def minhash_lsh_dedup(
         ).drop("__bn")
     # persisted: both sides of the self-join below read it — without a
     # persist the whole signature (+ bucket-cap) pipeline runs twice.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = _scoped_persist(banded)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -170,8 +195,8 @@ def minhash_lsh_dedup(
             F.col("b.key").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cand = _scoped_persist(cand)
     # shingles only for keys that survived LSH — a semi-join prune of the
     # corpus, so the expensive shingle arrays are computed for pairs ≪
     # corpus rows and the persisted relation is small by construction
@@ -186,8 +211,8 @@ def minhash_lsh_dedup(
             F.col(key_col).alias("key"),
             word_shingles(F.col(text_col), shingle_k).alias("shingles"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    shingle_map = _scoped_persist(shingle_map)
     cand = (
         cand.join(
             shingle_map.select(
@@ -313,9 +338,7 @@ def simhash_near_dup(
         posted = posted.withColumn("__bn", bn).where(
             F.col("__bn") <= F.lit(max_bucket_size)
         ).drop("__bn")
-    from pyspark.storagelevel import StorageLevel
-
-    posted = posted.persist(StorageLevel.MEMORY_AND_DISK)
+    posted = _scoped_persist(posted)
 
     a, b = posted.alias("a"), posted.alias("b")
     cand = (

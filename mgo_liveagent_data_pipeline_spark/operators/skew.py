@@ -21,18 +21,26 @@ def salted_sum(
     key_cols: list[str],
     agg_cols: dict[str, Column],
     salt_buckets: int = 16,
+    recombine: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Two-stage aggregation: groupBy(key, salt) partial → groupBy(key)
     final. The salt spreads one hot key over ``salt_buckets`` reducers;
-    only decomposable aggregates (sum/count/min/max) are valid here —
-    ``agg_cols`` maps output name → the stage-1 aggregate expression, and
-    stage 2 re-sums the partials.
+    only decomposable aggregates are valid here — ``agg_cols`` maps output
+    name → the stage-1 aggregate expression. Stage 2 re-combines partials
+    with ``F.sum`` by default (correct for sum/count); for min/max pass the
+    matching stage-2 aggregate in ``recombine`` (e.g.
+    ``{"max_v": F.max("max_v")}``) — re-summing per-salt maxima would be
+    silently wrong.
 
     NB: Spark's hash aggregation already does map-side partial combine;
     salting matters when the *final* combine of one key still overloads a
     single reducer (extreme cardinality skew, e.g. count per hour with one
     hour holding half the data).
     """
+    recombine = recombine or {}
+    unknown = set(recombine) - set(agg_cols)
+    if unknown:
+        raise ValueError(f"recombine names not in agg_cols: {sorted(unknown)}")
     salt = (F.spark_partition_id() % salt_buckets).alias("__salt")
     stage1 = (
         df.withColumn("__salt", salt)
@@ -40,7 +48,10 @@ def salted_sum(
         .agg(*[expr.alias(name) for name, expr in agg_cols.items()])
     )
     return stage1.groupBy(*key_cols).agg(
-        *[F.sum(name).alias(name) for name in agg_cols]
+        *[
+            recombine.get(name, F.sum(name)).alias(name)
+            for name in agg_cols
+        ]
     )
 
 
@@ -59,7 +70,19 @@ def salted_join(
     Replication multiplies the small side's shuffle volume by
     ``salt_buckets`` — use only when AQE's runtime skew splitting is
     unavailable (non-sort-merge plans) or insufficient.
+
+    Only joins that preserve at most the *skewed* side are allowed: with a
+    right/full (or other ``other``-preserving) join, unmatched ``other``
+    rows would surface once per replica — ``salt_buckets`` duplicates.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got how={how!r} — "
+            "an other-preserving join would duplicate unmatched rows "
+            "salt_buckets times"
+        )
     skewed_s = skewed.withColumn(
         "__salt",
         F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)),

@@ -21,9 +21,12 @@ Scale notes baked in:
 * before the overwrite the result is repartitionByRange on the key, so
   file sizes stay balanced and downstream key-range scans prune files
   (SURVEY §4: repartitionByRange before MERGE).
-* writes go to a temp sibling directory then atomically rename — a
-  re-run that dies mid-write never corrupts the table (the reference gets
-  this from BigQuery staging tables; we get it from rename atomicity).
+* writes go to a temp sibling directory then a two-rename swap — a re-run
+  that dies mid-write never *loses committed data* (the next write
+  restores the ``.old`` copy if the swap window was interrupted; see
+  ``_atomic_overwrite`` for the exact non-atomicity window). The
+  reference gets the stronger transactional guarantee from BigQuery
+  staging tables; swap in Delta for the same here.
 """
 from __future__ import annotations
 
@@ -52,21 +55,37 @@ def ensure_table(
 
 
 def _atomic_overwrite(df: DataFrame, path: str) -> None:
-    """Write to a temp sibling, then swap — idempotent under retries."""
+    """Write to a temp sibling, then swap via two renames.
+
+    NOT truly atomic: between ``rename(path, .old)`` and
+    ``rename(staged, path)`` the table path briefly does not exist, so a
+    crash in that window (or a concurrent lister) can see a missing
+    table. The next write self-heals: if ``path`` is gone but ``.old``
+    survives, ``.old`` is restored before proceeding, so no committed
+    data is ever lost — the guarantee is durability, not an atomic swap.
+    True atomicity needs a versioned directory + pointer-file scheme or a
+    transactional format (the documented Delta swap); single-directory
+    parquet keeps the driver-checkable layout.
+    """
     parent = os.path.dirname(path) or "."
     os.makedirs(parent, exist_ok=True)
+    old = path + ".old"
+    # crash recovery: a previous run died inside its swap window
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     tmp = tempfile.mkdtemp(dir=parent, prefix=".staging_")
     staged = os.path.join(tmp, "data")
-    df.write.mode("overwrite").parquet(staged)
-    old = path + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(staged, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        df.write.mode("overwrite").parquet(staged)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staged, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def append(df: DataFrame, base_dir: str, name: str) -> str:

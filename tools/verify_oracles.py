@@ -71,6 +71,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+    )
+
     n_pass = n_fail = n_noracle = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
@@ -80,6 +84,7 @@ def main():
             sdf = fn(spark, SF_DIR)
             cols = sorted(sdf.columns)
             srows = [tuple(r[c] for c in cols) for r in sdf.collect()]
+            release_intermediates()
         except Exception as e:
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
