@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mgo_liveagent_data_pipeline_spark.operators.dedup import (
     release_intermediates,
 )
-from mgo_liveagent_data_pipeline_spark.plans.registry import QUERIES
+from mgo_liveagent_data_pipeline_spark.plans.registry import ALL_QUERIES as QUERIES
 from mgo_liveagent_data_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

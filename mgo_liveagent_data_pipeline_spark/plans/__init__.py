@@ -1,3 +1,3 @@
-from .registry import ORACLES, QUERIES
+from .registry import ALL_ORACLES, ALL_QUERIES, ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pytest
 
-from mgo_liveagent_data_pipeline_spark.plans.registry import QUERIES
+from mgo_liveagent_data_pipeline_spark.plans.registry import ALL_QUERIES as QUERIES
 
 SF = "/root/testdata/sf0.001"
 

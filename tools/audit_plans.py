@@ -24,7 +24,7 @@ SKIP = {"stream_tumbling_6h", "stream_upsert_6h", "k_materialized_upsert"}
 
 def main() -> None:
     only = set(sys.argv[1:])
-    from mgo_liveagent_data_pipeline_spark.plans.registry import QUERIES
+    from mgo_liveagent_data_pipeline_spark.plans.registry import ALL_QUERIES as QUERIES
     from mgo_liveagent_data_pipeline_spark.session import get_spark
 
     spark = get_spark("audit_plans")
