@@ -112,11 +112,31 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two float arrays, fully JVM-side via
     aggregate/zip_with — the brute-force ANN kernel."""
     ca, cb = _c(a), _c(b)
+    na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, v: acc + v * v))
+    return cosine_prenorm(ca, cb, na, nb)
+
+
+def norm2(a: Column | str) -> Column:
+    """Euclidean norm of a float array — precompute this ONCE per vector
+    in each side's projection before an O(pairs) similarity kernel.
+    Higher-order functions run interpreted, so a norm inside the per-pair
+    expression re-folds the whole array per pair: with both norms hoisted,
+    per-pair work drops from three 64-element folds to one."""
+    ca = _c(a)
+    return F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_prenorm(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """Cosine from precomputed norms: only the dot product runs per pair.
+    Bit-identical to ``cosine`` (same expressions, evaluated once)."""
+    ca, cb = _c(a), _c(b)
+    cna, cnb = _c(na), _c(nb)
     dot = F.aggregate(
         F.zip_with(ca, cb, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, v: acc + v * v))
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    return F.when((cna > 0) & (cnb > 0), dot / (cna * cnb)).otherwise(F.lit(0.0))

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.similarity import cosine
+from ..functions.similarity import cosine, cosine_prenorm, norm2
 
 
 def _as_double(vec: Column) -> Column:
@@ -36,17 +36,24 @@ def cosine_topk(
     query_key: str = "query_id",
 ) -> DataFrame:
     """Brute-force exact top-k: for each query vector, the k most cosine-
-    similar corpus vectors (self-matches excluded by key)."""
+    similar corpus vectors (self-matches excluded by key). Norms are
+    hoisted into the per-side projections (computed once per vector, not
+    per pair — see ``similarity.norm2``)."""
     c = corpus.select(
         F.col(key_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm2(F.col("cv")))
     q = queries.select(
         F.col(query_key), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm2(F.col("qv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("corpus_id") != F.col(query_key))
-        .withColumn("cosine_sim", F.round(cosine(F.col("cv"), F.col("qv")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine_prenorm(F.col("cv"), F.col("qv"), F.col("cn"), F.col("qn")), 6
+            ),
+        )
     )
     w = Window.partitionBy(query_key).orderBy(
         F.desc("cosine_sim"), F.asc("corpus_id")
@@ -136,18 +143,29 @@ def rh_lsh_topk(
     probing every Hamming-distance-1 bucket.
     """
     planes = rh_planes(num_planes, dim)
-    c = corpus.select(
-        F.col(key_col).alias("corpus_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("sig", rh_signature(F.col("cv"), planes))
-    q = queries.select(
-        F.col(query_key), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("sig", rh_signature(F.col("qv"), planes))
+    c = (
+        corpus.select(
+            F.col(key_col).alias("corpus_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("sig", rh_signature(F.col("cv"), planes))
+        .withColumn("cn", norm2(F.col("cv")))
+    )
+    q = (
+        queries.select(F.col(query_key), _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("sig", rh_signature(F.col("qv"), planes))
+        .withColumn("qn", norm2(F.col("qv")))
+    )
 
     scored = (
         c.join(F.broadcast(q), on="sig")
         .where(F.col("corpus_id") != F.col(query_key))
-        .withColumn("cosine_sim", F.round(cosine(F.col("cv"), F.col("qv")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine_prenorm(F.col("cv"), F.col("qv"), F.col("cn"), F.col("qn")), 6
+            ),
+        )
     )
     w = Window.partitionBy(query_key).orderBy(
         F.desc("cosine_sim"), F.asc("corpus_id")
@@ -182,13 +200,19 @@ def rh_multiprobe_topk(
     corpus vector has a single signature), so no dedup is needed.
     """
     planes = rh_planes(num_planes, dim)
-    c = corpus.select(
-        F.col(key_col).alias("corpus_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("sig", rh_signature(F.col("cv"), planes))
-    q = queries.select(
-        F.col(query_key), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("sig", rh_signature(F.col("qv"), planes))
+    c = (
+        corpus.select(
+            F.col(key_col).alias("corpus_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("sig", rh_signature(F.col("cv"), planes))
+        .withColumn("cn", norm2(F.col("cv")))
+    )
+    q = (
+        queries.select(F.col(query_key), _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("sig", rh_signature(F.col("qv"), planes))
+        .withColumn("qn", norm2(F.col("qv")))
+    )
 
     def flip(j: int) -> Column:
         """sig with bit j toggled (1-indexed substr arithmetic)."""
@@ -201,12 +225,17 @@ def rh_multiprobe_topk(
         )
 
     probes = F.array(F.col("sig"), *[flip(j) for j in range(num_planes)])
-    qp = q.select(query_key, "qv", F.explode(probes).alias("sig"))
+    qp = q.select(query_key, "qv", "qn", F.explode(probes).alias("sig"))
 
     scored = (
         c.join(F.broadcast(qp), on="sig")
         .where(F.col("corpus_id") != F.col(query_key))
-        .withColumn("cosine_sim", F.round(cosine(F.col("cv"), F.col("qv")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine_prenorm(F.col("cv"), F.col("qv"), F.col("cn"), F.col("qn")), 6
+            ),
+        )
     )
     w = Window.partitionBy(query_key).orderBy(
         F.desc("cosine_sim"), F.asc("corpus_id")
@@ -235,7 +264,9 @@ def ivf_topk(
     cluster boundary; a (query, corpus) pair can match at most once since
     each corpus vector belongs to exactly one cluster."""
     cents = ivf_centroids(corpus, vec_col, key_col, label_col)
-    q = queries.select(query_key, _as_double(F.col(vec_col)).alias("qv"))
+    q = queries.select(
+        query_key, _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm2(F.col("qv")))
 
     # route: argmax centroid per query (tiny cross join — both sides small)
     routed = (
@@ -246,7 +277,7 @@ def ivf_topk(
     probe = (
         routed.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= n_probes)
-        .select(query_key, "qv", "cluster_id")
+        .select(query_key, "qv", "qn", "cluster_id")
     )
 
     # scan only the probed cluster's posting list (partition-pruned at scale)
@@ -254,11 +285,16 @@ def ivf_topk(
         F.col(key_col).alias("corpus_id"),
         F.col(label_col).alias("cluster_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    )
+    ).withColumn("cn", norm2(F.col("cv")))
     scored = (
         c.join(F.broadcast(probe), on="cluster_id")
         .where(F.col("corpus_id") != F.col(query_key))
-        .withColumn("cosine_sim", F.round(cosine(F.col("cv"), F.col("qv")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine_prenorm(F.col("cv"), F.col("qv"), F.col("cn"), F.col("qn")), 6
+            ),
+        )
     )
     w = Window.partitionBy(query_key).orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
     return (

@@ -426,18 +426,22 @@ def embedding_near_dup(
     re-cluster with more centroids instead of scoring a quadratic list."""
     from pyspark.sql.window import Window
 
+    from ..functions.similarity import cosine_prenorm, norm2
+
     base = df.select(
         F.col(key_col).alias("key"),
         F.col(block_col).alias("block"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),
-    )
+    ).withColumn("nv", norm2(F.col("v")))  # once per vector, not per pair
     if max_block_size is not None:
         bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
         base = base.withColumn("__bn", bn).where(
             F.col("__bn") <= F.lit(max_block_size)
         ).drop("__bn")
     a, b = base.alias("a"), base.alias("b")
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    sim = F.round(
+        cosine_prenorm(F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")), 6
+    )
     return (
         a.join(b, F.col("a.block") == F.col("b.block"))
         .where(F.col("a.key") < F.col("b.key"))
