@@ -262,24 +262,26 @@ def simhash_fingerprint(
     # below reference a computed column, not 32 copies of the md5+conv tree
     h = F.conv(F.md5(F.col("tok")).substr(1, bits // 4), 16, 10).cast("long")
     hashed = tok_rows.select("key", h.alias("h"))
-    # bit j (big-endian) of the 32-bit prefix: (h >> (bits-1-j)) & 1 → ±1
+    # bit j (big-endian) of the 32-bit prefix: sum the raw bit (branch-free)
+    # and one token count; sign of Σ(±1) ⟺ 2·Σbit > n (ties → 0, identical
+    # to the ±1 formulation and the oracle's)
     sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), bits - 1 - j).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"b{j}")
+        F.sum(F.shiftright(F.col("h"), bits - 1 - j).bitwiseAND(F.lit(1))).alias(
+            f"b{j}"
+        )
         for j in range(bits)
     ]
+    n = F.count(F.lit(1)).alias("__n")
     fp = F.concat(
         *[
-            F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.col(f"b{j}") * 2 > F.col("__n"), F.lit("1")).otherwise(
+                F.lit("0")
+            )
             for j in range(bits)
         ]
     )
     return (
-        hashed.groupBy("key").agg(*sums).select("key", fp.alias("simhash"))
+        hashed.groupBy("key").agg(*sums, n).select("key", fp.alias("simhash"))
     )
 
 
