@@ -91,6 +91,94 @@ def frame_sample(
     )
 
 
+RESIZE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """The real-resize slot. Plug Pillow/libvips here in production."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "resize_image uses the deterministic fake instead"
+    )
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> str:
+    """Deterministic fake resize: the 'resized payload' digest is a pure
+    function of (payload, target dims) so the SQL oracle reproduces it."""
+    return hashlib.md5(payload + f"{width}x{height}".encode()).hexdigest()
+
+
+def resize_image(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    width: int = 640,
+    height: int = 480,
+) -> DataFrame:
+    """mapInPandas resize stage: (key, media) → (key, n_bytes, digest of
+    the resized payload, target dims). Same Arrow-batched plumbing as
+    ``decode_image_meta`` — only the per-payload function differs; the
+    real codec plugs into ``real_resize``."""
+    media_df = df.select(F.col(key_col).alias("doc_id"), "media")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "resized_md5": [
+                        _fake_resize(p, width, height) for p in payloads
+                    ],
+                    "width": [width] * len(payloads),
+                    "height": [height] * len(payloads),
+                }
+            )
+
+    return media_df.mapInPandas(resize, RESIZE_META_SCHEMA)
+
+
+def audio_features(
+    df: DataFrame, key_col: str = "doc_id", sample_rate: int = 16000
+) -> DataFrame:
+    """mapInPandas audio feature extraction: the blob is treated as a
+    1-byte-per-sample PCM stream (deterministic stand-in — torchaudio
+    plugs into the same signature), yielding sample-rate and duration
+    features used for corpus filtering (e.g. drop clips < 1 s)."""
+    media_df = df.select(F.col(key_col).alias("doc_id"), "media")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = [len(bytes(p)) for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "sample_rate": [sample_rate] * len(n),
+                    "duration_ms": [b * 1000 // sample_rate for b in n],
+                }
+            )
+
+    return media_df.mapInPandas(feats, AUDIO_META_SCHEMA)
+
+
 def decode_image_meta(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """mapInPandas feature-extraction over binary media columns.
 

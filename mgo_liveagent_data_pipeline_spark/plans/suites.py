@@ -265,16 +265,23 @@ def q_u2_geocode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: mapInPandas metadata decode + frame sampling
-    over the binary media column."""
+    """Multimodal plumbing over the binary media column, all four stages
+    the brief names: mapInPandas metadata decode, Catalyst frame sampling,
+    mapInPandas resize, and mapInPandas audio feature extraction. Generic
+    metric columns per mode: decode m1/m2 = fake width/height; resize
+    m1/m2 = target width/height; audio m1/m2 = sample_rate/duration_ms;
+    frames use seq = frame_no."""
+    from ..operators.multimodal import audio_features, resize_image, to_media_column
+    from ..sources.tables import load_table
+
     dec = enrichment.q_multimodal_decode(spark, sf_dir).select(
         F.lit("decode").alias("mode"),
         "doc_id",
         _null("long").alias("seq"),
         F.col("content_md5").alias("digest"),
         "n_bytes",
-        F.col("fake_width").alias("width"),
-        F.col("fake_height").alias("height"),
+        F.col("fake_width").alias("m1"),
+        F.col("fake_height").alias("m2"),
     )
     fr = pipeline.q_multimodal_frames(spark, sf_dir).select(
         F.lit("frames").alias("mode"),
@@ -282,10 +289,32 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("long").alias("seq"),
         F.col("frame_md5").alias("digest"),
         F.col("frame_bytes").alias("n_bytes"),
-        _null("long").alias("width"),
-        _null("long").alias("height"),
+        _null("long").alias("m1"),
+        _null("long").alias("m2"),
     )
-    return dec.unionByName(fr)
+    from ..session import ship_package
+
+    ship_package(spark)
+    media = to_media_column(load_table(spark, sf_dir, "documents"))
+    rs = resize_image(media).select(
+        F.lit("resize").alias("mode"),
+        "doc_id",
+        _null("long").alias("seq"),
+        F.col("resized_md5").alias("digest"),
+        "n_bytes",
+        F.col("width").alias("m1"),
+        F.col("height").alias("m2"),
+    )
+    au = audio_features(media).select(
+        F.lit("audio").alias("mode"),
+        "doc_id",
+        _null("long").alias("seq"),
+        _null("string").alias("digest"),
+        "n_bytes",
+        F.col("sample_rate").alias("m1"),
+        F.col("duration_ms").alias("m2"),
+    )
+    return dec.unionByName(fr).unionByName(rs).unionByName(au)
 
 
 # ---------------------------------------------------------- connector suites
@@ -517,15 +546,29 @@ ORACLES: dict[str, str] = {
         _tagged(
             _E["multimodal_decode"],
             "'decode' AS mode, doc_id, CAST(NULL AS BIGINT) AS seq, "
-            "content_md5 AS digest, n_bytes, fake_width AS width, fake_height AS height",
+            "content_md5 AS digest, n_bytes, fake_width AS m1, fake_height AS m2",
         )
         + " UNION ALL "
         + _tagged(
             _P["multimodal_frames"],
             "'frames' AS mode, doc_id, CAST(frame_no AS BIGINT) AS seq, "
             "frame_md5 AS digest, frame_bytes AS n_bytes, "
-            "CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height",
+            "CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2",
         )
+        + """ UNION ALL
+        SELECT 'resize' AS mode, doc_id, CAST(NULL AS BIGINT) AS seq,
+               md5(text || '640x480') AS digest,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(640 AS BIGINT) AS m1, CAST(480 AS BIGINT) AS m2
+        FROM documents
+        UNION ALL
+        SELECT 'audio' AS mode, doc_id, CAST(NULL AS BIGINT) AS seq,
+               CAST(NULL AS VARCHAR) AS digest,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(16000 AS BIGINT) AS m1,
+               CAST(strlen(text) AS BIGINT) * 1000 // 16000 AS m2
+        FROM documents
+        """
     ),
     "s_rest_suite": (
         _tagged(

@@ -129,6 +129,31 @@ def test_frame_sample_reassembles(spark):
     assert all(r["frame_md5"] for r in out)
 
 
+def test_resize_and_audio_features_deterministic(spark):
+    import hashlib
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        resize_image,
+        to_media_column,
+    )
+
+    df = to_media_column(
+        spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    )
+    r = resize_image(df, width=640, height=480).collect()[0]
+    assert r["n_bytes"] == 11
+    assert r["width"] == 640 and r["height"] == 480
+    assert (
+        r["resized_md5"]
+        == hashlib.md5(b"hello world" + b"640x480").hexdigest()
+    )
+    a = audio_features(df, sample_rate=16000).collect()[0]
+    assert a["n_bytes"] == 11
+    assert a["sample_rate"] == 16000
+    assert a["duration_ms"] == 11 * 1000 // 16000
+
+
 def test_rh_lsh_buckets_identical_vectors(spark):
     from mgo_liveagent_data_pipeline_spark.operators.annsearch import rh_lsh_topk
 
