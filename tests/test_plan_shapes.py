@@ -77,3 +77,33 @@ def test_token_counts_is_a_pure_narrow_map(spark):
     # per-row scalar work fused into the scan stage: no shuffle anywhere
     assert "Exchange" not in s
     assert "codegen" in s  # whole-stage codegen'd projection
+
+
+def test_ann_suite_no_unintended_quadratic_joins(spark):
+    s = plan(spark, "ann_suite")
+    # the only nested-loop joins are the intended broadcast cross joins
+    # (query set / centroids broadcast); the corpus must never sort-shuffle
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" in s
+
+
+def test_cosine_norms_hoisted_out_of_pair_projection(spark):
+    s = plan(spark, "ann_cosine_topk")
+    # exactly two norm folds (one per side's projection); a regression that
+    # re-inlines them into the per-pair expression shows 3+ aggregates
+    assert s.count("SQRT(aggregate(") == 2
+
+
+def test_multimodal_suite_is_arrow_batched_python(spark):
+    s = plan(spark, "multimodal_suite")
+    # decode + resize + audio are mapInPandas stages; frames stay Catalyst
+    # (formatted explain names each node twice: tree line + detail header)
+    assert s.count("MapInPandas") == 6
+    assert "BatchEvalPython" not in s  # no row-at-a-time Python anywhere
+
+
+def test_f1_f6_fused_single_scan(spark):
+    s = plan(spark, "f1_f6_string_ops")
+    assert "Exchange" not in s
+    assert s.count("Scan parquet") == 1
