@@ -106,4 +106,5 @@ def test_multimodal_suite_is_arrow_batched_python(spark):
 def test_f1_f6_fused_single_scan(spark):
     s = plan(spark, "f1_f6_string_ops")
     assert "Exchange" not in s
-    assert s.count("Scan parquet") == 1
+    # one scan node = tree line + detail header in formatted explain
+    assert s.count("Scan parquet") == 2
