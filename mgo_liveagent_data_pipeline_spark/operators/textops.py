@@ -105,3 +105,70 @@ def fingerprint(
         F.col(key_col),
         F.md5(canon).alias("fingerprint"),
     )
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint (the MOSS rolling-hash scheme): hash every
+    char ``k``-gram, slide a ``w``-hash window, keep the leftmost minimum
+    of each window; the selected (position, hash) set is the document's
+    fingerprint, digested to one md5. Near-identical documents share most
+    selected grams, so winnow-print collisions localize *partial* overlap
+    (plagiarism-style), which the whole-content collision ``fingerprint``
+    cannot.
+
+    Simplification, documented: gram hashes come from md5 (cross-engine
+    deterministic, same trick as MinHash) rather than an incrementally
+    updated Rabin-Karp polynomial — the selection scheme (the substance of
+    winnowing) is identical; only the per-gram hashing constant factor
+    differs. Leftmost-minimum tie-break keeps the pick reproducible in any
+    engine. Everything is per-row Catalyst array work: one narrow map, no
+    shuffle, linear in corpus size.
+    """
+    t = F.trim(F.col(text_col))
+
+    # gram-hash array, bound once (lambda-captured subtrees re-evaluate
+    # per element; the single-element-array map binds `s` as a value)
+    def gram_hashes(s: Column) -> Column:
+        n = F.greatest(F.length(s) - (k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.conv(F.md5(s.substr(i, F.lit(k))).substr(1, 12), 16, 10)
+            .cast("long"),
+        )
+
+    hs = F.element_at(F.transform(F.array(t), gram_hashes), 1)
+    base = df.select(F.col(key_col), hs.alias("hs"))
+
+    nw = F.greatest(F.size(F.col("hs")) - (w - 1), F.lit(1))
+
+    # leftmost argmin per window; the window slice is bound once per j
+    def pick(j: Column) -> Column:
+        return F.element_at(
+            F.transform(
+                F.array(F.slice(F.col("hs"), j, w)),
+                lambda sl: j - 1 + F.array_position(sl, F.array_min(sl)),
+            ),
+            1,
+        )
+
+    sel = F.array_distinct(F.transform(F.sequence(F.lit(1), nw), pick))
+    fp = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(sel),
+                lambda p: F.concat_ws(
+                    ":",
+                    p.cast("string"),
+                    F.element_at(F.col("hs"), p.cast("int")).cast("string"),
+                ),
+            ),
+            ",",
+        )
+    )
+    return base.select(F.col(key_col), fp.alias("fingerprint"))

@@ -97,9 +97,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OpenRefine-style collision fingerprint per document."""
+    """Document fingerprinting both ways: OpenRefine-style collision print
+    (whole-content, order-insensitive) and the MOSS winnowing rolling-hash
+    print (partial-overlap localization), tag-unioned."""
+    from ..operators.textops import winnow_fingerprint
+
     docs = load_table(spark, sf_dir, "documents")
-    return fingerprint(docs, "text", "doc_id")
+    coll = fingerprint(docs, "text", "doc_id").select(
+        F.lit("collision").alias("mode"), "doc_id", "fingerprint"
+    )
+    winnow = winnow_fingerprint(docs, "text", "doc_id").select(
+        F.lit("winnow").alias("mode"), "doc_id", "fingerprint"
+    )
+    return coll.unionByName(winnow)
 
 
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,12 +522,33 @@ ORACLES: dict[str, str] = {
         WHERE a.key < b.key
           AND round({_COSINE.format(a="a.v", b="b.v")}, 6) >= 0.3
     """,
+    # collision print ∪ winnowing print (k=5 char grams, window w=4,
+    # leftmost-min; hash = first 12 md5 hex chars as BIGINT — mirrors
+    # operators/textops.py:winnow_fingerprint)
     "text_fingerprint": r"""
-        SELECT doc_id,
+        SELECT 'collision' AS mode, doc_id,
                md5(array_to_string(
                  list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))),
                  ' ')) AS fingerprint
         FROM documents
+        UNION ALL
+        SELECT 'winnow' AS mode, doc_id, fingerprint FROM (
+          WITH b AS (SELECT doc_id, trim(text) AS t FROM documents),
+          h AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                     i -> CAST(('0x' || substring(md5(substring(t, CAST(i AS INT), 5)), 1, 12)) AS BIGINT)) AS hs
+            FROM b),
+          s AS (
+            SELECT doc_id, hs,
+                   list_distinct(list_transform(range(1, greatest(length(hs) - 3, 1) + 1),
+                     j -> j - 1 + list_position(hs[CAST(j AS INT):CAST(j + 3 AS INT)],
+                                                list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)])))) AS sel
+            FROM h)
+          SELECT doc_id,
+                 md5(array_to_string(list_transform(list_sort(sel),
+                     p -> CAST(p AS VARCHAR) || ':' || CAST(hs[CAST(p AS INT)] AS VARCHAR)), ',')) AS fingerprint
+          FROM s)
     """,
     "text_language_id": r"""
         WITH t AS (

@@ -129,6 +129,29 @@ def test_frame_sample_reassembles(spark):
     assert all(r["frame_md5"] for r in out)
 
 
+def test_winnow_fingerprint_selects_window_minima(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        winnow_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "pack my box with five dozen liquor jugs now"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in winnow_fingerprint(df).collect()}
+    assert out[1] == out[2]  # identical content → identical print
+    # disjoint content → disjoint gram hashes → different print (NB: a
+    # small *edit* may legitimately evade — winnowing only guarantees
+    # shared prints for shared substrings of length ≥ w + k − 1)
+    assert out[1] != out[3]
+    assert out[4]  # empty text still yields a (degenerate-gram) print
+
+
 def test_resize_and_audio_features_deterministic(spark):
     import hashlib
 
