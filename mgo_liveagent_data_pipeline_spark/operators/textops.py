@@ -130,6 +130,27 @@ def winnow_fingerprint(
     engine. Everything is per-row Catalyst array work: one narrow map, no
     shuffle, linear in corpus size.
     """
+    base = _winnow_selected(df, text_col, key_col, k, w)
+    fp = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.col("sel")),
+                lambda p: F.concat_ws(
+                    ":",
+                    p.cast("string"),
+                    F.element_at(F.col("hs"), p.cast("int")).cast("string"),
+                ),
+            ),
+            ",",
+        )
+    )
+    return base.select(F.col(key_col), fp.alias("fingerprint"))
+
+
+def _winnow_selected(
+    df: DataFrame, text_col: str, key_col: str, k: int, w: int
+) -> DataFrame:
+    """(key, hs, sel): gram-hash array and the winnow-selected positions."""
     t = F.trim(F.col(text_col))
 
     # gram-hash array, bound once (lambda-captured subtrees re-evaluate
@@ -158,17 +179,24 @@ def winnow_fingerprint(
         )
 
     sel = F.array_distinct(F.transform(F.sequence(F.lit(1), nw), pick))
-    fp = F.md5(
-        F.array_join(
-            F.transform(
-                F.array_sort(sel),
-                lambda p: F.concat_ws(
-                    ":",
-                    p.cast("string"),
-                    F.element_at(F.col("hs"), p.cast("int")).cast("string"),
-                ),
-            ),
-            ",",
-        )
+    return base.select(F.col(key_col), "hs", sel.alias("sel"))
+
+
+def winnow_selected_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Exploded winnow posting list: one (key, h) row per distinct
+    selected gram hash. Position-independent — a copied passage yields the
+    same hash values wherever it lands — so this is the inverted-index
+    feed for partial-overlap detection (``dedup.winnow_overlap_pairs``)."""
+    base = _winnow_selected(df, text_col, key_col, k, w)
+    sel_hashes = F.array_distinct(
+        F.transform(F.col("sel"), lambda p: F.element_at(F.col("hs"), p.cast("int")))
     )
-    return base.select(F.col(key_col), fp.alias("fingerprint"))
+    return base.select(
+        F.col(key_col).alias("key"), F.explode(sel_hashes).alias("h")
+    )

@@ -78,14 +78,26 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked n-gram Jaccard near-dup pairs (block = lang × source).
-    Unigram shingles / threshold 0.5 — calibrated to this corpus so the
-    pair set is non-trivial (bigrams find ~1 pair: a vacuous check)."""
+    """Pair-detection suite: blocked n-gram Jaccard near-dup pairs
+    (whole-doc similarity; block = lang × source, unigram shingles /
+    threshold 0.5 — calibrated so the pair set is non-trivial) unioned
+    with winnowing partial-overlap pairs (shared-passage detection the
+    whole-doc scores miss)."""
+    from ..operators.dedup import winnow_overlap_pairs
+
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
+    ngram = ngram_jaccard_pairs(
         docs, "text", "doc_id", block_cols=("lang", "source"),
         shingle_k=1, threshold=0.5,
+    ).select(
+        F.lit("ngram").alias("mode"), "id_a", "id_b",
+        F.col("jaccard_sim").alias("score"),
     )
+    winnow = winnow_overlap_pairs(docs, "text", "doc_id").select(
+        F.lit("winnow").alias("mode"), "id_a", "id_b",
+        F.col("n_shared").cast("double").alias("score"),
+    )
+    return ngram.unionByName(winnow)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,6 +508,9 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_simhash_near": _simhash_near_dup_oracle(),
+    # whole-doc blocked Jaccard ∪ winnowing partial-overlap pairs
+    # (k=16 char grams, window w=8, min_shared=3, bucket cap 1000 —
+    # mirrors operators/dedup.py:winnow_overlap_pairs)
     "dedup_ngram_pairs": f"""
         WITH base AS (
           SELECT doc_id AS key, lang, source,
@@ -503,11 +518,38 @@ ORACLES: dict[str, str] = {
           FROM documents
           -- block-size cap (operators/dedup.py:ngram_jaccard_pairs)
           QUALIFY count(*) OVER (PARTITION BY lang, source) <= 10000)
-        SELECT a.key AS id_a, b.key AS id_b,
-               round({_JACCARD.format(a="a.sh", b="b.sh")}, 6) AS jaccard_sim
+        SELECT 'ngram' AS mode, a.key AS id_a, b.key AS id_b,
+               round({_JACCARD.format(a="a.sh", b="b.sh")}, 6) AS score
         FROM base a JOIN base b USING (lang, source)
         WHERE a.key < b.key
           AND round({_JACCARD.format(a="a.sh", b="b.sh")}, 6) >= 0.5
+        UNION ALL
+        SELECT 'winnow' AS mode, id_a, id_b, CAST(n_shared AS DOUBLE) AS score
+        FROM (
+          WITH wb AS (SELECT doc_id, trim(text) AS t FROM documents),
+          wh AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(length(t) - 15, 1) + 1),
+                     i -> CAST(('0x' || substring(md5(substring(t, CAST(i AS INT), 16)), 1, 12)) AS BIGINT)) AS hs
+            FROM wb),
+          ws AS (
+            SELECT doc_id, hs,
+                   list_distinct(list_transform(range(1, greatest(length(hs) - 7, 1) + 1),
+                     j -> j - 1 + list_position(hs[CAST(j AS INT):CAST(j + 7 AS INT)],
+                                                list_min(hs[CAST(j AS INT):CAST(j + 7 AS INT)])))) AS sel
+            FROM wh),
+          posted0 AS (
+            SELECT doc_id AS key,
+                   unnest(list_distinct(list_transform(sel, p -> hs[CAST(p AS INT)]))) AS hv
+            FROM ws),
+          posted AS (
+            SELECT key, hv FROM posted0
+            QUALIFY count(*) OVER (PARTITION BY hv) <= 1000)
+          SELECT a.key AS id_a, b.key AS id_b, count(*) AS n_shared
+          FROM posted a JOIN posted b USING (hv)
+          WHERE a.key < b.key
+          GROUP BY a.key, b.key
+          HAVING count(*) >= 3)
     """,
     "dedup_embedding": f"""
         WITH base AS (

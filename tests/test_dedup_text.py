@@ -152,6 +152,31 @@ def test_winnow_fingerprint_selects_window_minima(spark):
     assert out[4]  # empty text still yields a (degenerate-gram) print
 
 
+def test_winnow_overlap_pairs_finds_planted_passage(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    passage = (
+        "a distinctive shared passage that is long enough to survive "
+        "winnow selection across documents"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "intro text before the quote. " + passage + " and a tail."),
+            (2, "completely different framing here; " + passage),
+            (3, "no shared material whatsoever in this one, nothing at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(df, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs  # shifted copy still collides (position-free)
+    assert all(3 not in p for p in pairs)
+
+
 def test_resize_and_audio_features_deterministic(spark):
     import hashlib
 
