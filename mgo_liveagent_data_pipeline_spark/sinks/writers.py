@@ -142,6 +142,35 @@ def history_append(
     return append(df, base_dir, hist)
 
 
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    base_dir: str,
+    name: str,
+    key: str,
+    num_buckets: int,
+) -> str:
+    """Bucketed external table: hash-partition rows into ``num_buckets``
+    files by ``key`` and sort within each bucket. Two tables bucketed the
+    same way join WITHOUT a shuffle (Spark plans a sort-merge join over
+    co-located buckets — verified by the plan test) — at 100 TB this is
+    how recurring fact-fact joins (J3: lineitem ⋈ orders) drop their
+    dominant exchange: pay one bucketed write, join shuffle-free forever
+    after. The reference gets the same effect from BigQuery clustered
+    tables (core/BigQueryManager.py:47-70 load path).
+    """
+    path = table_path(base_dir, name)
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )
+    return path
+
+
 def prepare_and_load(
     spark: SparkSession,
     df: DataFrame,
