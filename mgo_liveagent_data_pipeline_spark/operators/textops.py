@@ -11,6 +11,13 @@ from pyspark.sql import functions as F
 # tiny function-word gazetteer for the n-gram/stopword language heuristic
 EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
+# highest-frequency English character bigrams (public corpus statistics) —
+# the profile for the n-gram language heuristic
+EN_BIGRAMS = (
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+)
+
 # BPE-ish tokenization: letter runs, digit runs, single other non-space —
 # approximates how byte-pair pretokenizers split before merges.
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -27,18 +34,44 @@ def language_id(
     stopwords: tuple[str, ...] = EN_STOPWORDS,
     threshold: float = 0.03,
 ) -> DataFrame:
-    """Heuristic language ID: share of tokens that are English function
-    words. (Real pipelines plug fastText here via mapInPandas; the operator
-    contract — doc in, (lang, confidence) out — is what matters.)"""
+    """Heuristic language ID, two signals per doc: share of tokens that
+    are English function words, and the share of character bigrams found
+    in the English high-frequency bigram profile (the classic n-gram
+    profile method, Cavnar-Trenkle style with a fixed profile). Real
+    pipelines plug fastText here via mapInPandas; the operator contract —
+    doc in, (lang, confidence) out — is what matters.
+
+    ``lang_pred`` stays the stopword vote (stable contract); the bigram
+    ratio ships as its own column so callers can threshold or combine."""
     toks = _tokens(F.col(text_col))
     hits = F.size(
         F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
     ).cast("double")
     total = F.size(toks).cast("double")
     ratio = F.round(F.when(total > 0, hits / total).otherwise(0.0), 6)
+
+    # char-bigram profile hit-rate, bound once per row (captured subtrees
+    # re-evaluate per element otherwise)
+    def bigram_ratio(s: Column) -> Column:
+        n = F.greatest(F.length(s) - 1, F.lit(1))
+        grams = F.transform(
+            F.sequence(F.lit(1), n), lambda i: s.substr(i, F.lit(2))
+        )
+        bhits = F.size(F.filter(grams, lambda g: g.isin(*EN_BIGRAMS)))
+        return F.round(
+            F.when(
+                F.length(s) > 1, bhits.cast("double") / n.cast("double")
+            ).otherwise(0.0),
+            6,
+        )
+
+    bg = F.element_at(
+        F.transform(F.array(F.lower(F.trim(F.col(text_col)))), bigram_ratio), 1
+    )
     return df.select(
         F.col(key_col),
         ratio.alias("stopword_ratio"),
+        bg.alias("bigram_ratio"),
         F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other")).alias(
             "lang_pred"
         ),

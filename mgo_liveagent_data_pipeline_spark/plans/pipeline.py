@@ -594,16 +594,27 @@ ORACLES: dict[str, str] = {
     """,
     "text_language_id": r"""
         WITH t AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+                 lower(trim(text)) AS lt
+          FROM documents),
         r AS (
           SELECT doc_id,
                  CASE WHEN length(tk) > 0
                       THEN round(CAST(length(list_filter(tk, x -> lower(x) IN
                              ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
                            / CAST(length(tk) AS DOUBLE), 6)
-                      ELSE 0.0 END AS stopword_ratio
+                      ELSE 0.0 END AS stopword_ratio,
+                 CASE WHEN length(lt) > 1
+                      THEN round(CAST(length(list_filter(
+                             list_transform(range(1, greatest(length(lt) - 1, 1) + 1),
+                               i -> substring(lt, CAST(i AS INT), 2)),
+                             g -> g IN ('th','he','in','er','an','re','on','at','en','nd',
+                                        'ti','es','or','te','of','ed','is','it','al','ar')))
+                             AS DOUBLE)
+                           / CAST(greatest(length(lt) - 1, 1) AS DOUBLE), 6)
+                      ELSE 0.0 END AS bigram_ratio
           FROM t)
-        SELECT doc_id, stopword_ratio,
+        SELECT doc_id, stopword_ratio, bigram_ratio,
                CASE WHEN stopword_ratio >= 0.03 THEN 'en' ELSE 'other' END AS lang_pred
         FROM r
     """,
