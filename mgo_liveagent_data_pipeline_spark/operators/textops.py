@@ -78,13 +78,7 @@ def language_id(
     )
 
 
-def quality_score(
-    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
-) -> DataFrame:
-    """Heuristic document-quality features + composite score:
-    length, token count, mean word length, punctuation ratio, uppercase
-    ratio — the usual cheap pre-filters before expensive LLM scoring."""
-    t = F.col(text_col)
+def _quality_cols(t: Column) -> dict[str, Column]:
     toks = _tokens(t)
     n_chars = F.length(t).cast("double")
     n_tokens = F.size(toks).cast("double")
@@ -98,14 +92,33 @@ def quality_score(
         .otherwise(0.0),
         1,
     )
+    return {
+        "n_chars_obs": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "upper_ratio": upper_ratio,
+        "quality": score,
+    }
+
+
+def _token_cols(t: Column) -> dict[str, Column]:
+    return {
+        "ws_tokens": F.size(_tokens(t)).cast("long"),
+        "bpe_tokens": F.regexp_count(t, F.lit(BPE_TOKEN_PATTERN)).cast("long"),
+        "approx_llm_tokens": (F.length(t) / 4).cast("long"),
+    }
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document-quality features + composite score:
+    length, token count, mean word length, punctuation ratio, uppercase
+    ratio — the usual cheap pre-filters before expensive LLM scoring."""
+    cols = _quality_cols(F.col(text_col))
     return df.select(
-        F.col(key_col),
-        n_chars.cast("long").alias("n_chars_obs"),
-        n_tokens.cast("long").alias("n_tokens"),
-        mean_word_len.alias("mean_word_len"),
-        punct_ratio.alias("punct_ratio"),
-        upper_ratio.alias("upper_ratio"),
-        score.alias("quality"),
+        F.col(key_col), *[c.alias(n) for n, c in cols.items()]
     )
 
 
@@ -116,12 +129,22 @@ def token_counts(
     the budget metric every training-data pipeline reports (reference F15
     counted tiktoken tokens per conversation,
     core/extract/ConvoDataExtract.py:74-82)."""
-    t = F.col(text_col)
+    cols = _token_cols(F.col(text_col))
     return df.select(
-        F.col(key_col),
-        F.size(_tokens(t)).cast("long").alias("ws_tokens"),
-        F.regexp_count(t, F.lit(BPE_TOKEN_PATTERN)).cast("long").alias("bpe_tokens"),
-        (F.length(t) / 4).cast("long").alias("approx_llm_tokens"),
+        F.col(key_col), *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+def text_metrics(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Quality features + token counts in ONE projection over one scan —
+    the fused form a production pipeline runs (joining the two per-doc
+    maps would shuffle the corpus on the key for nothing)."""
+    t = F.col(text_col)
+    cols = {**_quality_cols(t), **_token_cols(t)}
+    return df.select(
+        F.col(key_col), *[c.alias(n) for n, c in cols.items()]
     )
 
 

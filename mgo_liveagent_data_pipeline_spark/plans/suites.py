@@ -207,12 +207,12 @@ def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + token counting joined at doc grain (production
-    would fuse both feature sets into one projection; the join keeps the
-    operator modules independent and is key-aligned, no skew)."""
-    q = pipeline.q_text_quality_score(spark, sf_dir)
-    t = pipeline.q_text_token_counts(spark, sf_dir)
-    return q.join(t, on="doc_id")
+    """Quality scoring + token counting fused into one scan-projection
+    (operators/textops.py:text_metrics) — no join, no shuffle."""
+    from ..operators.textops import text_metrics
+    from ..sources.tables import load_table
+
+    return text_metrics(load_table(spark, sf_dir, "documents"))
 
 
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,3 +108,9 @@ def test_f1_f6_fused_single_scan(spark):
     assert "Exchange" not in s
     # one scan node = tree line + detail header in formatted explain
     assert s.count("Scan parquet") == 2
+
+
+def test_text_metrics_fused_single_scan(spark):
+    s = plan(spark, "text_metrics")
+    assert "Exchange" not in s
+    assert s.count("Scan parquet") == 2
