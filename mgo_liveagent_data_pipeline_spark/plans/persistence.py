@@ -75,6 +75,15 @@ def q_stream_append_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_append_6h(spark, sf_dir)
 
 
+def q_stream_dedup_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 stateful streaming dedup: every event delivered twice,
+    dropDuplicatesWithinWatermark collapses redelivery, window counts
+    must equal the single-copy batch oracle."""
+    from ..streaming.windows import stream_dedup_6h
+
+    return stream_dedup_6h(spark, sf_dir)
+
+
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (30-minute gap)."""
     events = load_table(spark, sf_dir, "events")
@@ -98,6 +107,7 @@ QUERIES = {
     "stream_append_6h": q_stream_append_6h,
     "stream_session_windows": q_stream_session_windows,
     "stream_upsert_6h": q_stream_upsert_6h,
+    "stream_dedup_6h": q_stream_dedup_6h,
 }
 
 ORACLES: dict[str, str] = {
@@ -146,6 +156,17 @@ ORACLES: dict[str, str] = {
         HAVING (ws + 21600) * 1000000 <= mx - CAST(3600000000 AS BIGINT)
     """,
     "stream_upsert_6h": """
+        WITH b AS (
+          SELECT make_timestamp((((epoch_us(ts) // 1000000)
+                 - (epoch_us(ts) // 1000000) % 21600)) * 1000000) AS window_start,
+                 value
+          FROM events)
+        SELECT window_start, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM b GROUP BY window_start
+    """,
+    # the doubled stream deduped ≡ the single-copy batch windows
+    "stream_dedup_6h": """
         WITH b AS (
           SELECT make_timestamp((((epoch_us(ts) // 1000000)
                  - (epoch_us(ts) // 1000000) % 21600)) * 1000000) AS window_start,

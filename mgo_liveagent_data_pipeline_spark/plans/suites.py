@@ -364,12 +364,15 @@ def q_s8_s9_csv_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 Structured Streaming, all modes under one row: tumbling 6-h
     windows (update), append-mode watermark finalization, foreachBatch
-    exactly-once upsert, and 30-minute-gap session windows."""
+    exactly-once upsert, stateful ingestion dedup (every event delivered
+    twice, dropDuplicatesWithinWatermark must collapse it), and
+    30-minute-gap session windows."""
     parts = []
     for tag, fn in (
         ("tumbling", persistence.q_stream_tumbling_6h),
         ("append", persistence.q_stream_append_6h),
         ("upsert", persistence.q_stream_upsert_6h),
+        ("dedup", persistence.q_stream_dedup_6h),
     ):
         parts.append(
             fn(spark, sf_dir).select(
@@ -609,6 +612,7 @@ ORACLES: dict[str, str] = {
                 ("tumbling", "stream_tumbling_6h"),
                 ("append", "stream_append_6h"),
                 ("upsert", "stream_upsert_6h"),
+                ("dedup", "stream_dedup_6h"),
             )
         )
         + " UNION ALL "

@@ -164,6 +164,57 @@ def stream_upsert_6h(
     return table_path(base_dir, sink_name)
 
 
+def stream_dedup_6h(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> DataFrame:
+    """Streaming ingestion dedup: ``dropDuplicatesWithinWatermark`` on the
+    event key, then the 6-hour windowed aggregation — the exactly-once
+    ingestion guard a training-data pipeline needs when the upstream
+    source redelivers (at-least-once feeds, replayed batches).
+
+    The check is made non-vacuous by feeding every event TWICE (the
+    source directory exposes the same parquet under two names): state
+    keeps one row per event_id within the watermark, so the window counts
+    must equal the single-copy batch result — a doubled count means the
+    dedup silently broke. State is bounded: keys older than the watermark
+    are dropped, so at 100 TB the state store holds one watermark-width
+    of keys, not the stream's history.
+    """
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="mgo_stream_dup_")
+    os.symlink(path, os.path.join(d, "copy_a.parquet"))
+    os.symlink(path, os.path.join(d, "copy_b.parquet"))
+    src = spark.readStream.schema(raw_schema).parquet(d)
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(MONEY)), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+    name = f"mgo_stream_dedup_{os.getpid()}_{next(_MEMSINK_IDS)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def session_windows(
     df: DataFrame,
     ts_col: str = "ts",

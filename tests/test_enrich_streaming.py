@@ -86,3 +86,22 @@ def test_append_mode_withholds_open_windows(spark):
             c["n_events"],
             c["total_value"],
         )
+
+
+def test_stream_dedup_collapses_redelivery(spark):
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_dedup_6h,
+        stream_tumbling_6h,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    deduped = {
+        r["window_start"]: (r["n_events"], r["total_value"])
+        for r in stream_dedup_6h(spark, sf).collect()
+    }
+    single = {
+        r["window_start"]: (r["n_events"], r["total_value"])
+        for r in stream_tumbling_6h(spark, sf).collect()
+    }
+    # every event was fed twice; dedup state must collapse it exactly
+    assert deduped == single
