@@ -383,8 +383,17 @@ def q_w5_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-set family: ROLLUP(status, priority) with subtotal and
-    grand-total rows (beyond the reference — no cube/rollup there)."""
+    grand-total rows (beyond the reference — no cube/rollup there), plus
+    an exact per-group median (the corpus-stats aggregate a training
+    pipeline reports). Cross-engine exactness: the median interpolates at
+    most halfway between two order statistics, so it is computed on
+    cent-scaled integers — (a+b)/2 on integers < 2^53 is exact in IEEE
+    doubles under either engine's interpolation formula, where a raw
+    double percentile can differ by one ulp right at a rounding boundary
+    (a p95's fractional weight re-introduces that ulp: measured one cent
+    off at sf0.01, which is why only the median ships here)."""
     orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("double")
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
@@ -392,6 +401,9 @@ def q_a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
             .cast("double")
             .alias("total_value"),
+            F.round(F.percentile(cents, F.lit(0.5)) / 100, 2).alias(
+                "p50_value"
+            ),
         )
     )
 
@@ -857,7 +869,8 @@ ORACLES: dict[str, str] = {
     """,
     "a7_rollup": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value,
+               round(quantile_cont(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE), 0.5) / 100, 2) AS p50_value
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
