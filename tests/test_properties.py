@@ -141,3 +141,27 @@ def test_salted_sum_equals_plain_sum(spark, rows):
         .collect()
     }
     assert salted == plain
+
+
+@SETTINGS
+@given(
+    st.text(alphabet="abcdefgh ", min_size=30, max_size=60),
+    st.text(alphabet="qrstuvwx ", min_size=20, max_size=40),
+    st.text(alphabet="ijklmnop ", min_size=20, max_size=40),
+)
+def test_winnow_overlap_detects_shared_passage(spark, passage, pre, post):
+    """Winnowing guarantee: a shared substring of length ≥ w + k − 1
+    contains one full identical hash window in both docs, whose minimum
+    is selected in both — so the pair must surface at min_shared=1.
+    Disjoint alphabets keep the surrounding text from colliding."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    k, w = 16, 8
+    assert len(passage) >= k + w - 1
+    df = spark.createDataFrame(
+        [(1, pre + passage), (2, passage + post)], ["doc_id", "text"]
+    )
+    pairs = winnow_overlap_pairs(df, k=k, w=w, min_shared=1).collect()
+    assert any((r["id_a"], r["id_b"]) == (1, 2) for r in pairs)
