@@ -33,6 +33,7 @@ global request pressure at rate/num_partitions per partition.
 from __future__ import annotations
 
 import json
+import os
 import time
 from collections.abc import Iterator
 
@@ -115,6 +116,52 @@ _OP_MAP = {
     "LessThanOrEqual": "D<=",
     "EqualTo": "=",
 }
+
+
+class IncrementalCursor:
+    """Run-to-run incremental extraction state — the reference re-extracts
+    everything whose ``date_changed`` falls in the trailing window
+    (utils/tickets_util.py:5-15, TicketFilter); generalized here to a
+    persisted per-endpoint high-watermark so each run fetches only rows
+    changed since the last successful one.
+
+    ``filter_conditions()`` feeds ``build_filter_expr`` (F10) so the
+    incremental predicate is evaluated API-side, never post-fetch;
+    ``advance()`` is called with the batch's max watermark AFTER the load
+    commits (sink write succeeded), so a crashed run re-extracts its
+    window instead of losing it — at-least-once extraction on top of the
+    MERGE upsert's idempotence = effectively-once end to end.
+    """
+
+    def __init__(self, state_dir: str, endpoint: str, field: str = "date_changed"):
+        os.makedirs(state_dir, exist_ok=True)
+        safe = endpoint.replace("/", "_")
+        self.path = os.path.join(state_dir, f"cursor_{safe}.json")
+        self.endpoint = endpoint
+        self.field = field
+
+    def value(self) -> str | None:
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as f:
+            return json.load(f).get("watermark")
+
+    def filter_conditions(self) -> list[tuple[str, str, str]]:
+        """F10 conditions for the next run ([] on the first, full scan)."""
+        wm = self.value()
+        return [(self.field, "D>=", wm)] if wm is not None else []
+
+    def advance(self, new_watermark: str) -> None:
+        """Commit the new high-watermark — call after the sink commits.
+        Never moves backwards (a partial re-run cannot shrink the cursor).
+        """
+        cur = self.value()
+        if cur is not None and new_watermark <= cur:
+            return
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"endpoint": self.endpoint, "watermark": new_watermark}, f)
+        os.replace(tmp, self.path)
 
 
 def _fixture_fetch(fixture_path: str, endpoint: str, params: dict) -> list[dict]:

@@ -136,3 +136,30 @@ def test_fetch_correlated_flattens_children(spark, fixture_path):
     ).collect()
     got = sorted((r["ticket_id"], r["message"]) for r in out)
     assert got == [("t1", "hi"), ("t1", "yo"), ("t2", "ok")]
+
+
+def test_incremental_cursor_roundtrip(tmp_path):
+    import json
+
+    from mgo_liveagent_data_pipeline_spark.sources.rest import (
+        IncrementalCursor,
+        build_filter_expr,
+    )
+
+    cur = IncrementalCursor(str(tmp_path), "tickets")
+    # first run: no watermark → full scan (no conditions)
+    assert cur.filter_conditions() == []
+    cur.advance("2024-01-10 06:00:00")
+    # second run: API-side incremental predicate
+    conds = cur.filter_conditions()
+    assert conds == [("date_changed", "D>=", "2024-01-10 06:00:00")]
+    assert json.loads(build_filter_expr(conds)) == [
+        ["date_changed", "D>=", "2024-01-10 06:00:00"]
+    ]
+    # a replayed older batch cannot move the cursor backwards
+    cur.advance("2024-01-09 00:00:00")
+    assert cur.value() == "2024-01-10 06:00:00"
+    cur.advance("2024-01-11 00:00:00")
+    assert cur.value() == "2024-01-11 00:00:00"
+    # a fresh handle reads the persisted state
+    assert IncrementalCursor(str(tmp_path), "tickets").value() == "2024-01-11 00:00:00"

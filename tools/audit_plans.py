@@ -28,6 +28,13 @@ def main() -> None:
     from mgo_liveagent_data_pipeline_spark.session import get_spark
 
     spark = get_spark("audit_plans")
+    print(
+        "# One line per registered query (members AND driver suite rows)."
+        " A *_suite row tag-unions its members, so its exch/bhj counts are"
+        " the SUM over members — read the member lines above it for the"
+        " per-operator plan; a suite never adds shuffles of its own"
+        " (unions are narrow)."
+    )
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
