@@ -148,6 +148,52 @@ def text_metrics(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Sliding-window document chunking — the pre-embedding / pre-training
+    splitter: whitespace tokens in windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens − overlap``, so consecutive chunks share ``overlap``
+    tokens of context. One narrow map + explode (same row-explosion shape
+    as frame sampling); chunks keep their parent key and position so
+    downstream stages re-assemble or attribute spans without a join.
+
+    Returns (key, chunk_no, chunk_text, n_chunk_tokens).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    # token array bound once (single-element-array map; a captured split
+    # would re-tokenize per chunk)
+    def chunks(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.ceil(
+            F.greatest(n - overlap, F.lit(1)) / F.lit(float(stride))
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+        )
+
+    arr = F.element_at(
+        F.transform(F.array(_tokens(F.col(text_col))), chunks), 1
+    )
+    out = df.select(
+        F.col(key_col), F.posexplode(arr).alias("chunk_no", "toks")
+    )
+    return out.select(
+        key_col,
+        "chunk_no",
+        F.array_join(F.col("toks"), " ").alias("chunk_text"),
+        F.size(F.col("toks")).cast("long").alias("n_chunk_tokens"),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:

@@ -38,13 +38,31 @@ def q_u1_convo_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_u5_flatten_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5: one nested-group row → N inner rows (explode_outer + position,
-    core/Ticket.py:149-183). Tokens stand in for inner messages."""
+    core/Ticket.py:149-183; tokens stand in for inner messages), unioned
+    with sliding-window document chunking (the pre-embedding splitter) —
+    both are the row-explosion family."""
+    from ..operators.textops import chunk_documents
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10)
     base = docs.select("doc_id", toks.alias("toks"))
-    return base.select(
+    flat = base.select(
         "doc_id", F.posexplode_outer("toks").alias("msg_pos", "msg_text")
+    ).select(
+        F.lit("flatten").alias("mode"),
+        "doc_id",
+        F.col("msg_pos").cast("long").alias("pos"),
+        F.col("msg_text").alias("text"),
+        F.lit(None).cast("long").alias("n_tokens"),
     )
+    chunks = chunk_documents(docs).select(
+        F.lit("chunk").alias("mode"),
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("pos"),
+        F.col("chunk_text").alias("text"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    return flat.unionByName(chunks)
 
 
 def q_u2_geocode_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,15 +426,32 @@ ORACLES: dict[str, str] = {
     "u1_convo_analysis": _u1_oracle(),
     "u2_geocode_fallback": _u2_fallback_oracle(),
     "j1_sender_receiver": _J1_SENDER_RECEIVER_ORACLE,
+    # token flatten ∪ sliding-window chunks (50 tokens, stride 40 —
+    # mirrors operators/textops.py:chunk_documents)
     "u5_flatten_messages": r"""
         WITH base AS (
           SELECT doc_id,
                  string_split_regex(trim(text), '\s+')[1:10] AS toks
           FROM documents)
-        SELECT doc_id,
-               CAST(unnest(range(0, length(toks))) AS INT) AS msg_pos,
-               unnest(toks) AS msg_text
+        SELECT 'flatten' AS mode, doc_id,
+               CAST(unnest(range(0, length(toks))) AS BIGINT) AS pos,
+               unnest(toks) AS text,
+               CAST(NULL AS BIGINT) AS n_tokens
         FROM base
+        UNION ALL
+        SELECT 'chunk' AS mode, doc_id, pos, text, n_tokens FROM (
+          WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+            FROM documents),
+          c AS (
+            SELECT doc_id, tk,
+                   CAST(ceil(greatest(length(tk) - 10, 1) / 40.0) AS INT) AS nc
+            FROM t),
+          e AS (SELECT doc_id, tk, unnest(range(0, nc)) AS i FROM c)
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(tk[CAST(i * 40 + 1 AS INT):CAST(i * 40 + 50 AS INT)], ' ') AS text,
+                 CAST(length(tk[CAST(i * 40 + 1 AS INT):CAST(i * 40 + 50 AS INT)]) AS BIGINT) AS n_tokens
+          FROM e)
     """,
     "u2_geocode_two_phase": _u2_oracle(),
     "multimodal_decode": f"""

@@ -129,6 +129,28 @@ def test_frame_sample_reassembles(spark):
     assert all(r["frame_md5"] for r in out)
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(95))
+    df = spark.createDataFrame([(1, words), (2, "short text")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=50, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_no"]] = r
+    # 95 tokens, stride 40 → ceil(85/40) = 3 chunks: 50, 50, 15 tokens
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert [by_doc[1][i]["n_chunk_tokens"] for i in (0, 1, 2)] == [50, 50, 15]
+    # consecutive chunks share the 10-token overlap
+    c0 = by_doc[1][0]["chunk_text"].split()
+    c1 = by_doc[1][1]["chunk_text"].split()
+    assert c0[-10:] == c1[:10]
+    # short docs yield exactly one whole-doc chunk
+    assert list(by_doc[2]) == [0] and by_doc[2][0]["chunk_text"] == "short text"
+
+
 def test_winnow_fingerprint_selects_window_minima(spark):
     from mgo_liveagent_data_pipeline_spark.operators.textops import (
         winnow_fingerprint,
