@@ -148,6 +148,59 @@ def text_metrics(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by tf-idf — the corpus-level
+    text statistic (keyword extraction / topic hints) the per-doc metrics
+    can't produce.
+
+    Scoring uses the log-free rational idf ``(N + 1) / (df + 1)`` — a
+    documented variant: pure integer arithmetic in doubles is bit-exact
+    across engines, where ``ln`` is libm-dependent and can flip a rounded
+    6th decimal (same ulp trap as interpolated percentiles).
+
+    Plan shape at 100 TB: one explode + two hash aggregates (term counts
+    per doc; document frequency per term), then the per-term idf table —
+    |vocabulary| rows, ≪ corpus — broadcasts back onto the per-doc term
+    counts; top-k per doc is a WindowGroupLimit, never a global sort.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    terms = df.select(F.col(key_col).alias("key"), F.explode(toks).alias("term"))
+    tf = terms.groupBy("key", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.col("n_docs") + F.lit(1.0))
+                / (F.col("df") + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("key").alias(key_col),
+            "term",
+            "tfidf",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

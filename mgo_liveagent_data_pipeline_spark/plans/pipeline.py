@@ -142,6 +142,16 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(docs, "text", "doc_id")
 
 
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics text op: per-doc top-5 terms by (rational) tf-idf.
+    Member-level query (outside the 50-row driver prefix; verified by
+    ``tools/verify_oracles.py --all``)."""
+    from ..operators.textops import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=5)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first five vectors as queries."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -217,6 +227,7 @@ QUERIES = {
     "ann_rh_lsh_topk": q_ann_rh_lsh_topk,
     "ann_rh_multiprobe_topk": q_ann_rh_multiprobe_topk,
     "multimodal_frames": q_multimodal_frames,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
 }
 
 
@@ -672,4 +683,25 @@ ORACLES: dict[str, str] = {
     """,
     "ann_ivf_topk": _ivf_oracle(1),
     "ann_ivf_multiprobe_topk": _ivf_oracle(2),
+    "text_tfidf_top_terms": r"""
+        WITH terms AS (
+          SELECT doc_id AS key, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents),
+        tf AS (
+          SELECT key, term, count(*) AS tf FROM terms GROUP BY key, term),
+        df_t AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.key, tf.term,
+                 round(tf.tf * (n.n_docs + 1.0) / (df_t.df + 1.0), 6) AS tfidf
+          FROM tf JOIN df_t USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT key, term, tfidf,
+                 row_number() OVER (PARTITION BY key
+                                    ORDER BY tfidf DESC, term ASC) AS rn
+          FROM scored)
+        SELECT key AS doc_id, term, tfidf, CAST(rn AS BIGINT) AS "rank"
+        FROM ranked WHERE rn <= 5
+    """,
 }

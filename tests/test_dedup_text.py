@@ -129,6 +129,28 @@ def test_frame_sample_reassembles(spark):
     assert all(r["frame_md5"] for r in out)
 
 
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common yak"),
+            (3, "common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in tfidf_top_terms(df, k=1).collect()}
+    # the doc-unique term beats the everywhere-term despite lower tf
+    assert out[1]["term"] == "zebra"
+    assert out[2]["term"] == "yak"
+    assert out[3]["term"] == "common"
+    # rational idf: tf * (N+1)/(df+1) = 1 * 4/2 = 2.0 for the unique terms
+    assert out[1]["tfidf"] == 2.0
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     from mgo_liveagent_data_pipeline_spark.operators.textops import (
         chunk_documents,

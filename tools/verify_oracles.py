@@ -60,8 +60,19 @@ def sort_key(row):
 
 
 def main():
-    only = set(sys.argv[1:])
-    from mgo_liveagent_data_pipeline_spark.plans.registry import ORACLES, QUERIES
+    args = sys.argv[1:]
+    check_all = "--all" in args
+    only = set(a for a in args if a != "--all")
+    if check_all:
+        from mgo_liveagent_data_pipeline_spark.plans.registry import (
+            ALL_ORACLES as ORACLES,
+            ALL_QUERIES as QUERIES,
+        )
+    else:
+        from mgo_liveagent_data_pipeline_spark.plans.registry import (
+            ORACLES,
+            QUERIES,
+        )
     from mgo_liveagent_data_pipeline_spark.session import get_spark
 
     spark = get_spark("verify_oracles")
