@@ -136,19 +136,19 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
 
     df = spark.createDataFrame(
         [
-            (1, "common common zebra"),
-            (2, "common common yak"),
+            (1, "common zebra zebra"),
+            (2, "common yak yak"),
             (3, "common common common"),
         ],
         ["doc_id", "text"],
     )
     out = {r["doc_id"]: r for r in tfidf_top_terms(df, k=1).collect()}
-    # the doc-unique term beats the everywhere-term despite lower tf
+    # the doc-unique term beats the everywhere-term
     assert out[1]["term"] == "zebra"
     assert out[2]["term"] == "yak"
     assert out[3]["term"] == "common"
-    # rational idf: tf * (N+1)/(df+1) = 1 * 4/2 = 2.0 for the unique terms
-    assert out[1]["tfidf"] == 2.0
+    # rational idf: tf * (N+1)/(df+1) = 2 * 4/2 = 4.0 for the unique terms
+    assert out[1]["tfidf"] == 4.0
 
 
 def test_chunk_documents_windows_and_overlap(spark):
