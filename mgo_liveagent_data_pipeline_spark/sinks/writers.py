@@ -142,6 +142,68 @@ def history_append(
     return append(df, base_dir, hist)
 
 
+def _versioned_dir(base_dir: str, name: str) -> str:
+    return os.path.join(base_dir, f"{name}.versioned")
+
+
+def versioned_write(df: DataFrame, base_dir: str, name: str, keep: int = 2) -> str:
+    """Truly atomic table publish — the versioned-directory + pointer-file
+    scheme ``_atomic_overwrite`` documents as its upgrade path.
+
+    Data lands in ``<table>.versioned/v_<n>/``; the commit is ONE
+    ``os.replace`` of the ``_CURRENT`` pointer file (atomic on POSIX), so
+    there is no instant at which the table is missing or partial: a
+    reader resolves the pointer and sees either the old complete version
+    or the new complete one. A crash before the pointer flip leaves an
+    orphan version directory (pruned on the next write), never a corrupt
+    table. This is the single-node skeleton of what Delta/Iceberg do with
+    a transaction log; ``keep`` old versions are retained for in-flight
+    readers.
+    """
+    vdir = _versioned_dir(base_dir, name)
+    os.makedirs(vdir, exist_ok=True)
+    existing = sorted(
+        int(d[2:]) for d in os.listdir(vdir)
+        if d.startswith("v_") and d[2:].isdigit()
+    )
+    new_v = (existing[-1] + 1) if existing else 1
+    vpath = os.path.join(vdir, f"v_{new_v}")
+    df.write.mode("overwrite").parquet(vpath)
+    pointer = os.path.join(vdir, "_CURRENT")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"v_{new_v}")
+    os.replace(tmp, pointer)  # the atomic commit
+    # prune versions older than the kept window (current + keep-1 before)
+    for v in existing[: max(0, len(existing) - (keep - 1))]:
+        shutil.rmtree(os.path.join(vdir, f"v_{v}"), ignore_errors=True)
+    return vpath
+
+
+def read_versioned(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    """Resolve the ``_CURRENT`` pointer and read that version."""
+    vdir = _versioned_dir(base_dir, name)
+    with open(os.path.join(vdir, "_CURRENT")) as f:
+        v = f.read().strip()
+    return spark.read.parquet(os.path.join(vdir, v))
+
+
+def versioned_upsert(
+    spark: SparkSession, source: DataFrame, base_dir: str, name: str, key: str
+) -> str:
+    """K4 MERGE against the versioned table: read current, anti-join +
+    union, publish as a new version (atomic pointer flip). Same idempotent
+    semantics as ``upsert``; readers never observe an intermediate state."""
+    vdir = _versioned_dir(base_dir, name)
+    if not os.path.exists(os.path.join(vdir, "_CURRENT")):
+        return versioned_write(source, base_dir, name)
+    target = read_versioned(spark, base_dir, name)
+    merged = target.join(
+        source.select(key).distinct(), on=key, how="left_anti"
+    ).unionByName(source)
+    return versioned_write(merged, base_dir, name)
+
+
 def write_bucketed(
     spark: SparkSession,
     df: DataFrame,

@@ -109,3 +109,34 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_versioned_table_atomic_pointer_flip(spark, tmp_path):
+    import os
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _versioned_dir,
+        read_versioned,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    tmp = str(tmp_path)
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    versioned_write(v1, tmp, "t")
+    assert read_versioned(spark, tmp, "t").count() == 2
+
+    # a fully-written but uncommitted version is invisible to readers
+    vdir = _versioned_dir(tmp, "t")
+    orphan = os.path.join(vdir, "v_99")
+    spark.createDataFrame([(9, "x")], ["id", "v"]).write.parquet(orphan)
+    assert read_versioned(spark, tmp, "t").count() == 2
+
+    # upsert publishes atomically; the pointer always names a version
+    src = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"])
+    versioned_upsert(spark, src, tmp, "t", "id")
+    versioned_upsert(spark, src, tmp, "t", "id")  # idempotent
+    rows = {r["id"]: r["v"] for r in read_versioned(spark, tmp, "t").collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    cur = open(os.path.join(vdir, "_CURRENT")).read()
+    assert os.path.isdir(os.path.join(vdir, cur))
