@@ -148,6 +148,33 @@ def text_metrics(
     )
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified downsampling — the curation step that
+    rebalances over-represented strata (languages, sources) in a training
+    corpus. A row survives iff the first 8 hex digits of md5(key) fall
+    under its stratum's rate: reproducible across runs, engines and
+    partitionings (no RNG state — same determinism trick as MinHash), and
+    a narrow map, so it fuses into the scan at any scale.
+
+    ``rates`` maps stratum value → keep fraction in [0, 1];
+    unlisted strata keep ``default_rate``.
+    """
+    bucket = F.conv(F.md5(F.col(key_col).cast("string")).substr(1, 8), 16, 10).cast(
+        "long"
+    )
+    scale = 16**8
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.where(bucket < (rate * F.lit(float(scale))))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -152,6 +152,17 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "text", "doc_id", k=5)
 
 
+def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample of the documents corpus
+    (en kept at 30%, other strata in full), summarized per stratum.
+    Member-level query (verify via ``tools/verify_oracles.py --all``)."""
+    from ..operators.textops import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(docs, "lang", {"en": 0.3}, "doc_id")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first five vectors as queries."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -228,6 +239,7 @@ QUERIES = {
     "ann_rh_multiprobe_topk": q_ann_rh_multiprobe_topk,
     "multimodal_frames": q_multimodal_frames,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_stratified_sample": q_text_stratified_sample,
 }
 
 
@@ -683,6 +695,13 @@ ORACLES: dict[str, str] = {
     """,
     "ann_ivf_topk": _ivf_oracle(1),
     "ann_ivf_multiprobe_topk": _ivf_oracle(2),
+    # md5-bucket stratified sample: en kept iff first-8-hex bucket < 0.3·16^8
+    "text_stratified_sample": """
+        SELECT lang, count(*) AS n_kept FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < (CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END) * 4294967296.0
+        GROUP BY lang
+    """,
     "text_tfidf_top_terms": r"""
         WITH terms AS (
           SELECT doc_id AS key, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -129,6 +129,27 @@ def test_frame_sample_reassembles(spark):
     assert all(r["frame_md5"] for r in out)
 
 
+def test_stratified_hash_sample_is_deterministic_and_rate_accurate(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        ["doc_id", "lang"],
+    )
+    kept = stratified_hash_sample(df, "lang", {"en": 0.25}, "doc_id")
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert counts["fr"] == 1000  # unlisted stratum kept in full
+    assert 150 < counts["en"] < 350  # ~25% of 1000, hash-binomial spread
+    # same input → identical survivor set (no RNG state)
+    again = stratified_hash_sample(df, "lang", {"en": 0.25}, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
 def test_tfidf_ranks_distinctive_terms_first(spark):
     from mgo_liveagent_data_pipeline_spark.operators.textops import (
         tfidf_top_terms,
