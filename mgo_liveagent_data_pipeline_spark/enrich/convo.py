@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -40,6 +41,42 @@ _RATING_FIELDS = {
     "resolution_rating",
     "sentiment_rating",
 }
+
+_INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
+
+
+def _coerce_rating_column(values: list) -> tuple[list, "np.ndarray"]:
+    """Pydantic-style int coercion for one rating column of a batch.
+
+    Returns ``(coerced, bad)`` — ``coerced`` holds Python ints / None,
+    ``bad`` marks non-null values that are not integral in-int64-range
+    numbers ("5" → 5, 5.0 → 5; 5.5 / "abc" / inf / NaN / 2**70 → the
+    whole record becomes a fallback row). A well-behaved LLM returns
+    typed ints, so the common case is a single cheap scan with no
+    per-value exception handling.
+    """
+    n = len(values)
+    bad = np.zeros(n, dtype=bool)
+    # fast path: already-typed output (type check excludes bool)
+    if all(v is None or type(v) is int for v in values):
+        for i, v in enumerate(values):
+            if v is not None and not _INT64_MIN <= v <= _INT64_MAX:
+                bad[i] = True
+        return [None if bad[i] else v for i, v in enumerate(values)], bad
+    out: list = [None] * n
+    for i, v in enumerate(values):
+        if v is None:
+            continue
+        try:
+            iv = int(v)  # ValueError/TypeError on junk, OverflowError on inf
+            if isinstance(v, float) and iv != v:
+                raise ValueError(f"non-integral rating: {v}")
+            if not _INT64_MIN <= iv <= _INT64_MAX:
+                raise ValueError(f"rating outside int64: {v}")
+            out[i] = iv
+        except Exception:
+            bad[i] = True
+    return out, bad
 
 
 def response_schema(key_col: str, key_type: T.DataType) -> T.StructType:
@@ -97,41 +134,51 @@ def analyze_conversations(
         F.max(ts_col).alias("__max_ts"),
     )
 
+    fallback_model = getattr(gateway, "model", "unknown")
+
     def _analyze(batches):
         for pdf in batches:
-            recs = []
-            for keyv, convo, max_ts in zip(
-                pdf[key_col], pdf["__convo"], pdf["__max_ts"]
-            ):
+            n = len(pdf)
+            field_cols: dict[str, list] = {
+                k: [None] * n for k in EXPECTED_FIELDS
+            }
+            tokens = np.zeros(n, dtype=np.int64)
+            models: list = [fallback_model] * n
+            failed = np.zeros(n, dtype=bool)
+            for i, convo in enumerate(pdf["__convo"]):
                 prompt = PROMPT_TEMPLATE.format(conversation=convo)
                 try:
-                    raw, tokens, model = gateway(prompt)
+                    raw, tok, model = gateway(prompt)
                     data = json.loads(raw)
                     if not isinstance(data, dict):
                         raise ValueError("non-object completion")
-                    # field whitelist + null defaults
-                    # (ConvoDataExtract.py:132-155)
-                    rec = {k: data.get(k) for k in EXPECTED_FIELDS}
-                    # pydantic-style coercion: ratings must land as ints
-                    # or the Arrow cast at yield kills the task instead
-                    # of producing the fallback row
-                    for k in _RATING_FIELDS:
-                        v = rec.get(k)
-                        if v is not None:
-                            iv = int(v)  # ValueError → fallback row
-                            if isinstance(v, float) and iv != v:
-                                raise ValueError(f"non-integral {k}: {v}")
-                            rec[k] = iv
                 except Exception:
-                    # error-fallback row (ConvoDataExtract.py:163-187)
-                    rec = {k: None for k in EXPECTED_FIELDS}
-                    rec["summary"] = "ANALYSIS_FAILED"
-                    tokens, model = 0, getattr(gateway, "model", "unknown")
-                rec[key_col] = keyv
-                rec["tokens"] = tokens
-                rec["model"] = model
-                rec["date_extracted"] = max_ts
-                recs.append(rec)
-            yield pd.DataFrame(recs, columns=out_cols)
+                    failed[i] = True
+                    continue
+                # field whitelist + null defaults
+                # (ConvoDataExtract.py:132-155)
+                for k in EXPECTED_FIELDS:
+                    field_cols[k][i] = data.get(k)
+                tokens[i] = tok
+                models[i] = model
+            # ratings must land as ints or the Arrow cast at yield kills
+            # the task instead of producing the fallback row; a bad rating
+            # fails its whole record, like the per-record parse errors
+            for k in _RATING_FIELDS:
+                field_cols[k], bad = _coerce_rating_column(field_cols[k])
+                failed |= bad
+            # error-fallback rows (ConvoDataExtract.py:163-187)
+            for i in np.flatnonzero(failed):
+                for k in EXPECTED_FIELDS:
+                    field_cols[k][i] = None
+                field_cols["summary"][i] = "ANALYSIS_FAILED"
+                tokens[i] = 0
+                models[i] = fallback_model
+            out = {key_col: pdf[key_col].reset_index(drop=True)}
+            out.update(field_cols)
+            out["tokens"] = tokens
+            out["model"] = models
+            out["date_extracted"] = pdf["__max_ts"].reset_index(drop=True)
+            yield pd.DataFrame(out, columns=out_cols)
 
     return grouped.mapInPandas(_analyze, schema)

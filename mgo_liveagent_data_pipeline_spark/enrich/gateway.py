@@ -80,3 +80,35 @@ class FailingGateway:
 
     def __call__(self, prompt: str) -> tuple[str, int, str]:
         raise RuntimeError("gateway unavailable")
+
+
+class FallbackGateway:
+    """Model-fallback chain — the reference tries its primary model and,
+    on any exception, retries the completion against a secondary before
+    giving up (core/LLMGateway.py:39-42,53-136: gpt-4o-mini →
+    gemini-2.5-flash).
+
+    The served model is whatever the answering gateway reports in its
+    return tuple, so downstream rows record which link in the chain
+    responded. Only both links failing propagates the exception — which
+    the enrichment stage turns into its ANALYSIS_FAILED fallback row.
+
+    Stateless and stdlib-only like every gateway here: cloudpickles into
+    Spark python workers, and a re-executed task replays the same chain.
+    """
+
+    def __init__(self, primary, secondary) -> None:
+        self.primary = primary
+        self.secondary = secondary
+
+    @property
+    def model(self) -> str:
+        # the model recorded on a both-failed fallback row: the last
+        # link tried, mirroring the reference's final-error attribution
+        return getattr(self.secondary, "model", "unknown")
+
+    def __call__(self, prompt: str) -> tuple[str, int, str]:
+        try:
+            return self.primary(prompt)
+        except Exception:
+            return self.secondary(prompt)

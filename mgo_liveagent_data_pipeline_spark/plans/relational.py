@@ -86,8 +86,9 @@ def q_p2_project_cast_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_p3_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: trailing-window scan — WHERE ts >= start AND ts < end, project id
     cols (recent_tickets, extraction_helpers.py:80-121). The range
-    predicate is applied to the raw nanos column so it pushes to the
-    parquet footer (row-group pruning; see load_events_window)."""
+    predicate is applied to the column in its native physical type so it
+    pushes to the parquet footer (row-group pruning; see
+    load_events_window)."""
     from ..sources.tables import load_events_window
 
     events = load_events_window(spark, sf_dir, WIN_START, WIN_END)

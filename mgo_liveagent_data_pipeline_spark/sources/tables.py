@@ -37,12 +37,25 @@ TPCH_TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
-# Tables whose parquet carries TIMESTAMP(NANOS) columns. Spark refuses
-# nanosecond parquet timestamps unless they are surfaced as raw longs
-# (spark.sql.legacy.parquet.nanosAsLong); we convert back to a proper
-# timestamp with exact integer division (the generator emits whole
-# microseconds, verified: max(ns % 1000) == 0).
-NANOS_TS_TABLES = {"events": ("ts",)}
+# Tables whose source timestamp column has shipped in multiple physical
+# encodings across generator versions: INT64 TIMESTAMP(NANOS) (Spark only
+# reads it as a raw long via spark.sql.legacy.parquet.nanosAsLong),
+# TIMESTAMP_NTZ micros (naive UTC wall time), or a plain TIMESTAMP.
+# Loaders normalize all three to TimestampType instants — the session
+# timezone is pinned UTC (session.py), so NTZ→LTZ keeps the same instant.
+EVENT_TS_TABLES = {"events": ("ts",)}
+
+
+def _normalize_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt == "bigint":
+            # exact integer division: the generator emits whole micros
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,18 +64,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     broadcast hash join regardless of size estimation (the reference kept
     exactly these as in-process dict caches)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos_cols = NANOS_TS_TABLES.get(name)
-    if not nanos_cols:
+    ts_cols = EVENT_TS_TABLES.get(name)
+    if not ts_cols:
         df = spark.read.parquet(path)
         return F.broadcast(df) if name in BROADCAST_DIMS else df
     # Runtime-settable SQL conf; affects only NANOS-precision columns, so
     # micros tables (orders/lineitem) are untouched.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _normalize_ts(spark.read.parquet(path), ts_cols)
 
 
 def load_tables(
@@ -79,38 +88,38 @@ def load_events_window(
     name: str = "events",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """P3 at scale: time-range scan over a nanos-timestamp table whose
-    range predicate actually reaches the parquet footer.
+    """P3 at scale: time-range scan whose range predicate actually reaches
+    the parquet footer (row-group/file pruning by min-max stats — the
+    difference between a pruned scan and a full pass at 100 TB).
 
-    Filtering the *converted* timestamp column leaves only IsNotNull in
-    PushedFilters (the cast blocks pushdown — verified via explain);
-    filtering the raw INT64-nanos column pushes a closed range that prunes
-    row groups/files by footer min-max stats, which is the difference
-    between a pruned scan and a full pass at 100 TB. Conversion to a
-    proper timestamp happens after the pushed filter.
+    The predicate is applied to the column in its *native* physical type
+    with a literal of that same type; normalization to TimestampType
+    happens after the pushed filter. Filtering a converted/cast column
+    instead leaves only IsNotNull in PushedFilters (verified via explain).
     """
     import datetime as _dt
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos_cols = NANOS_TS_TABLES.get(name)
-    if not nanos_cols or ts_col not in nanos_cols:
-        df = spark.read.parquet(path)
-        return df.where((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end)))
-
-    def _ns(s: str) -> int:
-        d = _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S").replace(
-            tzinfo=_dt.timezone.utc
-        )
-        return int(d.timestamp()) * 1_000_000_000
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
-    out = raw.where(
-        (F.col(ts_col) >= F.lit(_ns(start))) & (F.col(ts_col) < F.lit(_ns(end)))
-    )
-    for c in nanos_cols:
-        out = out.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return out
+    dt = dict(raw.dtypes).get(ts_col)
+    if dt == "bigint":
+        # legacy TIMESTAMP(NANOS) files surfaced as raw longs
+
+        def _ns(s: str) -> int:
+            d = _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S").replace(
+                tzinfo=_dt.timezone.utc
+            )
+            return int(d.timestamp()) * 1_000_000_000
+
+        lo, hi = F.lit(_ns(start)), F.lit(_ns(end))
+    else:
+        # timestamp / timestamp_ntz: same-type literals keep the range
+        # predicate pushdown-eligible (strings are UTC wall-clock either
+        # way — the session timezone is pinned UTC)
+        lo, hi = F.lit(start).cast(dt), F.lit(end).cast(dt)
+    out = raw.where((F.col(ts_col) >= lo) & (F.col(ts_col) < hi))
+    return _normalize_ts(out, (ts_col,))
 
 
 def load_csv(

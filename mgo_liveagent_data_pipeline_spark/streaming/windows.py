@@ -58,6 +58,44 @@ def _as_stream_dir(path: str) -> str:
     return d
 
 
+# (path, duplicated) → (source schema, staged stream dir). The five
+# stream_suite members previously each re-read the parquet footer and
+# re-staged a symlink dir for the same source; one memoized read serves
+# them all (the testdata is immutable for a run).
+_SRC_CACHE: dict[tuple[str, bool], tuple] = {}
+
+
+def _event_stream(spark: SparkSession, path: str, duplicate: bool = False):
+    """File stream over the events table with ``ts`` normalized to
+    TimestampType, whatever the parquet's physical encoding (INT64 nanos
+    surfaced as a raw long, TIMESTAMP_NTZ micros, or plain TIMESTAMP —
+    see sources.tables.EVENT_TS_TABLES). With ``duplicate`` the staged
+    dir exposes the same file under two names, feeding every event twice
+    (the redelivery fixture for ingestion dedup)."""
+    from pyspark.sql import types as T
+
+    key = (path, duplicate)
+    cached = _SRC_CACHE.get(key)
+    if cached is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(path).schema
+        if duplicate:
+            d = tempfile.mkdtemp(prefix="mgo_stream_dup_")
+            os.symlink(path, os.path.join(d, "copy_a.parquet"))
+            os.symlink(path, os.path.join(d, "copy_b.parquet"))
+        else:
+            d = _as_stream_dir(path)
+        cached = _SRC_CACHE[key] = (schema, d)
+    schema, d = cached
+    src = spark.readStream.schema(schema).parquet(d)
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
+
+
 def stream_tumbling_6h(
     spark: SparkSession,
     sf_dir: str,
@@ -69,10 +107,7 @@ def stream_tumbling_6h(
     the batch expression (functions.datetimes.tumbling_6h_bucket) —
     verified by sharing the f8 oracle shape."""
     path = os.path.join(sf_dir, f"{table}.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(raw_schema).parquet(_as_stream_dir(path))
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _event_stream(spark, path)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "6 hours").alias("w"))
@@ -116,10 +151,7 @@ def stream_append_6h(
     inserts only.
     """
     path = os.path.join(sf_dir, f"{table}.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(raw_schema).parquet(_as_stream_dir(path))
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _event_stream(spark, path)
     agg = (
         ev.withWatermark("ts", delay)
         .groupBy(F.window("ts", "6 hours").alias("w"))
@@ -164,10 +196,7 @@ def stream_upsert_6h(
     from ..sinks.writers import table_path, upsert
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(raw_schema).parquet(_as_stream_dir(path))
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _event_stream(spark, path)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "6 hours").alias("w"))
@@ -216,13 +245,7 @@ def stream_dedup_6h(
     of keys, not the stream's history.
     """
     path = os.path.join(sf_dir, f"{table}.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    d = tempfile.mkdtemp(prefix="mgo_stream_dup_")
-    os.symlink(path, os.path.join(d, "copy_a.parquet"))
-    os.symlink(path, os.path.join(d, "copy_b.parquet"))
-    src = spark.readStream.schema(raw_schema).parquet(d)
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _event_stream(spark, path, duplicate=True)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -53,6 +53,69 @@ def test_u1_failing_gateway_emits_fallback_row(spark):
         assert r["model"] == "failing"
 
 
+def test_u1_fallback_gateway_serves_from_secondary(spark):
+    """A provider outage on the primary model must fall through to the
+    secondary, not to the ANALYSIS_FAILED row (LLMGateway.py:39-42)."""
+    from mgo_liveagent_data_pipeline_spark.enrich.gateway import (
+        FallbackGateway,
+    )
+
+    gw = FallbackGateway(FailingGateway(), StubGateway())
+    out = analyze_conversations(events_df(spark), gw).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["summary"] != "ANALYSIS_FAILED"
+        assert r["model"] == "stub-v1"  # the served model is recorded
+        assert r["tokens"] > 0
+    # both links down → the fallback row, attributed to the last link
+    gw2 = FallbackGateway(FailingGateway(), FailingGateway())
+    out2 = analyze_conversations(events_df(spark), gw2).collect()
+    assert all(r["summary"] == "ANALYSIS_FAILED" for r in out2)
+    assert all(r["model"] == "failing" for r in out2)
+
+
+def test_u1_rating_coercion_edges(spark):
+    """Per-field coercion contract: "5"/5.0 coerce, 5.5/"abc"/NaN/2**70
+    fail the whole record into a fallback row."""
+    import json as _json
+
+    cases = {
+        1: 4,          # already-typed int (fast path)
+        2: "5",        # integer string → 5
+        3: 3.0,        # integral float → 3
+        4: 5.5,        # non-integral → fallback
+        5: "abc",      # junk string → fallback
+        6: float("nan"),  # NaN → fallback
+        7: 2**70,      # outside int64 → fallback
+    }
+
+    class EdgeGateway:
+        model = "edge"
+
+        def __call__(self, prompt):
+            # the conversation text is "<uid>#<id>" — recover the uid
+            uid = int(prompt.rsplit(": ", 1)[-1].split("#")[0])
+            payload = {"summary": f"u{uid}", "intent_rating": cases[uid]}
+            return _json.dumps(payload), 10, self.model
+
+    rows = [(i, dt.datetime(2024, 1, 1), i, str(i)) for i in cases]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        r["user_id"]: r
+        for r in analyze_conversations(df, EdgeGateway()).collect()
+    }
+    assert out[1]["intent_rating"] == 4
+    assert out[2]["intent_rating"] == 5
+    assert out[3]["intent_rating"] == 3
+    for uid in (4, 5, 6, 7):
+        assert out[uid]["summary"] == "ANALYSIS_FAILED", uid
+        assert out[uid]["intent_rating"] is None
+        assert out[uid]["tokens"] == 0
+    for uid in (1, 2, 3):
+        assert out[uid]["summary"] == f"u{uid}"
+        assert out[uid]["tokens"] == 10
+
+
 def test_session_windows_gap_split(spark):
     out = session_windows(events_df(spark), "ts", "user_id", "30 minutes")
     rows = sorted(

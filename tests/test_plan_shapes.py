@@ -31,10 +31,10 @@ def test_a1_filter_reaches_parquet_and_aggregates_partially(spark):
     assert "SortMergeJoin" not in s and "CartesianProduct" not in s
 
 
-def test_p3_events_range_predicate_pushed_on_raw_nanos(spark):
+def test_p3_events_range_predicate_pushed_to_scan(spark):
     s = plan(spark, "p3_time_window")
-    # the 6-h window must prune row groups on the RAW int64 nanos column —
-    # filtering a derived timestamp would read everything
+    # the 6-h window must prune row groups on the column's NATIVE physical
+    # type — filtering a converted/cast timestamp would read everything
     assert "GreaterThanOrEqual(ts," in s and "LessThan(ts," in s
 
 
