@@ -16,6 +16,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, salt_buckets: int) -> Column:
+    """Deterministic row-content salt in [0, salt_buckets): pmod of the
+    hash of every column. Shared by salted_sum and salted_join so both
+    spread a hot key even when the input arrives clustered by that key."""
+    return F.pmod(
+        F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
+    )
+
+
 def salted_sum(
     df: DataFrame,
     key_cols: list[str],
@@ -36,12 +45,18 @@ def salted_sum(
     salting matters when the *final* combine of one key still overloads a
     single reducer (extreme cardinality skew, e.g. count per hour with one
     hour holding half the data).
+
+    The salt is a row-content hash (like salted_join's), NOT
+    spark_partition_id(): a partition id is constant within an input
+    partition, so an input already clustered by the hot key — exactly what
+    a prior repartitionByRange(key) write produces — would put every row
+    of that key in one salt bucket and spread nothing.
     """
     recombine = recombine or {}
     unknown = set(recombine) - set(agg_cols)
     if unknown:
         raise ValueError(f"recombine names not in agg_cols: {sorted(unknown)}")
-    salt = (F.spark_partition_id() % salt_buckets).alias("__salt")
+    salt = _row_salt(df, salt_buckets).alias("__salt")
     stage1 = (
         df.withColumn("__salt", salt)
         .groupBy(*key_cols, "__salt")
@@ -83,10 +98,7 @@ def salted_join(
             "an other-preserving join would duplicate unmatched rows "
             "salt_buckets times"
         )
-    skewed_s = skewed.withColumn(
-        "__salt",
-        F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)),
-    )
+    skewed_s = skewed.withColumn("__salt", _row_salt(skewed, salt_buckets))
     other_r = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

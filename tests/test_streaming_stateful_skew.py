@@ -94,6 +94,37 @@ def test_salted_sum_matches_plain(spark):
     assert out["cold"] == (1.0, 1)
 
 
+def test_salted_sum_spreads_key_clustered_input(spark):
+    """The salt must be a row-content hash, not a partition id: an input
+    already clustered by the hot key (one partition ≈ one key, as a prior
+    repartition(key) produces) must still spread over >1 salt bucket."""
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(500)] + [("cold", 1.0)],
+        ["k", "v"],
+    ).repartition(4, "k")  # cluster: every 'hot' row in one partition
+    from mgo_liveagent_data_pipeline_spark.operators.skew import _row_salt
+
+    stage1_salts = (
+        df.withColumn("__salt", _row_salt(df, 4))
+        .where(F.col("k") == "hot")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert stage1_salts > 1  # the salt expression salted_sum uses spreads
+    out = {
+        r["k"]: (r["total"], r["n"])
+        for r in salted_sum(
+            df,
+            ["k"],
+            {"total": F.sum("v"), "n": F.count(F.lit(1))},
+            salt_buckets=4,
+        ).collect()
+    }
+    assert out["hot"] == (sum(range(500)), 500)
+    assert out["cold"] == (1.0, 1)
+
+
 def test_salted_join_matches_plain(spark):
     big = spark.createDataFrame(
         [(1, f"r{i}") for i in range(200)] + [(2, "x")], ["k", "payload"]
