@@ -392,9 +392,17 @@ def q_a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles under either engine's interpolation formula, where a raw
     double percentile can differ by one ulp right at a rounding boundary
     (a p95's fractional weight re-introduces that ulp: measured one cent
-    off at sf0.01, which is why only the median ships here)."""
+    off at sf0.01, which is why only the median ships here).
+
+    The cent median is exactly k or k+0.5, so HALF_UP-to-cent is done
+    explicitly as floor(cents + 0.5) — bit-exact on both engines — and
+    only then divided by 100 (the same IEEE double division both sides).
+    round(percentile/100, 2) instead hits the engines' round() divergence
+    on the x.xx5 boundary: Spark HALF_UPs the decimal string (1.005 →
+    1.01), DuckDB rounds the binary double (1.00499… → 1.00)."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("double")
+    p50_cents = F.floor(F.percentile(cents, F.lit(0.5)) + F.lit(0.5))
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
@@ -402,9 +410,7 @@ def q_a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
             .cast("double")
             .alias("total_value"),
-            F.round(F.percentile(cents, F.lit(0.5)) / 100, 2).alias(
-                "p50_value"
-            ),
+            (p50_cents.cast("double") / 100).alias("p50_value"),
         )
     )
 
@@ -871,7 +877,7 @@ ORACLES: dict[str, str] = {
     "a7_rollup": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value,
-               round(quantile_cont(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE), 0.5) / 100, 2) AS p50_value
+               CAST(floor(quantile_cont(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE), 0.5) + 0.5) AS DOUBLE) / 100 AS p50_value
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,

@@ -165,3 +165,26 @@ def test_winnow_overlap_detects_shared_passage(spark, passage, pre, post):
     )
     pairs = winnow_overlap_pairs(df, k=k, w=w, min_shared=1).collect()
     assert any((r["id_a"], r["id_b"]) == (1, 2) for r in pairs)
+
+
+def test_p50_half_cent_boundary_matches_duckdb(spark):
+    """a7_rollup's median rounding at the x.xx5 boundary: a raw
+    round(percentile/100, 2) diverges between engines (Spark HALF_UPs the
+    decimal string, DuckDB rounds the binary double); the shipped
+    floor(cents + 0.5) / 100 formulation must agree bit-for-bit."""
+    import duckdb
+
+    prices = [1.00, 1.01]  # median cents = 100.5 → the half-cent boundary
+    df = spark.createDataFrame([(p,) for p in prices], ["o_totalprice"])
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("double")
+    p50 = (
+        F.floor(F.percentile(cents, F.lit(0.5)) + F.lit(0.5)).cast("double")
+        / 100
+    )
+    spark_val = df.agg(p50.alias("p50")).collect()[0]["p50"]
+    duck_val = duckdb.sql(
+        "SELECT CAST(floor(quantile_cont(CAST(CAST(round(p * 100, 0) AS "
+        "BIGINT) AS DOUBLE), 0.5) + 0.5) AS DOUBLE) / 100 "
+        "FROM (VALUES (1.00), (1.01)) t(p)"
+    ).fetchone()[0]
+    assert spark_val == duck_val == 1.01  # HALF_UP, identically
