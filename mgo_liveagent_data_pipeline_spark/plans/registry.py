@@ -55,8 +55,7 @@ DRIVER_ORDER = [
     "metrics_new_vs_existing",
     "f1_f6_string_ops",
     "f2_f3_normalize",
-    "f7_f8_time_buckets",
-    "f9_month_bounds",
+    "f7_f9_time_buckets",
     "f11_f12_schedule_safecast",
     "f13_resolve_name",
     "f14_json_extract",
@@ -69,6 +68,7 @@ DRIVER_ORDER = [
     "text_fingerprint",
     "text_language_id",
     "text_metrics",
+    "text_corpus_stats",
     "ann_suite",
     "u1_convo_analysis",
     "u5_flatten_messages",

@@ -144,8 +144,11 @@ def q_f1_f6_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_f7_f8_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 Manila-tz daily buckets + F8 6-hour tumbling buckets."""
+def q_f7_f9_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 Manila-tz daily buckets + F8 6-hour tumbling buckets + F9 month
+    window bounds. F9 contributes two tagged rows per month — start and
+    end bound, each carrying the order count — so the full
+    (month_start, month_end_day, n_orders) signal survives the merge."""
     f7 = relational.q_f7_tz_manila(spark, sf_dir).select(
         F.lit("manila_daily").alias("mode"),
         F.col("manila_date").cast("timestamp").alias("bucket_ts"),
@@ -158,7 +161,20 @@ def q_f7_f8_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
-    return f7.unionByName(f8)
+    f9 = relational.q_f9_month_bounds(spark, sf_dir)
+    f9_start = f9.select(
+        F.lit("month_start").alias("mode"),
+        F.col("month_start").cast("timestamp").alias("bucket_ts"),
+        F.col("n_orders").alias("n_events"),
+        _null("double").alias("total_value"),
+    )
+    f9_end = f9.select(
+        F.lit("month_end").alias("mode"),
+        F.col("month_end_day").cast("timestamp").alias("bucket_ts"),
+        F.col("n_orders").alias("n_events"),
+        _null("double").alias("total_value"),
+    )
+    return f7.unionByName(f8).unionByName(f9_start).unionByName(f9_end)
 
 
 def q_f11_f12_schedule_safecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,6 +204,28 @@ def q_f11_f12_schedule_safecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- pipeline suites
+def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics text ops under one driver row: per-doc top-5
+    tf-idf terms (operators/textops.py:tfidf_top_terms) + deterministic
+    md5-bucket stratified downsample summarized per stratum
+    (operators/textops.py:stratified_hash_sample)."""
+    tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
+        F.lit("tfidf").alias("mode"),
+        F.col("term").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        F.col("tfidf").alias("metric"),
+        F.col("rank").cast("long").alias("n"),
+    )
+    sample = pipeline.q_text_stratified_sample(spark, sf_dir).select(
+        F.lit("sample").alias("mode"),
+        F.col("lang").alias("key_s"),
+        _null("long").alias("key_n"),
+        _null("double").alias("metric"),
+        F.col("n_kept").alias("n"),
+    )
+    return tfidf.unionByName(sample)
+
+
 def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash family: identical-fingerprint clusters + Hamming-radius
     near-dup pairs (multi-probe banding)."""
@@ -480,7 +518,7 @@ ORACLES: dict[str, str] = {
                array_to_string(string_split_regex(trim(text), '\s+')[1:5], ',') AS first_tokens
         FROM documents
     """,
-    "f7_f8_time_buckets": (
+    "f7_f9_time_buckets": (
         _tagged(
             _R["f7_tz_manila"],
             "'manila_daily' AS mode, CAST(manila_date AS TIMESTAMP) AS bucket_ts, "
@@ -490,6 +528,31 @@ ORACLES: dict[str, str] = {
         + _tagged(
             _R["f8_tumbling_6h"],
             "'utc_6h' AS mode, window_start AS bucket_ts, n_events, total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["f9_month_bounds"],
+            "'month_start' AS mode, month_start AS bucket_ts, "
+            "n_orders AS n_events, CAST(NULL AS DOUBLE) AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["f9_month_bounds"],
+            "'month_end' AS mode, CAST(month_end_day AS TIMESTAMP) AS bucket_ts, "
+            "n_orders AS n_events, CAST(NULL AS DOUBLE) AS total_value",
+        )
+    ),
+    "text_corpus_stats": (
+        _tagged(
+            _P["text_tfidf_top_terms"],
+            "'tfidf' AS mode, term AS key_s, doc_id AS key_n, "
+            'tfidf AS metric, CAST("rank" AS BIGINT) AS n',
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_stratified_sample"],
+            "'sample' AS mode, lang AS key_s, CAST(NULL AS BIGINT) AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, n_kept AS n",
         )
     ),
     "f11_f12_schedule_safecast": """
@@ -633,8 +696,9 @@ QUERIES = {
     "skew_suite": q_skew_suite,
     "setops_suite": q_setops_suite,
     "f1_f6_string_ops": q_f1_f6_string_ops,
-    "f7_f8_time_buckets": q_f7_f8_time_buckets,
+    "f7_f9_time_buckets": q_f7_f9_time_buckets,
     "f11_f12_schedule_safecast": q_f11_f12_schedule_safecast,
+    "text_corpus_stats": q_text_corpus_stats,
     "dedup_simhash_suite": q_dedup_simhash_suite,
     "text_metrics": q_text_metrics,
     "ann_suite": q_ann_suite,
