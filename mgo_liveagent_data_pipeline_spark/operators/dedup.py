@@ -385,31 +385,54 @@ def ngram_jaccard_pairs(
     ("en", "web") block IS most of the corpus, and Σ|block|² is then n².
     Blocks past the cap are skipped (same contract and oracle rule as the
     LSH mega-bucket cap); route such corpora through ``minhash_lsh_dedup``
-    whose buckets don't depend on coarse metadata."""
+    whose buckets don't depend on coarse metadata.
+
+    Plan shape: the in-block self-join carries only (block_cols, key) —
+    narrow rows, like the LSH band join — then shingle arrays are computed
+    once per candidate key behind a semi-join prune and re-attached to the
+    pair list for scoring. A saturated block still emits |block|²/2 pairs,
+    but each is two keys wide, not two shingle arrays wide."""
     from pyspark.sql.window import Window
 
-    base = df.select(
-        F.col(key_col).alias("key"),
-        *block_cols,
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    )
+    base = df.select(F.col(key_col).alias("key"), *block_cols)
     if max_block_size is not None:
         bn = F.count(F.lit(1)).over(Window.partitionBy(*block_cols))
         base = base.withColumn("__bn", bn).where(
             F.col("__bn") <= F.lit(max_block_size)
         ).drop("__bn")
+    base = _scoped_persist(base)
     a, b = base.alias("a"), base.alias("b")
-    sim = F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6)
-    return (
+    # each doc owns exactly one base row, so in-block pairs are unique
+    cand = (
         a.join(b, on=list(block_cols))
         .where(F.col("a.key") < F.col("b.key"))
-        .withColumn("jaccard_sim", sim)
+        .select(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"))
+    )
+    cand = _scoped_persist(cand)
+    pair_keys = (
+        cand.select(F.col("id_a").alias("key"))
+        .union(cand.select(F.col("id_b").alias("key")))
+        .distinct()
+    )
+    shingle_map = df.join(
+        pair_keys.withColumnRenamed("key", key_col), on=key_col, how="left_semi"
+    ).select(
+        F.col(key_col).alias("key"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    shingle_map = _scoped_persist(shingle_map)
+    scored = cand.join(
+        shingle_map.select(F.col("key").alias("id_a"), F.col("sh").alias("sh_a")),
+        on="id_a",
+    ).join(
+        shingle_map.select(F.col("key").alias("id_b"), F.col("sh").alias("sh_b")),
+        on="id_b",
+    )
+    sim = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+    return (
+        scored.withColumn("jaccard_sim", sim)
         .where(F.col("jaccard_sim") >= threshold)
-        .select(
-            F.col("a.key").alias("id_a"),
-            F.col("b.key").alias("id_b"),
-            "jaccard_sim",
-        )
+        .select("id_a", "id_b", "jaccard_sim")
     )
 
 

@@ -114,3 +114,21 @@ def test_text_metrics_fused_single_scan(spark):
     s = plan(spark, "text_metrics")
     assert "Exchange" not in s
     assert s.count("Scan parquet") == 2
+
+
+def test_ngram_block_join_is_narrow(spark):
+    s = plan(spark, "dedup_ngram_pairs")
+    # the in-block self-join must carry only (block_cols, key): its scan
+    # is narrow, and text is read only by the semi-join-pruned shingle map
+    # (a cached relation — formatted explain re-prints its definition per
+    # reference, so count scans that read text WITH block cols: zero)
+    import re
+
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,source:string>" in s
+    wide = [
+        m
+        for m in re.findall(r"ReadSchema: struct<[^\n]*", s)
+        if "text" in m and "lang" in m
+    ]
+    assert not wide
+    assert "CartesianProduct" not in s
