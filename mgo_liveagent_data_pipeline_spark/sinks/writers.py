@@ -30,9 +30,11 @@ Scale notes baked in:
 """
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -146,27 +148,74 @@ def _versioned_dir(base_dir: str, name: str) -> str:
     return os.path.join(base_dir, f"{name}.versioned")
 
 
-def versioned_write(df: DataFrame, base_dir: str, name: str, keep: int = 2) -> str:
-    """Truly atomic table publish — the versioned-directory + pointer-file
-    scheme ``_atomic_overwrite`` documents as its upgrade path.
+# Writer-lease tuning: a lease older than the TTL is presumed abandoned by
+# a crashed writer and is broken; contending writers poll at the retry
+# interval. The TTL must exceed the longest plausible write+flip.
+_LEASE_TTL_S = 300.0
+_LEASE_RETRY_S = 0.05
 
-    Data lands in ``<table>.versioned/v_<n>/``; the commit is ONE
-    ``os.replace`` of the ``_CURRENT`` pointer file (atomic on POSIX), so
-    there is no instant at which the table is missing or partial: a
-    reader resolves the pointer and sees either the old complete version
-    or the new complete one. A crash before the pointer flip leaves an
-    orphan version directory (pruned on the next write), never a corrupt
-    table. This is the single-node skeleton of what Delta/Iceberg do with
-    a transaction log; ``keep`` old versions are retained for in-flight
-    readers.
+
+class WriterLease:
+    """Exclusive writer lease over a versioned table — an ``O_CREAT|O_EXCL``
+    lock file, the cheap single-filesystem stand-in for the transactional
+    MERGE the reference gets from BigQuery
+    (core/extract/helpers/extractor_bq_helpers.py:159-169).
+
+    A blocked writer retries until the holder releases (or its lease goes
+    stale past ``_LEASE_TTL_S`` — a crashed holder cannot wedge the table
+    forever). Readers never take the lease: the pointer-file commit already
+    gives them a consistent snapshot. The lease only serializes WRITERS, so
+    concurrent ``versioned_upsert`` calls compose: each one reads the
+    version the previous commit published, and no version number or pointer
+    flip is ever raced.
     """
-    vdir = _versioned_dir(base_dir, name)
-    os.makedirs(vdir, exist_ok=True)
-    existing = sorted(
-        int(d[2:]) for d in os.listdir(vdir)
-        if d.startswith("v_") and d[2:].isdigit()
-    )
-    new_v = (existing[-1] + 1) if existing else 1
+
+    def __init__(self, vdir: str):
+        self.path = os.path.join(vdir, "_LOCK")
+
+    def __enter__(self) -> "WriterLease":
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.stat(self.path).st_mtime > _LEASE_TTL_S:
+                        os.unlink(self.path)  # break a stale lease
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between open and stat
+                time.sleep(_LEASE_RETRY_S)
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+
+def _allocate_version(vdir: str) -> tuple[int, list[int]]:
+    """Claim the next version directory with ``os.mkdir`` (EEXIST-retry),
+    so even a writer that bypasses the lease can never share a version
+    directory with another writer."""
+    while True:
+        existing = sorted(
+            int(d[2:]) for d in os.listdir(vdir)
+            if d.startswith("v_") and d[2:].isdigit()
+        )
+        new_v = (existing[-1] + 1) if existing else 1
+        try:
+            os.mkdir(os.path.join(vdir, f"v_{new_v}"))
+            return new_v, existing
+        except FileExistsError:
+            continue
+
+
+def _publish_version(df: DataFrame, vdir: str, keep: int) -> str:
+    """Write a new version and flip the pointer. Caller holds the lease."""
+    new_v, existing = _allocate_version(vdir)
     vpath = os.path.join(vdir, f"v_{new_v}")
     df.write.mode("overwrite").parquet(vpath)
     pointer = os.path.join(vdir, "_CURRENT")
@@ -180,6 +229,29 @@ def versioned_write(df: DataFrame, base_dir: str, name: str, keep: int = 2) -> s
     return vpath
 
 
+def versioned_write(df: DataFrame, base_dir: str, name: str, keep: int = 2) -> str:
+    """Truly atomic table publish — the versioned-directory + pointer-file
+    scheme ``_atomic_overwrite`` documents as its upgrade path.
+
+    Data lands in ``<table>.versioned/v_<n>/``; the commit is ONE
+    ``os.replace`` of the ``_CURRENT`` pointer file (atomic on POSIX), so
+    there is no instant at which the table is missing or partial: a
+    reader resolves the pointer and sees either the old complete version
+    or the new complete one. A crash before the pointer flip leaves an
+    orphan version directory (pruned on the next write), never a corrupt
+    table. Concurrent writers are serialized by ``WriterLease`` (version
+    allocation itself is additionally mkdir-atomic), so two simultaneous
+    publishes commit one after the other instead of clobbering a shared
+    ``v_n``. This is the single-node skeleton of what Delta/Iceberg do
+    with a transaction log; ``keep`` old versions are retained for
+    in-flight readers.
+    """
+    vdir = _versioned_dir(base_dir, name)
+    os.makedirs(vdir, exist_ok=True)
+    with WriterLease(vdir):
+        return _publish_version(df, vdir, keep)
+
+
 def read_versioned(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     """Resolve the ``_CURRENT`` pointer and read that version."""
     vdir = _versioned_dir(base_dir, name)
@@ -189,19 +261,29 @@ def read_versioned(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
 
 
 def versioned_upsert(
-    spark: SparkSession, source: DataFrame, base_dir: str, name: str, key: str
+    spark: SparkSession, source: DataFrame, base_dir: str, name: str, key: str,
+    keep: int = 2,
 ) -> str:
     """K4 MERGE against the versioned table: read current, anti-join +
     union, publish as a new version (atomic pointer flip). Same idempotent
-    semantics as ``upsert``; readers never observe an intermediate state."""
+    semantics as ``upsert``; readers never observe an intermediate state.
+
+    The WHOLE read-merge-publish runs under the writer lease, so two
+    concurrent upserts serialize: the second reads the version the first
+    committed and neither's rows are lost (the lost-update anomaly the
+    reference avoids via BigQuery's transactional MERGE,
+    extractor_bq_helpers.py:159-169).
+    """
     vdir = _versioned_dir(base_dir, name)
-    if not os.path.exists(os.path.join(vdir, "_CURRENT")):
-        return versioned_write(source, base_dir, name)
-    target = read_versioned(spark, base_dir, name)
-    merged = target.join(
-        source.select(key).distinct(), on=key, how="left_anti"
-    ).unionByName(source)
-    return versioned_write(merged, base_dir, name)
+    os.makedirs(vdir, exist_ok=True)
+    with WriterLease(vdir):
+        if not os.path.exists(os.path.join(vdir, "_CURRENT")):
+            return _publish_version(source, vdir, keep)
+        target = read_versioned(spark, base_dir, name)
+        merged = target.join(
+            source.select(key).distinct(), on=key, how="left_anti"
+        ).unionByName(source)
+        return _publish_version(merged, vdir, keep)
 
 
 def write_bucketed(
@@ -220,17 +302,25 @@ def write_bucketed(
     dominant exchange: pay one bucketed write, join shuffle-free forever
     after. The reference gets the same effect from BigQuery clustered
     tables (core/BigQueryManager.py:47-70 load path).
+
+    Returns the catalog table name to query (``spark.table(returned)``).
+    The name is namespaced with a digest of ``base_dir`` so two directories
+    using the same logical table name never collide in the shared session
+    catalog, and any stale registration under that name is dropped before
+    the save so the catalog entry always matches the written path.
     """
     path = table_path(base_dir, name)
+    catalog_name = f"{name}_{hashlib.md5(base_dir.encode()).hexdigest()[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS `{catalog_name}`")
     (
         df.write.mode("overwrite")
         .format("parquet")
         .option("path", path)
         .bucketBy(num_buckets, key)
         .sortBy(key)
-        .saveAsTable(name)
+        .saveAsTable(catalog_name)
     )
-    return path
+    return catalog_name
 
 
 def prepare_and_load(

@@ -91,13 +91,14 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     right = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") * 3).alias("b")
     )
-    write_bucketed(spark, left, tmp, "bkt_left", "k", 4)
-    write_bucketed(spark, right, tmp, "bkt_right", "k", 4)
+    lname = write_bucketed(spark, left, tmp, "bkt_left", "k", 4)
+    rname = write_bucketed(spark, right, tmp, "bkt_right", "k", 4)
+    assert lname != "bkt_left"  # namespaced per base_dir
     try:
         # merge hint: at this toy size Spark would broadcast; production
         # fact-fact sizes take the sort-merge path this test asserts on
-        joined = spark.table("bkt_left").hint("merge").join(
-            spark.table("bkt_right").hint("merge"), "k"
+        joined = spark.table(lname).hint("merge").join(
+            spark.table(rname).hint("merge"), "k"
         )
         plan = spark._jvm.PythonSQLUtils.explainString(
             joined._jdf.queryExecution(), "formatted"
@@ -107,8 +108,8 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert "Exchange" not in plan
         assert joined.count() == 1000
     finally:
-        spark.sql("DROP TABLE IF EXISTS bkt_left")
-        spark.sql("DROP TABLE IF EXISTS bkt_right")
+        spark.sql(f"DROP TABLE IF EXISTS {lname}")
+        spark.sql(f"DROP TABLE IF EXISTS {rname}")
 
 
 def test_versioned_table_atomic_pointer_flip(spark, tmp_path):
@@ -140,3 +141,50 @@ def test_versioned_table_atomic_pointer_flip(spark, tmp_path):
     assert rows == {1: "a", 2: "B", 3: "c"}
     cur = open(os.path.join(vdir, "_CURRENT")).read()
     assert os.path.isdir(os.path.join(vdir, cur))
+
+
+def test_versioned_upsert_concurrent_writers(spark, tmp_path):
+    """Two writers upserting DISJOINT key ranges at the same time: the
+    writer lease serializes the read-merge-publish cycles, so neither
+    update is lost and _CURRENT always names a complete version."""
+    import os
+    import threading
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _versioned_dir,
+        read_versioned,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    tmp = str(tmp_path)
+    versioned_write(
+        spark.createDataFrame([(0, "base")], ["id", "v"]), tmp, "t", keep=10
+    )
+
+    errors: list[Exception] = []
+
+    def writer(lo: int):
+        try:
+            src = spark.createDataFrame(
+                [(lo + i, f"w{lo}") for i in range(5)], ["id", "v"]
+            )
+            versioned_upsert(spark, src, tmp, "t", "id", keep=10)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(lo,)) for lo in (100, 200)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    rows = {r["id"]: r["v"] for r in read_versioned(spark, tmp, "t").collect()}
+    # base row + both writers' disjoint batches all survive
+    assert rows[0] == "base"
+    assert all(rows[100 + i] == "w100" for i in range(5))
+    assert all(rows[200 + i] == "w200" for i in range(5))
+    vdir = _versioned_dir(tmp, "t")
+    cur = open(os.path.join(vdir, "_CURRENT")).read()
+    assert os.path.isdir(os.path.join(vdir, cur))
+    assert not os.path.exists(os.path.join(vdir, "_LOCK"))  # lease released
