@@ -151,12 +151,29 @@ class IncrementalCursor:
         wm = self.value()
         return [(self.field, "D>=", wm)] if wm is not None else []
 
+    @staticmethod
+    def _parse(watermark: str):
+        """Watermarks must be ISO-8601 date/datetime strings (the API's
+        ``date_changed`` format). Parsing — rather than comparing raw
+        strings — means an unpadded or epoch-numeric watermark fails loudly
+        here instead of silently stalling or corrupting the cursor via
+        lexicographic comparison."""
+        from datetime import datetime
+
+        try:
+            return datetime.fromisoformat(str(watermark))
+        except ValueError as e:
+            raise ValueError(
+                f"incremental watermark must be ISO-8601, got {watermark!r}"
+            ) from e
+
     def advance(self, new_watermark: str) -> None:
         """Commit the new high-watermark — call after the sink commits.
         Never moves backwards (a partial re-run cannot shrink the cursor).
         """
+        new = self._parse(new_watermark)  # validate even on the first run
         cur = self.value()
-        if cur is not None and new_watermark <= cur:
+        if cur is not None and new <= self._parse(cur):
             return
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
@@ -180,9 +197,11 @@ def _fixture_fetch(fixture_path: str, endpoint: str, params: dict) -> list[dict]
 
 def _http_fetch(
     base_url: str, api_key: str, endpoint: str, params: dict
-) -> list[dict]:  # pragma: no cover - no network in this environment
+) -> list[dict]:
     """Production transport: stdlib urllib GET with the API-key header;
-    unwraps the ``data`` envelope like the reference client."""
+    unwraps the ``data`` envelope like the reference client
+    (core/LiveAgentClient.py:60-75). Covered by a loopback http.server
+    round-trip test — no external network needed."""
     import urllib.parse
     import urllib.request
 

@@ -138,6 +138,130 @@ def test_fetch_correlated_flattens_children(spark, fixture_path):
     assert got == [("t1", "hi"), ("t1", "yo"), ("t2", "ok")]
 
 
+@pytest.fixture()
+def http_api():
+    """Loopback LiveAgent-shaped API: paginated tickets behind the ``data``
+    envelope, equality ``_filters`` applied server-side, every request's
+    headers+params recorded so tests can assert the transport contract."""
+    import threading
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    all_rows = [
+        {"id": "t1", "status": "open", "owner_name": "ana"},
+        {"id": "t2", "status": "closed", "owner_name": "bob"},
+        {"id": "t3", "status": "open", "owner_name": None},
+    ]
+    seen: list[dict] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            params = dict(urllib.parse.parse_qsl(parsed.query))
+            seen.append(
+                {
+                    "path": parsed.path,
+                    "params": params,
+                    "apikey": self.headers.get("apikey"),
+                }
+            )
+            rows = all_rows
+            for field, op, value in json.loads(params.get("_filters", "[]")):
+                if op == "=":
+                    rows = [r for r in rows if r.get(field) == value]
+            page = int(params.get("_page", 1))
+            per_page = int(params.get("_perPage", len(rows) or 1))
+            body = json.dumps(
+                {"data": rows[(page - 1) * per_page : page * per_page]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_address[1]}", seen
+    finally:
+        server.shutdown()
+        thread.join()
+
+
+def test_http_fetch_roundtrip(http_api):
+    from mgo_liveagent_data_pipeline_spark.sources.rest import _http_fetch
+
+    base_url, seen = http_api
+    rows = _http_fetch(base_url, "sekrit", "tickets", {"_page": 1, "_perPage": 2})
+    assert [r["id"] for r in rows] == ["t1", "t2"]  # data envelope unwrapped
+    assert seen[-1]["apikey"] == "sekrit"
+    assert seen[-1]["path"] == "/tickets"
+
+
+def test_http_reader_paginates_and_propagates_filters(http_api):
+    """Non-fixture mode: pushFilters-consumed predicates reach the server
+    as the ``_filters`` param; pagination stops at the first empty page."""
+    from pyspark.sql.types import StructType
+
+    if not HAS_DATASOURCE_API:
+        pytest.skip("no Python DataSource API")
+    from pyspark.sql.datasource import EqualTo
+
+    base_url, seen = http_api
+    r = LiveAgentReader(
+        StructType.fromDDL(SCHEMA_DDL),
+        {
+            "endpoint": "tickets",
+            "base_url": base_url,
+            "api_key": "sekrit",
+            "max_pages": "10",
+            "per_page": "2",
+            "num_partitions": "1",
+            "throttle": "false",
+        },
+    )
+    rest = r.pushFilters([EqualTo(("status",), "open")])
+    assert list(rest) == []  # consumed → evaluated API-side
+    rows = list(r.read(r.partitions()[0]))
+    assert [row[0] for row in rows] == ["t1", "t3"]  # server applied filter
+    assert all(req["apikey"] == "sekrit" for req in seen)
+    assert all(
+        json.loads(req["params"]["_filters"]) == [["status", "=", "open"]]
+        for req in seen
+    )
+    # 2 matching rows at per_page=2 → page 1 full, page 2 empty, stop there
+    assert [req["params"]["_page"] for req in seen] == ["1", "2"]
+
+
+def test_http_datasource_end_to_end(spark, http_api):
+    """The full scan path over real HTTP: format("liveagent") with a
+    base_url instead of canned fixtures."""
+    if not HAS_DATASOURCE_API:
+        pytest.skip("no Python DataSource API")
+    base_url, seen = http_api
+    spark.dataSource.register(LiveAgentDataSource)
+    df = (
+        spark.read.format("liveagent")
+        .option("schema_ddl", SCHEMA_DDL)
+        .option("endpoint", "tickets")
+        .option("base_url", base_url)
+        .option("api_key", "sekrit")
+        .option("max_pages", "4")
+        .option("per_page", "2")
+        .option("num_partitions", "2")
+        .option("throttle", "false")
+        .load()
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {"t1", "t2", "t3"}
+    assert rows["t3"]["owner_name"] is None
+
+
 def test_incremental_cursor_roundtrip(tmp_path):
     import json
 
@@ -163,3 +287,18 @@ def test_incremental_cursor_roundtrip(tmp_path):
     assert cur.value() == "2024-01-11 00:00:00"
     # a fresh handle reads the persisted state
     assert IncrementalCursor(str(tmp_path), "tickets").value() == "2024-01-11 00:00:00"
+
+
+def test_incremental_cursor_parses_not_string_compares(tmp_path):
+    from mgo_liveagent_data_pipeline_spark.sources.rest import IncrementalCursor
+
+    cur = IncrementalCursor(str(tmp_path), "tickets")
+    # an unpadded-but-valid ISO variant still orders chronologically even
+    # though it sorts BEFORE the current value lexicographically
+    cur.advance("2024-01-09T00:00:00")
+    cur.advance("2024-01-10 06:00:00")  # "2024-01-10 " < "2024-01-09T" as strings
+    assert cur.value() == "2024-01-10 06:00:00"
+    # malformed watermarks fail loudly instead of corrupting the cursor
+    with pytest.raises(ValueError, match="ISO-8601"):
+        cur.advance("1704844800")  # epoch seconds
+    assert cur.value() == "2024-01-10 06:00:00"
