@@ -84,6 +84,75 @@ def ivf_centroids(
     )
 
 
+def assign_nearest(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment: every corpus vector gets the
+    ``cluster_id`` of its highest-cosine centroid (ties → highest id, a
+    deterministic total order). The centroid set is tiny and broadcast;
+    the argmax is a map-side partial MAX over a (sim, id) struct, so the
+    only shuffle carries (key, best-struct, vector) — at 100 TB this is
+    the standard one-pass assignment scan."""
+    c = corpus.select(
+        F.col(key_col).alias("__k"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(centroids)).withColumn(
+        "csim", F.round(cosine(F.col("cv"), F.col("centroid")), 6)
+    )
+    best = scored.groupBy("__k").agg(
+        F.max(F.struct(F.col("csim"), F.col("cluster_id"))).alias("best"),
+        F.first("cv").alias("cv"),  # identical across the group
+    )
+    return best.select(
+        F.col("__k").alias(key_col),
+        F.col("best.cluster_id").alias("cluster_id"),
+        "cv",
+    )
+
+
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_col: str = "label",
+    iterations: int = 1,
+) -> DataFrame:
+    """Lloyd-refined IVF centroids, seeded from the deterministic pick.
+
+    Each iteration is the classic k-means step as two hash aggregations:
+    assign every vector to its nearest centroid (``assign_nearest``), then
+    recompute each centroid as the element-wise mean of its members
+    (posexplode → per-(cluster, dim) AVG → re-assemble sorted by dim).
+    Means are rounded to 6 decimals so the result is independent of
+    partition-level summation order — the same determinism contract as
+    every other operator here. Seeds are the deterministic lowest-key
+    pick, so the whole refinement is reproducible run-to-run with no RNG
+    state, while the refined centroids give the production-credible
+    posting-list balance a raw first-vector pick can't (the balance test
+    asserts this). At 100 TB each iteration is two shuffles of narrow
+    rows — (cluster, dim, partial-sum) — never the corpus payload twice.
+    """
+    cents = ivf_centroids(corpus, vec_col, key_col, label_col)
+    for _ in range(iterations):
+        assigned = assign_nearest(corpus, cents, vec_col, key_col)
+        by_dim = assigned.select(
+            "cluster_id", F.posexplode("cv").alias("pos", "val")
+        )
+        means = by_dim.groupBy("cluster_id", "pos").agg(
+            F.round(F.avg("val"), 6).alias("val")
+        )
+        cents = means.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("centroid")
+        )
+    return cents
+
+
 def rh_planes(num_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 random-hyperplane components: component d of plane
     p is +1 iff the hex digit md5('p:d')[0] is even. Derived from md5 so
@@ -256,14 +325,26 @@ def ivf_topk(
     label_col: str = "label",
     query_key: str = "query_id",
     n_probes: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: route each query to its ``n_probes`` nearest centroids,
     scan only those posting lists. Approximate (recall < 1 vs brute force)
     but the probe cost is n_probes·|corpus|/n_clusters — the 100 TB path.
     Multi-probe (n_probes > 1) recovers neighbors that live just across a
     cluster boundary; a (query, corpus) pair can match at most once since
-    each corpus vector belongs to exactly one cluster."""
-    cents = ivf_centroids(corpus, vec_col, key_col, label_col)
+    each corpus vector belongs to exactly one cluster.
+
+    Centroid modes: the default (``centroids=None``) uses the
+    deterministic lowest-key pick with ``label_col`` posting lists — the
+    oracle-exact mode the driver contract checks. Pass
+    ``centroids=ivf_centroids_kmeans(corpus)`` for Lloyd-refined centroids
+    with nearest-centroid posting lists — the production mode; the plan
+    shape (broadcast route + pruned posting-list scan) is identical."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, vec_col, key_col, label_col)
+    )
     q = queries.select(
         query_key, _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", norm2(F.col("qv")))
@@ -281,11 +362,17 @@ def ivf_topk(
     )
 
     # scan only the probed cluster's posting list (partition-pruned at scale)
-    c = corpus.select(
-        F.col(key_col).alias("corpus_id"),
-        F.col(label_col).alias("cluster_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("cn", norm2(F.col("cv")))
+    if centroids is None:
+        c = corpus.select(
+            F.col(key_col).alias("corpus_id"),
+            F.col(label_col).alias("cluster_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+    else:
+        c = assign_nearest(corpus, cents, vec_col, key_col).select(
+            F.col(key_col).alias("corpus_id"), "cluster_id", "cv"
+        )
+    c = c.withColumn("cn", norm2(F.col("cv")))
     scored = (
         c.join(F.broadcast(probe), on="cluster_id")
         .where(F.col("corpus_id") != F.col(query_key))

@@ -315,6 +315,59 @@ def test_rh_multiprobe_recall_superset_of_single_probe(spark):
         assert s_pairs <= m_cands
 
 
+def test_ivf_kmeans_centroids_balance_and_determinism(spark):
+    """One Lloyd iteration from the deterministic seeds: posting lists stay
+    non-degenerate (no empty cluster, no mega-cluster), the refinement is
+    bit-reproducible run-to-run, and ivf_topk accepts the refined centroids
+    with identical output shape."""
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        assign_nearest,
+        ivf_centroids_kmeans,
+        ivf_topk,
+    )
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_centroids_kmeans(emb, iterations=1)
+    got = {
+        r["cluster_id"]: r["centroid"] for r in cents.collect()
+    }
+    assert len(got) == 10  # one refined centroid per seed label
+    assert all(len(v) == 64 for v in got.values())
+    # determinism: a second computation reproduces the centroids exactly
+    again = {
+        r["cluster_id"]: r["centroid"]
+        for r in ivf_centroids_kmeans(emb, iterations=1).collect()
+    }
+    assert got == again
+
+    # posting-list balance: every cluster keeps members, and the largest
+    # stays within 3x the ideal share (500/10 = 50) — the production
+    # credibility the raw first-vector pick can't promise
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in assign_nearest(emb, cents)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(sizes) == 10 and min(sizes.values()) >= 1
+    assert max(sizes.values()) <= 3 * (500 / 10)
+
+    # the probe path accepts refined centroids: same schema, k rows/query
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, query_key="query_id", centroids=cents)
+    rows = out.collect()
+    assert out.columns == ["query_id", "corpus_id", "cosine_sim", "rank"]
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
 def test_lsh_mega_bucket_cap_drops_boilerplate_but_keeps_true_dups(spark):
     """Docs sharing only a boilerplate pool collide on band buckets; the
     cap drops those candidates while a true duplicate pair (identical
