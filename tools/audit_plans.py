@@ -27,6 +27,10 @@ def main() -> None:
     from mgo_liveagent_data_pipeline_spark.plans.registry import ALL_QUERIES as QUERIES
     from mgo_liveagent_data_pipeline_spark.session import get_spark
 
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+    )
+
     spark = get_spark("audit_plans")
     print(
         "# One line per registered query (members AND driver suite rows)."
@@ -49,6 +53,11 @@ def main() -> None:
         except Exception as e:
             print(f"{name}: ERROR {type(e).__name__}: {str(e)[:120]}")
             continue
+        finally:
+            # dedup-family plans register persisted intermediates at build
+            # time; release per query so a full audit pass doesn't
+            # accumulate cached relations across the whole registry
+            release_intermediates()
         n_exchange = len(re.findall(r"\bExchange\b", plan))
         n_bhj = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
         n_smj = len(re.findall(r"SortMergeJoin", plan))
