@@ -63,7 +63,7 @@ def q_stream_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 streaming: 6-hour tumbling windows via readStream + watermark
     + AvailableNow; equals the batch bucketing expression (shared oracle
     shape with f8)."""
-    return stream_tumbling_6h(spark, sf_dir, n_state_partitions=8)
+    return stream_tumbling_6h(spark, sf_dir, n_state_partitions=1)
 
 
 def q_stream_append_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +72,7 @@ def q_stream_append_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle applies the same cutoff (window_end ≤ max(ts) − 1h)."""
     from ..streaming.windows import stream_append_6h
 
-    return stream_append_6h(spark, sf_dir, n_state_partitions=8)
+    return stream_append_6h(spark, sf_dir, n_state_partitions=1)
 
 
 def q_stream_dedup_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +81,7 @@ def q_stream_dedup_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the single-copy batch oracle."""
     from ..streaming.windows import stream_dedup_6h
 
-    return stream_dedup_6h(spark, sf_dir, n_state_partitions=8)
+    return stream_dedup_6h(spark, sf_dir, n_state_partitions=2)
 
 
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +96,7 @@ def q_stream_upsert_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import stream_upsert_6h
 
     base_dir = tempfile.mkdtemp(prefix="mgo_stream_sink_")
-    path = stream_upsert_6h(spark, sf_dir, base_dir, n_state_partitions=8)
+    path = stream_upsert_6h(spark, sf_dir, base_dir, n_state_partitions=1)
     return spark.read.parquet(path)
 
 

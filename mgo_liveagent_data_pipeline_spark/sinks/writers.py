@@ -121,11 +121,17 @@ def upsert(
     function is ``MERGE INTO t USING s ON t.key=s.key WHEN MATCHED THEN
     UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
     """
-    path = ensure_table(spark, base_dir, name, source)
-    target = spark.read.parquet(path)
-    merged = target.join(
-        source.select(key).distinct(), on=key, how="left_anti"
-    ).unionByName(source)
+    path = table_path(base_dir, name)
+    if not os.path.exists(path):
+        # empty-target fast path: an absent table anti-joins to nothing,
+        # so MERGE degenerates to writing the source — skips the
+        # create-empty + read + anti-join jobs on a table's first batch
+        merged = source
+    else:
+        target = spark.read.parquet(path)
+        merged = target.join(
+            source.select(key).distinct(), on=key, how="left_anti"
+        ).unionByName(source)
     if num_range_partitions:
         merged = merged.repartitionByRange(num_range_partitions, F.col(key))
     # safe to read-while-writing: the staging write happens before the
