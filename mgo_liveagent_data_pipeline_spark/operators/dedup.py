@@ -27,26 +27,36 @@ from ..functions.similarity import cosine, jaccard, word_shingles
 # candidate lists, pruned shingle maps). They must outlive the operator
 # call — the returned DataFrame is lazy — so each call registers its
 # persists here and the *caller* releases them once the result is
-# materialized (``release_intermediates()``; bench/verify harnesses do).
-# Left unreleased in a long-lived session they accumulate cached
+# materialized (``release_intermediates()``; bench/verify/audit harnesses
+# do). Left unreleased in a long-lived session they accumulate cached
 # relations; re-running the identical plan before releasing is fine
 # (CacheManager dedupes) and keeps warm-cache steady-state performance.
+# Registration and release take a lock so concurrent plan builders (e.g.
+# a threaded driver) can't lose or double-release an entry.
+import threading
+
 _INTERMEDIATES: list[DataFrame] = []
+_INTERMEDIATES_LOCK = threading.Lock()
 
 
 def release_intermediates() -> None:
     """Unpersist every intermediate cached by dedup calls so far. Call
     after materializing a result; any still-lazy dedup DataFrame simply
     recomputes without the cache (correct, slower)."""
-    while _INTERMEDIATES:
-        _INTERMEDIATES.pop().unpersist()
+    while True:
+        with _INTERMEDIATES_LOCK:
+            if not _INTERMEDIATES:
+                return
+            df = _INTERMEDIATES.pop()
+        df.unpersist()
 
 
 def _scoped_persist(df: DataFrame) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _INTERMEDIATES.append(out)
+    with _INTERMEDIATES_LOCK:
+        _INTERMEDIATES.append(out)
     return out
 
 

@@ -17,12 +17,19 @@ from pyspark.sql import functions as F
 
 
 def _row_salt(df: DataFrame, salt_buckets: int) -> Column:
-    """Deterministic row-content salt in [0, salt_buckets): pmod of the
-    hash of every column. Shared by salted_sum and salted_join so both
-    spread a hot key even when the input arrives clustered by that key."""
-    return F.pmod(
-        F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
-    )
+    """Per-row salt in [0, salt_buckets) that (a) varies WITHIN an input
+    partition — so a hot key spreads even when the input arrives clustered
+    by that key (one partition = one key, what a prior
+    repartitionByRange(key) write produces) — and (b) reads NO data
+    columns. It derives from ``monotonically_increasing_id()``
+    (partition_id << 33 | row_offset), whose per-partition row offset
+    cycles through every bucket. An earlier row-content-hash salt had
+    property (a) but not (b): hashing every column defeated column
+    pruning, turning a 2-column aggregation scan into a full-width scan —
+    the exact anti-pattern the plan auditor flags. The salt only routes
+    rows to stage-1 partials; results are salt-invariant, so layout
+    dependence is harmless."""
+    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
 
 
 def salted_sum(
@@ -46,11 +53,12 @@ def salted_sum(
     single reducer (extreme cardinality skew, e.g. count per hour with one
     hour holding half the data).
 
-    The salt is a row-content hash (like salted_join's), NOT
+    The salt (``_row_salt``) varies per row WITHIN a partition, NOT
     spark_partition_id(): a partition id is constant within an input
     partition, so an input already clustered by the hot key — exactly what
     a prior repartitionByRange(key) write produces — would put every row
-    of that key in one salt bucket and spread nothing.
+    of that key in one salt bucket and spread nothing. And it reads no
+    data columns, so the scan stays pruned to key + aggregated columns.
     """
     recombine = recombine or {}
     unknown = set(recombine) - set(agg_cols)
@@ -77,10 +85,11 @@ def salted_join(
     salt_buckets: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Skewed-side salted equi-join: the skewed side gets a random-ish
-    (deterministic: hash of all columns) salt in [0, buckets); the other
-    side is replicated ``buckets``× via explode. The shuffle key becomes
-    (key, salt) — a hot key spreads over ``buckets`` reducers.
+    """Skewed-side salted equi-join: the skewed side gets a per-row salt
+    (``_row_salt`` — varies within a partition, reads no data columns) in
+    [0, buckets); the other side is replicated ``buckets``× via explode.
+    The shuffle key becomes (key, salt) — a hot key spreads over
+    ``buckets`` reducers.
 
     Replication multiplies the small side's shuffle volume by
     ``salt_buckets`` — use only when AQE's runtime skew splitting is
