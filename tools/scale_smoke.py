@@ -97,9 +97,32 @@ def main() -> None:
             df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
         )
 
+    from mgo_liveagent_data_pipeline_spark.operators.skew import salted_sum
+
+    def skewed_salted(df):
+        # adversarial skew: half of all rows collapse onto one hot key AND
+        # the input arrives clustered by that key (repartition on it) —
+        # the layout where a partition-id salt would silently spread
+        # nothing; the row salt must still fan the hot key out
+        skewed = df.withColumn(
+            "hot_key",
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(0)).otherwise(
+                F.col("l_orderkey")
+            ),
+        ).repartition(F.col("hot_key"))
+        return salted_sum(
+            skewed,
+            ["hot_key"],
+            {
+                "sum_qty": F.sum(F.col("l_quantity").cast(MONEY)),
+                "n": F.count(F.lit(1)),
+            },
+        )
+
     cases = {
         "a1_agg": (a1, li_1x, li_nx),
         "w2_topk": (topk, li_1x, li_nx),
+        "skew_salted_sum": (skewed_salted, li_1x, li_nx),
         "minhash_lsh": (minhash_lsh_dedup, docs_1x, docs_nx),
         "simhash": (simhash_dedup, docs_1x, docs_nx),
     }
