@@ -143,6 +143,35 @@ def test_versioned_table_atomic_pointer_flip(spark, tmp_path):
     assert os.path.isdir(os.path.join(vdir, cur))
 
 
+def test_writer_lease_breaks_stale_lock(spark, tmp_path):
+    """A lock file left by a crashed writer (older than the TTL) is broken
+    by the next writer instead of wedging the table forever."""
+    import os
+    import time as _time
+
+    from mgo_liveagent_data_pipeline_spark.sinks import writers
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _versioned_dir,
+        read_versioned,
+        versioned_write,
+    )
+
+    tmp = str(tmp_path)
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    versioned_write(df, tmp, "t")
+    vdir = _versioned_dir(tmp, "t")
+    lock = os.path.join(vdir, "_LOCK")
+    # simulate a crashed holder: lock exists, mtime far in the past
+    with open(lock, "w") as f:
+        f.write("99999")
+    stale = _time.time() - (writers._LEASE_TTL_S + 60)
+    os.utime(lock, (stale, stale))
+    versioned_write(df.withColumn("v", F.lit("b")), tmp, "t")  # must not hang
+    rows = {r["v"] for r in read_versioned(spark, tmp, "t").collect()}
+    assert rows == {"b"}
+    assert not os.path.exists(lock)
+
+
 def test_versioned_upsert_concurrent_writers(spark, tmp_path):
     """Two writers upserting DISJOINT key ranges at the same time: the
     writer lease serializes the read-merge-publish cycles, so neither
