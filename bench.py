@@ -77,11 +77,16 @@ def main() -> None:
         # get one extra warmup + one extra timed rep: a 10-rep profile
         # (BENCHNOTES.md) shows their first timed executions still ride
         # the JIT C2 ramp and their run-to-run spread exceeds the
-        # round-over-round delta that flagged them.
-        noisy = name in ("a1_pricing_summary", "u1_convo_analysis")
-        if noisy:
+        # round-over-round delta that flagged them. The three heaviest
+        # queries also take a third rep — host CPU contention hits
+        # multi-second CPU-saturating queries hardest (measured 3×
+        # swings, BENCHNOTES.md), and one extra sample is the cheapest
+        # defense the min estimator has.
+        jit_ramp = name in ("a1_pricing_summary", "u1_convo_analysis")
+        heavy = name in ("dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk")
+        if jit_ramp:
             fn(spark, SF_DIR).count()
-        reps = 3 if noisy else 2
+        reps = 3 if (jit_ramp or heavy) else 2
         best = None
         for _rep in range(reps):
             t0 = time.time()
