@@ -135,6 +135,60 @@ def token_counts(
     )
 
 
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document: the fraction
+    of tokens that are repeats of an earlier token, and the fraction of
+    positional word ``shingle_k``-grams that are repeats — the standard
+    cheap filters for looping/boilerplate text before it enters a
+    training mix (a high dup_shingle_frac marks machine-generated or
+    template text that per-token stats miss).
+
+    Pure Catalyst array expressions over one scan — no explode, no
+    shuffle; the shingle list here is POSITIONAL (a multiset), unlike the
+    deduplicated shingle sets the Jaccard/minhash operators use, because
+    repetition is precisely what a set representation erases. At 100 TB
+    this runs at parquet-scan speed like the rest of this module.
+    """
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    n_tok = F.size(toks)
+    n_tok_d = F.size(F.array_distinct(toks))
+    sh = F.when(
+        n_tok >= shingle_k,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (shingle_k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_sh = F.size(sh)
+    n_sh_d = F.size(F.array_distinct(sh))
+    dup_tok = F.round(
+        F.when(
+            n_tok > 0,
+            (n_tok - n_tok_d).cast("double") / n_tok.cast("double"),
+        ).otherwise(0.0),
+        6,
+    )
+    dup_sh = F.round(
+        F.when(
+            n_sh > 0, (n_sh - n_sh_d).cast("double") / n_sh.cast("double")
+        ).otherwise(0.0),
+        6,
+    )
+    return df.select(
+        F.col(key_col),
+        n_tok.cast("long").alias("n_tokens"),
+        dup_tok.alias("dup_token_frac"),
+        n_sh.cast("long").alias("n_shingles"),
+        dup_sh.alias("dup_shingle_frac"),
+    )
+
+
 def text_metrics(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:

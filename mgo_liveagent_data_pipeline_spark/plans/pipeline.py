@@ -163,6 +163,16 @@ def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: per-doc duplicate-token and
+    duplicate-3-gram fractions (operators/textops.py:repetition_metrics).
+    Driver-visible inside the ``text_corpus_stats`` suite row."""
+    from ..operators.textops import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "text", "doc_id", shingle_k=3)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first five vectors as queries."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -239,6 +249,7 @@ QUERIES = {
     "ann_rh_multiprobe_topk": q_ann_rh_multiprobe_topk,
     "multimodal_frames": q_multimodal_frames,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_repetition": q_text_repetition,
     "text_stratified_sample": q_text_stratified_sample,
 }
 
@@ -701,6 +712,34 @@ ORACLES: dict[str, str] = {
         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
               < (CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END) * 4294967296.0
         GROUP BY lang
+    """,
+    # positional (multiset) shingles: toks[i:i+2] is DuckDB's 1-based
+    # INCLUSIVE slice — 3 tokens — mirroring Spark's slice(toks, i, 3)
+    "text_repetition": r"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        ext AS (
+          SELECT doc_id, toks, len(toks) AS n_tok,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE CAST([] AS VARCHAR[]) END AS sh
+          FROM base)
+        SELECT doc_id,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               round(CASE WHEN n_tok > 0
+                          THEN (n_tok - len(list_distinct(toks)))
+                               / CAST(n_tok AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_token_frac,
+               CAST(len(sh) AS BIGINT) AS n_shingles,
+               round(CASE WHEN len(sh) > 0
+                          THEN (len(sh) - len(list_distinct(sh)))
+                               / CAST(len(sh) AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_shingle_frac
+        FROM ext
     """,
     "text_tfidf_top_terms": r"""
         WITH terms AS (

@@ -206,9 +206,11 @@ def q_f11_f12_schedule_safecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- pipeline suites
 def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistics text ops under one driver row: per-doc top-5
-    tf-idf terms (operators/textops.py:tfidf_top_terms) + deterministic
+    tf-idf terms (operators/textops.py:tfidf_top_terms), deterministic
     md5-bucket stratified downsample summarized per stratum
-    (operators/textops.py:stratified_hash_sample)."""
+    (operators/textops.py:stratified_hash_sample), and Gopher-style
+    repetition fractions (operators/textops.py:repetition_metrics),
+    tagged rep_token / rep_shingle."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -223,7 +225,22 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         F.col("n_kept").alias("n"),
     )
-    return tfidf.unionByName(sample)
+    rep = pipeline.q_text_repetition(spark, sf_dir)
+    rep_tok = rep.select(
+        F.lit("rep_token").alias("mode"),
+        _null("string").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        F.col("dup_token_frac").alias("metric"),
+        F.col("n_tokens").alias("n"),
+    )
+    rep_sh = rep.select(
+        F.lit("rep_shingle").alias("mode"),
+        _null("string").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        F.col("dup_shingle_frac").alias("metric"),
+        F.col("n_shingles").alias("n"),
+    )
+    return tfidf.unionByName(sample).unionByName(rep_tok).unionByName(rep_sh)
 
 
 def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,6 +586,18 @@ ORACLES: dict[str, str] = {
             _P["text_stratified_sample"],
             "'sample' AS mode, lang AS key_s, CAST(NULL AS BIGINT) AS key_n, "
             "CAST(NULL AS DOUBLE) AS metric, n_kept AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_repetition"],
+            "'rep_token' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
+            "doc_id AS key_n, dup_token_frac AS metric, n_tokens AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_repetition"],
+            "'rep_shingle' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
+            "doc_id AS key_n, dup_shingle_frac AS metric, n_shingles AS n",
         )
     ),
     "f11_f12_schedule_safecast": """

@@ -315,6 +315,33 @@ def test_rh_multiprobe_recall_superset_of_single_probe(spark):
         assert s_pairs <= m_cands
 
 
+def test_repetition_metrics_known_fractions(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # "a b a b a b": 6 tokens, 2 distinct -> dup_token 4/6;
+            # 4 positional 3-grams: "a b a","b a b","a b a","b a b"
+            # -> 2 distinct -> dup_shingle 2/4
+            (1, "a b a b a b"),
+            (2, "all words here are unique tokens"),  # no repeats
+            (3, "x y"),  # shorter than the 3-gram window
+            (4, ""),  # empty doc
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert rows[1]["n_tokens"] == 6 and rows[1]["n_shingles"] == 4
+    assert rows[1]["dup_token_frac"] == round(4 / 6, 6)
+    assert rows[1]["dup_shingle_frac"] == 0.5
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[2]["dup_shingle_frac"] == 0.0
+    assert rows[3]["n_shingles"] == 0 and rows[3]["dup_shingle_frac"] == 0.0
+    assert rows[4]["n_tokens"] == 0 and rows[4]["dup_token_frac"] == 0.0
+
+
 def test_ivf_kmeans_centroids_balance_and_determinism(spark):
     """One Lloyd iteration from the deterministic seeds: posting lists stay
     non-degenerate (no empty cluster, no mega-cluster), the refinement is
