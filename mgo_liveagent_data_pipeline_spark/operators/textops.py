@@ -189,6 +189,44 @@ def repetition_metrics(
     )
 
 
+# PII patterns shared by scrub + count. RE2/Java-regex common subset (no
+# lookaround) so the DuckDB oracle evaluates the identical expressions.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{2}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction — the compliance pass every training-data pipeline
+    runs before text enters a corpus: emails, phone numbers (the
+    reference's LiveAgent tickets carry both — core/Ticket.py ships raw
+    owner contact fields), and IPv4 addresses are replaced with typed
+    placeholder tokens, with per-type match counts kept for audit
+    metrics. Order matters: emails are scrubbed before IPs so a host
+    part is never double-redacted.
+
+    Chained ``regexp_replace`` + ``regexp_count`` — single scan, pure
+    codegen, no shuffle; at 100 TB this is scan-speed like the rest of
+    this module."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _tok in PII_PATTERNS
+    ]
+    red = t
+    for _name, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return df.select(
+        F.col(key_col),
+        *counts,
+        red.alias("text_redacted"),
+    )
+
+
 def text_metrics(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:

@@ -173,6 +173,36 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs, "text", "doc_id", shingle_k=3)
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/textops.py:pii_scrub) over deterministic
+    key-derived contact text — the synthetic customer table carries no
+    contact columns, so the fixture synthesizes an email, a TPC-H-shaped
+    phone, and an IPv4 per customer from c_custkey (both engines build
+    the identical string, so the oracle checks the scrub itself).
+    Member-level query (verify via ``tools/verify_oracles.py --all``)."""
+    from ..operators.textops import pii_scrub
+
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        ck % 90 + 10, ck % 900 + 100, (ck * 7) % 900 + 100,
+        (ck * 13) % 9000 + 1000,
+    )
+    email = F.concat(F.lit("user"), ck.cast("string"), F.lit("@example.com"))
+    ip = F.format_string(
+        "%d.%d.%d.%d", ck % 256, (ck * 3) % 256, (ck * 7) % 256, (ck * 11) % 256
+    )
+    txt = cust.select(
+        ck,
+        F.concat_ws(
+            " ", F.col("c_name"), F.lit("email"), email, F.lit("call"),
+            phone, F.lit("from"), ip,
+        ).alias("contact_text"),
+    )
+    return pii_scrub(txt, "contact_text", "c_custkey")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first five vectors as queries."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -250,6 +280,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_repetition": q_text_repetition,
+    "text_pii_scrub": q_text_pii_scrub,
     "text_stratified_sample": q_text_stratified_sample,
 }
 
@@ -712,6 +743,36 @@ ORACLES: dict[str, str] = {
         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
               < (CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END) * 4294967296.0
         GROUP BY lang
+    """,
+    "text_pii_scrub": r"""
+        WITH t AS (
+          SELECT c_custkey,
+                 concat_ws(' ', c_name,
+                   'email', 'user' || CAST(c_custkey AS VARCHAR) || '@example.com',
+                   'call', printf('%02d-%03d-%03d-%04d',
+                     c_custkey % 90 + 10, c_custkey % 900 + 100,
+                     (c_custkey * 7) % 900 + 100, (c_custkey * 13) % 9000 + 1000),
+                   'from', printf('%d.%d.%d.%d',
+                     c_custkey % 256, (c_custkey * 3) % 256,
+                     (c_custkey * 7) % 256, (c_custkey * 11) % 256)
+                 ) AS contact_text
+          FROM customer)
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(contact_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(contact_text,
+                 '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(contact_text,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(contact_text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+               AS text_redacted
+        FROM t
     """,
     # positional (multiset) shingles: toks[i:i+2] is DuckDB's 1-based
     # INCLUSIVE slice — 3 tokens — mirroring Spark's slice(toks, i, 3)

@@ -342,6 +342,26 @@ def test_repetition_metrics_known_fractions(spark):
     assert rows[4]["n_tokens"] == 0 and rows[4]["dup_token_frac"] == 0.0
 
 
+def test_pii_scrub_redacts_and_counts(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@example.co.uk or call 25-989-741-2988 now"),
+            (2, "server at 10.0.255.7 responded"),
+            (3, "nothing sensitive here 123-45"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert rows[1]["text_redacted"] == "mail <EMAIL> or call <PHONE> now"
+    assert rows[2]["n_ipv4"] == 1
+    assert rows[2]["text_redacted"] == "server at <IP> responded"
+    assert rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_ipv4"] == 0
+    assert rows[3]["text_redacted"] == "nothing sensitive here 123-45"
+
+
 def test_ivf_kmeans_centroids_balance_and_determinism(spark):
     """One Lloyd iteration from the deterministic seeds: posting lists stay
     non-degenerate (no empty cluster, no mega-cluster), the refinement is
