@@ -289,6 +289,87 @@ def test_incremental_cursor_roundtrip(tmp_path):
     assert IncrementalCursor(str(tmp_path), "tickets").value() == "2024-01-11 00:00:00"
 
 
+def test_incremental_extraction_end_to_end(tmp_path):
+    """Run-to-run incremental flow over real HTTP: run 1 full-scans and
+    advances the cursor; run 2 sends the cursor's D>= predicate as
+    _filters (evaluated API-side) and fetches only newer rows; a replayed
+    old batch cannot move the cursor backwards."""
+    import threading
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from mgo_liveagent_data_pipeline_spark.sources.rest import (
+        IncrementalCursor,
+        build_filter_expr,
+        paginate,
+        _http_fetch,
+    )
+
+    rows = [
+        {"id": "t1", "date_changed": "2024-01-09 08:00:00"},
+        {"id": "t2", "date_changed": "2024-01-10 06:00:00"},
+    ]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            params = dict(urllib.parse.parse_qsl(parsed.query))
+            out = rows
+            for field, op, value in json.loads(params.get("_filters", "[]")):
+                if op == "D>=":
+                    out = [r for r in out if r.get(field) >= value]
+            page = int(params.get("_page", 1))
+            per = int(params.get("_perPage", len(out) or 1))
+            body = json.dumps(
+                {"data": out[(page - 1) * per : page * per]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base_url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        cur = IncrementalCursor(str(tmp_path), "tickets")
+
+        def run():
+            params = {}
+            conds = cur.filter_conditions()
+            if conds:
+                params["_filters"] = build_filter_expr(conds)
+            fetched = list(
+                paginate(
+                    lambda ep, p: _http_fetch(base_url, "k", ep, p),
+                    "tickets",
+                    params,
+                    max_pages=5,
+                    per_page=10,
+                )
+            )
+            if fetched:  # advance only after the (simulated) sink commit
+                cur.advance(max(r["date_changed"] for r in fetched))
+            return [r["id"] for r in fetched]
+
+        assert run() == ["t1", "t2"]  # first run: full scan
+        assert cur.value() == "2024-01-10 06:00:00"
+        # new upstream row appears; replayed old rows stay filtered out
+        rows.append({"id": "t3", "date_changed": "2024-01-11 00:00:00"})
+        assert run() == ["t2", "t3"]  # D>= watermark: only t2 boundary + newer
+        assert cur.value() == "2024-01-11 00:00:00"
+        # upstream reverts to only-old data: nothing re-fetched, and the
+        # cursor cannot shrink
+        del rows[2]
+        assert run() == []
+        assert cur.value() == "2024-01-11 00:00:00"
+    finally:
+        server.shutdown()
+
+
 def test_incremental_cursor_parses_not_string_compares(tmp_path):
     from mgo_liveagent_data_pipeline_spark.sources.rest import IncrementalCursor
 
