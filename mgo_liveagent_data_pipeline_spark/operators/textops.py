@@ -191,9 +191,28 @@ def repetition_metrics(
 
 # PII patterns shared by scrub + count. RE2/Java-regex common subset (no
 # lookaround) so the DuckDB oracle evaluates the identical expressions.
+#
+# The phone pattern covers the common free-form shapes the reference's
+# tickets carry in their contact fields (core/Ticket.py:57-63):
+#   +639171234567          international, 10-13 digits after '+'
+#   (02) 8888-8888         area code in parens, optional space/hyphen
+#   0917-123-4567 / 02 888 8888 / 12-345-678-9012
+#                          2-4 leading digits then 2-3 separator-delimited
+#                          groups of 3-4 digits
+# Groups after the first are held to 3-4 digits so ISO dates
+# (2024-01-15: trailing groups of 2) stay unredacted — a compliance
+# operator that eats timestamps gives false *positives*; one that misses
+# `(02) 8888-8888` gives false assurance. Alternatives start on disjoint
+# characters ('+', '(', digit), so Java's and RE2's leftmost-first match
+# pick identical spans.
+PHONE_PATTERN = (
+    r"(?:\+\d{10,13}\b)"
+    r"|(?:\(\d{1,4}\)[ -]?\d{3,4}[ -]?\d{4}\b)"
+    r"|(?:\b\d{2,4}(?:[ -]\d{3,4}){2,3}\b)"
+)
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\b\d{2}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )
 

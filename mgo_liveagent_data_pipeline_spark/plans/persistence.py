@@ -13,15 +13,32 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sinks.writers import history_append, overwrite, prepare_and_load, table_path, upsert
+from ..sinks.writers import (
+    history_append,
+    overwrite,
+    partitioned_upsert,
+    prepare_and_load,
+    read_partitioned,
+    table_path,
+    upsert,
+)
 from ..sources.tables import load_table
 from ..streaming.windows import session_windows, stream_tumbling_6h
 from .relational import MONEY
 
 
 def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1+K2+K4: seed a parquet target, staged-MERGE a changed batch into
-    it twice (idempotent), read back, aggregate."""
+    """K1+K2+K4, both merge layouts under one tagged row:
+
+    * ``flat`` — seed a parquet target, staged-MERGE a changed batch into
+      it twice (idempotent), read back, aggregate (the small-table path).
+    * ``partitioned`` — the 100 TB path: the same batch merged twice into
+      a manifest-bucketed table via ``partitioned_upsert``, which rewrites
+      only the key-hash buckets containing source keys (untouched-bucket
+      file immutability is asserted by ``tests/test_sinks.py``).
+
+    Both halves share one merge-algebra oracle, so a hash match proves the
+    partition-pruned write path produces the identical table state."""
     base_dir = tempfile.mkdtemp(prefix="mgo_sink_")
     orders = load_table(spark, sf_dir, "orders")
     overwrite(orders, base_dir, "orders_t")
@@ -31,12 +48,22 @@ def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert(spark, source, base_dir, "orders_t", "o_orderkey")
     upsert(spark, source, base_dir, "orders_t", "o_orderkey")
     merged = spark.read.parquet(table_path(base_dir, "orders_t"))
-    return merged.groupBy(F.col("o_orderstatus").alias("status")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
-        .cast("double")
-        .alias("total_value"),
-    )
+
+    partitioned_upsert(spark, orders, base_dir, "orders_p", "o_orderkey",
+                       num_buckets=16)
+    partitioned_upsert(spark, source, base_dir, "orders_p", "o_orderkey")
+    partitioned_upsert(spark, source, base_dir, "orders_p", "o_orderkey")
+    pmerged = read_partitioned(spark, base_dir, "orders_p")
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
+            .cast("double")
+            .alias("total_value"),
+        ).select(F.lit(tag).alias("mode"), "status", "n", "total_value")
+
+    return agg(merged, "flat").unionByName(agg(pmerged, "partitioned"))
 
 
 def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +139,8 @@ QUERIES = {
 
 ORACLES: dict[str, str] = {
     # same algebra as k4_upsert_merge — but computed through a real
-    # write/merge/read round trip on the Spark side
+    # write/merge/read round trip on the Spark side, once per layout
+    # (flat whole-table merge, partitioned bucket-pruned merge)
     "k_materialized_upsert": """
         WITH source AS (
           SELECT * REPLACE ('X' AS o_orderstatus) FROM orders WHERE o_orderkey % 10 = 0),
@@ -120,10 +148,14 @@ ORACLES: dict[str, str] = {
           SELECT * FROM orders
           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)),
         merged AS (
-          SELECT * FROM target_keep UNION ALL SELECT * FROM source)
-        SELECT o_orderstatus AS status, count(*) AS n,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
-        FROM merged GROUP BY o_orderstatus
+          SELECT * FROM target_keep UNION ALL SELECT * FROM source),
+        agg AS (
+          SELECT o_orderstatus AS status, count(*) AS n,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+          FROM merged GROUP BY o_orderstatus)
+        SELECT 'flat' AS mode, status, n, total_value FROM agg
+        UNION ALL
+        SELECT 'partitioned' AS mode, status, n, total_value FROM agg
     """,
     "k5_history_sink": """
         SELECT n_nationkey, n_name, n_regionkey, 1 AS batch_id

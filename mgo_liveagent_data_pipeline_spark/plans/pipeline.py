@@ -176,10 +176,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/textops.py:pii_scrub) over deterministic
     key-derived contact text — the synthetic customer table carries no
-    contact columns, so the fixture synthesizes an email, a TPC-H-shaped
-    phone, and an IPv4 per customer from c_custkey (both engines build
-    the identical string, so the oracle checks the scrub itself).
-    Member-level query (verify via ``tools/verify_oracles.py --all``)."""
+    contact columns, so the fixture synthesizes an email, THREE phone
+    shapes (TPC-H-style ``12-345-678-9012``, international
+    ``+63917…``, parenthesized ``(02) 1234-5678`` — the free-form
+    variety the reference's ticket contact fields carry,
+    core/Ticket.py:57-63), a bare ISO date (which must NOT be redacted),
+    and an IPv4 per customer from c_custkey. Both engines build the
+    identical string, so the oracle checks the scrub itself.
+    Driver-visible via the ``pii`` mode of ``text_corpus_stats``."""
     from ..operators.textops import pii_scrub
 
     cust = load_table(spark, sf_dir, "customer")
@@ -189,15 +193,21 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ck % 90 + 10, ck % 900 + 100, (ck * 7) % 900 + 100,
         (ck * 13) % 9000 + 1000,
     )
+    intl = F.format_string("+63%09d", (ck * 17) % 1000000000)
+    paren = F.format_string(
+        "(02) %04d-%04d", (ck * 19) % 10000, (ck * 23) % 10000
+    )
     email = F.concat(F.lit("user"), ck.cast("string"), F.lit("@example.com"))
     ip = F.format_string(
         "%d.%d.%d.%d", ck % 256, (ck * 3) % 256, (ck * 7) % 256, (ck * 11) % 256
     )
+    date = F.format_string("2024-%02d-%02d", ck % 12 + 1, ck % 28 + 1)
     txt = cust.select(
         ck,
         F.concat_ws(
             " ", F.col("c_name"), F.lit("email"), email, F.lit("call"),
-            phone, F.lit("from"), ip,
+            phone, F.lit("or"), intl, F.lit("or"), paren,
+            F.lit("on"), date, F.lit("from"), ip,
         ).alias("contact_text"),
     )
     return pii_scrub(txt, "contact_text", "c_custkey")
@@ -752,6 +762,11 @@ ORACLES: dict[str, str] = {
                    'call', printf('%02d-%03d-%03d-%04d',
                      c_custkey % 90 + 10, c_custkey % 900 + 100,
                      (c_custkey * 7) % 900 + 100, (c_custkey * 13) % 9000 + 1000),
+                   'or', printf('+63%09d', (c_custkey * 17) % 1000000000),
+                   'or', printf('(02) %04d-%04d',
+                     (c_custkey * 19) % 10000, (c_custkey * 23) % 10000),
+                   'on', printf('2024-%02d-%02d',
+                     c_custkey % 12 + 1, c_custkey % 28 + 1),
                    'from', printf('%d.%d.%d.%d',
                      c_custkey % 256, (c_custkey * 3) % 256,
                      (c_custkey * 7) % 256, (c_custkey * 11) % 256)
@@ -761,7 +776,7 @@ ORACLES: dict[str, str] = {
                CAST(len(regexp_extract_all(contact_text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
                CAST(len(regexp_extract_all(contact_text,
-                 '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+                 '(?:\+\d{10,13}\b)|(?:\(\d{1,4}\)[ -]?\d{3,4}[ -]?\d{4}\b)|(?:\b\d{2,4}(?:[ -]\d{3,4}){2,3}\b)')) AS BIGINT) AS n_phone,
                CAST(len(regexp_extract_all(contact_text,
                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
                regexp_replace(
@@ -769,7 +784,8 @@ ORACLES: dict[str, str] = {
                    regexp_replace(contact_text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                      '<EMAIL>', 'g'),
-                   '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                   '(?:\+\d{10,13}\b)|(?:\(\d{1,4}\)[ -]?\d{3,4}[ -]?\d{4}\b)|(?:\b\d{2,4}(?:[ -]\d{3,4}){2,3}\b)',
+                   '<PHONE>', 'g'),
                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
                AS text_redacted
         FROM t

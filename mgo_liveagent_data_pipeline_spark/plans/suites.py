@@ -208,9 +208,14 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistics text ops under one driver row: per-doc top-5
     tf-idf terms (operators/textops.py:tfidf_top_terms), deterministic
     md5-bucket stratified downsample summarized per stratum
-    (operators/textops.py:stratified_hash_sample), and Gopher-style
-    repetition fractions (operators/textops.py:repetition_metrics),
-    tagged rep_token / rep_shingle."""
+    (operators/textops.py:stratified_hash_sample), Gopher-style
+    repetition fractions (operators/textops.py:repetition_metrics)
+    tagged rep_token / rep_shingle, and the PII scrub
+    (operators/textops.py:pii_scrub) over the synthesized customer
+    contact fixture — one ``pii`` row per customer carrying
+    md5(text_redacted) as key_s (the redacted text itself is
+    hash-checked) and the packed match counts
+    ``n_email*10000 + n_phone*100 + n_ipv4`` as n."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -240,7 +245,21 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_shingle_frac").alias("metric"),
         F.col("n_shingles").alias("n"),
     )
-    return tfidf.unionByName(sample).unionByName(rep_tok).unionByName(rep_sh)
+    pii = pipeline.q_text_pii_scrub(spark, sf_dir).select(
+        F.lit("pii").alias("mode"),
+        F.md5(F.col("text_redacted")).alias("key_s"),
+        F.col("c_custkey").alias("key_n"),
+        _null("double").alias("metric"),
+        (
+            F.col("n_email") * 10000 + F.col("n_phone") * 100 + F.col("n_ipv4")
+        ).alias("n"),
+    )
+    return (
+        tfidf.unionByName(sample)
+        .unionByName(rep_tok)
+        .unionByName(rep_sh)
+        .unionByName(pii)
+    )
 
 
 def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,6 +617,13 @@ ORACLES: dict[str, str] = {
             _P["text_repetition"],
             "'rep_shingle' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
             "doc_id AS key_n, dup_shingle_frac AS metric, n_shingles AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_pii_scrub"],
+            "'pii' AS mode, md5(text_redacted) AS key_s, c_custkey AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, "
+            "n_email * 10000 + n_phone * 100 + n_ipv4 AS n",
         )
     ),
     "f11_f12_schedule_safecast": """

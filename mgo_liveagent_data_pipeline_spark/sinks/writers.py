@@ -18,6 +18,12 @@ Scale notes baked in:
 * the merge is anti-join + unionByName — the standard non-transactional
   merge shape; the anti-join shuffles only the key column of the target
   thanks to column pruning until the union projection.
+* ``partitioned_upsert`` is the 100 TB MERGE: a manifest-bucketed table
+  where an upsert reads and rewrites ONLY the key-hash buckets containing
+  source keys — O(|delta| + |affected buckets|) I/O, matching the
+  reference's matched-rows-only BigQuery MERGE, where ``upsert`` /
+  ``versioned_upsert`` rewrite the whole table (kept as the small-table /
+  simple-layout paths).
 * before the overwrite the result is repartitionByRange on the key, so
   file sizes stay balanced and downstream key-range scans prune files
   (SURVEY §4: repartitionByRange before MERGE).
@@ -31,10 +37,13 @@ Scale notes baked in:
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import tempfile
+import threading
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -156,9 +165,15 @@ def _versioned_dir(base_dir: str, name: str) -> str:
 
 # Writer-lease tuning: a lease older than the TTL is presumed abandoned by
 # a crashed writer and is broken; contending writers poll at the retry
-# interval. The TTL must exceed the longest plausible write+flip.
+# interval. The holder heartbeats the lock's mtime at TTL/4, so a live
+# writer never goes stale no matter how long its write runs.
 _LEASE_TTL_S = 300.0
 _LEASE_RETRY_S = 0.05
+
+
+class LeaseLostError(RuntimeError):
+    """The writer's lease was broken (stolen as stale) before its commit
+    point — the publish is aborted instead of clobbering the thief's."""
 
 
 class WriterLease:
@@ -168,37 +183,102 @@ class WriterLease:
     (core/extract/helpers/extractor_bq_helpers.py:159-169).
 
     A blocked writer retries until the holder releases (or its lease goes
-    stale past ``_LEASE_TTL_S`` — a crashed holder cannot wedge the table
-    forever). Readers never take the lease: the pointer-file commit already
-    gives them a consistent snapshot. The lease only serializes WRITERS, so
+    stale past ``ttl`` — a crashed holder cannot wedge the table forever).
+    Readers never take the lease: the pointer-file commit already gives
+    them a consistent snapshot. The lease only serializes WRITERS, so
     concurrent ``versioned_upsert`` calls compose: each one reads the
     version the previous commit published, and no version number or pointer
     flip is ever raced.
+
+    Correctness hardening against the stat/unlink race:
+
+    * The lock carries a UNIQUE TOKEN (pid + uuid), not just a pid.
+    * ``__exit__`` unlinks only if the lock still holds OUR token — it can
+      never delete a successor's live lease.
+    * Stale leases are broken by an atomic ``rename`` to a contender-unique
+      name first: exactly one contender wins the rename, and the doomed
+      file's mtime is re-verified AFTER the rename — if a live holder
+      refreshed it in the stat→rename window, the lock is renamed back
+      instead of deleted.
+    * The holder runs a daemon heartbeat touching the lock's mtime every
+      ``ttl/4``, so a legitimate write longer than the TTL keeps its lease.
+    * Committers call ``owns()`` immediately before their pointer flip and
+      raise ``LeaseLostError`` instead of publishing if the lease was
+      stolen — the one anomaly the heartbeat can't rule out (a stop-the-
+      world pause longer than the TTL) aborts instead of losing an update.
     """
 
-    def __init__(self, vdir: str):
+    def __init__(self, vdir: str, ttl: float = _LEASE_TTL_S):
         self.path = os.path.join(vdir, "_LOCK")
+        self.ttl = ttl
+        self.token = f"{os.getpid()}-{uuid.uuid4().hex}"
+        self._stop = threading.Event()
+        self._hb: threading.Thread | None = None
+
+    def _read_token(self, path: str) -> str | None:
+        try:
+            with open(path) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def owns(self) -> bool:
+        """True iff the lock file still carries this lease's token."""
+        return self._read_token(self.path) == self.token
+
+    def _heartbeat(self) -> None:
+        while not self._stop.wait(self.ttl / 4):
+            try:
+                if self.owns():
+                    os.utime(self.path)
+            except OSError:
+                pass
+
+    def _break_stale(self) -> None:
+        # rename-then-verify-then-delete: the rename is atomic, so exactly
+        # one contender owns the doomed name; a lock refreshed between our
+        # stat and the rename belongs to a LIVE holder and is restored.
+        doomed = f"{self.path}.stale-{self.token}"
+        try:
+            os.rename(self.path, doomed)
+        except OSError:
+            return  # another contender won the break, or holder released
+        try:
+            if time.time() - os.stat(doomed).st_mtime > self.ttl:
+                os.unlink(doomed)
+            else:
+                os.rename(doomed, self.path)
+        except OSError:
+            pass
 
     def __enter__(self) -> "WriterLease":
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, self.token.encode())
                 os.close(fd)
+                self._stop.clear()
+                self._hb = threading.Thread(target=self._heartbeat, daemon=True)
+                self._hb.start()
                 return self
             except FileExistsError:
                 try:
-                    if time.time() - os.stat(self.path).st_mtime > _LEASE_TTL_S:
-                        os.unlink(self.path)  # break a stale lease
-                        continue
+                    stale = time.time() - os.stat(self.path).st_mtime > self.ttl
                 except FileNotFoundError:
                     continue  # holder released between open and stat
+                if stale:
+                    self._break_stale()
+                    continue
                 time.sleep(_LEASE_RETRY_S)
 
     def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._hb is not None:
+            self._hb.join(timeout=1.0)
         try:
-            os.unlink(self.path)
-        except FileNotFoundError:
+            if self.owns():
+                os.unlink(self.path)
+        except OSError:
             pass
 
 
@@ -219,8 +299,12 @@ def _allocate_version(vdir: str) -> tuple[int, list[int]]:
             continue
 
 
-def _publish_version(df: DataFrame, vdir: str, keep: int) -> str:
-    """Write a new version and flip the pointer. Caller holds the lease."""
+def _publish_version(
+    df: DataFrame, vdir: str, keep: int, lease: "WriterLease | None" = None
+) -> str:
+    """Write a new version and flip the pointer. Caller holds the lease;
+    passing it enables the pre-flip ownership check (``LeaseLostError``
+    instead of a lost update if the lease was stolen mid-write)."""
     new_v, existing = _allocate_version(vdir)
     vpath = os.path.join(vdir, f"v_{new_v}")
     df.write.mode("overwrite").parquet(vpath)
@@ -228,6 +312,12 @@ def _publish_version(df: DataFrame, vdir: str, keep: int) -> str:
     tmp = pointer + ".tmp"
     with open(tmp, "w") as f:
         f.write(f"v_{new_v}")
+    if lease is not None and not lease.owns():
+        os.unlink(tmp)
+        shutil.rmtree(vpath, ignore_errors=True)
+        raise LeaseLostError(
+            f"lease on {vdir} lost before pointer flip; aborting publish"
+        )
     os.replace(tmp, pointer)  # the atomic commit
     # prune versions older than the kept window (current + keep-1 before)
     for v in existing[: max(0, len(existing) - (keep - 1))]:
@@ -254,8 +344,8 @@ def versioned_write(df: DataFrame, base_dir: str, name: str, keep: int = 2) -> s
     """
     vdir = _versioned_dir(base_dir, name)
     os.makedirs(vdir, exist_ok=True)
-    with WriterLease(vdir):
-        return _publish_version(df, vdir, keep)
+    with WriterLease(vdir) as lease:
+        return _publish_version(df, vdir, keep, lease)
 
 
 def read_versioned(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
@@ -282,14 +372,220 @@ def versioned_upsert(
     """
     vdir = _versioned_dir(base_dir, name)
     os.makedirs(vdir, exist_ok=True)
-    with WriterLease(vdir):
+    with WriterLease(vdir) as lease:
         if not os.path.exists(os.path.join(vdir, "_CURRENT")):
-            return _publish_version(source, vdir, keep)
+            return _publish_version(source, vdir, keep, lease)
         target = read_versioned(spark, base_dir, name)
         merged = target.join(
             source.select(key).distinct(), on=key, how="left_anti"
         ).unionByName(source)
-        return _publish_version(merged, vdir, keep)
+        return _publish_version(merged, vdir, keep, lease)
+
+
+# --------------------------------------------------------------------------
+# Partition-pruned MERGE — the K4 scale path.
+#
+# The plain ``upsert``/``versioned_upsert`` rewrite the WHOLE table per
+# batch: O(|table|) I/O for a ≤10k-row delta, four times a day at the
+# reference's 6-hour cadence — the one scale-killer-class gap round 4
+# flagged. The reference's BigQuery MERGE touches only matched rows
+# (core/extract/helpers/extractor_bq_helpers.py:159-169); this scheme gets
+# the same O(|delta| + |affected partitions|) bound on plain parquet:
+#
+#   <table>.ptable/
+#     _MANIFEST            {"num_buckets": N, "buckets": {"3": "b3_v2", ...},
+#                           "retired": {"3": ["b3_v1"]}}   (atomic os.replace)
+#     b3_v2/  b17_v5/ ...  one parquet dir per (bucket, version)
+#
+# Rows are hash-bucketed by key (pmod(xxhash64(key), N) — deterministic, so
+# a key's bucket never moves). An upsert computes the source's affected
+# bucket ids (an O(N)-metadata collect, the same move Delta/Iceberg make
+# when they list touched files — never row data), reads ONLY those buckets'
+# current version dirs, merges, writes all affected buckets in ONE Spark
+# job (partitionBy on the bucket id), renames each staged bucket dir to its
+# next version, and commits by atomically replacing _MANIFEST. Untouched
+# buckets are never read, never rewritten — their files stay byte-identical
+# — and readers resolve the manifest so they see either the old complete
+# state or the new one (manifest-based partition pruning, the metadata
+# pattern Iceberg uses). ``retired`` keeps each bucket's previous version
+# for in-flight readers; older versions are pruned after the flip.
+# --------------------------------------------------------------------------
+
+_BUCKET_COL = "_pk_bucket"
+
+
+def _ptable_dir(base_dir: str, name: str) -> str:
+    return os.path.join(base_dir, f"{name}.ptable")
+
+
+def _bucket_expr(key: str, num_buckets: int):
+    # deterministic bucket id; xxhash64 is stable across Spark versions and
+    # partitionings, so a key's bucket is a permanent address
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+
+
+def _read_manifest(pdir: str) -> dict:
+    with open(os.path.join(pdir, "_MANIFEST")) as f:
+        return json.load(f)
+
+
+def read_partitioned(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    """Resolve ``_MANIFEST`` and read every bucket's current version dir.
+    A key-equality scan would pass only the relevant bucket paths here —
+    manifest pruning replaces directory listing at any scale."""
+    pdir = _ptable_dir(base_dir, name)
+    man = _read_manifest(pdir)
+    paths = [os.path.join(pdir, d) for d in man["buckets"].values()]
+    return spark.read.parquet(*paths)
+
+
+def partitioned_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    base_dir: str,
+    name: str,
+    key: str,
+    num_buckets: int = 64,
+    keep: int = 2,
+    shuffle_partitions: int | None = None,
+) -> str:
+    """K4 MERGE that rewrites ONLY the key-hash buckets containing source
+    keys. Same idempotent replace-matched/insert-new semantics as
+    ``upsert`` (proven equal by test); I/O is O(|delta| + |affected
+    buckets|) instead of O(|table|).
+
+    ``num_buckets`` is fixed at table creation (the manifest's value wins
+    thereafter). Size it so one bucket ≈ a few GB at the target scale —
+    at 100 TB with 4k buckets a 10k-row delta hitting ≤10k distinct keys
+    touches at most min(10k, 4k) buckets ≈ 25 GB rewritten vs 100 TB.
+    ``shuffle_partitions`` controls output files per affected-bucket write
+    (default: one shuffle partition per bucket → one file per bucket).
+    The whole read-merge-publish runs under ``WriterLease`` with a
+    pre-flip ownership check, like ``versioned_upsert``.
+    """
+    pdir = _ptable_dir(base_dir, name)
+    os.makedirs(pdir, exist_ok=True)
+    with WriterLease(pdir) as lease:
+        manifest_path = os.path.join(pdir, "_MANIFEST")
+        if os.path.exists(manifest_path):
+            man = _read_manifest(pdir)
+        else:
+            man = {"num_buckets": num_buckets, "buckets": {}, "retired": {}}
+        nb = int(man["num_buckets"])
+        src = source.withColumn(_BUCKET_COL, _bucket_expr(key, nb))
+        # tiny metadata collect: ≤ num_buckets ints, never row data — the
+        # same driver-side step as Delta's touched-file listing
+        affected = sorted(
+            r[0] for r in src.select(_BUCKET_COL).distinct().collect()
+        )
+        if not affected:
+            return pdir
+        cur = [
+            os.path.join(pdir, man["buckets"][str(b)])
+            for b in affected
+            if str(b) in man["buckets"]
+        ]
+        if cur:
+            target = spark.read.parquet(*cur)
+            merged = (
+                target.join(source.select(key).distinct(), on=key, how="left_anti")
+                .withColumn(_BUCKET_COL, _bucket_expr(key, nb))
+                .unionByName(src)
+            )
+        else:
+            merged = src
+        if shuffle_partitions:
+            merged = merged.repartition(shuffle_partitions, F.col(_BUCKET_COL))
+        else:
+            merged = merged.repartition(F.col(_BUCKET_COL))
+        staging = tempfile.mkdtemp(dir=pdir, prefix=".staging_")
+        try:
+            # ONE job writes every affected bucket (partitionBy splits the
+            # staging dir per bucket; the bucket col stays out of the data
+            # files, so bucket dirs read back with the table schema)
+            merged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
+                staging
+            )
+            new_buckets = dict(man["buckets"])
+            retired = {k: list(v) for k, v in man.get("retired", {}).items()}
+            dropped: list[str] = []
+            for b in affected:
+                part_src = os.path.join(staging, f"{_BUCKET_COL}={b}")
+                if not os.path.isdir(part_src):  # pragma: no cover - defensive
+                    continue
+                old = new_buckets.get(str(b))
+                v = int(old.rsplit("_v", 1)[1]) + 1 if old else 1
+                dest = f"b{b}_v{v}"
+                os.rename(part_src, os.path.join(pdir, dest))
+                new_buckets[str(b)] = dest
+                if old:
+                    window = [old] + retired.get(str(b), [])
+                    retired[str(b)], extra = window[: keep - 1], window[keep - 1 :]
+                    dropped.extend(extra)
+            man2 = {"num_buckets": nb, "buckets": new_buckets, "retired": retired}
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(man2, f)
+            if not lease.owns():
+                os.unlink(tmp)
+                raise LeaseLostError(
+                    f"lease on {pdir} lost before manifest flip; aborting"
+                )
+            os.replace(tmp, manifest_path)  # the atomic commit
+            # prune only AFTER the flip — in-flight readers of the previous
+            # manifest still resolve dirs inside the keep window
+            for d in dropped:
+                shutil.rmtree(os.path.join(pdir, d), ignore_errors=True)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    return pdir
+
+
+def table_lease(base_dir: str, name: str, ttl: float = _LEASE_TTL_S) -> WriterLease:
+    """Writer lease for a flat (non-versioned) table — the lock lives in a
+    sibling ``<table>.parquet.lock/`` dir so ``_atomic_overwrite``'s
+    directory swap can never delete the lock out from under its holder."""
+    lock_dir = table_path(base_dir, name) + ".lock"
+    os.makedirs(lock_dir, exist_ok=True)
+    return WriterLease(lock_dir, ttl=ttl)
+
+
+def compact(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    max_files: int = 64,
+    target_files: int = 8,
+) -> int:
+    """Small-file compaction for the append sinks: ``append`` /
+    ``history_append`` add one file set per batch forever (~1.5k files/year
+    per table at the reference's 6-hour cadence), and parquet scan setup
+    degrades linearly in file count. When the table holds more than
+    ``max_files`` part files, rewrite it into ``target_files`` via the
+    atomic-overwrite swap, under the table's writer lease so a concurrent
+    compactor can't race (appenders in a multi-writer deployment must take
+    ``table_lease`` around their batch too — plain parquet has no
+    append/compact transaction isolation; that is Delta's job in the
+    documented production cutover).
+
+    Returns the number of part files after the call (unchanged if the
+    table was already under the threshold).
+    """
+    path = table_path(base_dir, name)
+
+    def _n_parts() -> int:
+        return sum(
+            1 for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    with table_lease(base_dir, name):
+        n = _n_parts()
+        if n <= max_files:
+            return n
+        df = spark.read.parquet(path)
+        _atomic_overwrite(df.repartition(target_files), path)
+        return _n_parts()
 
 
 def write_bucketed(

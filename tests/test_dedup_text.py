@@ -362,6 +362,37 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert rows[3]["text_redacted"] == "nothing sensitive here 123-45"
 
 
+def test_pii_scrub_phone_formats(spark):
+    """Round-4 mandate: the phone pattern covers the common PH/intl
+    free-form shapes, while ISO dates stay unredacted."""
+    from mgo_liveagent_data_pipeline_spark.operators.textops import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at +639171234567 today"),
+            (2, "landline (02) 8888-8888 after 5pm"),
+            (3, "mobile 0917-123-4567 or 0917 123 4567"),
+            (4, "meeting on 2024-01-15 at 10:30 sharp"),
+            (5, "ref 12345678901234567 is an id, not a phone"),
+            (6, "(02)8888-8888 works without the space"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_phone"] == 1
+    assert rows[1]["text_redacted"] == "reach me at <PHONE> today"
+    assert rows[2]["n_phone"] == 1
+    assert rows[2]["text_redacted"] == "landline <PHONE> after 5pm"
+    assert rows[3]["n_phone"] == 2
+    assert rows[3]["text_redacted"] == "mobile <PHONE> or <PHONE>"
+    # dates and long opaque ids are NOT phone numbers
+    assert rows[4]["n_phone"] == 0
+    assert rows[4]["text_redacted"] == "meeting on 2024-01-15 at 10:30 sharp"
+    assert rows[5]["n_phone"] == 0
+    assert rows[6]["n_phone"] == 1
+    assert rows[6]["text_redacted"] == "<PHONE> works without the space"
+
+
 def test_ivf_kmeans_centroids_balance_and_determinism(spark):
     """One Lloyd iteration from the deterministic seeds: posting lists stay
     non-degenerate (no empty cluster, no mega-cluster), the refinement is

@@ -217,3 +217,219 @@ def test_versioned_upsert_concurrent_writers(spark, tmp_path):
     cur = open(os.path.join(vdir, "_CURRENT")).read()
     assert os.path.isdir(os.path.join(vdir, cur))
     assert not os.path.exists(os.path.join(vdir, "_LOCK"))  # lease released
+
+
+# ------------------------------------------------------ partitioned MERGE
+def _file_inventory(root):
+    """relpath -> (mtime_ns, size, content-digest) for every file under root."""
+    import hashlib
+
+    inv = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            with open(p, "rb") as fh:
+                digest = hashlib.sha1(fh.read()).hexdigest()
+            inv[os.path.relpath(p, root)] = (st.st_mtime_ns, st.st_size, digest)
+    return inv
+
+
+def test_partitioned_upsert_equals_flat_merge(spark, tmp_path):
+    """The bucket-pruned MERGE produces the identical table state as the
+    whole-table merge — same keys, same replaced values, idempotent."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        partitioned_upsert,
+        read_partitioned,
+    )
+
+    tmp = str(tmp_path)
+    base = spark.range(0, 500).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    src = spark.createDataFrame(
+        [(7, "NEW"), (123, "NEW"), (9999, "INS")], ["id", "v"]
+    )
+    # flat reference result
+    overwrite(base, tmp, "flat")
+    upsert(spark, src, tmp, "flat", "id")
+    want = sorted(map(tuple, read(spark, tmp, "flat").collect()))
+    # partitioned result, merged twice (idempotent)
+    partitioned_upsert(spark, base, tmp, "pt", "id", num_buckets=8)
+    partitioned_upsert(spark, src, tmp, "pt", "id")
+    partitioned_upsert(spark, src, tmp, "pt", "id")
+    got = sorted(map(tuple, read_partitioned(spark, tmp, "pt").collect()))
+    assert got == want
+
+
+def test_partitioned_upsert_leaves_untouched_buckets_byte_identical(
+    spark, tmp_path
+):
+    """The round-4 scale mandate: a small delta rewrites ONLY the buckets
+    containing its keys — every other bucket's files survive bit-for-bit
+    (mtime, size, and content unchanged)."""
+    import json as _json
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _ptable_dir,
+        partitioned_upsert,
+        read_partitioned,
+    )
+
+    tmp = str(tmp_path)
+    base = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    partitioned_upsert(spark, base, tmp, "pt", "id", num_buckets=16)
+    pdir = _ptable_dir(tmp, "pt")
+    with open(os.path.join(pdir, "_MANIFEST")) as f:
+        man_before = _json.load(f)
+    inv_before = _file_inventory(pdir)
+
+    # ~0.3% of keys — touches a strict subset of the 16 buckets
+    src = spark.createDataFrame([(5, -1), (42, -1), (777, -1)], ["id", "v"])
+    partitioned_upsert(spark, src, tmp, "pt", "id")
+
+    with open(os.path.join(pdir, "_MANIFEST")) as f:
+        man_after = _json.load(f)
+    changed = {
+        b for b in man_after["buckets"]
+        if man_after["buckets"][b] != man_before["buckets"].get(b)
+    }
+    unchanged = set(man_before["buckets"]) - changed
+    assert changed, "delta must touch at least one bucket"
+    assert unchanged, "delta must leave most buckets untouched"
+    assert len(changed) <= 3  # ≤ one bucket per distinct source key
+
+    inv_after = _file_inventory(pdir)
+    for b in unchanged:
+        d = man_before["buckets"][b]
+        before = {k: v for k, v in inv_before.items() if k.startswith(d + os.sep)}
+        after = {k: v for k, v in inv_after.items() if k.startswith(d + os.sep)}
+        assert before == after, f"bucket {b} files changed: {d}"
+
+    rows = {r["id"]: r["v"] for r in read_partitioned(spark, tmp, "pt").collect()}
+    assert rows[5] == -1 and rows[42] == -1 and rows[777] == -1
+    assert rows[6] == 12 and len(rows) == 1000
+
+
+def test_partitioned_upsert_inserts_new_bucket_and_prunes_versions(
+    spark, tmp_path
+):
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _ptable_dir,
+        partitioned_upsert,
+        read_partitioned,
+    )
+
+    tmp = str(tmp_path)
+    # seed with TWO keys only: most buckets start absent
+    seed_df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    partitioned_upsert(spark, seed_df, tmp, "pt", "id", num_buckets=32, keep=2)
+    # insert keys landing in fresh buckets, thrice (forces version churn)
+    for tag in ("x", "y", "z"):
+        src = spark.createDataFrame([(1, tag), (500 + len(tag), tag)], ["id", "v"])
+        partitioned_upsert(spark, src, tmp, "pt", "id", keep=2)
+    rows = {r["id"]: r["v"] for r in read_partitioned(spark, tmp, "pt").collect()}
+    assert rows[1] == "z" and rows[2] == "b"
+    # keep=2: at most current + one retired version dir per bucket
+    pdir = _ptable_dir(tmp, "pt")
+    import collections
+    per_bucket = collections.Counter(
+        d.split("_v")[0] for d in os.listdir(pdir)
+        if d.startswith("b") and "_v" in d
+    )
+    assert all(n <= 2 for n in per_bucket.values()), per_bucket
+
+
+# ----------------------------------------------------------- lease hardening
+def test_lease_exit_never_unlinks_successor_lock(tmp_path):
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import WriterLease
+
+    vdir = str(tmp_path)
+    lease = WriterLease(vdir)
+    with lease:
+        # simulate a thief replacing the lock mid-hold
+        with open(lease.path, "w") as f:
+            f.write("someone-else")
+    # __exit__ must have left the foreign lock alone
+    assert open(lease.path).read() == "someone-else"
+    os.unlink(lease.path)
+
+
+def test_lease_heartbeat_keeps_long_write_alive(tmp_path):
+    """A legitimate hold longer than the TTL is NOT stolen: the holder's
+    heartbeat refreshes the lock mtime, so a contender waits for the real
+    release instead of breaking the lease mid-write."""
+    import threading
+    import time as _time
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import WriterLease
+
+    vdir = str(tmp_path)
+    release = threading.Event()
+    held_past_ttl = threading.Event()
+    acquired_at: list[float] = []
+
+    def holder():
+        with WriterLease(vdir, ttl=0.4):
+            _time.sleep(1.0)  # 2.5× the TTL; heartbeat fires every 0.1 s
+            held_past_ttl.set()
+        release.set()
+
+    def contender():
+        with WriterLease(vdir, ttl=0.4):
+            acquired_at.append(_time.monotonic())
+
+    t1 = threading.Thread(target=holder)
+    t1.start()
+    _time.sleep(0.1)
+    t2 = threading.Thread(target=contender)
+    t2.start()
+    t1.join()
+    t2.join()
+    assert held_past_ttl.is_set()
+    assert release.is_set()
+    assert acquired_at, "contender eventually acquired"
+
+
+def test_publish_aborts_on_stolen_lease(spark, tmp_path):
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        LeaseLostError,
+        WriterLease,
+        _publish_version,
+    )
+
+    vdir = str(tmp_path)
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    lease = WriterLease(vdir)
+    with lease:
+        with open(lease.path, "w") as f:
+            f.write("thief")  # lease stolen mid-write
+        with pytest.raises(LeaseLostError):
+            _publish_version(df, vdir, keep=2, lease=lease)
+        assert not os.path.exists(os.path.join(vdir, "_CURRENT"))
+    os.unlink(os.path.join(vdir, "_LOCK"))
+
+
+# --------------------------------------------------------------- compaction
+def test_compact_append_sink(spark, tmp_path):
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import compact
+
+    tmp = str(tmp_path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).repartition(2)
+    for _ in range(6):
+        append(df, tmp, "t")
+    path = table_path(tmp, "t")
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 12
+    # under threshold: no-op
+    assert compact(spark, tmp, "t", max_files=100) == n_before
+    # over threshold: rewritten into target_files
+    n_after = compact(spark, tmp, "t", max_files=5, target_files=2)
+    assert n_after <= 2
+    assert read(spark, tmp).count() == 12
+    got = read(spark, tmp).groupBy("id").count().collect()
+    assert {(r["id"], r["count"]) for r in got} == {(1, 6), (2, 6)}
