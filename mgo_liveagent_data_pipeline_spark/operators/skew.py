@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _row_salt(df: DataFrame, salt_buckets: int) -> Column:
+def _row_salt(salt_buckets: int) -> Column:
     """Per-row salt in [0, salt_buckets) that (a) varies WITHIN an input
     partition — so a hot key spreads even when the input arrives clustered
     by that key (one partition = one key, what a prior
@@ -28,7 +28,13 @@ def _row_salt(df: DataFrame, salt_buckets: int) -> Column:
     pruning, turning a 2-column aggregation scan into a full-width scan —
     the exact anti-pattern the plan auditor flags. The salt only routes
     rows to stage-1 partials; results are salt-invariant, so layout
-    dependence is harmless."""
+    dependence is harmless.
+
+    Known trade, documented: the expression is NONDETERMINISTIC, so
+    Catalyst will not push later predicates below the salt projection —
+    filters that must reach the scan (join-key IsNotNull, caller
+    predicates) have to be applied BEFORE salting. ``salted_join`` does
+    exactly that for the null-key filter its join implies."""
     return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
 
 
@@ -64,7 +70,7 @@ def salted_sum(
     unknown = set(recombine) - set(agg_cols)
     if unknown:
         raise ValueError(f"recombine names not in agg_cols: {sorted(unknown)}")
-    salt = _row_salt(df, salt_buckets).alias("__salt")
+    salt = _row_salt(salt_buckets).alias("__salt")
     stage1 = (
         df.withColumn("__salt", salt)
         .groupBy(*key_cols, "__salt")
@@ -98,6 +104,14 @@ def salted_join(
     Only joins that preserve at most the *skewed* side are allowed: with a
     right/full (or other ``other``-preserving) join, unmatched ``other``
     rows would surface once per replica — ``salt_buckets`` duplicates.
+
+    Because the salt expression is nondeterministic, Catalyst cannot push
+    the join's implied ``IsNotNull(key)`` below the salt projection — so
+    for null-discarding joins (inner/semi) the null-key filter is applied
+    HERE, before salting, restoring the pushed scan filter the plain join
+    would have had. Null-preserving joins (left/anti) keep their null-key
+    rows: they never match anyway, and dropping them would change the
+    result.
     """
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
                "leftsemi", "left_anti", "leftanti", "semi", "anti"}
@@ -107,7 +121,9 @@ def salted_join(
             "an other-preserving join would duplicate unmatched rows "
             "salt_buckets times"
         )
-    skewed_s = skewed.withColumn("__salt", _row_salt(skewed, salt_buckets))
+    if how in {"inner", "left_semi", "leftsemi", "semi"}:
+        skewed = skewed.where(F.col(key).isNotNull())
+    skewed_s = skewed.withColumn("__salt", _row_salt(salt_buckets))
     other_r = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

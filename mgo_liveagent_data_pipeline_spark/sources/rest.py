@@ -157,15 +157,20 @@ class IncrementalCursor:
         ``date_changed`` format). Parsing — rather than comparing raw
         strings — means an unpadded or epoch-numeric watermark fails loudly
         here instead of silently stalling or corrupting the cursor via
-        lexicographic comparison."""
-        from datetime import datetime
+        lexicographic comparison. Offset-less values are assumed UTC (the
+        reference treats LiveAgent timestamps as UTC before the Manila
+        conversion), so a mid-stream API switch to '+00:00'-suffixed
+        watermarks compares against the stored naive cursor instead of
+        raising TypeError after the sink already committed."""
+        from datetime import datetime, timezone
 
         try:
-            return datetime.fromisoformat(str(watermark))
+            dt = datetime.fromisoformat(str(watermark))
         except ValueError as e:
             raise ValueError(
                 f"incremental watermark must be ISO-8601, got {watermark!r}"
             ) from e
+        return dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
 
     def advance(self, new_watermark: str) -> None:
         """Commit the new high-watermark — call after the sink commits.

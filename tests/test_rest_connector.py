@@ -383,3 +383,19 @@ def test_incremental_cursor_parses_not_string_compares(tmp_path):
     with pytest.raises(ValueError, match="ISO-8601"):
         cur.advance("1704844800")  # epoch seconds
     assert cur.value() == "2024-01-10 06:00:00"
+
+
+def test_incremental_cursor_mixed_tz_watermarks(tmp_path):
+    """An API that starts emitting '+00:00'-suffixed watermarks mid-stream
+    must compare against the stored naive cursor (assumed UTC) instead of
+    raising TypeError after the sink already committed."""
+    from mgo_liveagent_data_pipeline_spark.sources.rest import IncrementalCursor
+
+    cur = IncrementalCursor(str(tmp_path), "tickets")
+    cur.advance("2024-01-10 00:00:00")          # naive
+    cur.advance("2024-01-11T00:00:00+00:00")    # aware — must not throw
+    assert cur.value() == "2024-01-11T00:00:00+00:00"
+    cur.advance("2024-01-10T12:00:00")           # naive, behind: no-op
+    assert cur.value() == "2024-01-11T00:00:00+00:00"
+    cur.advance("2024-01-12T00:00:00+08:00")     # aware with offset, ahead
+    assert cur.value() == "2024-01-12T00:00:00+08:00"

@@ -105,7 +105,7 @@ def test_salted_sum_spreads_key_clustered_input(spark):
     from mgo_liveagent_data_pipeline_spark.operators.skew import _row_salt
 
     stage1_salts = (
-        df.withColumn("__salt", _row_salt(df, 4))
+        df.withColumn("__salt", _row_salt(4))
         .where(F.col("k") == "hot")
         .select("__salt")
         .distinct()
@@ -133,3 +133,17 @@ def test_salted_join_matches_plain(spark):
     salted = salted_join(big, dim, "k", salt_buckets=4).orderBy("payload")
     plain = big.join(dim, "k").orderBy("payload")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_null_keys(spark):
+    """Inner/semi prefilter drops null keys BEFORE the salt (restoring the
+    scan-level IsNotNull pushdown); left joins preserve null-key rows."""
+    big = spark.createDataFrame(
+        [(1, "a"), (None, "n1"), (None, "n2")], ["k", "payload"]
+    )
+    dim = spark.createDataFrame([(1, "one")], ["k", "name"])
+    inner = salted_join(big, dim, "k", salt_buckets=4)
+    assert sorted(map(tuple, inner.collect())) == [(1, "a", "one")]
+    left = salted_join(big, dim, "k", salt_buckets=4, how="left")
+    got = sorted(map(tuple, left.collect()), key=str)
+    assert (1, "a", "one") in got and len(got) == 3  # null rows preserved
