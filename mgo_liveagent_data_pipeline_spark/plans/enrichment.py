@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..enrich.convo import analyze_conversations
-from ..enrich.gateway import StubGateway
+from ..enrich.gateway import FailingGateway, FallbackGateway, StubGateway
 from ..functions.datetimes import fuse_schedule
 from ..operators.joins import two_phase_similarity_join
 from ..operators.multimodal import decode_image_meta, to_media_column
@@ -25,11 +25,19 @@ from ..sources.tables import load_table
 
 
 def q_u1_convo_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1+A5+P10+F11: per-user conversation assembly → stub LLM → typed
-    whitelist row → schedule fusion."""
+    """U1+A5+P10+F11: per-user conversation assembly → LLM gateway →
+    typed whitelist row → schedule fusion.
+
+    The gateway is the full model-fallback chain (core/LLMGateway.py:39-42
+    gpt-4o-mini → gemini-2.5-flash): the always-raising primary forces
+    EVERY completion through the fallback path, and the oracle's
+    ``model = 'stub-v1'`` column asserts the secondary's attribution on
+    every row — the chain is driver-checked end-to-end, with zero
+    ANALYSIS_FAILED rows (both links would have to fail for one)."""
     ship_package(spark)
     events = load_table(spark, sf_dir, "events")
-    out = analyze_conversations(events, StubGateway(), key_col="user_id")
+    gateway = FallbackGateway(FailingGateway(), StubGateway())
+    out = analyze_conversations(events, gateway, key_col="user_id")
     return out.withColumn(
         "schedule_ts",
         fuse_schedule(F.col("schedule_date"), F.col("schedule_time")),
