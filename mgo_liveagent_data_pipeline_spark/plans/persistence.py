@@ -86,29 +86,37 @@ def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table_path(base_dir, "nation_cur_history"))
 
 
-def q_stream_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_tumbling_6h(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
     """§2.8 streaming: 6-hour tumbling windows via readStream + watermark
     + AvailableNow; equals the batch bucketing expression (shared oracle
-    shape with f8)."""
-    return stream_tumbling_6h(spark, sf_dir, n_state_partitions=1)
+    shape with f8). ``n_state_partitions=None`` inherits the session
+    value — the stream_suite fan-out sets it ONCE for all members (a
+    per-member conf mutation would race across its threads)."""
+    return stream_tumbling_6h(spark, sf_dir, n_state_partitions=n_state_partitions)
 
 
-def q_stream_append_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_append_6h(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
     """§2.8 production output mode: append — each window emitted exactly
     once when the watermark passes its end; still-open windows withheld.
     The oracle applies the same cutoff (window_end ≤ max(ts) − 1h)."""
     from ..streaming.windows import stream_append_6h
 
-    return stream_append_6h(spark, sf_dir, n_state_partitions=1)
+    return stream_append_6h(spark, sf_dir, n_state_partitions=n_state_partitions)
 
 
-def q_stream_dedup_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_dedup_6h(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 2
+) -> DataFrame:
     """§2.8 stateful streaming dedup: every event delivered twice,
     dropDuplicatesWithinWatermark collapses redelivery, window counts
     must equal the single-copy batch oracle."""
     from ..streaming.windows import stream_dedup_6h
 
-    return stream_dedup_6h(spark, sf_dir, n_state_partitions=2)
+    return stream_dedup_6h(spark, sf_dir, n_state_partitions=n_state_partitions)
 
 
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,13 +125,17 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(events, "ts", "user_id", "30 minutes")
 
 
-def q_stream_upsert_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_upsert_6h(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
     """§2.8 production path: streaming windowed agg foreachBatch-upserted
     into a parquet table, read back — exactly-once incremental MERGE."""
     from ..streaming.windows import stream_upsert_6h
 
     base_dir = tempfile.mkdtemp(prefix="mgo_stream_sink_")
-    path = stream_upsert_6h(spark, sf_dir, base_dir, n_state_partitions=1)
+    path = stream_upsert_6h(
+        spark, sf_dir, base_dir, n_state_partitions=n_state_partitions
+    )
     return spark.read.parquet(path)
 
 

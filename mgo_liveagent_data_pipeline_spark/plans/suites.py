@@ -442,27 +442,40 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice, dropDuplicatesWithinWatermark must collapse it), and
     30-minute-gap session windows.
 
-    The four streaming members run sequentially on purpose: a thread-pool
-    fan-out was measured SLOWER (14.9 s vs 11.8 s cold — four concurrent
-    AvailableNow micro-batch executions contend on the scheduler and
-    driver), so the suite optimizes the per-member fixed cost instead:
-    memoized source staging, state-store partition counts sized to each
-    member's key cardinality (~120 windows → 1; 10k dedup keys → 2),
-    shared-memory checkpoints for these run-to-completion queries, and an
-    empty-target fast path in the foreachBatch MERGE. Measured floor after
-    all of that: ~5 s warm (was 11.8 s) — each suite run is a FRESH
-    streaming query per member with its own checkpoint and state-store
-    instantiation (~0.5-1 s per stateful query, on top of a measured
-    ~0.35 s stateless AvailableNow floor), which cannot be amortized
-    across runs without reusing checkpoints, i.e. not within the driver's
-    fresh-run contract."""
+    The four streaming members run CONCURRENTLY via a thread pool: each is
+    an independent run-to-completion AvailableNow query, so their fixed
+    costs (checkpoint + state-store instantiation, ~0.5-1 s per stateful
+    query) overlap instead of summing. Round 3 measured fan-out slower
+    (14.9 s vs 11.8 s cold) and went sequential; after the round-4 fixed-
+    cost work (memoized source staging, shared-memory checkpoints, sized
+    state stores, empty-target MERGE fast path) the members are cheap
+    enough that the round-5 re-measurement flipped it: fan-out 7.3 s cold /
+    2.2 s warm vs 11.1 s / 4.9 s sequential at sf0.01. The
+    ``spark.sql.shuffle.partitions`` state-store sizing is applied ONCE
+    around the whole fan-out (members get ``n_state_partitions=None``) —
+    per-member conf mutation would race across threads and could leave the
+    session conf corrupted for later queries. One partition per member
+    measured fastest under the fan-out (6.5 s vs 6.8 s at 2, 9.9 s at 4,
+    cold sf0.01): with four queries already running in parallel, extra
+    state-store instances per query are pure setup cost at gate-scale key
+    counts; production streams size ``n_state_partitions`` to their key
+    cardinality / cluster as the member docstrings describe."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..streaming.windows import state_partitions
+
     members = (
         ("tumbling", persistence.q_stream_tumbling_6h),
         ("append", persistence.q_stream_append_6h),
         ("upsert", persistence.q_stream_upsert_6h),
         ("dedup", persistence.q_stream_dedup_6h),
     )
-    done = [fn(spark, sf_dir) for _tag, fn in members]
+    with state_partitions(spark, 1), ThreadPoolExecutor(len(members)) as ex:
+        done = list(
+            ex.map(
+                lambda m: m[1](spark, sf_dir, n_state_partitions=None), members
+            )
+        )
     parts = [
         df.select(
             F.lit(tag).alias("mode"),

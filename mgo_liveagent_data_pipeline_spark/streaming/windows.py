@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 import tempfile
 from contextlib import contextmanager
 
@@ -46,16 +47,26 @@ def state_partitions(spark: SparkSession, n: int | None):
         spark.conf.set(key, old)
 
 
-def _ephemeral_checkpoint() -> str:
+@contextmanager
+def _checkpoint(checkpoint_dir: str | None):
     """Checkpoint dir for run-to-completion (AvailableNow) queries whose
     sink cannot resume anyway (memory sink) or whose sink is idempotent
     (MERGE upsert — reprocessing re-emits the same rows): the offset/commit
     log has no durability value, so it goes on shared memory when available
-    and skips the per-batch fsync-to-disk cost (~0.13 s/query measured).
-    Production resumable streams pass an explicit durable ``checkpoint_dir``
-    instead."""
+    and skips the per-batch fsync-to-disk cost (~0.13 s/query measured) —
+    and is REMOVED once the query terminates (a RAM-backed dir leaked per
+    query would accumulate across suite/bench runs). Production resumable
+    streams pass an explicit durable ``checkpoint_dir``, which is left
+    untouched."""
+    if checkpoint_dir is not None:
+        yield checkpoint_dir
+        return
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix="mgo_ckpt_", dir=base)
+    d = tempfile.mkdtemp(prefix="mgo_ckpt_", dir=base)
+    try:
+        yield d
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _as_stream_dir(path: str) -> str:
@@ -135,12 +146,14 @@ def stream_tumbling_6h(
         )
     )
     name = f"mgo_stream_6h_{os.getpid()}_{next(_MEMSINK_IDS)}"
-    with state_partitions(spark, n_state_partitions):
+    with state_partitions(spark, n_state_partitions), _checkpoint(
+        checkpoint_dir
+    ) as ckpt:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", checkpoint_dir or _ephemeral_checkpoint())
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -181,12 +194,14 @@ def stream_append_6h(
         )
     )
     name = f"mgo_stream_append_{os.getpid()}_{next(_MEMSINK_IDS)}"
-    with state_partitions(spark, n_state_partitions):
+    with state_partitions(spark, n_state_partitions), _checkpoint(
+        checkpoint_dir
+    ) as ckpt:
         q = (
             agg.writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", checkpoint_dir or _ephemeral_checkpoint())
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -231,11 +246,13 @@ def stream_upsert_6h(
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         upsert(spark, batch_df, base_dir, sink_name, "window_start")
 
-    with state_partitions(spark, n_state_partitions):
+    with state_partitions(spark, n_state_partitions), _checkpoint(
+        checkpoint_dir
+    ) as ckpt:
         q = (
             agg.writeStream.outputMode("update")
             .foreachBatch(merge_batch)
-            .option("checkpointLocation", checkpoint_dir or _ephemeral_checkpoint())
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -281,12 +298,14 @@ def stream_dedup_6h(
         )
     )
     name = f"mgo_stream_dedup_{os.getpid()}_{next(_MEMSINK_IDS)}"
-    with state_partitions(spark, n_state_partitions):
+    with state_partitions(spark, n_state_partitions), _checkpoint(
+        checkpoint_dir
+    ) as ckpt:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", checkpoint_dir or _ephemeral_checkpoint())
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
