@@ -82,6 +82,116 @@ class FailingGateway:
         raise RuntimeError("gateway unavailable")
 
 
+class HttpGateway:
+    """Production transport: an OpenAI-style ``/chat/completions`` HTTP
+    client mirroring the reference's litellm call
+    (core/LLMGateway.py:85-118: temperature-0.8 completion, JSON response
+    format, content parsed as JSON, usage.total_tokens and the
+    server-reported model extracted). Stdlib urllib only — the callable
+    cloudpickles into Spark python workers like every gateway here.
+
+    Behavior matched to the reference:
+
+    * request body: model + single-user-message prompt + ``temperature``
+      (default 0.8, the reference's constructor default) +
+      ``response_format={"type": "json_object"}``.
+    * response: ``choices[0].message.content`` must itself parse as JSON
+      (core/LLMGateway.py:97-103 raises on JSONDecodeError) — a
+      non-JSON completion raises, so a wrapping ``FallbackGateway``
+      routes to its next link exactly like the reference's model chain.
+    * return tuple: (content_json_text, usage.total_tokens,
+      response.model) — the server-attributed model name, falling back
+      to the requested one.
+
+    On top (the part litellm did for the reference): bounded retry with
+    exponential backoff on transport errors and retryable statuses
+    (429/5xx), non-retryable 4xx raise immediately. ``transport`` is
+    injectable for tests (same pattern as the REST connector's
+    ``_http_fetch``); the default is a stdlib urlopen POST. Chain two of
+    these inside ``FallbackGateway`` for the reference's full
+    gpt-4o-mini → gemini-2.5-flash cascade.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str = "gpt-4o-mini",
+        api_key: str = "",
+        temperature: float = 0.8,
+        max_retries: int = 3,
+        backoff_s: float = 0.2,
+        transport=None,
+        sleep=None,
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.api_key = api_key
+        self.temperature = temperature
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.transport = transport
+        self.sleep = sleep
+
+    # retryable: transient transport trouble; 4xx (minus 429) are permanent
+    _RETRY_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+    def _post(self, body: bytes) -> bytes:
+        if self.transport is not None:
+            return self.transport(body)
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.base_url}/chat/completions",
+            data=body,
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.read()
+
+    def __call__(self, prompt: str) -> tuple[str, int, str]:
+        import time as _time
+        import urllib.error
+
+        body = json.dumps(
+            {
+                "model": self.model,
+                "messages": [{"role": "user", "content": prompt}],
+                "temperature": self.temperature,
+                "response_format": {"type": "json_object"},
+            }
+        ).encode("utf-8")
+        sleep = self.sleep if self.sleep is not None else _time.sleep
+        last: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                raw = self._post(body)
+                break
+            except urllib.error.HTTPError as e:
+                last = e
+                if e.code not in self._RETRY_STATUSES:
+                    raise
+            except (urllib.error.URLError, OSError, TimeoutError) as e:
+                last = e
+            if attempt < self.max_retries - 1:
+                sleep(self.backoff_s * (2 ** attempt))
+        else:
+            raise RuntimeError(
+                f"LLM endpoint unreachable after {self.max_retries} tries"
+            ) from last
+
+        resp = json.loads(raw.decode("utf-8"))
+        content = resp["choices"][0]["message"]["content"]
+        json.loads(content)  # reference contract: content must be JSON
+        usage = resp.get("usage") or {}
+        tokens = int(usage.get("total_tokens", 0))
+        model = resp.get("model") or self.model
+        return content, tokens, model
+
+
 class FallbackGateway:
     """Model-fallback chain — the reference tries its primary model and,
     on any exception, retries the completion against a secondary before
