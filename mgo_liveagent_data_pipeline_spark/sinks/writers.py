@@ -439,6 +439,40 @@ def read_partitioned(spark: SparkSession, base_dir: str, name: str) -> DataFrame
     return spark.read.parquet(*paths)
 
 
+def read_partitioned_for_keys(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    keys: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Manifest-pruned point lookup: read ONLY the buckets that can contain
+    the given keys (same deterministic bucket hash as the writer), then
+    semi-join down to exact key matches. For a k-key probe against an
+    n-bucket table this scans min(k, n) buckets — at 100 TB with 4k
+    buckets, a 100-key lookup reads ~100/4000 of the table instead of all
+    of it. The bucket-id collect is O(min(k, n)) ints of metadata, the
+    same move the upsert makes."""
+    pdir = _ptable_dir(base_dir, name)
+    man = _read_manifest(pdir)
+    nb = int(man["num_buckets"])
+    wanted = keys.select(F.col(key)).distinct()
+    affected = sorted(
+        r[0]
+        for r in wanted.select(_bucket_expr(key, nb).alias("b"))
+        .distinct()
+        .collect()
+    )
+    paths = [
+        os.path.join(pdir, man["buckets"][str(b)])
+        for b in affected
+        if str(b) in man["buckets"]
+    ]
+    if not paths:
+        return read_partitioned(spark, base_dir, name).limit(0)
+    return spark.read.parquet(*paths).join(wanted, on=key, how="left_semi")
+
+
 def partitioned_upsert(
     spark: SparkSession,
     source: DataFrame,

@@ -433,3 +433,29 @@ def test_compact_append_sink(spark, tmp_path):
     assert read(spark, tmp).count() == 12
     got = read(spark, tmp).groupBy("id").count().collect()
     assert {(r["id"], r["count"]) for r in got} == {(1, 6), (2, 6)}
+
+
+def test_read_partitioned_for_keys_prunes_buckets(spark, tmp_path):
+    """A point lookup scans only the buckets that can contain its keys —
+    asserted by inputFiles(), not just results."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        partitioned_upsert,
+        read_partitioned,
+        read_partitioned_for_keys,
+    )
+
+    tmp = str(tmp_path)
+    base = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    )
+    partitioned_upsert(spark, base, tmp, "pt", "id", num_buckets=16)
+    probe = spark.createDataFrame([(7,), (123,)], ["id"])
+    got = read_partitioned_for_keys(spark, tmp, "pt", probe, "id")
+    assert sorted(map(tuple, got.collect())) == [(7, 21), (123, 369)]
+    n_all = len(read_partitioned(spark, tmp, "pt").inputFiles())
+    n_probe = len(got.inputFiles())
+    assert n_all == 16          # one file per bucket
+    assert 1 <= n_probe <= 2    # ≤ one bucket per probed key
+    # keys absent from the table (even absent buckets) return empty
+    missing = spark.createDataFrame([(10**9,)], ["id"])
+    assert read_partitioned_for_keys(spark, tmp, "pt", missing, "id").count() == 0
