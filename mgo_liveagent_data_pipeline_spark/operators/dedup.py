@@ -446,6 +446,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a near-dup
+    pair list (the step after any pair generator — MinHash-LSH, blocked
+    Jaccard, SimHash — that turns pairwise evidence into "keep one doc per
+    cluster", as in CCNet/RefinedWeb-style corpus dedup; the reference has
+    no graph step, its dedup is key-level MERGE only,
+    core/extract/helpers/extractor_bq_helpers.py:159-169).
+
+    Algorithm: min-label propagation with pointer jumping. Every endpoint
+    starts labelled with itself; each round a node adopts the minimum of
+    its own label, its neighbors' labels, and *its label's label* (the
+    path-doubling shortcut — labels are node ids, so the label relation is
+    itself a forest to hop through). Neighbor-min alone needs
+    diameter-many rounds (a 1000-link chain = 1000 shuffles); the shortcut
+    halves remaining distances every round, so convergence is
+    O(log diameter) — the same bound as alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce") with simpler
+    invariants. Each round shuffles only (node, label) pairs — never text
+    or shingles — one hash join per rule + one groupBy on node ids.
+    Convergence is detected by the label-sum (labels only ever decrease,
+    so the sum is strictly monotone until fixpoint): a 1-row action per
+    round, not a data collect.
+
+    Returns one row per endpoint: (node, cluster_id, cluster_size) where
+    cluster_id is the component-minimum node id. Isolated docs (no pair)
+    are not emitted — callers keep them as singleton clusters implicitly.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = _scoped_persist(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    # The loop MUST truncate lineage each round: ``labels`` appears three
+    # times in each round's plan (union, neighbor join, pointer hop), so
+    # without truncation the logical plan grows ~4× per iteration and
+    # Catalyst analysis/stringification goes exponential long before the
+    # data does (measured: a 5-round loop spent 14 min in
+    # Expression.toString). Eager localCheckpoint materializes the round
+    # and restarts the plan from the checkpointed RDD — on a fault-tolerant
+    # cluster run, set a checkpoint dir and swap in ``checkpoint()``.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iterations):
+        prop = edges.join(
+            labels.select(F.col("node").alias("dst"), "lbl"), on="dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        stepped = labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        # pointer jump: follow my (new) label to ITS label and take the min
+        hop = stepped.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2"))
+        new_labels = stepped.join(hop, on="lbl", how="left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+        ).localCheckpoint(eager=True)
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    from pyspark.sql.window import Window
+
+    return labels.select(
+        "node",
+        F.col("lbl").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lbl"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",

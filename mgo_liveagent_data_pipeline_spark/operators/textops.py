@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.similarity import word_shingles
+
 # tiny function-word gazetteer for the n-gram/stopword language heuristic
 EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
@@ -492,4 +494,199 @@ def winnow_selected_hashes(
     )
     return base.select(
         F.col(key_col).alias("key"), F.explode(sel_hashes).alias("h")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    seg_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: drop every text segment that
+    appears in ≥ ``min_docs`` distinct documents, keeping the rest of each
+    document in order. Web corpora are full of boilerplate paragraphs
+    (navigation, disclaimers, quoted headers) that whole-document dedup
+    never touches; removing them at segment granularity is the standard
+    pre-training cleanup (CCNet splits on newline — this corpus has no
+    newlines, so the segment unit is a fixed ``seg_words``-word window,
+    same mechanics).
+
+    Plan shape (scale path): explode to (key, pos, segment-md5) — never the
+    segment text through the wide shuffle — one hash-aggregate counting
+    distinct docs per digest, a broadcast-or-shuffle join of the ≥min_docs
+    digest set back onto the exploded rows, and one groupBy(key) that
+    reassembles kept segments with array_sort. Both shuffles carry
+    (digest | key, pos, seg) rows; at 100 TB the duplicated-digest side is
+    tiny (boilerplate set) and broadcasts.
+
+    Returns (key, n_segments, n_dropped, dedup_hash) where dedup_hash is
+    md5 of the space-rejoined surviving text — compact enough to
+    hash-compare against the oracle without shipping full texts.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def segs(tk: Column) -> Column:
+        n_seg = F.ceil(F.size(tk) / F.lit(float(seg_words))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1),
+            lambda i: F.array_join(
+                F.slice(tk, i * seg_words + 1, seg_words), " "
+            ),
+        )
+
+    seg_arr = F.element_at(F.transform(F.array(toks), segs), 1)
+    exploded = df.select(
+        F.col(key_col).alias("key"), F.posexplode(seg_arr).alias("pos", "seg")
+    )
+    # the shuffled count carries (digest, key) only
+    dup_digests = (
+        exploded.groupBy(F.md5("seg").alias("h"))
+        .agg(F.count_distinct("key").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    flagged = exploded.join(
+        F.broadcast(dup_digests.withColumnRenamed("h", "__dup_h")),
+        F.md5(F.col("seg")) == F.col("__dup_h"),
+        "left",
+    ).select(
+        "key", "pos", "seg", F.col("__dup_h").isNotNull().alias("is_dup")
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "seg", "is_dup"))
+                ),
+                lambda s: ~s["is_dup"],
+            ),
+            lambda s: s["seg"],
+        ),
+        " ",
+    )
+    return flagged.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+        F.md5(kept_text).alias("dedup_hash"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ngram_k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    ``ngram_k``-word shingle with an evaluation set (the GPT-3/PaLM-style
+    n-gram overlap check — a training corpus that contains eval data
+    invalidates the benchmark, so this runs before every pretraining
+    export). Emits one row per *contaminated* training doc:
+    (key, n_hit_grams, n_grams, hit_frac).
+
+    Plan shape: the eval side reduces to a distinct shingle-md5 set —
+    benchmarks are MBs, so it broadcasts; the training side explodes to
+    (key, digest) narrow rows and inner-joins the broadcast set, then one
+    groupBy(key) counts distinct hits. n_grams re-attaches via a second
+    narrow aggregate on the same exploded relation, not a rescan of text.
+    At 100 TB only the train-side explode shuffles, and only (key, digest).
+    """
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_shingles(F.col(text_col), ngram_k)).alias("g")
+        )
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+    train = df.select(
+        F.col(key_col).alias("key"),
+        word_shingles(F.col(text_col), ngram_k).alias("gs"),
+    )
+    exploded = train.select(
+        "key", F.size("gs").alias("n_grams"), F.explode("gs").alias("g")
+    ).select("key", "n_grams", F.md5("g").alias("h"))
+    hits = (
+        exploded.join(F.broadcast(eval_grams), on="h")
+        .groupBy("key", "n_grams")
+        .agg(F.count_distinct("h").alias("n_hit_grams"))
+    )
+    return hits.select(
+        "key",
+        "n_hit_grams",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round(
+            F.col("n_hit_grams") / F.col("n_grams").cast("double"), 6
+        ).alias("hit_frac"),
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shard_tokens: int = 1000,
+    block_size: int = 100,
+) -> DataFrame:
+    """Token-budget shard packing: assign documents (in deterministic
+    ``key_col`` order) to consecutive training shards of ~``shard_tokens``
+    whitespace tokens each — the export step that turns a cleaned corpus
+    into fixed-budget training files. A document goes to the shard its
+    *exclusive* running total falls in, so shards overflow by at most one
+    document and the assignment is a pure function of (key order, token
+    counts).
+
+    Scale path — the naive global ``Window.orderBy(key)`` running sum puts
+    the whole corpus in ONE partition; this implements the classic
+    two-phase distributed prefix sum instead: (1) per-block running sums
+    with a window *partitioned* by ``block = key / block_size`` (parallel,
+    narrow), (2) block totals — #corpus/block_size rows — get their own
+    exclusive running sum on the tiny side and broadcast-join back. Size
+    ``block_size`` so block count stays ~1e5 at the target corpus: the
+    only serial window then runs over 1e5 rows, not 1e10. Everything is
+    deterministic (no sampling, no partition-id dependence).
+
+    Returns (key, n_tokens, shard_id).
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    d = df.select(
+        F.col(key_col).cast("long").alias("key"), n_tokens.alias("n_tokens")
+    ).withColumn("block", (F.col("key") / F.lit(block_size)).cast("long"))
+
+    from pyspark.sql.window import Window
+
+    w_in = (
+        Window.partitionBy("block")
+        .orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    offsets = (
+        d.groupBy("block")
+        .agg(F.sum("n_tokens").alias("blk_total"))
+        .withColumn(
+            "blk_offset",
+            F.coalesce(
+                F.sum("blk_total").over(
+                    Window.orderBy("block").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("block", "blk_offset")
+    )
+    cum = F.col("cum_in") + F.col("blk_offset")
+    return (
+        d.join(F.broadcast(offsets), on="block")
+        .select(
+            "key",
+            "n_tokens",
+            F.floor((cum - F.col("n_tokens")) / F.lit(float(shard_tokens)))
+            .cast("long")
+            .alias("shard_id"),
+        )
     )

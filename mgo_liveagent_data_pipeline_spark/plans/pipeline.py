@@ -82,14 +82,18 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whole-doc similarity; block = lang × source, unigram shingles /
     threshold 0.5 — calibrated so the pair set is non-trivial) unioned
     with winnowing partial-overlap pairs (shared-passage detection the
-    whole-doc scores miss)."""
-    from ..operators.dedup import winnow_overlap_pairs
+    whole-doc scores miss) and the connected-component cluster
+    assignment over the Jaccard pairs (pairwise evidence → one
+    keep-per-cluster decision; ``cluster`` rows carry
+    doc → component-min id with the component size as score)."""
+    from ..operators.dedup import connected_components, winnow_overlap_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    ngram = ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs(
         docs, "text", "doc_id", block_cols=("lang", "source"),
         shingle_k=1, threshold=0.5,
-    ).select(
+    )
+    ngram = pairs.select(
         F.lit("ngram").alias("mode"), "id_a", "id_b",
         F.col("jaccard_sim").alias("score"),
     )
@@ -97,7 +101,28 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("winnow").alias("mode"), "id_a", "id_b",
         F.col("n_shared").cast("double").alias("score"),
     )
-    return ngram.unionByName(winnow)
+    cluster = connected_components(pairs.select("id_a", "id_b")).select(
+        F.lit("cluster").alias("mode"),
+        F.col("node").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.col("cluster_size").cast("double").alias("score"),
+    )
+    return ngram.unionByName(winnow).unionByName(cluster)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component duplicate clusters over the blocked-Jaccard
+    pair list (operators/dedup.py:connected_components) — min-label
+    propagation until fixpoint; one (node, label) shuffle per round.
+    Driver-visible via the ``cluster`` mode of ``dedup_ngram_pairs``."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("lang", "source"),
+        shingle_k=1, threshold=0.5,
+    )
+    return connected_components(pairs.select("id_a", "id_b"))
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,6 +288,51 @@ def q_ann_rh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rh_multiprobe_topk(emb, queries, k=5, num_planes=8, dim=64)
 
 
+def q_text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment-level dedup
+    (operators/textops.py:paragraph_dedup): 10-word segments appearing in
+    ≥2 distinct docs are dropped, surviving text is md5'd per doc.
+    Driver-visible via the ``para`` mode of ``dedup_exact_suite``."""
+    from ..operators.textops import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, "text", "doc_id", seg_words=10, min_docs=2)
+
+
+# decontamination eval split: every 23rd doc plays the held-out benchmark
+DECONTAM_MODULUS = 23
+DECONTAM_NGRAM_K = 5
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/textops.py:decontaminate):
+    training docs sharing any 5-word shingle with the deterministic
+    doc_id %% 23 == 0 eval split, with hit counts and fractions.
+    Driver-visible via the ``decontam`` mode of ``text_corpus_stats``."""
+    from ..operators.textops import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % DECONTAM_MODULUS == 0)
+    train = docs.where(F.col("doc_id") % DECONTAM_MODULUS != 0)
+    return decontaminate(train, ev, "text", "doc_id", ngram_k=DECONTAM_NGRAM_K)
+
+
+SHARD_TOKEN_BUDGET = 1000
+
+
+def q_text_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (operators/textops.py:pack_shards):
+    per-doc shard assignment from a two-phase distributed prefix sum.
+    Driver-visible (summarized per shard) via the ``shard`` mode of
+    ``text_corpus_stats``."""
+    from ..operators.textops import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_shards(
+        docs, "text", "doc_id", shard_tokens=SHARD_TOKEN_BUDGET, block_size=100
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: media blob → fixed-size frame rows with digests."""
     from ..operators.multimodal import frame_sample, to_media_column
@@ -277,6 +347,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_near": q_dedup_simhash_near,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_embedding": q_dedup_embedding,
     "text_fingerprint": q_text_fingerprint,
     "text_language_id": q_text_language_id,
@@ -292,6 +363,9 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "text_stratified_sample": q_text_stratified_sample,
+    "text_paragraph_dedup": q_text_paragraph_dedup,
+    "text_decontaminate": q_text_decontaminate,
+    "text_shard_pack": q_text_shard_pack,
 }
 
 
@@ -560,6 +634,40 @@ def _ivf_oracle(n_probes: int = 1) -> str:
     """
 
 
+# blocked unigram-Jaccard near-dup pairs (threshold 0.5, block cap 10000 —
+# mirrors operators/dedup.py:ngram_jaccard_pairs)
+_NGRAM_PAIRS_SQL = f"""
+    WITH base AS (
+      SELECT doc_id AS key, lang, source,
+             list_distinct(string_split_regex(trim(text), '\\s+')) AS sh
+      FROM documents
+      QUALIFY count(*) OVER (PARTITION BY lang, source) <= 10000)
+    SELECT a.key AS id_a, b.key AS id_b,
+           round({_JACCARD.format(a="a.sh", b="b.sh")}, 6) AS score
+    FROM base a JOIN base b USING (lang, source)
+    WHERE a.key < b.key
+      AND round({_JACCARD.format(a="a.sh", b="b.sh")}, 6) >= 0.5
+"""
+
+# connected components over the pair list: min reachable node id per
+# endpoint via a recursive label walk (mirrors
+# operators/dedup.py:connected_components at fixpoint)
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    walk(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+    SELECT node, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM comp
+"""
+
 ORACLES: dict[str, str] = {
     "ann_rh_lsh_topk": _rh_lsh_oracle(),
     "ann_rh_multiprobe_topk": _rh_multiprobe_oracle(),
@@ -585,19 +693,14 @@ ORACLES: dict[str, str] = {
     "dedup_simhash_near": _simhash_near_dup_oracle(),
     # whole-doc blocked Jaccard ∪ winnowing partial-overlap pairs
     # (k=16 char grams, window w=8, min_shared=3, bucket cap 1000 —
-    # mirrors operators/dedup.py:winnow_overlap_pairs)
+    # mirrors operators/dedup.py:winnow_overlap_pairs) ∪ connected
+    # components over the Jaccard pairs
     "dedup_ngram_pairs": f"""
-        WITH base AS (
-          SELECT doc_id AS key, lang, source,
-                 list_distinct(string_split_regex(trim(text), '\\s+')) AS sh
-          FROM documents
-          -- block-size cap (operators/dedup.py:ngram_jaccard_pairs)
-          QUALIFY count(*) OVER (PARTITION BY lang, source) <= 10000)
-        SELECT 'ngram' AS mode, a.key AS id_a, b.key AS id_b,
-               round({_JACCARD.format(a="a.sh", b="b.sh")}, 6) AS score
-        FROM base a JOIN base b USING (lang, source)
-        WHERE a.key < b.key
-          AND round({_JACCARD.format(a="a.sh", b="b.sh")}, 6) >= 0.5
+        SELECT 'ngram' AS mode, id_a, id_b, score FROM ({_NGRAM_PAIRS_SQL})
+        UNION ALL
+        SELECT 'cluster' AS mode, node AS id_a, cluster_id AS id_b,
+               CAST(cluster_size AS DOUBLE) AS score
+        FROM ({_CLUSTERS_SQL})
         UNION ALL
         SELECT 'winnow' AS mode, id_a, id_b, CAST(n_shared AS DOUBLE) AS score
         FROM (
@@ -625,6 +728,78 @@ ORACLES: dict[str, str] = {
           WHERE a.key < b.key
           GROUP BY a.key, b.key
           HAVING count(*) >= 3)
+    """,
+    "dedup_clusters": _CLUSTERS_SQL,
+    # 10-word segments in ≥2 distinct docs are dropped; surviving text
+    # re-joined in order and md5'd (operators/textops.py:paragraph_dedup)
+    "text_paragraph_dedup": r"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+          FROM documents),
+        sp AS (
+          SELECT doc_id, tk,
+                 unnest(range(0, greatest(CAST(ceil(length(tk) / 10.0) AS INT), 1))) AS pos
+          FROM t),
+        segd AS (
+          SELECT doc_id, CAST(pos AS INT) AS pos,
+                 array_to_string(tk[CAST(pos * 10 + 1 AS INT):CAST(pos * 10 + 10 AS INT)], ' ') AS seg
+          FROM sp),
+        dup AS (
+          SELECT md5(seg) AS h FROM segd
+          GROUP BY md5(seg) HAVING count(DISTINCT doc_id) >= 2),
+        fl AS (
+          SELECT s.doc_id, s.pos, s.seg, (d.h IS NOT NULL) AS is_dup
+          FROM segd s LEFT JOIN dup d ON md5(s.seg) = d.h)
+        SELECT doc_id AS key,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN seg END, ' ' ORDER BY pos), '')) AS dedup_hash
+        FROM fl GROUP BY doc_id
+    """,
+    # 5-word-shingle overlap of the doc_id % 23 != 0 training split
+    # against the % 23 == 0 eval split (operators/textops.py:decontaminate)
+    "text_decontaminate": r"""
+        WITH evtk AS (
+          SELECT string_split_regex(trim(text), '\s+') AS tk
+          FROM documents WHERE doc_id % 23 = 0),
+        evg0 AS (
+          SELECT unnest(list_distinct(list_transform(
+                   range(1, greatest(length(tk) - 4, 1) + 1),
+                   i -> array_to_string(tk[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')))) AS g
+          FROM evtk),
+        ev AS (SELECT DISTINCT md5(g) AS h FROM evg0),
+        trtk AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+          FROM documents WHERE doc_id % 23 <> 0),
+        trg AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(tk) - 4, 1) + 1),
+                   i -> array_to_string(tk[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))) AS gs
+          FROM trtk),
+        ex0 AS (
+          SELECT doc_id, CAST(length(gs) AS BIGINT) AS n_grams, unnest(gs) AS g
+          FROM trg),
+        ex AS (SELECT doc_id, n_grams, md5(g) AS h FROM ex0)
+        SELECT t.doc_id AS key,
+               count(DISTINCT t.h) AS n_hit_grams,
+               t.n_grams,
+               round(CAST(count(DISTINCT t.h) AS DOUBLE) / CAST(t.n_grams AS DOUBLE), 6) AS hit_frac
+        FROM ex t JOIN ev e ON t.h = e.h
+        GROUP BY t.doc_id, t.n_grams
+    """,
+    # exclusive running-token-total → shard of ~1000 whitespace tokens
+    # (operators/textops.py:pack_shards)
+    "text_shard_pack": r"""
+        WITH t AS (
+          SELECT CAST(doc_id AS BIGINT) AS key,
+                 CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT key, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (ORDER BY key
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens) / 1000.0) AS BIGINT) AS shard_id
+        FROM t
     """,
     "dedup_embedding": f"""
         WITH base AS (

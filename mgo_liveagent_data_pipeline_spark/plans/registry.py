@@ -60,7 +60,7 @@ DRIVER_ORDER = [
     "f13_resolve_name",
     "f14_json_extract",
     "f16_iso_format",
-    "dedup_exact",
+    "dedup_exact_suite",
     "dedup_minhash_lsh",
     "dedup_simhash_suite",
     "dedup_ngram_pairs",

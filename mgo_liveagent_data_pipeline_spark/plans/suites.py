@@ -215,7 +215,11 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     contact fixture — one ``pii`` row per customer carrying
     md5(text_redacted) as key_s (the redacted text itself is
     hash-checked) and the packed match counts
-    ``n_email*10000 + n_phone*100 + n_ipv4`` as n."""
+    ``n_email*10000 + n_phone*100 + n_ipv4`` as n — plus, since round
+    5, ``decontam`` rows (eval-overlap hits per contaminated doc,
+    operators/textops.py:decontaminate) and ``shard`` rows (per-shard
+    doc/token totals from the two-phase prefix-sum packer,
+    operators/textops.py:pack_shards)."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -254,12 +258,57 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_email") * 10000 + F.col("n_phone") * 100 + F.col("n_ipv4")
         ).alias("n"),
     )
+    decon = pipeline.q_text_decontaminate(spark, sf_dir).select(
+        F.lit("decontam").alias("mode"),
+        _null("string").alias("key_s"),
+        F.col("key").alias("key_n"),
+        F.col("hit_frac").alias("metric"),
+        F.col("n_hit_grams").alias("n"),
+    )
+    shard = (
+        pipeline.q_text_shard_pack(spark, sf_dir)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("double").alias("total_tokens"),
+        )
+        .select(
+            F.lit("shard").alias("mode"),
+            _null("string").alias("key_s"),
+            F.col("shard_id").alias("key_n"),
+            F.col("total_tokens").alias("metric"),
+            F.col("n_docs").alias("n"),
+        )
+    )
     return (
         tfidf.unionByName(sample)
         .unionByName(rep_tok)
         .unionByName(rep_sh)
         .unionByName(pii)
+        .unionByName(decon)
+        .unionByName(shard)
     )
+
+
+def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content dedup at both granularities under one driver row:
+    whole-document exact dedup (``doc`` mode — digest groupBy,
+    operators/dedup.py:exact_dedup) and CCNet-style segment-level dedup
+    (``para`` mode — operators/textops.py:paragraph_dedup; n packs
+    ``n_segments*100 + n_dropped`` so both counts are hash-checked)."""
+    doc = pipeline.q_dedup_exact(spark, sf_dir).select(
+        F.lit("doc").alias("mode"),
+        F.col("content_hash").alias("h"),
+        F.col("keep_id").alias("key_id"),
+        F.col("n_copies").alias("n"),
+    )
+    para = pipeline.q_text_paragraph_dedup(spark, sf_dir).select(
+        F.lit("para").alias("mode"),
+        F.col("dedup_hash").alias("h"),
+        F.col("key").alias("key_id"),
+        (F.col("n_segments") * 100 + F.col("n_dropped")).alias("n"),
+    )
+    return doc.unionByName(para)
 
 
 def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,6 +687,17 @@ ORACLES: dict[str, str] = {
             "CAST(NULL AS DOUBLE) AS metric, "
             "n_email * 10000 + n_phone * 100 + n_ipv4 AS n",
         )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_decontaminate"],
+            "'decontam' AS mode, CAST(NULL AS VARCHAR) AS key_s, key AS key_n, "
+            "hit_frac AS metric, n_hit_grams AS n",
+        )
+        + " UNION ALL SELECT 'shard' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
+        "shard_id AS key_n, CAST(sum(n_tokens) AS DOUBLE) AS metric, "
+        "count(*) AS n FROM ("
+        + _P["text_shard_pack"]
+        + ") GROUP BY shard_id"
     ),
     "f11_f12_schedule_safecast": """
         SELECT event_id,
@@ -649,6 +709,18 @@ ORACLES: dict[str, str] = {
                CAST(NULL AS TIMESTAMP) AS safe_ts
         FROM events
     """,
+    "dedup_exact_suite": (
+        _tagged(
+            _P["dedup_exact"],
+            "'doc' AS mode, content_hash AS h, keep_id AS key_id, n_copies AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_paragraph_dedup"],
+            "'para' AS mode, dedup_hash AS h, key AS key_id, "
+            "n_segments * 100 + n_dropped AS n",
+        )
+    ),
     "dedup_simhash_suite": (
         _tagged(
             _P["dedup_simhash"],
@@ -783,6 +855,7 @@ QUERIES = {
     "f7_f9_time_buckets": q_f7_f9_time_buckets,
     "f11_f12_schedule_safecast": q_f11_f12_schedule_safecast,
     "text_corpus_stats": q_text_corpus_stats,
+    "dedup_exact_suite": q_dedup_exact_suite,
     "dedup_simhash_suite": q_dedup_simhash_suite,
     "text_metrics": q_text_metrics,
     "ann_suite": q_ann_suite,

@@ -1,0 +1,156 @@
+"""Round-5 corpus operators: connected-component clustering, CCNet-style
+paragraph dedup, benchmark decontamination, and token-budget shard packing."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+    connected_components,
+    release_intermediates,
+)
+from mgo_liveagent_data_pipeline_spark.operators.textops import (
+    decontaminate,
+    pack_shards,
+    paragraph_dedup,
+)
+
+
+# ------------------------------------------------------- connected components
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = {r["node"]: (r["cluster_id"], r["cluster_size"])
+           for r in connected_components(df, **kw).collect()}
+    release_intermediates()
+    return out
+
+
+def test_cc_chain_converges_to_min_label(spark):
+    # a 5-node path: transitive closure must label everything with node 1
+    out = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert out == {n: (1, 5) for n in (1, 2, 3, 4, 5)}
+
+
+def test_cc_separate_components_and_sizes(spark):
+    out = _cc(spark, [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)])
+    assert out[10] == (10, 3) and out[12] == (10, 3)
+    assert out[20] == (20, 2) and out[21] == (20, 2)
+    assert out[30] == (30, 2) and out[31] == (30, 2)
+
+
+def test_cc_edge_direction_irrelevant(spark):
+    # edges given high->low must still propagate the minimum
+    out = _cc(spark, [(5, 4), (4, 3), (3, 2), (2, 1)])
+    assert set(v[0] for v in out.values()) == {1}
+
+
+def test_cc_parallelism_invariant(spark):
+    edges = [(i, i + 1) for i in range(1, 30)] + [(100, 101), (102, 101)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = sorted(map(tuple, connected_components(df).collect()))
+    release_intermediates()
+    b = sorted(map(tuple, connected_components(df.repartition(7)).collect()))
+    release_intermediates()
+    assert a == b
+
+
+# ---------------------------------------------------------- paragraph dedup
+def _pdocs(spark):
+    boiler = "subscribe to our newsletter for updates every single day now"
+    rows = [
+        (1, boiler + " unique alpha text one two three four five six seven"),
+        (2, boiler + " other beta content eight nine ten eleven twelve more"),
+        (3, "totally original document with no shared segment at all here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_paragraph_dedup_drops_shared_segment(spark):
+    out = {r["key"]: r for r in
+           paragraph_dedup(_pdocs(spark), seg_words=10, min_docs=2).collect()}
+    # docs 1 and 2 share their first 10-word segment (the boilerplate)
+    assert out[1]["n_dropped"] == 1 and out[2]["n_dropped"] == 1
+    assert out[3]["n_dropped"] == 0
+    assert out[1]["n_segments"] == 2 and out[3]["n_segments"] == 1
+
+
+def test_paragraph_dedup_hash_is_surviving_text(spark):
+    import hashlib
+
+    out = {r["key"]: r["dedup_hash"] for r in
+           paragraph_dedup(_pdocs(spark), seg_words=10, min_docs=2).collect()}
+    survivor = "unique alpha text one two three four five six seven"
+    assert out[1] == hashlib.md5(survivor.encode()).hexdigest()
+    # untouched doc hashes to its full (re-joined) text
+    full3 = "totally original document with no shared segment at all here"
+    assert out[3] == hashlib.md5(full3.encode()).hexdigest()
+
+
+def test_paragraph_dedup_all_dropped_yields_empty_hash(spark):
+    import hashlib
+
+    rows = [(1, "same ten words here padding out to exactly ten okay"),
+            (2, "same ten words here padding out to exactly ten okay")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["key"]: r for r in paragraph_dedup(df, seg_words=10).collect()}
+    assert out[1]["n_dropped"] == 1
+    assert out[1]["dedup_hash"] == hashlib.md5(b"").hexdigest()
+
+
+# ----------------------------------------------------------- decontamination
+def test_decontaminate_flags_overlapping_docs(spark):
+    ev = spark.createDataFrame(
+        [(100, "held out benchmark question about spark shuffle partitions")],
+        ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(1, "leaked copy benchmark question about spark shuffle partitions"),
+         (2, "an unrelated training document with fresh vocabulary words")],
+        ["doc_id", "text"])
+    out = {r["key"]: r for r in
+           decontaminate(train, ev, ngram_k=5).collect()}
+    assert 1 in out and 2 not in out  # only the leaked doc is emitted
+    assert out[1]["n_hit_grams"] >= 1
+    assert 0 < out[1]["hit_frac"] <= 1.0
+
+
+def test_decontaminate_counts_distinct_hits(spark):
+    text = "alpha beta gamma delta epsilon zeta"
+    ev = spark.createDataFrame([(9, text)], ["doc_id", "text"])
+    train = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = decontaminate(train, ev, ngram_k=5).collect()[0]
+    # 6 tokens -> 2 distinct 5-grams, both hit
+    assert out["n_grams"] == 2 and out["n_hit_grams"] == 2
+    assert out["hit_frac"] == 1.0
+
+
+# ------------------------------------------------------------- shard packing
+def test_pack_shards_sequential_fill(spark):
+    rows = [(i, " ".join(["w"] * 40)) for i in range(10)]  # 40 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["key"]: r["shard_id"] for r in
+           pack_shards(df, shard_tokens=100, block_size=3).collect()}
+    # exclusive cumsum: docs 0,1,2 (0..80) -> shard 0; 3,4 (120..160) -> 1 ...
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
+
+
+def test_pack_shards_matches_single_partition_cumsum(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(["t"] * rng.randint(1, 50))) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fast = {r["key"]: (r["n_tokens"], r["shard_id"]) for r in
+            pack_shards(df, shard_tokens=300, block_size=17).collect()}
+    # reference: plain python exclusive cumsum in key order
+    cum, ref = 0, {}
+    for i, t in sorted((i, len(t.split())) for i, t in rows):
+        ref[i] = (t, cum // 300)
+        cum += t
+    assert fast == ref
+
+
+def test_pack_shards_block_size_invariant(spark):
+    rows = [(i, " ".join(["x"] * (i % 13 + 1))) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, pack_shards(df, shard_tokens=50, block_size=7).collect()))
+    b = sorted(map(tuple, pack_shards(df, shard_tokens=50, block_size=100).collect()))
+    assert a == b
