@@ -49,6 +49,150 @@ def stub_external_geocoder(address: str) -> tuple[str, float, float] | None:
     return (address.upper(), lat, lon)
 
 
+class HttpOsmGeocoder:
+    """Production transport for the external-geocode fallback: the
+    reference's Nominatim call (core/Geocode.py:129-143 — GET
+    ``/search?q=<addr + ', Philippines'>&format=json&limit=1`` with a
+    User-Agent header, first result's lat/lon). Returned
+    ``matched_address`` is the suffixed query string, exactly what the
+    reference records as ``address`` on its fallback rows
+    (core/Geocode.py:103-110).
+
+    On top of the reference (which swallows every error): bounded retry
+    with exponential backoff on 429/5xx/transport errors; other 4xx raise
+    immediately. Zero results → None (the caller's ``unresolved`` row).
+    Stdlib urllib only — instances cloudpickle into Spark python workers;
+    pace calls with the enclosing ``geocode_with_fallback`` token bucket
+    (the distributed analogue of the reference's 1.25 s sleep), not here.
+    ``transport(url) -> bytes`` is injectable for tests, same pattern as
+    ``HttpGateway``.
+    """
+
+    _RETRY_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+    def __init__(
+        self,
+        base_url: str = "https://nominatim.openstreetmap.org",
+        suffix: str = ", Philippines",
+        user_agent: str = "mgo-pipeline-geocoder",
+        max_retries: int = 3,
+        backoff_s: float = 0.2,
+        transport: Callable[[str], bytes] | None = None,
+        sleep: Callable[[float], None] | None = None,
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.suffix = suffix
+        self.user_agent = user_agent
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.transport = transport
+        self.sleep = sleep
+
+    def _url(self, full_address: str) -> str:
+        from urllib.parse import urlencode
+
+        q = urlencode({"q": full_address, "format": "json", "limit": 1})
+        return f"{self.base_url}/search?{q}"
+
+    def _get(self, url: str) -> bytes:
+        if self.transport is not None:
+            return self.transport(url)
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, headers={"User-Agent": self.user_agent}
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.read()
+
+    def _fetch(self, url: str) -> bytes:
+        import time as _time
+        import urllib.error
+
+        sleep = self.sleep if self.sleep is not None else _time.sleep
+        last: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                return self._get(url)
+            except urllib.error.HTTPError as e:
+                last = e
+                if e.code not in self._RETRY_STATUSES:
+                    raise
+            except (urllib.error.URLError, OSError, TimeoutError) as e:
+                last = e
+            if attempt < self.max_retries - 1:
+                sleep(self.backoff_s * (2 ** attempt))
+        raise RuntimeError(
+            f"geocode endpoint unreachable after {self.max_retries} tries"
+        ) from last
+
+    def _parse(self, raw: bytes) -> tuple[float, float] | None:
+        import json
+
+        data = json.loads(raw.decode("utf-8"))
+        if not data:
+            return None
+        return float(data[0]["lat"]), float(data[0]["lon"])
+
+    def __call__(self, address: str) -> tuple[str, float, float] | None:
+        full = address + self.suffix
+        coords = self._parse(self._fetch(self._url(full)))
+        if coords is None:
+            return None
+        return (full, coords[0], coords[1])
+
+
+class HttpPhotonGeocoder(HttpOsmGeocoder):
+    """The reference's second external link (core/Geocode.py:144-157):
+    Photon GET ``/api?q=<addr + suffix>&limit=1``, GeoJSON response,
+    ``features[0].geometry.coordinates`` is (lon, lat) — note the swap.
+    Same retry/transport/suffix contract as ``HttpOsmGeocoder``."""
+
+    def __init__(self, base_url: str = "https://photon.komoot.io", **kw) -> None:
+        super().__init__(base_url=base_url, **kw)
+
+    def _url(self, full_address: str) -> str:
+        from urllib.parse import urlencode
+
+        q = urlencode({"q": full_address, "limit": 1})
+        return f"{self.base_url}/api?{q}"
+
+    def _parse(self, raw: bytes) -> tuple[float, float] | None:
+        import json
+
+        features = json.loads(raw.decode("utf-8")).get("features")
+        if not features:
+            return None
+        lon, lat = features[0]["geometry"]["coordinates"][:2]
+        return float(lat), float(lon)
+
+
+class ChainGeocoder:
+    """OSM → Photon cascade (core/Geocode.py:100-128): each link is tried
+    in order; a link that raises (after its own retries) or returns None
+    falls through to the next. Unlike the LLM ``FallbackGateway`` —
+    which only chains on exception — a geocoder returning "no result" is
+    also a reason to try the next provider, because the reference treats
+    empty Nominatim results exactly that way. All links exhausted → None,
+    which the enclosing ``geocode_with_fallback`` turns into the
+    ``unresolved`` row (never a task failure)."""
+
+    def __init__(self, *links: Callable[[str], tuple[str, float, float] | None]) -> None:
+        if not links:
+            raise ValueError("ChainGeocoder needs at least one link")
+        self.links = links
+
+    def __call__(self, address: str) -> tuple[str, float, float] | None:
+        for link in self.links:
+            try:
+                res = link(address)
+            except Exception:
+                continue
+            if res is not None:
+                return res
+        return None
+
+
 def geocode_with_fallback(
     addresses: DataFrame,
     gazetteer: DataFrame,
