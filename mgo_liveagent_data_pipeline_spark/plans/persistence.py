@@ -139,6 +139,24 @@ def q_stream_upsert_6h(
     return spark.read.parquet(path)
 
 
+def q_stream_merge_partitioned(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
+    """§2.8 scale path: the streaming windowed agg foreachBatch-MERGEd
+    through the partition-pruned bucketed sink
+    (streaming/windows.py:stream_merge_partitioned) — per micro-batch I/O
+    is O(|batch| + affected buckets), not O(|table|)."""
+    from ..sinks.writers import read_partitioned
+    from ..streaming.windows import stream_merge_partitioned
+
+    base_dir = tempfile.mkdtemp(prefix="mgo_stream_psink_")
+    stream_merge_partitioned(
+        spark, sf_dir, base_dir, sink_name="events_6h_p",
+        n_state_partitions=n_state_partitions,
+    )
+    return read_partitioned(spark, base_dir, "events_6h_p")
+
+
 QUERIES = {
     "k_materialized_upsert": q_k_materialized_upsert,
     "k5_history_sink": q_k5_history_sink,
@@ -147,6 +165,7 @@ QUERIES = {
     "stream_session_windows": q_stream_session_windows,
     "stream_upsert_6h": q_stream_upsert_6h,
     "stream_dedup_6h": q_stream_dedup_6h,
+    "stream_merge_partitioned": q_stream_merge_partitioned,
 }
 
 ORACLES: dict[str, str] = {
@@ -200,6 +219,17 @@ ORACLES: dict[str, str] = {
         HAVING (ws + 21600) * 1000000 <= mx - CAST(3600000000 AS BIGINT)
     """,
     "stream_upsert_6h": """
+        WITH b AS (
+          SELECT make_timestamp((((epoch_us(ts) // 1000000)
+                 - (epoch_us(ts) // 1000000) % 21600)) * 1000000) AS window_start,
+                 value
+          FROM events)
+        SELECT window_start, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM b GROUP BY window_start
+    """,
+    # bucket-pruned MERGE sink ≡ the full-rewrite upsert's table
+    "stream_merge_partitioned": """
         WITH b AS (
           SELECT make_timestamp((((epoch_us(ts) // 1000000)
                  - (epoch_us(ts) // 1000000) % 21600)) * 1000000) AS window_start,

@@ -488,10 +488,12 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 Structured Streaming, all modes under one row: tumbling 6-h
     windows (update), append-mode watermark finalization, foreachBatch
     exactly-once upsert, stateful ingestion dedup (every event delivered
-    twice, dropDuplicatesWithinWatermark must collapse it), and
-    30-minute-gap session windows.
+    twice, dropDuplicatesWithinWatermark must collapse it), the
+    bucket-pruned streaming MERGE (``merge_part`` — the upsert's 100 TB
+    variant through ``partitioned_upsert``), and 30-minute-gap session
+    windows.
 
-    The four streaming members run CONCURRENTLY via a thread pool: each is
+    The AvailableNow streaming members run CONCURRENTLY via a thread pool: each is
     an independent run-to-completion AvailableNow query, so their fixed
     costs (checkpoint + state-store instantiation, ~0.5-1 s per stateful
     query) overlap instead of summing. Round 3 measured fan-out slower
@@ -518,6 +520,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("append", persistence.q_stream_append_6h),
         ("upsert", persistence.q_stream_upsert_6h),
         ("dedup", persistence.q_stream_dedup_6h),
+        ("merge_part", persistence.q_stream_merge_partitioned),
     )
     with state_partitions(spark, 1), ThreadPoolExecutor(len(members)) as ex:
         done = list(
@@ -832,6 +835,7 @@ ORACLES: dict[str, str] = {
                 ("append", "stream_append_6h"),
                 ("upsert", "stream_upsert_6h"),
                 ("dedup", "stream_dedup_6h"),
+                ("merge_part", "stream_merge_partitioned"),
             )
         )
         + " UNION ALL "

@@ -42,6 +42,57 @@ def test_stream_upsert_6h_equals_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_stream_merge_partitioned_equals_plain_upsert(spark, tmp_path):
+    """The partition-pruned streaming MERGE produces the same table as
+    the full-rewrite streaming upsert, and an incremental re-run that
+    touches a subset of windows leaves unaffected bucket dirs untouched."""
+    import os
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        partitioned_upsert,
+        read_partitioned,
+    )
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_merge_partitioned,
+        stream_upsert_6h,
+    )
+
+    plain = stream_upsert_6h(spark, SF_DIR, str(tmp_path), sink_name="plain")
+    pdir = stream_merge_partitioned(
+        spark, SF_DIR, str(tmp_path), sink_name="part", num_buckets=8
+    )
+    key = lambda rows: sorted(
+        (r["window_start"], r["n_events"], r["total_value"]) for r in rows
+    )
+    assert key(read_partitioned(spark, str(tmp_path), "part").collect()) == key(
+        spark.read.parquet(plain).collect()
+    )
+
+    # incremental delta hitting ONE window row -> at most 1 bucket rewritten
+    before = {
+        d: os.stat(os.path.join(pdir, d)).st_mtime_ns
+        for d in os.listdir(pdir)
+        if d.startswith("b")
+    }
+    one = read_partitioned(spark, str(tmp_path), "part").limit(1).withColumn(
+        "n_events", F.lit(999_999).cast("long")
+    )
+    partitioned_upsert(spark, one, str(tmp_path), "part", "window_start")
+    after = {
+        d
+        for d in os.listdir(pdir)
+        if d.startswith("b")
+        and (d not in before or os.stat(os.path.join(pdir, d)).st_mtime_ns
+             != before[d])
+    }
+    assert len(after) == 1  # exactly the delta's bucket version appeared
+    upd = {
+        r["window_start"]: r["n_events"]
+        for r in read_partitioned(spark, str(tmp_path), "part").collect()
+    }
+    assert 999_999 in upd.values()
+
+
 def test_running_user_totals_stateful(spark, tmp_path):
     import json
     import os
