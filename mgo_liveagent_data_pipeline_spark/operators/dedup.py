@@ -128,6 +128,44 @@ def minhash_signature(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """(key, band_key) LSH banding rows with the mega-bucket cap applied —
+    the narrow signature index both the full self-join dedup and the
+    incremental delta-vs-corpus dedup probe."""
+    from pyspark.sql.window import Window
+
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, text_col, key_col, num_hashes, shingle_k)
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col("sig")[b * rows + r] for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("key", F.explode(band_arr).alias("band_key"))
+    if max_bucket_size is not None:
+        # bucket-size count as an unordered window over band_key: one
+        # shuffle, no sort, and the joins downstream reuse the same
+        # hash partitioning
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_key"))
+        banded = banded.withColumn("__bn", bucket_n).where(
+            F.col("__bn") <= F.lit(max_bucket_size)
+        ).drop("__bn")
+    return banded
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -167,33 +205,12 @@ def minhash_lsh_dedup(
 
     Returns distinct (id_a < id_b, jaccard_sim) verified pairs.
     """
-    rows = num_hashes // bands
-    from pyspark.sql.window import Window
-
-    sigs = minhash_signature(df, text_col, key_col, num_hashes, shingle_k)
-
-    band_arr = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col("sig")[b * rows + r] for r in range(rows)],
-            )
-            for b in range(bands)
-        ]
+    banded = _scoped_persist(
+        _banded_signatures(
+            df, text_col, key_col, num_hashes, bands, shingle_k,
+            max_bucket_size,
+        )
     )
-    banded = sigs.select("key", F.explode(band_arr).alias("band_key"))
-    if max_bucket_size is not None:
-        # bucket-size count as an unordered window over band_key: one
-        # shuffle, no sort, and the self-join below reuses the same
-        # hash partitioning
-        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_key"))
-        banded = banded.withColumn("__bn", bucket_n).where(
-            F.col("__bn") <= F.lit(max_bucket_size)
-        ).drop("__bn")
-    # persisted: both sides of the self-join below read it — without a
-    # persist the whole signature (+ bucket-cap) pipeline runs twice.
-    banded = _scoped_persist(banded)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -242,6 +259,118 @@ def minhash_lsh_dedup(
         cand.withColumn("jaccard_sim", sim)
         .where(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup detection — the merge a recurring ingest
+    actually runs: dedup the day's batch against a 100 TB corpus WITHOUT
+    regenerating corpus×corpus pairs. The reference's incremental path is
+    key-level only (MERGE on id, extractor_bq_helpers.py:159-169); content
+    -level incremental dedup is what a training-data pipeline adds on top.
+
+    Plan shape: both sides band through the same signature pipeline
+    (``_banded_signatures``); candidates come from delta-bands ⋈
+    all-bands — the corpus participates ONLY through its narrow
+    (band_key, key) signature index and, for the few colliding keys, a
+    semi-join-pruned shingle fetch. No corpus×corpus pair is ever
+    generated, so a 10k-doc delta against 10^10 corpus docs joins ~40k
+    banding rows against the index instead of exploding quadratically. In
+    production the corpus's banded index is a stored table maintained by
+    appending each accepted delta's banding rows — recomputing it here
+    keeps the operator a pure function for the oracle; swap the
+    ``corpus`` argument for ``spark.read.table(...)`` of the index and
+    nothing else changes. The mega-bucket cap is computed over
+    corpus ∪ delta, so results are EXACTLY the full-corpus
+    ``minhash_lsh_dedup`` pair set restricted to pairs involving a delta
+    doc (the property the oracle checks).
+
+    Returns (id_a < id_b, jaccard_sim, pair_type) where pair_type is
+    ``delta_corpus`` or ``delta_delta``.
+    """
+    both = corpus.select(
+        F.col(key_col), F.col(text_col)
+    ).unionByName(delta.select(F.col(key_col), F.col(text_col)))
+    banded_all = _scoped_persist(
+        _banded_signatures(
+            both, text_col, key_col, num_hashes, bands, shingle_k,
+            max_bucket_size,
+        )
+    )
+    delta_keys = _scoped_persist(
+        delta.select(F.col(key_col).alias("key")).distinct()
+    )
+    banded_delta = banded_all.join(delta_keys, on="key", how="left_semi")
+    a = banded_delta.alias("a")
+    b = banded_all.alias("b")
+    cand = (
+        a.join(b, on="band_key")
+        .where(F.col("a.key") != F.col("b.key"))
+        .select(
+            F.least(F.col("a.key"), F.col("b.key")).alias("id_a"),
+            F.greatest(F.col("a.key"), F.col("b.key")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = _scoped_persist(cand)
+    pair_keys = (
+        cand.select(F.col("id_a").alias("key"))
+        .union(cand.select(F.col("id_b").alias("key")))
+        .distinct()
+    )
+    shingle_map = _scoped_persist(
+        both.join(
+            pair_keys.withColumnRenamed("key", key_col), on=key_col,
+            how="left_semi",
+        ).select(
+            F.col(key_col).alias("key"),
+            word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
+    )
+    scored = cand.join(
+        shingle_map.select(F.col("key").alias("id_a"), F.col("sh").alias("sh_a")),
+        on="id_a",
+    ).join(
+        shingle_map.select(F.col("key").alias("id_b"), F.col("sh").alias("sh_b")),
+        on="id_b",
+    )
+    sim = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+    out = (
+        scored.withColumn("jaccard_sim", sim)
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+    da = delta_keys.select(F.col("key").alias("id_a")).withColumn(
+        "__da", F.lit(True)
+    )
+    db = delta_keys.select(F.col("key").alias("id_b")).withColumn(
+        "__db", F.lit(True)
+    )
+    return (
+        out.join(F.broadcast(da), on="id_a", how="left")
+        .join(F.broadcast(db), on="id_b", how="left")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard_sim",
+            F.when(
+                F.coalesce(F.col("__da"), F.lit(False))
+                & F.coalesce(F.col("__db"), F.lit(False)),
+                F.lit("delta_delta"),
+            )
+            .otherwise(F.lit("delta_corpus"))
+            .alias("pair_type"),
+        )
     )
 
 

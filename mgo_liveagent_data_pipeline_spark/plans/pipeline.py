@@ -82,10 +82,12 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whole-doc similarity; block = lang × source, unigram shingles /
     threshold 0.5 — calibrated so the pair set is non-trivial) unioned
     with winnowing partial-overlap pairs (shared-passage detection the
-    whole-doc scores miss) and the connected-component cluster
+    whole-doc scores miss), the connected-component cluster
     assignment over the Jaccard pairs (pairwise evidence → one
     keep-per-cluster decision; ``cluster`` rows carry
-    doc → component-min id with the component size as score)."""
+    doc → component-min id with the component size as score), and the
+    incremental delta-vs-corpus LSH pairs (``incr_delta_corpus`` /
+    ``incr_delta_delta`` modes)."""
     from ..operators.dedup import connected_components, winnow_overlap_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -107,7 +109,43 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("id_b"),
         F.col("cluster_size").cast("double").alias("score"),
     )
-    return ngram.unionByName(winnow).unionByName(cluster)
+    incr = q_dedup_incremental(spark, sf_dir).select(
+        F.concat(F.lit("incr_"), F.col("pair_type")).alias("mode"),
+        "id_a",
+        "id_b",
+        F.col("jaccard_sim").alias("score"),
+    )
+    return (
+        ngram.unionByName(winnow).unionByName(cluster).unionByName(incr)
+    )
+
+
+# incremental dedup split: every 5th doc plays the incoming delta batch
+DELTA_SPLIT_MOD = 5
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus LSH dedup (operators/dedup.py:
+    incremental_minhash_dedup): the doc_id %% 5 == 0 split plays the
+    incoming batch, the rest the standing corpus; result = the full
+    MinHash-LSH pair set restricted to pairs involving a delta doc.
+    Driver-visible via the ``incr_*`` modes of ``dedup_ngram_pairs``."""
+    from ..operators.dedup import incremental_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.where(F.col("doc_id") % DELTA_SPLIT_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % DELTA_SPLIT_MOD != 0)
+    return incremental_minhash_dedup(
+        corpus,
+        delta,
+        "text",
+        "doc_id",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=LSH_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,6 +386,7 @@ QUERIES = {
     "dedup_simhash_near": q_dedup_simhash_near,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_embedding": q_dedup_embedding,
     "text_fingerprint": q_text_fingerprint,
     "text_language_id": q_text_language_id,
@@ -702,6 +741,13 @@ ORACLES: dict[str, str] = {
                CAST(cluster_size AS DOUBLE) AS score
         FROM ({_CLUSTERS_SQL})
         UNION ALL
+        SELECT 'incr_' || CASE WHEN id_a % {DELTA_SPLIT_MOD} = 0
+                                AND id_b % {DELTA_SPLIT_MOD} = 0
+                               THEN 'delta_delta' ELSE 'delta_corpus' END AS mode,
+               id_a, id_b, jaccard_sim AS score
+        FROM ({_minhash_oracle()})
+        WHERE id_a % {DELTA_SPLIT_MOD} = 0 OR id_b % {DELTA_SPLIT_MOD} = 0
+        UNION ALL
         SELECT 'winnow' AS mode, id_a, id_b, CAST(n_shared AS DOUBLE) AS score
         FROM (
           WITH wb AS (SELECT doc_id, trim(text) AS t FROM documents),
@@ -730,6 +776,16 @@ ORACLES: dict[str, str] = {
           HAVING count(*) >= 3)
     """,
     "dedup_clusters": _CLUSTERS_SQL,
+    # full-corpus LSH pairs restricted to pairs touching the %5==0 delta
+    # (the exactness property incremental_minhash_dedup guarantees)
+    "dedup_incremental": f"""
+        SELECT id_a, id_b, jaccard_sim,
+               CASE WHEN id_a % {DELTA_SPLIT_MOD} = 0
+                     AND id_b % {DELTA_SPLIT_MOD} = 0 THEN 'delta_delta'
+                    ELSE 'delta_corpus' END AS pair_type
+        FROM ({_minhash_oracle()})
+        WHERE id_a % {DELTA_SPLIT_MOD} = 0 OR id_b % {DELTA_SPLIT_MOD} = 0
+    """,
     # 10-word segments in ≥2 distinct docs are dropped; surviving text
     # re-joined in order and md5'd (operators/textops.py:paragraph_dedup)
     "text_paragraph_dedup": r"""

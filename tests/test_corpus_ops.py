@@ -53,6 +53,50 @@ def test_cc_parallelism_invariant(spark):
     assert a == b
 
 
+# --------------------------------------------------------- incremental dedup
+def test_incremental_dedup_restricts_full_pairs_to_delta(spark):
+    """incremental(corpus, delta) == full-corpus LSH pairs filtered to
+    pairs involving a delta doc — the operator's exactness contract."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_dedup,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight again"),
+        (2, "the quick brown fox jumps over the lazy dog tonight again"),
+        (3, "completely different text with other words entirely here now"),
+        (10, "the quick brown fox jumps over the lazy dog tonight again"),
+        (11, "completely different text with other words entirely here now"),
+        (12, "the quick brown fox leaps over the lazy dog tonight again"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    delta = docs.where(F.col("doc_id") >= 10)
+    corpus = docs.where(F.col("doc_id") < 10)
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_lsh_dedup(docs).collect()
+    }
+    release_intermediates()
+    incr = {
+        (r["id_a"], r["id_b"]): (r["jaccard_sim"], r["pair_type"])
+        for r in incremental_minhash_dedup(corpus, delta).collect()
+    }
+    release_intermediates()
+    expected = {
+        p: s for p, s in full.items() if p[0] >= 10 or p[1] >= 10
+    }
+    assert {p: v[0] for p, v in incr.items()} == expected
+    assert incr  # non-vacuous: the fixture guarantees delta pairs
+    for (a, b), (_s, ptype) in incr.items():
+        assert ptype == (
+            "delta_delta" if a >= 10 and b >= 10 else "delta_corpus"
+        )
+    # corpus-only pairs (e.g. exact dups 1-2) must NOT appear
+    assert all(a >= 10 or b >= 10 for a, b in incr)
+    assert (1, 2) in full  # the restriction actually excluded something
+
+
 # ---------------------------------------------------------- paragraph dedup
 def _pdocs(spark):
     boiler = "subscribe to our newsletter for updates every single day now"
