@@ -188,3 +188,49 @@ def test_p50_half_cent_boundary_matches_duckdb(spark):
         "FROM (VALUES (1.00), (1.01)) t(p)"
     ).fetchone()[0]
     assert spark_val == duck_val == 1.01  # HALF_UP, identically
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Arbitrary small graphs (self-loops, duplicates, chains, cliques):
+    the distributed min-label + pointer-jump fixpoint must equal a plain
+    union-find's components with min-id labels."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        release_intermediates,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expected = {
+        n: (min(members), len(members))
+        for members in comp.values()
+        for n in members
+    }
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(df).collect()
+    }
+    release_intermediates()
+    assert got == expected

@@ -119,23 +119,66 @@ def main() -> None:
             },
         )
 
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        incremental_minhash_dedup,
+        ngram_jaccard_pairs,
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        decontaminate,
+        pack_shards,
+        paragraph_dedup,
+    )
+
+    def cc(df):
+        # pairs scale ~linearly (replica sub-corpora share no shingles),
+        # so the CC rounds see linear edge growth at constant diameter
+        pairs = ngram_jaccard_pairs(
+            df, "text", "doc_id", block_cols=("lang", "source"),
+            shingle_k=1, threshold=0.5,
+        )
+        return connected_components(pairs.select("id_a", "id_b"))
+
+    def decon(df):
+        ev = df.where(F.col("doc_id") % 23 == 0)
+        return decontaminate(
+            df.where(F.col("doc_id") % 23 != 0), ev, "text", "doc_id"
+        )
+
+    def incr(df):
+        return incremental_minhash_dedup(
+            df.where(F.col("doc_id") % 5 != 0),
+            df.where(F.col("doc_id") % 5 == 0),
+            "text",
+            "doc_id",
+        )
+
     cases = {
         "a1_agg": (a1, li_1x, li_nx),
         "w2_topk": (topk, li_1x, li_nx),
         "skew_salted_sum": (skewed_salted, li_1x, li_nx),
         "minhash_lsh": (minhash_lsh_dedup, docs_1x, docs_nx),
         "simhash": (simhash_dedup, docs_1x, docs_nx),
+        "cc_clusters": (cc, docs_1x, docs_nx),
+        "paragraph_dedup": (paragraph_dedup, docs_1x, docs_nx),
+        "decontaminate": (decon, docs_1x, docs_nx),
+        "pack_shards": (pack_shards, docs_1x, docs_nx),
+        "incremental_dedup": (incr, docs_1x, docs_nx),
     }
 
     results = {}
     for name, (fn, small, large) in cases.items():
         fn(small).count()  # per-case warmup: JIT the whole code path first
+        release_intermediates()
         t0 = time.time()
         fn(small).count()
         t_small = time.time() - t0
+        release_intermediates()
         t0 = time.time()
         fn(large).count()
         t_large = time.time() - t0
+        release_intermediates()
         results[name] = {
             "t_1x": round(t_small, 2),
             f"t_{factor}x": round(t_large, 2),
