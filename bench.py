@@ -54,7 +54,10 @@ def _cpu_snap() -> list[int] | None:
 def _cpu_pcts(a: list[int] | None, b: list[int] | None) -> dict | None:
     if a is None or b is None:
         return None  # pragma: no cover - non-Linux
-    d = [y - x for x, y in zip(a, b)]
+    # first 8 fields only: guest/guest_nice are already folded into
+    # user/nice by the kernel — including them double-counts guest time
+    # and deflates the steal_pct readers use to discount noisy runs
+    d = [y - x for x, y in zip(a[:8], b[:8])]
     tot = sum(d) or 1
     # fields: user nice system idle iowait irq softirq steal
     return {

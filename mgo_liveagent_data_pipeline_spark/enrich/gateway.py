@@ -82,6 +82,44 @@ class FailingGateway:
         raise RuntimeError("gateway unavailable")
 
 
+# transient transport trouble; 4xx (minus 429) are permanent
+RETRYABLE_HTTP_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+
+def http_retry(
+    do,
+    max_retries: int = 3,
+    backoff_s: float = 0.2,
+    sleep=None,
+    retry_statuses: frozenset = RETRYABLE_HTTP_STATUSES,
+    what: str = "endpoint",
+):
+    """Bounded exponential backoff around a raw HTTP callable — the one
+    retry state machine every HTTP transport here shares (LLM gateway,
+    geocoders). ``do()`` returns the response bytes; HTTPErrors outside
+    ``retry_statuses`` re-raise immediately (permanent), everything else
+    retries up to ``max_retries`` with backoff_s·2^attempt sleeps."""
+    import time as _time
+    import urllib.error
+
+    sleep = sleep if sleep is not None else _time.sleep
+    last: Exception | None = None
+    for attempt in range(max_retries):
+        try:
+            return do()
+        except urllib.error.HTTPError as e:
+            last = e
+            if e.code not in retry_statuses:
+                raise
+        except (urllib.error.URLError, OSError, TimeoutError) as e:
+            last = e
+        if attempt < max_retries - 1:
+            sleep(backoff_s * (2 ** attempt))
+    raise RuntimeError(
+        f"{what} unreachable after {max_retries} tries"
+    ) from last
+
+
 class HttpGateway:
     """Production transport: an OpenAI-style ``/chat/completions`` HTTP
     client mirroring the reference's litellm call
@@ -132,8 +170,7 @@ class HttpGateway:
         self.transport = transport
         self.sleep = sleep
 
-    # retryable: transient transport trouble; 4xx (minus 429) are permanent
-    _RETRY_STATUSES = frozenset({429, 500, 502, 503, 504})
+    _RETRY_STATUSES = RETRYABLE_HTTP_STATUSES
 
     def _post(self, body: bytes) -> bytes:
         if self.transport is not None:
@@ -153,9 +190,6 @@ class HttpGateway:
             return resp.read()
 
     def __call__(self, prompt: str) -> tuple[str, int, str]:
-        import time as _time
-        import urllib.error
-
         body = json.dumps(
             {
                 "model": self.model,
@@ -164,25 +198,14 @@ class HttpGateway:
                 "response_format": {"type": "json_object"},
             }
         ).encode("utf-8")
-        sleep = self.sleep if self.sleep is not None else _time.sleep
-        last: Exception | None = None
-        for attempt in range(self.max_retries):
-            try:
-                raw = self._post(body)
-                break
-            except urllib.error.HTTPError as e:
-                last = e
-                if e.code not in self._RETRY_STATUSES:
-                    raise
-            except (urllib.error.URLError, OSError, TimeoutError) as e:
-                last = e
-            if attempt < self.max_retries - 1:
-                sleep(self.backoff_s * (2 ** attempt))
-        else:
-            raise RuntimeError(
-                f"LLM endpoint unreachable after {self.max_retries} tries"
-            ) from last
-
+        raw = http_retry(
+            lambda: self._post(body),
+            max_retries=self.max_retries,
+            backoff_s=self.backoff_s,
+            sleep=self.sleep,
+            retry_statuses=self._RETRY_STATUSES,
+            what="LLM endpoint",
+        )
         resp = json.loads(raw.decode("utf-8"))
         content = resp["choices"][0]["message"]["content"]
         json.loads(content)  # reference contract: content must be JSON

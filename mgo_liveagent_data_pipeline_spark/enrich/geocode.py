@@ -59,16 +59,15 @@ class HttpOsmGeocoder:
     (core/Geocode.py:103-110).
 
     On top of the reference (which swallows every error): bounded retry
-    with exponential backoff on 429/5xx/transport errors; other 4xx raise
-    immediately. Zero results → None (the caller's ``unresolved`` row).
-    Stdlib urllib only — instances cloudpickle into Spark python workers;
-    pace calls with the enclosing ``geocode_with_fallback`` token bucket
-    (the distributed analogue of the reference's 1.25 s sleep), not here.
+    with exponential backoff on 429/5xx/transport errors via the shared
+    ``gateway.http_retry`` state machine; other 4xx raise immediately.
+    Zero results → None (the caller's ``unresolved`` row). Stdlib urllib
+    only — instances cloudpickle into Spark python workers; pace calls
+    with the enclosing ``geocode_with_fallback`` token bucket (the
+    distributed analogue of the reference's 1.25 s sleep), not here.
     ``transport(url) -> bytes`` is injectable for tests, same pattern as
     ``HttpGateway``.
     """
-
-    _RETRY_STATUSES = frozenset({429, 500, 502, 503, 504})
 
     def __init__(
         self,
@@ -106,25 +105,15 @@ class HttpOsmGeocoder:
             return resp.read()
 
     def _fetch(self, url: str) -> bytes:
-        import time as _time
-        import urllib.error
+        from .gateway import http_retry
 
-        sleep = self.sleep if self.sleep is not None else _time.sleep
-        last: Exception | None = None
-        for attempt in range(self.max_retries):
-            try:
-                return self._get(url)
-            except urllib.error.HTTPError as e:
-                last = e
-                if e.code not in self._RETRY_STATUSES:
-                    raise
-            except (urllib.error.URLError, OSError, TimeoutError) as e:
-                last = e
-            if attempt < self.max_retries - 1:
-                sleep(self.backoff_s * (2 ** attempt))
-        raise RuntimeError(
-            f"geocode endpoint unreachable after {self.max_retries} tries"
-        ) from last
+        return http_retry(
+            lambda: self._get(url),
+            max_retries=self.max_retries,
+            backoff_s=self.backoff_s,
+            sleep=self.sleep,
+            what="geocode endpoint",
+        )
 
     def _parse(self, raw: bytes) -> tuple[float, float] | None:
         import json

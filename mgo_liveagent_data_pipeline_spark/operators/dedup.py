@@ -60,6 +60,23 @@ def _scoped_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+_NUMERIC_KEY_TYPES = ("bigint", "int", "smallint", "tinyint")
+
+
+def _require_numeric(df: DataFrame, cols, op: str) -> None:
+    """Fail fast on non-integer key columns: a silent ``cast('long')`` on
+    a string UUID column yields all-null keys and deterministic-looking
+    garbage instead of an error."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) not in _NUMERIC_KEY_TYPES:
+            raise TypeError(
+                f"{op} requires an integer key column; got "
+                f"{c!r}: {dtypes.get(c)!r} — map string ids to longs "
+                f"(e.g. xxhash64) before calling"
+            )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:
@@ -295,10 +312,23 @@ def incremental_minhash_dedup(
     ``minhash_lsh_dedup`` pair set restricted to pairs involving a delta
     doc (the property the oracle checks).
 
+    A key present in BOTH inputs is treated as a re-ingest: the delta's
+    version supersedes the corpus row (the same replace-matched
+    semantics as the K4 MERGE sinks). Without this rule the union would
+    merge both versions' shingles into one chimera signature and emit
+    duplicate contradictory pairs.
+
     Returns (id_a < id_b, jaccard_sim, pair_type) where pair_type is
     ``delta_corpus`` or ``delta_delta``.
     """
-    both = corpus.select(
+    delta_keys = _scoped_persist(
+        delta.select(F.col(key_col).alias("key")).distinct()
+    )
+    corpus_live = corpus.join(
+        delta_keys.withColumnRenamed("key", key_col), on=key_col,
+        how="left_anti",
+    )
+    both = corpus_live.select(
         F.col(key_col), F.col(text_col)
     ).unionByName(delta.select(F.col(key_col), F.col(text_col)))
     banded_all = _scoped_persist(
@@ -306,9 +336,6 @@ def incremental_minhash_dedup(
             both, text_col, key_col, num_hashes, bands, shingle_k,
             max_bucket_size,
         )
-    )
-    delta_keys = _scoped_persist(
-        delta.select(F.col(key_col).alias("key")).distinct()
     )
     banded_delta = banded_all.join(delta_keys, on="key", how="left_semi")
     a = banded_delta.alias("a")
@@ -606,7 +633,13 @@ def connected_components(
     Returns one row per endpoint: (node, cluster_id, cluster_size) where
     cluster_id is the component-minimum node id. Isolated docs (no pair)
     are not emitted — callers keep them as singleton clusters implicitly.
+    Raises if the fixpoint is not reached within ``max_iterations``
+    (pointer jumping closes diameters up to ~2^max_iterations, so the
+    default 20 covers any realistic near-dup graph; a partial labelling
+    silently kept would make downstream keep-one-per-cluster retain
+    duplicates).
     """
+    _require_numeric(pairs, (id_a, id_b), "connected_components")
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -629,6 +662,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(max_iterations):
         prop = edges.join(
             labels.select(F.col("node").alias("dst"), "lbl"), on="dst"
@@ -645,8 +679,16 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach fixpoint within "
+            f"{max_iterations} iterations — labels were still changing; "
+            f"raise max_iterations (pointer jumping needs ~log2(diameter) "
+            f"rounds)"
+        )
     from pyspark.sql.window import Window
 
     return labels.select(

@@ -513,13 +513,16 @@ def paragraph_dedup(
     newlines, so the segment unit is a fixed ``seg_words``-word window,
     same mechanics).
 
-    Plan shape (scale path): explode to (key, pos, segment-md5) — never the
-    segment text through the wide shuffle — one hash-aggregate counting
-    distinct docs per digest, a broadcast-or-shuffle join of the ≥min_docs
-    digest set back onto the exploded rows, and one groupBy(key) that
-    reassembles kept segments with array_sort. Both shuffles carry
-    (digest | key, pos, seg) rows; at 100 TB the duplicated-digest side is
-    tiny (boilerplate set) and broadcasts.
+    Plan shape (scale path): explode ONCE to a persisted
+    (key, pos, seg, digest) relation — both the digest-count aggregate
+    and the flag join read it, so the tokenize/segment pipeline runs a
+    single time — one hash-aggregate counting distinct docs per digest,
+    an equi-join of the ≥min_docs digest set back onto the exploded rows
+    (no broadcast hint: on a clean corpus the duplicated-digest set is a
+    small boilerplate list the planner broadcasts on its own, but it is
+    unbounded in the worst case — a forced broadcast would OOM exactly
+    when dedup matters most, so the shuffle fallback stays available),
+    and one groupBy(key) that reassembles kept segments with array_sort.
 
     Returns (key, n_segments, n_dropped, dedup_hash) where dedup_hash is
     md5 of the space-rejoined surviving text — compact enough to
@@ -536,21 +539,24 @@ def paragraph_dedup(
             ),
         )
 
+    from .dedup import _scoped_persist
+
     seg_arr = F.element_at(F.transform(F.array(toks), segs), 1)
-    exploded = df.select(
-        F.col(key_col).alias("key"), F.posexplode(seg_arr).alias("pos", "seg")
+    exploded = _scoped_persist(
+        df.select(
+            F.col(key_col).alias("key"),
+            F.posexplode(seg_arr).alias("pos", "seg"),
+        ).withColumn("h", F.md5("seg"))
     )
     # the shuffled count carries (digest, key) only
     dup_digests = (
-        exploded.groupBy(F.md5("seg").alias("h"))
+        exploded.groupBy("h")
         .agg(F.count_distinct("key").alias("nd"))
         .where(F.col("nd") >= min_docs)
-        .select("h")
+        .select(F.col("h").alias("__dup_h"))
     )
     flagged = exploded.join(
-        F.broadcast(dup_digests.withColumnRenamed("h", "__dup_h")),
-        F.md5(F.col("seg")) == F.col("__dup_h"),
-        "left",
+        dup_digests, exploded["h"] == dup_digests["__dup_h"], "left"
     ).select(
         "key", "pos", "seg", F.col("__dup_h").isNotNull().alias("is_dup")
     )
@@ -650,6 +656,9 @@ def pack_shards(
 
     Returns (key, n_tokens, shard_id).
     """
+    from .dedup import _require_numeric
+
+    _require_numeric(df, (key_col,), "pack_shards")
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     d = df.select(
         F.col(key_col).cast("long").alias("key"), n_tokens.alias("n_tokens")

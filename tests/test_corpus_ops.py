@@ -97,6 +97,27 @@ def test_incremental_dedup_restricts_full_pairs_to_delta(spark):
     assert (1, 2) in full  # the restriction actually excluded something
 
 
+def test_incremental_dedup_delta_supersedes_corpus_on_key_collision(spark):
+    """A key in both inputs is a re-ingest: the delta's text wins, no
+    chimera signature, no duplicate pairs."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    match = "the quick brown fox jumps over the lazy dog tonight again"
+    corpus = spark.createDataFrame(
+        [(7, "old version text that matched nothing in particular here"),
+         (1, match)],
+        ["doc_id", "text"])
+    delta = spark.createDataFrame([(7, match)], ["doc_id", "text"])
+    out = incremental_minhash_dedup(corpus, delta).collect()
+    release_intermediates()
+    pairs = {(r["id_a"], r["id_b"]): r["pair_type"] for r in out}
+    # the delta's v2 text pairs with corpus doc 1; exactly once
+    assert pairs == {(1, 7): "delta_corpus"}
+    assert len(out) == 1
+
+
 # ---------------------------------------------------------- paragraph dedup
 def _pdocs(spark):
     boiler = "subscribe to our newsletter for updates every single day now"
