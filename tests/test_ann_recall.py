@@ -48,6 +48,34 @@ def test_ann_recall_floors_and_multiprobe_dominance(spark):
     assert r_rh2 >= r_rh
 
 
+def test_ivf_recall_probe_sweep_is_monotone(spark):
+    """The recall/cost knob, quantified: probing p of the 10 posting
+    lists scans p/10 of the corpus and recall rises monotonically toward
+    brute force. Measured on the deterministic sf0.01 corpus:
+    p=1→0.12, 2→0.24, 3→0.36, 4→0.52, 6→0.72, 8→0.88 (p=10 ≡ exact).
+    The floors assert slightly under the measured points; monotonicity is
+    the distribution-independent contract."""
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = _pairs(cosine_topk(emb, q, k=5, query_key="query_id"))
+    floors = {1: 0.08, 2: 0.16, 4: 0.4, 8: 0.8}
+    prev = -1.0
+    for p, floor in floors.items():
+        got = _pairs(ivf_topk(emb, q, k=5, query_key="query_id", n_probes=p))
+        r = len(got & truth) / len(truth)
+        assert r >= floor, (p, r)
+        assert r >= prev, (p, r, prev)  # monotone in probes
+        prev = r
+
+
 def test_kmeans_keeps_emptied_cluster(spark):
     """Two coinciding seed centroids: the tie-break routes every shared
     vector to the higher cluster id, emptying the lower one — which must
