@@ -228,3 +228,77 @@ def fuzzy_threshold_join(
     return agg.withColumn(
         flag_col, F.when(F.col("best_score") >= threshold, "Yes").otherwise("No")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = ("event_id", "ts", "value"),
+    prefix: str = "right_",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for every left row, attach the latest right
+    row of the same key with ``right.ts <= left.ts`` — the time-series
+    join (trade ← latest quote) Spark has no native operator for, and a
+    named gap in the reference (SURVEY §3: "no range/as-of/interval
+    joins").
+
+    NOT a range join: a naive ``left.ts >= right.ts`` theta-join
+    materializes O(|left|·|right|) pairs per key before the argmax. This
+    is the union-and-carry-forward form — tag both sides, union, and run
+    ``last(payload, ignorenulls=True)`` over a window ordered by
+    (ts, side, tiebreak): each left row picks up the most recent right
+    payload carried forward within its key partition. ONE hash shuffle on
+    the key columns, linear in |left|+|right|, and the sort is the same
+    per-partition sort a SortMergeJoin would do anyway — this is the plan
+    shape you want at 100 TB, and it inherits AQE skew splitting on the
+    key shuffle.
+
+    Ordering contract: at equal timestamps the right row sorts BEFORE the
+    left row (side 0 < 1), so ``right.ts == left.ts`` matches — the
+    standard ASOF inclusive bound. Ties BETWEEN right rows at the same
+    (key, ts) are broken by ``tiebreak_col`` (default: the first of
+    ``right_cols``) taking the maximum, so results are deterministic at
+    any parallelism — the property the oracle hash-check needs and
+    DuckDB's native ASOF JOIN leaves unspecified.
+
+    Returns every left row + ``prefix``-renamed right payload columns
+    (NULL where no right row precedes).
+    """
+    tb = tiebreak_col or right_cols[0]
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    r2 = right.select(
+        *key_cols,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(tb).cast("long").alias("__tb"),
+        payload.alias("__pl"),
+    )
+    payload_t = r2.schema["__pl"].dataType
+    l2 = left.select(
+        *left.columns,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(payload_t).alias("__pl"),
+    )
+    # align schemas: right rows carry nulls for left-only columns
+    for c in left.columns:
+        if c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = l2.unionByName(r2.select(*l2.columns))
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__ts", "__side", F.coalesce(F.col("__tb"), F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__m", F.last("__pl", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col("__m")[c].alias(f"{prefix}{c}") for c in right_cols
+    ]
+    return carried.where(F.col("__side") == 1).select(*out_cols)

@@ -477,6 +477,28 @@ def q_w4_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py:asof_join): odd event_ids play
+    trades, even play quotes — each trade attaches the latest same-user
+    quote with quote.ts <= trade.ts. Driver-visible via the ``asof``
+    mode of ``w4_w5_window_sweep``."""
+    from ..operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    trades = events.where(F.col("event_id") % 2 == 1)
+    quotes = events.where(F.col("event_id") % 2 == 0)
+    out = asof_join(
+        trades, quotes, key_cols=("user_id",), ts_col="ts",
+        right_cols=("event_id", "value"), prefix="quote_",
+    )
+    return out.select(
+        "event_id", "user_id", "value",
+        F.col("quote_event_id"), F.col("quote_value"),
+    )
+
+
 # ----------------------------------------------------------- E: set ops
 def q_e1_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: run − existing (new ids; ExtractionLogger.py:102-107)."""
@@ -861,6 +883,32 @@ ORACLES: dict[str, str] = {
                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_7d
         FROM daily
     """,
+    # union-and-carry-forward asof (mirrors operators/joins.py:asof_join:
+    # right sorts before left at equal ts; right-right ties by max id)
+    "w6_asof_join": """
+        WITH t AS (
+          SELECT event_id, user_id, ts, value FROM events WHERE event_id % 2 = 1),
+        q AS (
+          SELECT event_id, user_id, ts, value FROM events WHERE event_id % 2 = 0),
+        u AS (
+          SELECT event_id, user_id, ts, value, 1 AS side,
+                 CAST(NULL AS BIGINT) AS tb,
+                 CAST(NULL AS STRUCT(id BIGINT, val DOUBLE)) AS pl
+          FROM t
+          UNION ALL
+          SELECT NULL, user_id, ts, NULL, 0, event_id,
+                 struct_pack(id := event_id, val := value)
+          FROM q),
+        c AS (
+          SELECT *, last_value(pl IGNORE NULLS) OVER w AS m
+          FROM u
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, side, coalesce(tb, -1)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, value,
+               m.id AS quote_event_id, m.val AS quote_value
+        FROM c WHERE side = 1
+    """,
     # salting is algebra-invariant → the oracle is the UNsalted query
     "skew_salted_sum": """
         SELECT l_returnflag,
@@ -1023,6 +1071,7 @@ QUERIES = {
     "w3_ordered_limit": q_w3_ordered_limit,
     "w4_lag_lead": q_w4_lag_lead,
     "w5_rolling_window": q_w5_rolling_window,
+    "w6_asof_join": q_w6_asof_join,
     "a7_rollup": q_a7_rollup,
     "skew_salted_sum": q_skew_salted_sum,
     "skew_salted_join": q_skew_salted_join,

@@ -70,7 +70,9 @@ def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-family frame specs: lag/lead deltas (w4) + 7-day range-frame
-    rolling sum (w5)."""
+    rolling sum (w5) + the as-of join (``asof`` mode — trade rows carry
+    their latest preceding same-user quote,
+    operators/joins.py:asof_join)."""
     w4 = relational.q_w4_lag_lead(spark, sf_dir).select(
         F.lit("lag_lead").alias("mode"),
         F.col("event_id").cast("string").alias("key_s"),
@@ -85,7 +87,14 @@ def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rolling_7d").alias("metric"),
         _null("long").alias("extra_n"),
     )
-    return w4.unionByName(w5)
+    w6 = relational.q_w6_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("mode"),
+        F.col("event_id").cast("string").alias("key_s"),
+        F.col("user_id").alias("key_n"),
+        F.col("quote_value").alias("metric"),
+        F.col("quote_event_id").alias("extra_n"),
+    )
+    return w4.unionByName(w5).unionByName(w6)
 
 
 def q_skew_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,6 +609,13 @@ ORACLES: dict[str, str] = {
             _R["w5_rolling_window"],
             "'rolling' AS mode, priority AS key_s, day_no AS key_n, "
             "rolling_7d AS metric, CAST(NULL AS BIGINT) AS extra_n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["w6_asof_join"],
+            "'asof' AS mode, CAST(event_id AS VARCHAR) AS key_s, "
+            "user_id AS key_n, quote_value AS metric, "
+            "quote_event_id AS extra_n",
         )
     ),
     "skew_suite": (

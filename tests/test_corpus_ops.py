@@ -187,6 +187,60 @@ def test_decontaminate_counts_distinct_hits(spark):
     assert out["hit_frac"] == 1.0
 
 
+# ----------------------------------------------------------------- asof join
+def test_asof_join_semantics(spark):
+    """Inclusive equal-ts bound, carry-forward across gaps, NULL before
+    the first quote, and max-id tiebreak at identical (key, ts)."""
+    import datetime as dt
+
+    from mgo_liveagent_data_pipeline_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    trades = spark.createDataFrame(
+        [(101, 1, at(5), 9.0),   # before any quote -> NULL match
+         (103, 1, at(10), 9.5),  # equal ts as quote 2 -> inclusive match
+         (105, 1, at(40), 9.9),  # after both quotes -> latest carried
+         (107, 2, at(10), 1.0)], # other user, ties: two quotes same ts
+        ["event_id", "user_id", "ts", "value"])
+    quotes = spark.createDataFrame(
+        [(2, 1, at(10), 100.0),
+         (4, 1, at(20), 200.0),
+         (6, 2, at(10), 300.0),
+         (8, 2, at(10), 400.0)],  # same (user, ts) as id 6 -> max id wins
+        ["event_id", "user_id", "ts", "value"])
+    out = {
+        r["event_id"]: (r["quote_event_id"], r["quote_value"])
+        for r in asof_join(
+            trades, quotes, right_cols=("event_id", "value"),
+            prefix="quote_",
+        ).collect()
+    }
+    assert out[101] == (None, None)
+    assert out[103] == (2, 100.0)
+    assert out[105] == (4, 200.0)
+    assert out[107] == (8, 400.0)
+
+
+def test_asof_join_parallelism_invariant(spark):
+    import datetime as dt
+
+    from mgo_liveagent_data_pipeline_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, i % 7, t0 + dt.timedelta(seconds=i * 3), float(i))
+            for i in range(200)]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    tr, qt = ev.where("event_id % 2 = 1"), ev.where("event_id % 2 = 0")
+    a = sorted(map(tuple, asof_join(tr, qt).collect()))
+    b = sorted(map(tuple,
+                   asof_join(tr.repartition(13), qt.repartition(3)).collect()))
+    assert a == b
+
+
 # ------------------------------------------------------------- shard packing
 def test_pack_shards_sequential_fill(spark):
     rows = [(i, " ".join(["w"] * 40)) for i in range(10)]  # 40 tokens each
