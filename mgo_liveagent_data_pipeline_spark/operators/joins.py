@@ -302,3 +302,52 @@ def asof_join(
         F.col("__m")[c].alias(f"{prefix}{c}") for c in right_cols
     ]
     return carried.where(F.col("__side") == 1).select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 7,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Interval-containment join: each point row matches every interval
+    row with ``start <= point <= end`` (plus equality on ``key_cols`` if
+    given) — the other join family the reference lacks (SURVEY §3: "no
+    range/as-of/interval joins") and Spark expresses only as a theta
+    join, which the planner executes as a (broadcast) nested loop over
+    the full cross product.
+
+    Banded form: intervals explode to the coarse buckets they span
+    (``sequence(floor(start/w), floor(end/w))``), points hash to exactly
+    one bucket, and the join becomes an EQUI-join on (key_cols, bucket)
+    followed by the exact BETWEEN filter. Candidate pairs collapse from
+    |points|·|intervals| to only bucket-co-located ones — the same
+    blocking idea as the LSH band join, applied to 1-D ranges. Each
+    matching (point, interval) pair arises in exactly one bucket (the
+    point's), so no dedup pass is needed. Pick ``bucket_width`` near the
+    typical interval length: ~1-2 exploded rows per interval, and a
+    point's bucket holds only nearby intervals. Columns must be integer
+    domains (epoch days/seconds); cast timestamps first.
+
+    Returns point rows joined to their containing intervals' columns.
+    """
+    p = points.withColumn(
+        "__rb", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__rb",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, on=[*key_cols, "__rb"])
+        .where(F.col(point_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__rb")
+    )

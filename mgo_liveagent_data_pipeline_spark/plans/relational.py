@@ -499,6 +499,44 @@ def q_w6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (operators/joins.py:range_join): the five
+    highest-value orders define 30-day promo windows from their order
+    date; count/sum the lineitems shipping inside each window. No join
+    key — pure interval containment, bucketed so it never goes
+    quadratic. Driver-visible via the ``range``/``range_qty`` modes of
+    ``j2_j4_semi_anti``."""
+    from ..operators.joins import range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    promo = (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(5)
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("d"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("d").alias("promo_start"),
+            (F.col("d") + 30).alias("promo_end"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01")).alias("ship_day"),
+        "l_quantity",
+    )
+    joined = range_join(
+        li, promo, "ship_day", "promo_start", "promo_end", bucket_width=30
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
 # ----------------------------------------------------------- E: set ops
 def q_e1_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: run − existing (new ids; ExtractionLogger.py:102-107)."""
@@ -909,6 +947,21 @@ ORACLES: dict[str, str] = {
                m.id AS quote_event_id, m.val AS quote_value
         FROM c WHERE side = 1
     """,
+    # banding is algebra-invariant → the oracle is the plain BETWEEN join
+    "j8_range_join": """
+        WITH promo AS (
+          SELECT o_orderkey,
+                 date_diff('day', DATE '1992-01-01', o_orderdate) AS d
+          FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5),
+        li AS (
+          SELECT date_diff('day', DATE '1992-01-01', l_shipdate) AS p,
+                 l_quantity
+          FROM lineitem)
+        SELECT o_orderkey, count(*) AS n_items,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+        FROM promo JOIN li ON li.p BETWEEN promo.d AND promo.d + 30
+        GROUP BY o_orderkey
+    """,
     # salting is algebra-invariant → the oracle is the UNsalted query
     "skew_salted_sum": """
         SELECT l_returnflag,
@@ -1072,6 +1125,7 @@ QUERIES = {
     "w4_lag_lead": q_w4_lag_lead,
     "w5_rolling_window": q_w5_rolling_window,
     "w6_asof_join": q_w6_asof_join,
+    "j8_range_join": q_j8_range_join,
     "a7_rollup": q_a7_rollup,
     "skew_salted_sum": q_skew_salted_sum,
     "skew_salted_join": q_skew_salted_join,

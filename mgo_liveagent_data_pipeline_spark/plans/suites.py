@@ -39,7 +39,10 @@ def q_s7_w3_preview_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_j2_j4_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2/E1 (left-anti) + J4/E2 (semi-join) in one row."""
+    """J2/E1 (left-anti) + J4/E2 (semi-join) + the banded range join
+    (``range``/``range_qty`` modes — lineitems inside the top-5 orders'
+    30-day promo windows, operators/joins.py:range_join; qty checked in
+    cents so the long ``n`` column carries it exactly)."""
     j2 = relational.q_j2_anti_join(spark, sf_dir).select(
         F.lit("anti").alias("mode"),
         F.col("segment").alias("grp"),
@@ -50,7 +53,18 @@ def q_j2_j4_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").alias("grp"),
         F.col("n_orders").alias("n"),
     )
-    return j2.unionByName(j4)
+    j8 = relational.q_j8_range_join(spark, sf_dir)
+    rng = j8.select(
+        F.lit("range").alias("mode"),
+        F.col("o_orderkey").cast("string").alias("grp"),
+        F.col("n_items").alias("n"),
+    )
+    rng_qty = j8.select(
+        F.lit("range_qty").alias("mode"),
+        F.col("o_orderkey").cast("string").alias("grp"),
+        F.round(F.col("sum_qty") * 100).cast("long").alias("n"),
+    )
+    return j2.unionByName(j4).unionByName(rng).unionByName(rng_qty)
 
 
 def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,6 +600,17 @@ ORACLES: dict[str, str] = {
         )
         + " UNION ALL "
         + _tagged(_R["j4_semi_join"], "'semi' AS mode, status AS grp, n_orders AS n")
+        + " UNION ALL "
+        + _tagged(
+            _R["j8_range_join"],
+            "'range' AS mode, CAST(o_orderkey AS VARCHAR) AS grp, n_items AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["j8_range_join"],
+            "'range_qty' AS mode, CAST(o_orderkey AS VARCHAR) AS grp, "
+            "CAST(round(sum_qty * 100) AS BIGINT) AS n",
+        )
     ),
     "a2_a3_distinct_suite": (
         _tagged(

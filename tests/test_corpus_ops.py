@@ -241,6 +241,50 @@ def test_asof_join_parallelism_invariant(spark):
     assert a == b
 
 
+# ---------------------------------------------------------------- range join
+def test_range_join_equals_theta_join(spark):
+    """The banded equi-join + BETWEEN filter must equal the naive theta
+    join at any bucket width, including intervals spanning many buckets
+    and points on interval boundaries."""
+    import random
+
+    from mgo_liveagent_data_pipeline_spark.operators.joins import range_join
+
+    rng = random.Random(11)
+    pts = [(i, rng.randint(0, 100)) for i in range(80)]
+    ivs = []
+    for j in range(12):
+        s = rng.randint(0, 90)
+        ivs.append((100 + j, s, s + rng.randint(0, 40)))
+    p = spark.createDataFrame(pts, ["pid", "x"])
+    iv = spark.createDataFrame(ivs, ["iid", "s", "e"])
+    naive = {
+        (a, b)
+        for a, ax in pts
+        for b, s, e in ivs
+        if s <= ax <= e
+    }
+    for width in (1, 7, 50):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(p, iv, "x", "s", "e", bucket_width=width)
+            .collect()
+        }
+        assert got == naive, width
+
+
+def test_range_join_with_key_cols(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.joins import range_join
+
+    p = spark.createDataFrame(
+        [(1, "u", 5), (2, "v", 5)], ["pid", "k", "x"]
+    )
+    iv = spark.createDataFrame([(9, "u", 0, 10)], ["iid", "k", "s", "e"])
+    got = range_join(p, iv, "x", "s", "e", bucket_width=4,
+                     key_cols=("k",)).collect()
+    assert [(r["pid"], r["iid"]) for r in got] == [(1, 9)]
+
+
 # ------------------------------------------------------------- shard packing
 def test_pack_shards_sequential_fill(spark):
     rows = [(i, " ".join(["w"] * 40)) for i in range(10)]  # 40 tokens each
