@@ -90,3 +90,121 @@ def first_row_pick(df: DataFrame, order_col: str, value_cols: list[str]) -> Data
             for c in value_cols
         ]
     )
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Continuous-aggregate time hierarchy (TimescaleDB's hypertable
+    rollup / materialized cagg pattern): hour → day → month buckets
+    where every coarser level re-aggregates FROM THE FINER LEVEL, never
+    from raw rows. At 100 TB that is the whole point — the raw table is
+    scanned exactly once (the hourly pass); the daily pass reads
+    |hours| rows and the monthly pass |days| rows, so refreshing coarse
+    levels costs metadata-scale work. Sums stay DECIMAL through every
+    level (floating-point re-aggregation would drift between levels;
+    decimal re-aggregation is exact, which is also what makes the
+    union hash-comparable against an oracle computing every level
+    straight from raw). Count re-aggregates as sum-of-counts.
+
+    Returns the tagged union: (level ∈ hour/day/month, bucket_ts,
+    n_events, total_value).
+    """
+    hourly = (
+        df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast(MONEY)).alias("__total"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__total").alias("__total"),
+        )
+    )
+    monthly = (
+        daily.groupBy(F.date_trunc("month", F.col("bucket_ts")).alias("bucket_ts"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__total").alias("__total"),
+        )
+    )
+
+    def out(level: str, d: DataFrame) -> DataFrame:
+        return d.select(
+            F.lit(level).alias("level"),
+            "bucket_ts",
+            "n_events",
+            F.round(F.col("__total"), 2).cast("double").alias("total_value"),
+        )
+
+    return (
+        out("hour", hourly)
+        .unionByName(out("day", daily))
+        .unionByName(out("month", monthly))
+    )
+
+
+def kmv_sketch_rows(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """The kept rows of a KMV (k-minimum-values) distinct-count sketch:
+    per group, the ``k`` smallest distinct md5-derived hash fractions of
+    ``value_col``. This relation IS the sketch — mergeable by union
+    (union two groups' kept rows, re-take the k smallest: exactly how a
+    distributed system combines per-partition or per-day sketches), and
+    deterministic (md5, no RNG) so an oracle engine reproduces it
+    bit-for-bit, unlike HLL-register implementations that differ by
+    library. Plan: distinct (group, hash) → per-group bottom-k via
+    row_number — one shuffle on the group key, kept size ≤ k·|groups|.
+    """
+    frac = (
+        F.conv(F.md5(F.col(value_col).cast("string")).substr(1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 48))
+    )
+    from pyspark.sql.window import Window
+
+    hashed = df.select(*group_cols, frac.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def kmv_estimate(rows: DataFrame, group_cols: tuple[str, ...], k: int = 64) -> DataFrame:
+    """Distinct-count estimate from KMV kept rows: with fewer than ``k``
+    kept hashes the count is exact; otherwise (k-1)/h_k — the classic
+    KMV estimator (standard error ≈ 1/√(k−2)). Returns
+    (group, n_kept, kth_frac, est_distinct)."""
+    agg = rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_frac"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("kth_frac")
+    )
+    return agg.select(
+        *group_cols,
+        "n_kept",
+        F.round("kth_frac", 9).alias("kth_frac"),
+        F.round(est, 2).alias("est_distinct"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV sketch + estimate in one call (see ``kmv_sketch_rows``)."""
+    return kmv_estimate(kmv_sketch_rows(df, group_cols, value_col, k), group_cols, k)

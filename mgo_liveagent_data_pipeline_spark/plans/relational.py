@@ -499,6 +499,28 @@ def q_w6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/aggregations.py:kmv_distinct):
+    per order status, the k=64 minimum md5 hash fractions of o_custkey
+    and the resulting estimate — deterministic, mergeable, oracle-exact.
+    Driver-visible via the ``kmv*`` modes of ``a2_a3_distinct_suite``."""
+    from ..operators.aggregations import kmv_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_distinct(orders, ("o_orderstatus",), "o_custkey", k=64)
+
+
+def q_ht_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable time rollup (operators/aggregations.py:
+    hypertable_rollup): hour/day/month continuous aggregates where each
+    coarser level re-aggregates from the finer one — raw scanned once.
+    Driver-visible via the ``ht_*`` modes of ``f7_f9_time_buckets``."""
+    from ..operators.aggregations import hypertable_rollup
+
+    events = load_table(spark, sf_dir, "events").select("ts", "value")
+    return hypertable_rollup(events, "ts", "value")
+
+
 def q_j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join (operators/joins.py:range_join): the five
     highest-value orders define 30-day promo windows from their order
@@ -947,6 +969,42 @@ ORACLES: dict[str, str] = {
                m.id AS quote_event_id, m.val AS quote_value
         FROM c WHERE side = 1
     """,
+    # same md5-fraction hashing, same bottom-k, same (k-1)/h_k estimator
+    # (mirrors operators/aggregations.py:kmv_distinct, k=64)
+    "kmv_distinct": """
+        WITH hashed AS (
+          SELECT DISTINCT o_orderstatus,
+                 CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                   / 281474976710656.0 AS h
+          FROM orders),
+        ranked AS (
+          SELECT o_orderstatus, h,
+                 row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
+          FROM hashed),
+        kept AS (SELECT * FROM ranked WHERE rn <= 64)
+        SELECT o_orderstatus,
+               count(*) AS n_kept,
+               round(max(h), 9) AS kth_frac,
+               round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                          ELSE 63.0 / max(h) END, 2) AS est_distinct
+        FROM kept GROUP BY o_orderstatus
+    """,
+    # level-from-level re-aggregation is algebra-invariant for decimal
+    # sums and counts → the oracle computes every level straight from raw
+    "ht_rollup": """
+        SELECT 'hour' AS level, date_trunc('hour', ts) AS bucket_ts,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'day', date_trunc('day', ts), count(*),
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'month', date_trunc('month', ts), count(*),
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+        FROM events GROUP BY 2
+    """,
     # banding is algebra-invariant → the oracle is the plain BETWEEN join
     "j8_range_join": """
         WITH promo AS (
@@ -1126,6 +1184,8 @@ QUERIES = {
     "w5_rolling_window": q_w5_rolling_window,
     "w6_asof_join": q_w6_asof_join,
     "j8_range_join": q_j8_range_join,
+    "ht_rollup": q_ht_rollup,
+    "kmv_distinct": q_kmv_distinct,
     "a7_rollup": q_a7_rollup,
     "skew_salted_sum": q_skew_salted_sum,
     "skew_salted_join": q_skew_salted_join,

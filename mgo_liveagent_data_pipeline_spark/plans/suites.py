@@ -68,7 +68,19 @@ def q_j2_j4_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 (distinct projection) + A3 (multi-column distinct ids)."""
+    """A2 (distinct projection) + A3 (multi-column distinct ids) + the
+    KMV distinct-count sketch (``kmv`` mode — per-status estimate and
+    kept-count packed as "est_cents|n_kept",
+    operators/aggregations.py:kmv_distinct)."""
+    kmv = relational.q_kmv_distinct(spark, sf_dir).select(
+        F.lit("kmv").alias("mode"),
+        F.col("o_orderstatus").alias("k1"),
+        F.concat_ws(
+            "|",
+            F.round(F.col("est_distinct") * 100).cast("long").cast("string"),
+            F.col("n_kept").cast("string"),
+        ).alias("k2"),
+    )
     a2 = relational.q_a2_distinct(spark, sf_dir).select(
         F.lit("pairs").alias("mode"),
         F.col("o_orderstatus").alias("k1"),
@@ -79,7 +91,7 @@ def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("string").alias("k1"),
         _null("string").alias("k2"),
     )
-    return a2.unionByName(a3)
+    return a2.unionByName(a3).unionByName(kmv)
 
 
 def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,7 +209,18 @@ def q_f7_f9_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").alias("n_events"),
         _null("double").alias("total_value"),
     )
-    return f7.unionByName(f8).unionByName(f9_start).unionByName(f9_end)
+    ht = relational.q_ht_rollup(spark, sf_dir).select(
+        F.concat(F.lit("ht_"), F.col("level")).alias("mode"),
+        "bucket_ts",
+        "n_events",
+        "total_value",
+    )
+    return (
+        f7.unionByName(f8)
+        .unionByName(f9_start)
+        .unionByName(f9_end)
+        .unionByName(ht)
+    )
 
 
 def q_f11_f12_schedule_safecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,6 +645,13 @@ ORACLES: dict[str, str] = {
             _R["a3_multi_column_distinct"],
             "'ids' AS mode, CAST(id AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2",
         )
+        + " UNION ALL "
+        + _tagged(
+            _R["kmv_distinct"],
+            "'kmv' AS mode, o_orderstatus AS k1, "
+            "CAST(CAST(round(est_distinct * 100) AS BIGINT) AS VARCHAR) "
+            "|| '|' || CAST(n_kept AS VARCHAR) AS k2",
+        )
     ),
     "w4_w5_window_sweep": (
         _tagged(
@@ -698,6 +728,11 @@ ORACLES: dict[str, str] = {
             _R["f9_month_bounds"],
             "'month_end' AS mode, CAST(month_end_day AS TIMESTAMP) AS bucket_ts, "
             "n_orders AS n_events, CAST(NULL AS DOUBLE) AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["ht_rollup"],
+            "'ht_' || level AS mode, bucket_ts, n_events, total_value",
         )
     ),
     "text_corpus_stats": (

@@ -241,6 +241,101 @@ def test_asof_join_parallelism_invariant(spark):
     assert a == b
 
 
+# ------------------------------------------------------------------ KMV sketch
+def test_kmv_estimate_tracks_exact_distinct(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        kmv_distinct,
+    )
+
+    rows = [(("g%d" % (i % 2)), i % 500) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: r for r in kmv_distinct(df, ("g",), "v", k=64).collect()}
+    for g in ("g0", "g1"):
+        exact = 250  # each group sees 250 distinct v values
+        est = out[g]["est_distinct"]
+        # standard error ~ 1/sqrt(k-2) ~ 12.7%; allow 3 sigma
+        assert abs(est - exact) / exact < 0.4, (g, est)
+        assert out[g]["n_kept"] == 64
+
+
+def test_kmv_small_group_is_exact(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame([("a", i % 7) for i in range(100)], ["g", "v"])
+    row = kmv_distinct(df, ("g",), "v", k=64).collect()[0]
+    assert row["n_kept"] == 7 and row["est_distinct"] == 7.0
+
+
+def test_kmv_sketches_merge_to_whole_data_sketch(spark):
+    """Union of two halves' kept rows, re-bottom-k'd, equals the sketch
+    of the whole data — the property that lets per-partition/per-day
+    sketches combine without rescanning."""
+    from pyspark.sql.window import Window
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        kmv_estimate,
+        kmv_sketch_rows,
+    )
+
+    rows = [("g", i * 37 % 1000) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    half1 = df.where(F.col("v") % 2 == 0)
+    half2 = df.where(F.col("v") % 2 == 1)
+    merged_rows = (
+        kmv_sketch_rows(half1, ("g",), "v", k=32)
+        .unionByName(kmv_sketch_rows(half2, ("g",), "v", k=32))
+        .select("g", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("h")))
+        .where(F.col("rn") <= 32)
+    )
+    whole = kmv_estimate(
+        kmv_sketch_rows(df, ("g",), "v", k=32), ("g",), k=32
+    ).collect()[0]
+    merged = kmv_estimate(merged_rows, ("g",), k=32).collect()[0]
+    assert merged["kth_frac"] == whole["kth_frac"]
+    assert merged["est_distinct"] == whole["est_distinct"]
+
+
+# ---------------------------------------------------------- hypertable rollup
+def test_hypertable_rollup_levels_are_consistent(spark):
+    """Coarser levels re-aggregate from finer ones: each day's
+    (n_events, total) must equal the sum of its hours, and month the sum
+    of its days — exactly, because sums stay decimal between levels."""
+    import datetime as dt
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        hypertable_rollup,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (t0 + dt.timedelta(hours=h, minutes=m), 0.1 + h + m)
+        for h in range(50)
+        for m in (0, 17, 43)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = hypertable_rollup(df, "ts", "value").collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["level"], {})[r["bucket_ts"]] = (
+            r["n_events"], round(r["total_value"], 2)
+        )
+    assert len(by_level["hour"]) == 50
+    assert len(by_level["day"]) == 3  # 50 hours span 3 calendar days
+    assert len(by_level["month"]) == 1
+    for day, (n, tot) in by_level["day"].items():
+        hrs = [v for ts, v in by_level["hour"].items()
+               if ts.date() == day.date()]
+        assert n == sum(h[0] for h in hrs)
+        assert tot == round(sum(h[1] for h in hrs), 2)
+    (mn, mtot), = by_level["month"].values()
+    assert mn == sum(v[0] for v in by_level["day"].values())
+    assert mtot == round(sum(v[1] for v in by_level["day"].values()), 2)
+
+
 # ---------------------------------------------------------------- range join
 def test_range_join_equals_theta_join(spark):
     """The banded equi-join + BETWEEN filter must equal the naive theta
