@@ -110,16 +110,22 @@ def hypertable_rollup(
     straight from raw). Count re-aggregates as sum-of-counts.
 
     Returns the tagged union: (level ∈ hour/day/month, bucket_ts,
-    n_events, total_value).
+    n_events, total_value). The hourly and daily relations are scoped-
+    persisted — the three union branches would otherwise each re-derive
+    their chain from raw, tripling the raw scan the operator exists to
+    avoid; callers release via ``dedup.release_intermediates`` like the
+    other multi-branch operators.
     """
-    hourly = (
+    from .dedup import _scoped_persist
+
+    hourly = _scoped_persist(
         df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col(value_col).cast(MONEY)).alias("__total"),
         )
     )
-    daily = (
+    daily = _scoped_persist(
         hourly.groupBy(F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts"))
         .agg(
             F.sum("n_events").alias("n_events"),
@@ -172,7 +178,14 @@ def kmv_sketch_rows(
     )
     from pyspark.sql.window import Window
 
-    hashed = df.select(*group_cols, frac.alias("h")).distinct()
+    # NULL values hash to NULL, which sorts FIRST and would occupy a
+    # kept slot while max(h) ignores it — the estimate would divide by
+    # the wrong order statistic. Distinct-count semantics ignore NULLs.
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, frac.alias("h"))
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("h")
     return (
         hashed.withColumn("rn", F.row_number().over(w))

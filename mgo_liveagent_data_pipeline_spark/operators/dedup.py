@@ -663,7 +663,9 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
-    for _ in range(max_iterations):
+    # +1: convergence DETECTION consumes one no-change round, so a graph
+    # needing exactly max_iterations productive rounds must not raise
+    for _ in range(max_iterations + 1):
         prop = edges.join(
             labels.select(F.col("node").alias("dst"), "lbl"), on="dst"
         ).select(F.col("src").alias("node"), "lbl")

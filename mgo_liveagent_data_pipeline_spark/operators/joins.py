@@ -267,7 +267,12 @@ def asof_join(
     Returns every left row + ``prefix``-renamed right payload columns
     (NULL where no right row precedes).
     """
+    from .dedup import _require_numeric
+
     tb = tiebreak_col or right_cols[0]
+    # a silent cast('long') on a string id column would null every
+    # tiebreak and make same-(key, ts) winners partition-dependent
+    _require_numeric(right, (tb,), "asof_join (tiebreak column)")
     payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
     r2 = right.select(
         *key_cols,

@@ -53,18 +53,27 @@ def q_j2_j4_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").alias("grp"),
         F.col("n_orders").alias("n"),
     )
+    # both range modes from ONE evaluation of the j8 plan: explode a
+    # two-struct array per result row instead of unioning two branches
+    # that would each re-run the orders top-5 + lineitem range join
     j8 = relational.q_j8_range_join(spark, sf_dir)
     rng = j8.select(
-        F.lit("range").alias("mode"),
-        F.col("o_orderkey").cast("string").alias("grp"),
-        F.col("n_items").alias("n"),
-    )
-    rng_qty = j8.select(
-        F.lit("range_qty").alias("mode"),
-        F.col("o_orderkey").cast("string").alias("grp"),
-        F.round(F.col("sum_qty") * 100).cast("long").alias("n"),
-    )
-    return j2.unionByName(j4).unionByName(rng).unionByName(rng_qty)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("range").alias("mode"),
+                    F.col("o_orderkey").cast("string").alias("grp"),
+                    F.col("n_items").alias("n"),
+                ),
+                F.struct(
+                    F.lit("range_qty").alias("mode"),
+                    F.col("o_orderkey").cast("string").alias("grp"),
+                    F.round(F.col("sum_qty") * 100).cast("long").alias("n"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return j2.unionByName(j4).unionByName(rng)
 
 
 def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
