@@ -62,12 +62,27 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     big = tempfile.mkdtemp(prefix="mgo_scale_")
 
+    def _events(path):
+        # events carry TIMESTAMP(NANOS): depending on the session's
+        # nanosAsLong conf timing the raw read yields long nanos or a
+        # (ntz) timestamp — normalize either to a plain timestamp
+        df = spark.read.parquet(path)
+        dtype = dict(df.dtypes)["ts"]
+        if dtype == "bigint":
+            ts = (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp")
+        else:
+            ts = F.col("ts").cast("timestamp")
+        return df.withColumn("ts", ts)
+
     li_1x = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
     docs_1x = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    ev_1x = _events(os.path.join(SF_DIR, "events.parquet"))
     replicate(spark, SF_DIR, big, "lineitem", factor, "l_orderkey")
     replicate(spark, SF_DIR, big, "documents", factor, "doc_id", perturb_col="text")
+    replicate(spark, SF_DIR, big, "events", factor, "event_id")
     li_nx = spark.read.parquet(os.path.join(big, "lineitem.parquet"))
     docs_nx = spark.read.parquet(os.path.join(big, "documents.parquet"))
+    ev_nx = _events(os.path.join(big, "events.parquet"))
 
     from mgo_liveagent_data_pipeline_spark.operators.dedup import (
         minhash_lsh_dedup,
@@ -154,6 +169,32 @@ def main() -> None:
             "doc_id",
         )
 
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        hypertable_rollup,
+        kmv_distinct,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.joins import (
+        asof_join,
+        range_join,
+    )
+
+    def asof(ev):
+        trades = ev.where(F.col("event_id") % 2 == 1)
+        quotes = ev.where(F.col("event_id") % 2 == 0)
+        return asof_join(trades, quotes, key_cols=("user_id",),
+                         right_cols=("event_id", "value"))
+
+    def rjoin(df):
+        iv = spark.createDataFrame(
+            [(i, i * 500, i * 500 + 450) for i in range(5)],
+            ["iid", "s", "e"])
+        pts = df.select((F.col("l_orderkey") % 2400).alias("x"), "l_quantity")
+        return range_join(pts, iv, "x", "s", "e", bucket_width=500).groupBy(
+            "iid").agg(F.count(F.lit(1)))
+
+    def kmv(df):
+        return kmv_distinct(df, ("l_returnflag",), "l_orderkey", k=64)
+
     cases = {
         "a1_agg": (a1, li_1x, li_nx),
         "w2_topk": (topk, li_1x, li_nx),
@@ -165,6 +206,10 @@ def main() -> None:
         "decontaminate": (decon, docs_1x, docs_nx),
         "pack_shards": (pack_shards, docs_1x, docs_nx),
         "incremental_dedup": (incr, docs_1x, docs_nx),
+        "asof_join": (asof, ev_1x, ev_nx),
+        "range_join": (rjoin, li_1x, li_nx),
+        "ht_rollup": (hypertable_rollup, ev_1x, ev_nx),
+        "kmv_distinct": (kmv, li_1x, li_nx),
     }
 
     results = {}
