@@ -473,29 +473,26 @@ def read_partitioned_for_keys(
     return spark.read.parquet(*paths).join(wanted, on=key, how="left_semi")
 
 
-def partitioned_upsert(
+def _partitioned_merge(
     spark: SparkSession,
     source: DataFrame,
     base_dir: str,
     name: str,
     key: str,
+    merge_fn,
     num_buckets: int = 64,
     keep: int = 2,
     shuffle_partitions: int | None = None,
 ) -> str:
-    """K4 MERGE that rewrites ONLY the key-hash buckets containing source
-    keys. Same idempotent replace-matched/insert-new semantics as
-    ``upsert`` (proven equal by test); I/O is O(|delta| + |affected
-    buckets|) instead of O(|table|).
+    """Shared bucket plumbing for every partition-pruned merge flavor.
 
-    ``num_buckets`` is fixed at table creation (the manifest's value wins
-    thereafter). Size it so one bucket ≈ a few GB at the target scale —
-    at 100 TB with 4k buckets a 10k-row delta hitting ≤10k distinct keys
-    touches at most min(10k, 4k) buckets ≈ 25 GB rewritten vs 100 TB.
-    ``shuffle_partitions`` controls output files per affected-bucket write
-    (default: one shuffle partition per bucket → one file per bucket).
-    The whole read-merge-publish runs under ``WriterLease`` with a
-    pre-flip ownership check, like ``versioned_upsert``.
+    ``merge_fn(target_or_None, source) -> DataFrame`` supplies the merge
+    algebra; ``target`` is the current rows of ONLY the affected buckets
+    (or ``None`` when every affected bucket is brand new). The plumbing
+    computes affected buckets from the source keys (an O(num_buckets)
+    metadata collect — the same driver-side step as Delta's touched-file
+    listing), reads only those buckets, writes every affected bucket in
+    one Spark job, and commits by atomically replacing ``_MANIFEST``.
     """
     pdir = _ptable_dir(base_dir, name)
     os.makedirs(pdir, exist_ok=True)
@@ -506,11 +503,11 @@ def partitioned_upsert(
         else:
             man = {"num_buckets": num_buckets, "buckets": {}, "retired": {}}
         nb = int(man["num_buckets"])
-        src = source.withColumn(_BUCKET_COL, _bucket_expr(key, nb))
-        # tiny metadata collect: ≤ num_buckets ints, never row data — the
-        # same driver-side step as Delta's touched-file listing
         affected = sorted(
-            r[0] for r in src.select(_BUCKET_COL).distinct().collect()
+            r[0]
+            for r in source.select(_bucket_expr(key, nb).alias(_BUCKET_COL))
+            .distinct()
+            .collect()
         )
         if not affected:
             return pdir
@@ -519,15 +516,10 @@ def partitioned_upsert(
             for b in affected
             if str(b) in man["buckets"]
         ]
-        if cur:
-            target = spark.read.parquet(*cur)
-            merged = (
-                target.join(source.select(key).distinct(), on=key, how="left_anti")
-                .withColumn(_BUCKET_COL, _bucket_expr(key, nb))
-                .unionByName(src)
-            )
-        else:
-            merged = src
+        target = spark.read.parquet(*cur) if cur else None
+        merged = merge_fn(target, source).withColumn(
+            _BUCKET_COL, _bucket_expr(key, nb)
+        )
         if shuffle_partitions:
             merged = merged.repartition(shuffle_partitions, F.col(_BUCKET_COL))
         else:
@@ -573,6 +565,236 @@ def partitioned_upsert(
         finally:
             shutil.rmtree(staging, ignore_errors=True)
     return pdir
+
+
+def partitioned_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    base_dir: str,
+    name: str,
+    key: str,
+    num_buckets: int = 64,
+    keep: int = 2,
+    shuffle_partitions: int | None = None,
+) -> str:
+    """K4 MERGE that rewrites ONLY the key-hash buckets containing source
+    keys. Same idempotent replace-matched/insert-new semantics as
+    ``upsert`` (proven equal by test); I/O is O(|delta| + |affected
+    buckets|) instead of O(|table|).
+
+    ``num_buckets`` is fixed at table creation (the manifest's value wins
+    thereafter). Size it so one bucket ≈ a few GB at the target scale —
+    at 100 TB with 4k buckets a 10k-row delta hitting ≤10k distinct keys
+    touches at most min(10k, 4k) buckets ≈ 25 GB rewritten vs 100 TB.
+    ``shuffle_partitions`` controls output files per affected-bucket write
+    (default: one shuffle partition per bucket → one file per bucket).
+    The whole read-merge-publish runs under ``WriterLease`` with a
+    pre-flip ownership check, like ``versioned_upsert``.
+    """
+
+    def merge(target: DataFrame | None, src: DataFrame) -> DataFrame:
+        if target is None:
+            return src
+        return target.join(
+            src.select(key).distinct(), on=key, how="left_anti"
+        ).unionByName(src)
+
+    return _partitioned_merge(
+        spark, source, base_dir, name, key, merge,
+        num_buckets=num_buckets, keep=keep,
+        shuffle_partitions=shuffle_partitions,
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 — type-2 slowly-changing-dimension merge.
+#
+# The reference keeps full change history with a separate append-only
+# `<t>_history` table next to the merged current state
+# (core/extract/helpers/extractor_bq_helpers.py:83-108): history answers
+# "what did we load", not "what was current when". SCD2 is the warehouse-
+# standard strengthening — every key's row carries [valid_from, valid_to)
+# + is_current, so point-in-time questions ("what was this ticket's status
+# on June 3rd") are a plain range predicate. Change detection is null-safe
+# struct equality over the non-key columns (no digest, no cross-engine
+# string-cast hazards); an unchanged re-delivery of the same batch is a
+# provable no-op, which makes the merge idempotent under the reference's
+# overlapping 6-hour extraction windows.
+# --------------------------------------------------------------------------
+
+SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_init(source: DataFrame, effective_ts: str) -> DataFrame:
+    """Shape a raw batch as the opening SCD2 state: every row current,
+    valid from the batch's effective timestamp, open-ended."""
+    return (
+        source.withColumn("valid_from", F.to_timestamp(F.lit(effective_ts)))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+
+
+def scd2_merge(
+    target: DataFrame, source: DataFrame, key: str, effective_ts: str
+) -> DataFrame:
+    """Pure SCD2 merge algebra: new state = history ∪ unchanged-current ∪
+    closed-out changed rows ∪ fresh current rows.
+
+    * changed keys: current row's non-key attrs differ (null-safe struct
+      inequality) from the source row's — their current row is closed at
+      ``effective_ts`` and the source row inserted as the new current.
+    * brand-new keys: inserted as current.
+    * keys absent from the source, and keys whose source row is
+      attribute-identical: untouched (same matched-rows-only semantics as
+      the reference MERGE; re-running a batch is a no-op).
+
+    Scale shape: every join is on the key column only, and the
+    changed/new key sets are O(|delta|) — broadcast them. The target is
+    read once per branch but Catalyst prunes each branch to the columns
+    it needs; under ``partitioned_scd2_upsert`` the target is already
+    just the affected buckets.
+    """
+    ts = F.to_timestamp(F.lit(effective_ts))
+    attrs = [c for c in source.columns if c != key]
+    cur = target.where(F.col("is_current"))
+    hist = target.where(~F.col("is_current"))
+    changed_keys = F.broadcast(
+        cur.select(F.col(key), F.struct(*attrs).alias("_tgt"))
+        .join(
+            source.select(F.col(key), F.struct(*attrs).alias("_src")), on=key
+        )
+        .where(~F.col("_tgt").eqNullSafe(F.col("_src")))
+        .select(key)
+    )
+    closed = (
+        cur.join(changed_keys, on=key, how="left_semi")
+        .withColumn("valid_to", ts)
+        .withColumn("is_current", F.lit(False))
+    )
+    kept = cur.join(changed_keys, on=key, how="left_anti")
+    new_src = source.join(
+        F.broadcast(cur.select(key)), on=key, how="left_anti"
+    )
+    changed_src = source.join(changed_keys, on=key, how="left_semi")
+    inserts = scd2_init(new_src.unionByName(changed_src), effective_ts)
+    out_cols = [key] + attrs + list(SCD2_COLS)
+    return (
+        hist.unionByName(kept)
+        .unionByName(closed)
+        .unionByName(inserts)
+        .select(*out_cols)
+    )
+
+
+def scd2_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    base_dir: str,
+    name: str,
+    key: str,
+    effective_ts: str,
+) -> str:
+    """SCD2 merge into a flat parquet table (small-dimension path): read
+    current state, apply ``scd2_merge``, publish via the atomic-overwrite
+    swap. First batch initializes the table."""
+    path = table_path(base_dir, name)
+    if not os.path.exists(path):
+        merged = scd2_init(source, effective_ts)
+    else:
+        merged = scd2_merge(
+            spark.read.parquet(path), source, key, effective_ts
+        )
+    _atomic_overwrite(merged, path)
+    return path
+
+
+def partitioned_scd2_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    base_dir: str,
+    name: str,
+    key: str,
+    effective_ts: str,
+    num_buckets: int = 64,
+    keep: int = 2,
+    shuffle_partitions: int | None = None,
+) -> str:
+    """SCD2 merge through the manifest-bucketed layout — the 100 TB path.
+    All versions of a key live in its hash bucket (the bucket address
+    never moves), so closing + inserting a key's rows touches exactly the
+    buckets containing source keys: O(|delta| + affected buckets) I/O,
+    untouched buckets byte-identical, manifest-atomic commit — the same
+    bound ``partitioned_upsert`` gives the plain MERGE."""
+
+    def merge(target: DataFrame | None, src: DataFrame) -> DataFrame:
+        if target is None:
+            return scd2_init(src, effective_ts)
+        return scd2_merge(target, src, key, effective_ts)
+
+    return _partitioned_merge(
+        spark, source, base_dir, name, key, merge,
+        num_buckets=num_buckets, keep=keep,
+        shuffle_partitions=shuffle_partitions,
+    )
+
+
+def scd2_as_of(df: DataFrame, as_of_ts: str) -> DataFrame:
+    """Point-in-time view of an SCD2 table: the rows valid at ``as_of_ts``
+    — a plain range predicate (pushable to the scan), no join."""
+    ts = F.to_timestamp(F.lit(as_of_ts))
+    return df.where(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    )
+
+
+# --------------------------------------------------------------------------
+# Date-partitioned fact sinks — the K2/K5 layout for 100 TB append tables.
+#
+# The flat ``append``/``history_append`` write one undifferentiated parquet
+# directory; at the reference's 6-hour cadence a year of batches is ~1.5k
+# file sets that every time-range scan must list and open. Hive-style
+# ``partitionBy(date)`` is the standard fix: time predicates prune whole
+# partition DIRECTORIES before any file is opened (PartitionFilters in the
+# plan, asserted by test), and a batch re-run is made idempotent by DYNAMIC
+# partition overwrite — mode("overwrite") with
+# partitionOverwriteMode=dynamic replaces exactly the partitions present
+# in the batch and leaves every other partition's files byte-identical.
+# That pairs with the reference's wall-clock 6-hour extraction windows
+# (utils/date_utils.py:14-21): a re-extracted window lands as a partition
+# replacement, not a duplicate append.
+# --------------------------------------------------------------------------
+
+
+def append_partitioned_by(
+    df: DataFrame, base_dir: str, name: str, part_col: str
+) -> str:
+    """K2 WRITE_APPEND into a hive-partitioned layout (one directory per
+    ``part_col`` value). Use ``replace_partitions`` for re-runnable
+    batches."""
+    path = table_path(base_dir, name)
+    df.write.mode("append").partitionBy(part_col).parquet(path)
+    return path
+
+
+def replace_partitions(
+    df: DataFrame, base_dir: str, name: str, part_col: str
+) -> str:
+    """Idempotent batch load: overwrite ONLY the partitions present in
+    ``df`` (dynamic partition overwrite). Re-running the same batch yields
+    the identical table; partitions not named by the batch are untouched
+    on disk. This is the partition-level analogue of the key-level
+    ``partitioned_upsert`` — use it when the natural delta unit is a time
+    window rather than a key set."""
+    path = table_path(base_dir, name)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(path)
+    )
+    return path
 
 
 def table_lease(base_dir: str, name: str, ttl: float = _LEASE_TTL_S) -> WriterLease:

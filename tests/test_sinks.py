@@ -414,6 +414,199 @@ def test_publish_aborts_on_stolen_lease(spark, tmp_path):
     os.unlink(os.path.join(vdir, "_LOCK"))
 
 
+# --------------------------------------------------------------------- SCD2
+def _scd2_rows(spark, tmp, name="d"):
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import table_path
+
+    return sorted(
+        (
+            (r["id"], r["v"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+            for r in spark.read.parquet(table_path(tmp, name)).collect()
+        ),
+        key=repr,
+    )
+
+
+T1, T2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+
+
+def test_scd2_closes_changed_and_inserts_new(spark, tmp_path):
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import scd2_upsert
+
+    tmp = str(tmp_path)
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    scd2_upsert(spark, b1, tmp, "d", "id", T1)
+    # key 1 changes, key 2 unchanged (re-delivered identical), key 3 new
+    b2 = spark.createDataFrame([(1, "A"), (2, "b"), (3, "c")], ["id", "v"])
+    scd2_upsert(spark, b2, tmp, "d", "id", T2)
+    assert _scd2_rows(spark, tmp) == [
+        (1, "A", T2, "None", True),   # new current for the changed key
+        (1, "a", T1, T2, False),      # closed out at the change instant
+        (2, "b", T1, "None", True),   # identical re-delivery: untouched
+        (3, "c", T2, "None", True),   # brand-new key
+    ]
+
+
+def test_scd2_idempotent_and_as_of(spark, tmp_path):
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        scd2_as_of,
+        scd2_upsert,
+        table_path,
+    )
+
+    tmp = str(tmp_path)
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    scd2_upsert(spark, b1, tmp, "d", "id", T1)
+    b2 = spark.createDataFrame([(1, "A")], ["id", "v"])
+    scd2_upsert(spark, b2, tmp, "d", "id", T2)
+    once = _scd2_rows(spark, tmp)
+    scd2_upsert(spark, b2, tmp, "d", "id", T2)  # same batch, same instant
+    assert _scd2_rows(spark, tmp) == once
+    tbl = spark.read.parquet(table_path(tmp, "d"))
+    # point-in-time views: before the change vs after
+    at_t1 = {(r["id"], r["v"]) for r in scd2_as_of(tbl, T1).collect()}
+    assert at_t1 == {(1, "a"), (2, "b")}
+    at_t2 = {(r["id"], r["v"]) for r in scd2_as_of(tbl, T2).collect()}
+    assert at_t2 == {(1, "A"), (2, "b")}
+
+
+def test_scd2_null_safe_change_detection(spark, tmp_path):
+    """NULL→value and value→NULL are real changes; NULL→NULL is not."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import scd2_upsert
+
+    tmp = str(tmp_path)
+    b1 = spark.createDataFrame([(1, None), (2, None), (3, "x")], "id int, v string")
+    scd2_upsert(spark, b1, tmp, "d", "id", T1)
+    b2 = spark.createDataFrame([(1, "now"), (2, None), (3, None)], "id int, v string")
+    scd2_upsert(spark, b2, tmp, "d", "id", T2)
+    got = _scd2_rows(spark, tmp)
+    assert got == [
+        (1, "now", T2, "None", True),
+        (1, None, T1, T2, False),
+        (2, None, T1, "None", True),   # NULL == NULL: no new version
+        (3, "x", T1, T2, False),
+        (3, None, T2, "None", True),
+    ]
+
+
+def test_partitioned_scd2_equals_flat_and_prunes_buckets(spark, tmp_path):
+    """The bucketed SCD2 produces the identical table state as the flat
+    one, and a small delta leaves untouched buckets byte-identical."""
+    import json as _json
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _ptable_dir,
+        partitioned_scd2_upsert,
+        read_partitioned,
+        scd2_upsert,
+        table_path,
+    )
+
+    tmp = str(tmp_path)
+    base = spark.range(0, 400).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    delta = spark.createDataFrame([(7, "CH"), (123, "CH"), (9999, "NEW")], ["id", "v"])
+
+    scd2_upsert(spark, base, tmp, "flat", "id", T1)
+    scd2_upsert(spark, delta, tmp, "flat", "id", T2)
+    want = sorted(map(tuple, spark.read.parquet(table_path(tmp, "flat")).collect()))
+
+    partitioned_scd2_upsert(spark, base, tmp, "pt", "id", T1, num_buckets=16)
+    pdir = _ptable_dir(tmp, "pt")
+    with open(os.path.join(pdir, "_MANIFEST")) as f:
+        man_before = _json.load(f)
+    inv_before = _file_inventory(pdir)
+
+    partitioned_scd2_upsert(spark, delta, tmp, "pt", "id", T2)
+    partitioned_scd2_upsert(spark, delta, tmp, "pt", "id", T2)  # idempotent
+    got = sorted(map(tuple, read_partitioned(spark, tmp, "pt").collect()))
+    assert got == want
+
+    with open(os.path.join(pdir, "_MANIFEST")) as f:
+        man_after = _json.load(f)
+    changed = {
+        b for b in man_after["buckets"]
+        if man_after["buckets"][b] != man_before["buckets"].get(b)
+    }
+    unchanged = set(man_before["buckets"]) - changed
+    assert changed and unchanged and len(changed) <= 3
+    inv_after = _file_inventory(pdir)
+    for b in unchanged:
+        d = man_before["buckets"][b]
+        before = {k: v for k, v in inv_before.items() if k.startswith(d + os.sep)}
+        after = {k: v for k, v in inv_after.items() if k.startswith(d + os.sep)}
+        assert before == after, f"bucket {b} files changed: {d}"
+
+
+# ------------------------------------------------- date-partitioned sinks
+def test_replace_partitions_idempotent_batch_reload(spark, tmp_path):
+    """Re-running a batch replaces exactly its partitions; other
+    partitions' files stay byte-identical; time predicates prune
+    partition directories (PartitionFilters)."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        replace_partitions,
+        table_path,
+    )
+
+    tmp = str(tmp_path)
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0), ("2024-01-03", 4, 40.0)],
+        ["d", "id", "value"],
+    )
+    replace_partitions(full, tmp, "ev", "d")
+    path = table_path(tmp, "ev")
+    inv_before = _file_inventory(path)
+
+    # re-extract the Jan-2 window: one row revised, one new row
+    batch = spark.createDataFrame(
+        [("2024-01-02", 3, 99.0), ("2024-01-02", 5, 50.0)], ["d", "id", "value"]
+    )
+    replace_partitions(batch, tmp, "ev", "d")
+    replace_partitions(batch, tmp, "ev", "d")  # idempotent re-run
+
+    # partition discovery infers d as a DateType partition column
+    got = {(str(r["d"]), r["id"], r["value"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+                   ("2024-01-02", 3, 99.0), ("2024-01-02", 5, 50.0),
+                   ("2024-01-03", 4, 40.0)}
+
+    inv_after = _file_inventory(path)
+    untouched = {k: v for k, v in inv_before.items() if "d=2024-01-02" not in k}
+    assert untouched == {
+        k: v for k, v in inv_after.items()
+        if "d=2024-01-02" not in k and k in inv_before
+    }
+
+    # partition pruning: a date predicate reads only that directory's files
+    # (input_file_name() reflects the post-pruning scan, unlike inputFiles())
+    pruned = spark.read.parquet(path).where(F.col("d") == "2024-01-03")
+    read_files = [
+        r["f"] for r in pruned.select(F.input_file_name().alias("f"))
+        .distinct().collect()
+    ]
+    assert read_files and all("d=2024-01-03" in f for f in read_files)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_append_partitioned_by_accumulates(spark, tmp_path):
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        append_partitioned_by,
+        table_path,
+    )
+
+    tmp = str(tmp_path)
+    b = spark.createDataFrame([("2024-01-01", 1)], ["d", "id"])
+    append_partitioned_by(b, tmp, "ev", "d")
+    append_partitioned_by(b, tmp, "ev", "d")
+    assert spark.read.parquet(table_path(tmp, "ev")).count() == 2
+
+
 # --------------------------------------------------------------- compaction
 def test_compact_append_sink(spark, tmp_path):
     from mgo_liveagent_data_pipeline_spark.sinks.writers import compact
