@@ -16,9 +16,12 @@ from pyspark.sql import functions as F
 from ..sinks.writers import (
     history_append,
     overwrite,
+    partitioned_scd2_upsert,
     partitioned_upsert,
     prepare_and_load,
     read_partitioned,
+    replace_partitions,
+    scd2_upsert,
     table_path,
     upsert,
 )
@@ -63,14 +66,86 @@ def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         ).select(F.lit(tag).alias("mode"), "status", "n", "total_value")
 
-    return agg(merged, "flat").unionByName(agg(pmerged, "partitioned"))
+    return agg(merged, "flat").unionByName(agg(pmerged, "partitioned")) \
+        .unionByName(q_k_scd2_upsert(spark, sf_dir))
+
+
+_SCD2_T1 = "2024-01-01 00:00:00"
+_SCD2_T2 = "2024-06-01 00:00:00"
+
+
+def q_k_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history through a real write→merge→read round trip,
+    both layouts (sinks/writers.py:scd2_merge / partitioned_scd2_upsert):
+
+    batch 1 loads all orders at T1; batch 2 re-delivers every key%10==0
+    row but CHANGES only the key%20==0 half (status → 'X') — the other
+    half is attribute-identical, proving null-safe change detection skips
+    it. Batch 2 runs twice on the flat layout (idempotent no-op). The
+    aggregation key encodes status + both validity dates, so a hash match
+    pins the full [valid_from, valid_to) history, not just current rows.
+    The reference keeps only load-time history (extractor_bq_helpers.py:
+    83-108); SCD2 is its point-in-time strengthening."""
+    base_dir = tempfile.mkdtemp(prefix="mgo_scd2_")
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    scd2_upsert(spark, orders, base_dir, "od", "o_orderkey", _SCD2_T1)
+    scd2_upsert(spark, src, base_dir, "od", "o_orderkey", _SCD2_T2)
+    scd2_upsert(spark, src, base_dir, "od", "o_orderkey", _SCD2_T2)  # no-op
+    flat = spark.read.parquet(table_path(base_dir, "od"))
+
+    partitioned_scd2_upsert(
+        spark, orders, base_dir, "odp", "o_orderkey", _SCD2_T1, num_buckets=16
+    )
+    partitioned_scd2_upsert(
+        spark, src, base_dir, "odp", "o_orderkey", _SCD2_T2
+    )
+    part = read_partitioned(spark, base_dir, "odp")
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        status = F.concat_ws(
+            "/",
+            F.concat(
+                F.col("o_orderstatus"),
+                F.lit("@"),
+                F.date_format("valid_from", "yyyy-MM-dd"),
+            ),
+            F.coalesce(
+                F.date_format("valid_to", "yyyy-MM-dd"), F.lit("open")
+            ),
+        )
+        return (
+            df.groupBy(status.alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(F.lit(tag).alias("mode"), "status", "n", "total_value")
+        )
+
+    return agg(flat, "scd2").unionByName(agg(part, "scd2p"))
 
 
 def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5+K6+K2: every batch is appended to ``<t>_history`` before the
-    current-state merge (extractor_bq_helpers.py:83-108) — two batches via
-    the orchestrated loader (K6 ensure-table → append), then the history
-    table read back: both batches present, overlap rows twice."""
+    """K5+K6+K2 under one tagged row:
+
+    * ``hist`` — every batch appended to ``<t>_history`` before the
+      current-state merge (extractor_bq_helpers.py:83-108): two batches
+      via the orchestrated loader (K6 ensure-table → append), history
+      read back — both batches present, overlap rows twice.
+    * ``datepart`` — the 100 TB append layout (K2): events written
+      hive-partitioned by day, the earliest day's 6-hour-style batch
+      re-delivered with revised values via dynamic partition overwrite
+      (twice — idempotent), read back and aggregated per day
+      (sinks/writers.py:replace_partitions; untouched-partition file
+      immutability is asserted by ``tests/test_sinks.py``)."""
     base_dir = tempfile.mkdtemp(prefix="mgo_hist_")
     nation = load_table(spark, sf_dir, "nation")
     b1 = nation.where(F.col("n_regionkey") <= 2).withColumn(
@@ -83,7 +158,45 @@ def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     history_append(spark, b2, base_dir, "nation_cur")
     # current state still goes through the orchestrated loader (K6)
     prepare_and_load(spark, b2.drop("batch_id"), base_dir, "nation_cur", "overwrite")
-    return spark.read.parquet(table_path(base_dir, "nation_cur_history"))
+    hist = spark.read.parquet(table_path(base_dir, "nation_cur_history")).select(
+        F.lit("hist").alias("mode"),
+        F.col("n_name").alias("k1"),
+        F.col("batch_id").cast("long").alias("n"),
+        F.col("n_regionkey").cast("double").alias("val"),
+    )
+    return hist.unionByName(q_k_datepart_sink(spark, sf_dir))
+
+
+def q_k_datepart_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition-overwrite reload: all events land partitioned by
+    day; the earliest day's batch is re-delivered with doubled values and
+    replaces exactly that day's partition (run twice — idempotent). The
+    min-day pick is a one-scalar driver collect, the same metadata-sized
+    step as ``partitioned_upsert``'s affected-bucket listing."""
+    base_dir = tempfile.mkdtemp(prefix="mgo_datepart_")
+    events = load_table(spark, sf_dir, "events")
+    ev = events.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+    # cluster rows by day before the write so each day lands as one file
+    replace_partitions(ev.repartition(F.col("d")), base_dir, "events_p", "d")
+    min_d = ev.agg(F.min("d")).collect()[0][0]
+    batch = ev.where(F.col("d") == min_d).withColumn(
+        "value", F.col("value") * 2
+    )
+    replace_partitions(batch.repartition(F.col("d")), base_dir, "events_p", "d")
+    replace_partitions(batch.repartition(F.col("d")), base_dir, "events_p", "d")
+    back = spark.read.parquet(table_path(base_dir, "events_p"))
+    return (
+        back.groupBy(
+            F.date_format(F.col("d").cast("date"), "yyyy-MM-dd").alias("k1")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(MONEY)), 2)
+            .cast("double")
+            .alias("val"),
+        )
+        .select(F.lit("datepart").alias("mode"), "k1", "n", "val")
+    )
 
 
 def q_stream_tumbling_6h(
@@ -159,7 +272,9 @@ def q_stream_merge_partitioned(
 
 QUERIES = {
     "k_materialized_upsert": q_k_materialized_upsert,
+    "k_scd2_upsert": q_k_scd2_upsert,
     "k5_history_sink": q_k5_history_sink,
+    "k_datepart_sink": q_k_datepart_sink,
     "stream_tumbling_6h": q_stream_tumbling_6h,
     "stream_append_6h": q_stream_append_6h,
     "stream_session_windows": q_stream_session_windows,
@@ -187,13 +302,81 @@ ORACLES: dict[str, str] = {
         SELECT 'flat' AS mode, status, n, total_value FROM agg
         UNION ALL
         SELECT 'partitioned' AS mode, status, n, total_value FROM agg
+        UNION ALL
+        SELECT * FROM (
+        WITH chg AS (SELECT * FROM orders WHERE o_orderkey % 20 = 0),
+             rest AS (SELECT * FROM orders WHERE o_orderkey % 20 <> 0),
+             r AS (
+               SELECT o_orderstatus, o_totalprice,
+                      '2024-01-01' AS vf, '2024-06-01' AS vt FROM chg
+               UNION ALL
+               SELECT 'X', o_totalprice, '2024-06-01', 'open' FROM chg
+               UNION ALL
+               SELECT o_orderstatus, o_totalprice, '2024-01-01', 'open' FROM rest),
+             sagg AS (
+               SELECT o_orderstatus || '@' || vf || '/' || vt AS status,
+                      count(*) AS n,
+                      CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                           AS DOUBLE) AS total_value
+               FROM r GROUP BY 1)
+        SELECT 'scd2' AS mode, status, n, total_value FROM sagg
+        UNION ALL
+        SELECT 'scd2p' AS mode, status, n, total_value FROM sagg)
+    """,
+    # after batch 2: key%20==0 rows are closed at T2 with an 'X' successor;
+    # every other key keeps its T1-open row (including the re-delivered
+    # identical key%10 half — change detection must not version them)
+    "k_scd2_upsert": """
+        WITH chg AS (SELECT * FROM orders WHERE o_orderkey % 20 = 0),
+             rest AS (SELECT * FROM orders WHERE o_orderkey % 20 <> 0),
+             r AS (
+               SELECT o_orderstatus, o_totalprice,
+                      '2024-01-01' AS vf, '2024-06-01' AS vt FROM chg
+               UNION ALL
+               SELECT 'X', o_totalprice, '2024-06-01', 'open' FROM chg
+               UNION ALL
+               SELECT o_orderstatus, o_totalprice, '2024-01-01', 'open' FROM rest),
+             sagg AS (
+               SELECT o_orderstatus || '@' || vf || '/' || vt AS status,
+                      count(*) AS n,
+                      CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                           AS DOUBLE) AS total_value
+               FROM r GROUP BY 1)
+        SELECT 'scd2' AS mode, status, n, total_value FROM sagg
+        UNION ALL
+        SELECT 'scd2p' AS mode, status, n, total_value FROM sagg
     """,
     "k5_history_sink": """
-        SELECT n_nationkey, n_name, n_regionkey, 1 AS batch_id
+        SELECT 'hist' AS mode, n_name AS k1, CAST(1 AS BIGINT) AS n,
+               CAST(n_regionkey AS DOUBLE) AS val
         FROM nation WHERE n_regionkey <= 2
         UNION ALL
-        SELECT n_nationkey, n_name, n_regionkey, 2 AS batch_id
+        SELECT 'hist' AS mode, n_name AS k1, CAST(2 AS BIGINT) AS n,
+               CAST(n_regionkey AS DOUBLE) AS val
         FROM nation WHERE n_regionkey >= 2
+        UNION ALL
+        SELECT * FROM (
+        WITH e AS (SELECT CAST(ts AS DATE) AS d, value FROM events),
+             m AS (SELECT min(d) AS md FROM e),
+             r AS (SELECT d, CASE WHEN d = md THEN value * 2
+                                  ELSE value END AS value
+                   FROM e, m)
+        SELECT 'datepart' AS mode, strftime(d, '%Y-%m-%d') AS k1,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS val
+        FROM r GROUP BY d)
+    """,
+    # the replayed min-day partition carries doubled values exactly once
+    "k_datepart_sink": """
+        WITH e AS (SELECT CAST(ts AS DATE) AS d, value FROM events),
+             m AS (SELECT min(d) AS md FROM e),
+             r AS (SELECT d, CASE WHEN d = md THEN value * 2
+                                  ELSE value END AS value
+                   FROM e, m)
+        SELECT 'datepart' AS mode, strftime(d, '%Y-%m-%d') AS k1,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS val
+        FROM r GROUP BY d
     """,
     "stream_tumbling_6h": """
         WITH b AS (
