@@ -24,6 +24,7 @@ from ..sinks.writers import (
     scd2_upsert,
     table_path,
     upsert,
+    zorder_write,
 )
 from ..sources.tables import load_table
 from ..streaming.windows import session_windows, stream_tumbling_6h
@@ -164,7 +165,35 @@ def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("batch_id").cast("long").alias("n"),
         F.col("n_regionkey").cast("double").alias("val"),
     )
-    return hist.unionByName(q_k_datepart_sink(spark, sf_dir))
+    return hist.unionByName(q_k_datepart_sink(spark, sf_dir)).unionByName(
+        q_k_zorder_sink(spark, sf_dir)
+    )
+
+
+def q_k_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered publish round trip: events written Morton-ordered
+    on (user_id, value) — multi-column data skipping whose pruning
+    fraction is quantified from the parquet footers by
+    ``tests/test_sinks.py`` — then read back and aggregated per day (the
+    layout must not change the rows)."""
+    base_dir = tempfile.mkdtemp(prefix="mgo_zorder_")
+    events = load_table(spark, sf_dir, "events")
+    ev = events.withColumn("d", F.date_format("ts", "yyyy-MM-dd")).select(
+        "event_id", "user_id", "value", "d"
+    )
+    zorder_write(spark, ev, base_dir, "events_z", ["user_id", "value"],
+                 num_files=8)
+    back = spark.read.parquet(table_path(base_dir, "events_z"))
+    return (
+        back.groupBy(F.col("d").alias("k1"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(MONEY)), 2)
+            .cast("double")
+            .alias("val"),
+        )
+        .select(F.lit("zorder").alias("mode"), "k1", "n", "val")
+    )
 
 
 def q_k_datepart_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,6 +304,7 @@ QUERIES = {
     "k_scd2_upsert": q_k_scd2_upsert,
     "k5_history_sink": q_k5_history_sink,
     "k_datepart_sink": q_k_datepart_sink,
+    "k_zorder_sink": q_k_zorder_sink,
     "stream_tumbling_6h": q_stream_tumbling_6h,
     "stream_append_6h": q_stream_append_6h,
     "stream_session_windows": q_stream_session_windows,
@@ -365,6 +395,11 @@ ORACLES: dict[str, str] = {
                count(*) AS n,
                CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS val
         FROM r GROUP BY d)
+        UNION ALL
+        SELECT 'zorder' AS mode, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS k1,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS val
+        FROM events GROUP BY CAST(ts AS DATE)
     """,
     # the replayed min-day partition carries doubled values exactly once
     "k_datepart_sink": """
@@ -377,6 +412,13 @@ ORACLES: dict[str, str] = {
                count(*) AS n,
                CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS val
         FROM r GROUP BY d
+    """,
+    # layout is invisible to query results: same per-day totals as raw
+    "k_zorder_sink": """
+        SELECT 'zorder' AS mode, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS k1,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS val
+        FROM events GROUP BY CAST(ts AS DATE)
     """,
     "stream_tumbling_6h": """
         WITH b AS (

@@ -607,6 +607,94 @@ def test_append_partitioned_by_accumulates(spark, tmp_path):
     assert spark.read.parquet(table_path(tmp, "ev")).count() == 2
 
 
+# ------------------------------------------------------------------ z-order
+def _file_col_ranges(path, col):
+    """Per-file (min, max) of ``col`` from the written parquet footers."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet") or f.startswith((".", "_")):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                cm = md.row_group(rg).column(ci)
+                if cm.path_in_schema == col and cm.statistics is not None:
+                    mins.append(cm.statistics.min)
+                    maxs.append(cm.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    return ranges
+
+
+def _overlap_fraction(ranges, lo, hi):
+    hit = sum(1 for mn, mx in ranges if mx >= lo and mn <= hi)
+    return hit / len(ranges)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Footer-stats evidence for the z-order claim: files of a linear
+    x-sorted layout all overlap any y predicate, while z-ordered files
+    are hyper-rectangles that prune on BOTH x and y."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        table_path,
+        zorder_write,
+    )
+
+    tmp = str(tmp_path)
+    n = 40000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        # xxhash64 is deterministic and independent of x's id%200 cycle
+        F.pmod(F.xxhash64(F.col("id")), F.lit(200)).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # linear baseline: range-partitioned + sorted on x only
+    (
+        df.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(table_path(tmp, "linear"))
+    )
+    zorder_write(spark, df, tmp, "zed", ["x", "y"], num_files=16)
+
+    lin, zed = table_path(tmp, "linear"), table_path(tmp, "zed")
+    assert spark.read.parquet(zed).count() == n
+    # same rows either way
+    assert (
+        spark.read.parquet(zed).agg(F.sum("payload")).collect()[0][0]
+        == spark.read.parquet(lin).agg(F.sum("payload")).collect()[0][0]
+    )
+
+    # y-only box: linear layout can't prune at all, z-order prunes hard
+    lin_y = _overlap_fraction(_file_col_ranges(lin, "y"), 0, 24)
+    zed_y = _overlap_fraction(_file_col_ranges(zed, "y"), 0, 24)
+    assert lin_y >= 0.9, f"x-sorted files should all span y: {lin_y}"
+    assert zed_y <= 0.5, f"z-order should prune most files on y: {zed_y}"
+
+    # x box: both layouts prune
+    lin_x = _overlap_fraction(_file_col_ranges(lin, "x"), 0, 24)
+    zed_x = _overlap_fraction(_file_col_ranges(zed, "x"), 0, 24)
+    assert lin_x <= 0.5 and zed_x <= 0.5, (lin_x, zed_x)
+
+
+def test_zorder_write_handles_constant_and_null_columns(spark, tmp_path):
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        table_path,
+        zorder_write,
+    )
+
+    tmp = str(tmp_path)
+    df = spark.createDataFrame(
+        [(1, 5, None), (2, 5, 1.0), (3, 5, 2.0)], "a int, c int, v double"
+    )
+    zorder_write(spark, df, tmp, "z", ["c", "v"], num_files=2)
+    got = sorted(r["a"] for r in spark.read.parquet(table_path(tmp, "z")).collect())
+    assert got == [1, 2, 3]
+
+
 # --------------------------------------------------------------- compaction
 def test_compact_append_sink(spark, tmp_path):
     from mgo_liveagent_data_pipeline_spark.sinks.writers import compact
