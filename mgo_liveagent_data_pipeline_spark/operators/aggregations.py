@@ -221,3 +221,114 @@ def kmv_distinct(
 ) -> DataFrame:
     """KMV sketch + estimate in one call (see ``kmv_sketch_rows``)."""
     return kmv_estimate(kmv_sketch_rows(df, group_cols, value_col, k), group_cols, k)
+
+
+# ------------------------------------------------------------ Bloom filter
+def _bloom_positions(value: Column, m_bits: int, n_hashes: int) -> Column:
+    """Array of ``n_hashes`` bit positions for one value — the same
+    deterministic md5-fraction idiom as ``kmv_sketch_rows`` (12 hex chars
+    < 2^48, so the conv result is always a positive long and plain ``%``
+    is safe), seeded per hash so an oracle engine reproduces every
+    position bit-for-bit."""
+    return F.array(
+        *[
+            F.conv(
+                F.md5(
+                    F.concat(value.cast("string"), F.lit(f"#{i}"))
+                ).substr(1, 12),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m_bits: int = 8192, n_hashes: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over ``value_col`` as a RELATION of 64-bit
+    words: ``(word_idx long, word long)`` — at most ``m_bits/64`` rows,
+    broadcastable at any corpus size. NULLs are excluded (membership of
+    NULL is undefined, matching distinct-count semantics).
+
+    Mergeable like the KMV sketch: union two filters' rows and
+    ``bit_or(word)`` per ``word_idx`` (``bloom_merge``) — per-partition
+    or per-day filters combine without rescanning. Plan: one projection
+    computing ``n_hashes`` md5s per row, explode to positions, one hash
+    aggregation on word_idx; the shuffle carries ≤ m_bits/64 rows.
+
+    The classic use at 100 TB: distill a huge key set (e.g. every doc
+    digest already ingested) into a few KB that prunes an incremental
+    batch BEFORE the exact anti-join — see ``bloom_membership``.
+    """
+    pos = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.explode(
+                _bloom_positions(F.col(value_col), m_bits, n_hashes)
+            ).alias("pos")
+        )
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """OR together Bloom filters built with the same (m_bits, n_hashes):
+    union the word relations, re-``bit_or`` per word."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_membership(
+    probe: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    m_bits: int = 8192,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Per distinct probe value, ``might_contain``: true iff every hash
+    position's bit is set. NO false negatives (a member value always
+    returns true — property-tested); false positives at the standard
+    (1 − e^(−kn/m))^k rate. Returns ``(value_col, might_contain)``.
+
+    Plan: distinct probe values → explode positions → BROADCAST join the
+    tiny word relation → bool_and per value. Join the result back to the
+    probe (or semi-join on ``might_contain`` to shrink an exact
+    verification's input — the anti-join prune)."""
+    vals = probe.select(value_col).where(F.col(value_col).isNotNull()).distinct()
+    pos = vals.select(
+        F.col(value_col),
+        F.explode(
+            _bloom_positions(F.col(value_col), m_bits, n_hashes)
+        ).alias("pos"),
+    )
+    joined = pos.join(
+        F.broadcast(bloom),
+        (F.col("pos") / 64).cast("long") == F.col("word_idx"),
+        "left",
+    )
+    hit = (
+        F.col("word").isNotNull()
+        & (
+            F.col("word").bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            )
+            != 0
+        )
+    )
+    return joined.groupBy(value_col).agg(
+        F.bool_and(hit).alias("might_contain")
+    )

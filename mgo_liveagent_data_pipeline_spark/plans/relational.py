@@ -510,6 +510,40 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(orders, ("o_orderstatus",), "o_custkey", k=64)
 
 
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter key membership (operators/aggregations.py:bloom_build
+    / bloom_membership): the filter distills every ordering customer key
+    into ≤128 broadcastable 64-bit words (m=8192, k=4); every customer
+    probes it. Per market segment: probes, might-contain hits, and true
+    members — no false negatives means n_might ≥ n_members, with the
+    surplus the (1−e^(−kn/m))^k false-positive tail. Driver-visible via
+    the ``bloom`` mode of ``a2_a3_distinct_suite``."""
+    from ..operators.aggregations import bloom_build, bloom_membership
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    bloom = bloom_build(orders, "o_custkey", m_bits=8192, n_hashes=4)
+    mem = bloom_membership(customer, "c_custkey", bloom, m_bits=8192, n_hashes=4)
+    members = (
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("is_member", F.lit(1))
+    )
+    return (
+        customer.select("c_mktsegment", "c_custkey")
+        .join(mem, "c_custkey", "left")
+        .join(members, "c_custkey", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.col("might_contain").cast("long")).alias("n_might"),
+            F.sum(F.coalesce(F.col("is_member"), F.lit(0)).cast("long")).alias(
+                "n_members"
+            ),
+        )
+    )
+
+
 def q_ht_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable time rollup (operators/aggregations.py:
     hypertable_rollup): hour/day/month continuous aggregates where each
@@ -969,6 +1003,31 @@ ORACLES: dict[str, str] = {
                m.id AS quote_event_id, m.val AS quote_value
         FROM c WHERE side = 1
     """,
+    # same md5-position hashing as bloom_build (k=4 seeds, m=8192); the
+    # word-packed bitmap is observably identical to position-set
+    # membership, which is what SQL can express directly
+    "bloom_membership": """
+        WITH corpus_pos AS (
+          SELECT DISTINCT
+                 CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)
+                      || '#' || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 8192 AS p
+          FROM (SELECT DISTINCT o_custkey FROM orders),
+               (SELECT unnest([0,1,2,3]) AS i)),
+        probe AS (
+          SELECT c_custkey, c_mktsegment,
+                 bool_and(
+                   CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                        || '#' || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 8192
+                   IN (SELECT p FROM corpus_pos)) AS mc
+          FROM customer, (SELECT unnest([0,1,2,3]) AS i)
+          GROUP BY c_custkey, c_mktsegment)
+        SELECT c_mktsegment, count(*) AS n_probed,
+               CAST(sum(CASE WHEN mc THEN 1 ELSE 0 END) AS BIGINT) AS n_might,
+               CAST(sum(CASE WHEN c_custkey IN
+                    (SELECT DISTINCT o_custkey FROM orders)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_members
+        FROM probe GROUP BY c_mktsegment
+    """,
     # same md5-fraction hashing, same bottom-k, same (k-1)/h_k estimator
     # (mirrors operators/aggregations.py:kmv_distinct, k=64)
     "kmv_distinct": """
@@ -1186,6 +1245,7 @@ QUERIES = {
     "j8_range_join": q_j8_range_join,
     "ht_rollup": q_ht_rollup,
     "kmv_distinct": q_kmv_distinct,
+    "bloom_membership": q_bloom_membership,
     "a7_rollup": q_a7_rollup,
     "skew_salted_sum": q_skew_salted_sum,
     "skew_salted_join": q_skew_salted_join,

@@ -80,7 +80,19 @@ def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (distinct projection) + A3 (multi-column distinct ids) + the
     KMV distinct-count sketch (``kmv`` mode — per-status estimate and
     kept-count packed as "est_cents|n_kept",
-    operators/aggregations.py:kmv_distinct)."""
+    operators/aggregations.py:kmv_distinct) + the Bloom membership
+    sketch (``bloom`` mode — per-segment probes/might-contain/true-member
+    counts packed into k2, operators/aggregations.py:bloom_build)."""
+    bloom = relational.q_bloom_membership(spark, sf_dir).select(
+        F.lit("bloom").alias("mode"),
+        F.col("c_mktsegment").alias("k1"),
+        F.concat_ws(
+            "|",
+            F.col("n_probed").cast("string"),
+            F.col("n_might").cast("string"),
+            F.col("n_members").cast("string"),
+        ).alias("k2"),
+    )
     kmv = relational.q_kmv_distinct(spark, sf_dir).select(
         F.lit("kmv").alias("mode"),
         F.col("o_orderstatus").alias("k1"),
@@ -100,7 +112,7 @@ def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("string").alias("k1"),
         _null("string").alias("k2"),
     )
-    return a2.unionByName(a3).unionByName(kmv)
+    return a2.unionByName(a3).unionByName(kmv).unionByName(bloom)
 
 
 def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,6 +672,13 @@ ORACLES: dict[str, str] = {
             "'kmv' AS mode, o_orderstatus AS k1, "
             "CAST(CAST(round(est_distinct * 100) AS BIGINT) AS VARCHAR) "
             "|| '|' || CAST(n_kept AS VARCHAR) AS k2",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["bloom_membership"],
+            "'bloom' AS mode, c_mktsegment AS k1, "
+            "CAST(n_probed AS VARCHAR) || '|' || CAST(n_might AS VARCHAR) "
+            "|| '|' || CAST(n_members AS VARCHAR) AS k2",
         )
     ),
     "w4_w5_window_sweep": (

@@ -649,6 +649,10 @@ def scd2_merge(
       attribute-identical: untouched (same matched-rows-only semantics as
       the reference MERGE; re-running a batch is a no-op).
 
+    The source must be key-unique (one row per key per batch — the
+    reference's per-window extraction guarantees this); duplicate source
+    keys would each insert as current, like they would in ``upsert``.
+
     Scale shape: every join is on the key column only, and the
     changed/new key sets are O(|delta|) — broadcast them. The target is
     read once per branch but Catalyst prunes each branch to the columns
@@ -818,7 +822,16 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
     """Morton key over ``cols``: each column is min/max-scaled to
     ``bits``-bit integer ranks (one tiny driver-side stats collect — the
     same metadata move as the manifest's bucket listing), then the rank
-    bits are interleaved. Returns the key Column."""
+    bits are interleaved. Returns the key Column.
+
+    ``cols`` must cast cleanly to double (numeric or timestamp; cast
+    dates with ``F.col(c).cast("timestamp")`` first — ANSI mode rejects
+    date→double). NULLs rank 0, constant columns contribute nothing."""
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} overflows a long key; "
+            "lower bits or cluster fewer columns"
+        )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],

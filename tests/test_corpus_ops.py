@@ -412,3 +412,78 @@ def test_pack_shards_block_size_invariant(spark):
     a = sorted(map(tuple, pack_shards(df, shard_tokens=50, block_size=7).collect()))
     b = sorted(map(tuple, pack_shards(df, shard_tokens=50, block_size=100).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------ Bloom filter
+def test_bloom_no_false_negatives_and_low_fp_rate(spark):
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        bloom_build,
+        bloom_membership,
+    )
+
+    members = spark.range(0, 1000).select(F.col("id").alias("v"))
+    bloom = bloom_build(members, "v", m_bits=8192, n_hashes=4)
+    # the word relation is tiny and bounded by construction
+    assert bloom.count() <= 8192 // 64
+
+    got = {
+        r["v"]: r["might_contain"]
+        for r in bloom_membership(members, "v", bloom, 8192, 4).collect()
+    }
+    assert len(got) == 1000 and all(got.values()), "false negative!"
+
+    outsiders = spark.range(1000, 3000).select(F.col("id").alias("v"))
+    fp = bloom_membership(outsiders, "v", bloom, 8192, 4)
+    fp_rate = fp.where(F.col("might_contain")).count() / 2000
+    # theoretical (1-e^(-kn/m))^k ~ 0.022 at n=1000, m=8192, k=4
+    assert fp_rate < 0.1, fp_rate
+
+
+def test_bloom_merge_equals_whole(spark):
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    a = spark.range(0, 500).select(F.col("id").alias("v"))
+    b = spark.range(400, 900).select(F.col("id").alias("v"))
+    merged = bloom_merge(
+        bloom_build(a, "v", 4096, 3), bloom_build(b, "v", 4096, 3)
+    )
+    whole = bloom_build(a.unionByName(b), "v", 4096, 3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_bloom_prunes_incremental_antijoin(spark):
+    """The 100 TB use: a broadcastable filter over the standing corpus
+    keys routes a delta batch — guaranteed-new rows skip the exact
+    anti-join entirely, possible-members alone get verified."""
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        bloom_build,
+        bloom_membership,
+    )
+
+    corpus = spark.range(0, 2000).select(F.col("id").alias("k"))
+    delta = spark.range(1900, 2200).select(F.col("id").alias("k"))  # 100 old
+    bloom = bloom_build(corpus, "k", 8192, 4)
+    routed = bloom_membership(delta, "k", bloom, 8192, 4)
+    maybe_old = delta.join(
+        routed.where(F.col("might_contain")), "k", "left_semi"
+    )
+    surely_new = delta.join(
+        routed.where(F.col("might_contain")), "k", "left_anti"
+    )
+    # no false negatives: every actually-old key is in maybe_old
+    assert maybe_old.join(corpus, "k", "left_semi").count() == 100
+    # surely_new contains no corpus keys at all
+    assert surely_new.join(corpus, "k", "left_semi").count() == 0
+    # and the prune is real: most of the 200 new keys skip verification
+    assert surely_new.count() >= 150

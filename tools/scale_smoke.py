@@ -77,12 +77,15 @@ def main() -> None:
     li_1x = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
     docs_1x = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     ev_1x = _events(os.path.join(SF_DIR, "events.parquet"))
+    or_1x = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
     replicate(spark, SF_DIR, big, "lineitem", factor, "l_orderkey")
     replicate(spark, SF_DIR, big, "documents", factor, "doc_id", perturb_col="text")
     replicate(spark, SF_DIR, big, "events", factor, "event_id")
+    replicate(spark, SF_DIR, big, "orders", factor, "o_orderkey")
     li_nx = spark.read.parquet(os.path.join(big, "lineitem.parquet"))
     docs_nx = spark.read.parquet(os.path.join(big, "documents.parquet"))
     ev_nx = _events(os.path.join(big, "events.parquet"))
+    or_nx = spark.read.parquet(os.path.join(big, "orders.parquet"))
 
     from mgo_liveagent_data_pipeline_spark.operators.dedup import (
         minhash_lsh_dedup,
@@ -195,8 +198,26 @@ def main() -> None:
     def kmv(df):
         return kmv_distinct(df, ("l_returnflag",), "l_orderkey", k=64)
 
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        overwrite,
+        partitioned_scd2_upsert,
+        partitioned_upsert,
+        scd2_upsert,
+        upsert,
+        zorder_write,
+    )
+
+    def zw(df):
+        base = tempfile.mkdtemp(prefix="zw_", dir=big)
+        zorder_write(
+            spark, df.select("o_orderkey", "o_custkey", "o_totalprice"),
+            base, "z", ["o_custkey", "o_totalprice"], num_files=32,
+        )
+        return spark.read.parquet(os.path.join(base, "z.parquet"))
+
     cases = {
         "a1_agg": (a1, li_1x, li_nx),
+        "zorder_write": (zw, or_1x, or_nx),
         "w2_topk": (topk, li_1x, li_nx),
         "skew_salted_sum": (skewed_salted, li_1x, li_nx),
         "minhash_lsh": (minhash_lsh_dedup, docs_1x, docs_nx),
@@ -212,7 +233,58 @@ def main() -> None:
         "kmv_distinct": (kmv, li_1x, li_nx),
     }
 
+    # ---- fixed-delta merge cases: the partition-pruned MERGE claim is
+    # that a SAME-SIZED delta costs the same against an N× bigger table
+    # (ratio ≈ 1), where the flat whole-table-rewrite merge scales ~N×.
+    delta = or_1x.where(F.col("o_orderkey") % 211 == 0).withColumn(
+        "o_orderpriority", F.lit("DELTA")
+    )
+
+    def flat_delta(df, base):
+        overwrite(df, base, "t")
+        t0 = time.time()
+        upsert(spark, delta, base, "t", "o_orderkey")
+        return time.time() - t0
+
+    def pmerge_delta(df, base):
+        partitioned_upsert(spark, df, base, "t", "o_orderkey", num_buckets=64)
+        t0 = time.time()
+        partitioned_upsert(spark, delta, base, "t", "o_orderkey")
+        return time.time() - t0
+
+    def scd2_pmerge_delta(df, base):
+        partitioned_scd2_upsert(
+            spark, df, base, "t", "o_orderkey", "2024-01-01 00:00:00",
+            num_buckets=64,
+        )
+        t0 = time.time()
+        partitioned_scd2_upsert(
+            spark, delta, base, "t", "o_orderkey", "2024-06-01 00:00:00"
+        )
+        return time.time() - t0
+
+    merge_cases = {
+        "flat_merge_fixed_delta": flat_delta,
+        "pmerge_fixed_delta": pmerge_delta,
+        "scd2_pmerge_fixed_delta": scd2_pmerge_delta,
+    }
+
     results = {}
+    # warm the whole merge code path once, outside timing
+    _wb = tempfile.mkdtemp(prefix="warm_", dir=big)
+    flat_delta(or_1x, _wb)
+    pmerge_delta(or_1x, os.path.join(_wb, "p"))
+    scd2_pmerge_delta(or_1x, os.path.join(_wb, "s"))
+    shutil.rmtree(_wb, ignore_errors=True)
+    for name, fn in merge_cases.items():
+        t_small = fn(or_1x, tempfile.mkdtemp(prefix="m1_", dir=big))
+        t_large = fn(or_nx, tempfile.mkdtemp(prefix="mn_", dir=big))
+        results[name] = {
+            "t_1x": round(t_small, 2),
+            f"t_{factor}x": round(t_large, 2),
+            "ratio": round(t_large / max(t_small, 1e-9), 1),
+        }
+
     for name, (fn, small, large) in cases.items():
         fn(small).count()  # per-case warmup: JIT the whole code path first
         release_intermediates()
