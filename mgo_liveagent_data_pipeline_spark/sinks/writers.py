@@ -418,9 +418,16 @@ def _ptable_dir(base_dir: str, name: str) -> str:
     return os.path.join(base_dir, f"{name}.ptable")
 
 
-def _bucket_expr(key: str, num_buckets: int):
-    # deterministic bucket id; xxhash64 is stable across Spark versions and
-    # partitionings, so a key's bucket is a permanent address
+def _bucket_expr(key: str, num_buckets: int, range_width: int | None = None):
+    # deterministic bucket id — a key's bucket is a permanent address.
+    # hash mode (default): pmod(xxhash64(key), N) — uniform spread, ideal
+    # for point lookups and small-key-count deltas. range mode: key //
+    # width — for MONOTONE integer keys (ticket ids); a recency-skewed
+    # delta (the reference's 6-hour window updates mostly-new tickets)
+    # lands in the TAIL buckets only, where hash mode would spray the
+    # same delta across min(|keys|, N) buckets ≈ the whole table.
+    if range_width:
+        return F.floor(F.col(key) / F.lit(range_width)).cast("int")
     return F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
 
 
@@ -456,10 +463,11 @@ def read_partitioned_for_keys(
     pdir = _ptable_dir(base_dir, name)
     man = _read_manifest(pdir)
     nb = int(man["num_buckets"])
+    rw = man.get("range_width")
     wanted = keys.select(F.col(key)).distinct()
     affected = sorted(
         r[0]
-        for r in wanted.select(_bucket_expr(key, nb).alias("b"))
+        for r in wanted.select(_bucket_expr(key, nb, rw).alias("b"))
         .distinct()
         .collect()
     )
@@ -483,6 +491,7 @@ def _partitioned_merge(
     num_buckets: int = 64,
     keep: int = 2,
     shuffle_partitions: int | None = None,
+    range_width: int | None = None,
 ) -> str:
     """Shared bucket plumbing for every partition-pruned merge flavor.
 
@@ -501,11 +510,13 @@ def _partitioned_merge(
         if os.path.exists(manifest_path):
             man = _read_manifest(pdir)
         else:
-            man = {"num_buckets": num_buckets, "buckets": {}, "retired": {}}
+            man = {"num_buckets": num_buckets, "range_width": range_width,
+                   "buckets": {}, "retired": {}}
         nb = int(man["num_buckets"])
+        rw = man.get("range_width")
         affected = sorted(
             r[0]
-            for r in source.select(_bucket_expr(key, nb).alias(_BUCKET_COL))
+            for r in source.select(_bucket_expr(key, nb, rw).alias(_BUCKET_COL))
             .distinct()
             .collect()
         )
@@ -518,7 +529,7 @@ def _partitioned_merge(
         ]
         target = spark.read.parquet(*cur) if cur else None
         merged = merge_fn(target, source).withColumn(
-            _BUCKET_COL, _bucket_expr(key, nb)
+            _BUCKET_COL, _bucket_expr(key, nb, rw)
         )
         if shuffle_partitions:
             merged = merged.repartition(shuffle_partitions, F.col(_BUCKET_COL))
@@ -548,7 +559,8 @@ def _partitioned_merge(
                     window = [old] + retired.get(str(b), [])
                     retired[str(b)], extra = window[: keep - 1], window[keep - 1 :]
                     dropped.extend(extra)
-            man2 = {"num_buckets": nb, "buckets": new_buckets, "retired": retired}
+            man2 = {"num_buckets": nb, "range_width": rw,
+                    "buckets": new_buckets, "retired": retired}
             tmp = manifest_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(man2, f)
@@ -576,6 +588,7 @@ def partitioned_upsert(
     num_buckets: int = 64,
     keep: int = 2,
     shuffle_partitions: int | None = None,
+    range_width: int | None = None,
 ) -> str:
     """K4 MERGE that rewrites ONLY the key-hash buckets containing source
     keys. Same idempotent replace-matched/insert-new semantics as
@@ -602,7 +615,7 @@ def partitioned_upsert(
     return _partitioned_merge(
         spark, source, base_dir, name, key, merge,
         num_buckets=num_buckets, keep=keep,
-        shuffle_partitions=shuffle_partitions,
+        shuffle_partitions=shuffle_partitions, range_width=range_width,
     )
 
 
@@ -723,6 +736,7 @@ def partitioned_scd2_upsert(
     num_buckets: int = 64,
     keep: int = 2,
     shuffle_partitions: int | None = None,
+    range_width: int | None = None,
 ) -> str:
     """SCD2 merge through the manifest-bucketed layout — the 100 TB path.
     All versions of a key live in its hash bucket (the bucket address
@@ -739,7 +753,7 @@ def partitioned_scd2_upsert(
     return _partitioned_merge(
         spark, source, base_dir, name, key, merge,
         num_buckets=num_buckets, keep=keep,
-        shuffle_partitions=shuffle_partitions,
+        shuffle_partitions=shuffle_partitions, range_width=range_width,
     )
 
 

@@ -342,6 +342,62 @@ def test_partitioned_upsert_inserts_new_bucket_and_prunes_versions(
     assert all(n <= 2 for n in per_bucket.values()), per_bucket
 
 
+def test_range_bucketed_upsert_tail_delta_touches_one_bucket(spark, tmp_path):
+    """Range bucketing for monotone keys: a recency-skewed delta (the
+    reference's 6-hour window updates mostly-new tickets) lands in the
+    TAIL bucket(s) only — where hash bucketing would spray the same
+    delta across min(|keys|, N) buckets ≈ the whole table."""
+    import json as _json
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _ptable_dir,
+        partitioned_upsert,
+        read_partitioned,
+        read_partitioned_for_keys,
+    )
+
+    tmp = str(tmp_path)
+    base = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    partitioned_upsert(spark, base, tmp, "pt", "id", range_width=100)
+    pdir = _ptable_dir(tmp, "pt")
+    with open(os.path.join(pdir, "_MANIFEST")) as f:
+        man_before = _json.load(f)
+    assert man_before["range_width"] == 100
+    assert len(man_before["buckets"]) == 10
+    inv_before = _file_inventory(pdir)
+
+    # 30 recent keys: 20 updates at the tail + 10 brand-new beyond it
+    delta = spark.range(980, 1010).select(F.col("id"), F.lit(-1).alias("v"))
+    partitioned_upsert(spark, delta, tmp, "pt", "id")
+
+    with open(os.path.join(pdir, "_MANIFEST")) as f:
+        man_after = _json.load(f)
+    changed = {
+        b for b in man_after["buckets"]
+        if man_after["buckets"][b] != man_before["buckets"].get(b)
+    }
+    assert changed == {"9", "10"}  # tail bucket + the new one
+    for b in set(man_before["buckets"]) - changed:
+        d = man_before["buckets"][b]
+        before = {k: v for k, v in inv_before.items() if k.startswith(d + os.sep)}
+        after = {
+            k: v for k, v in _file_inventory(pdir).items()
+            if k.startswith(d + os.sep)
+        }
+        assert before == after, f"bucket {b} files changed"
+
+    rows = {r["id"]: r["v"] for r in read_partitioned(spark, tmp, "pt").collect()}
+    assert len(rows) == 1010 and rows[985] == -1 and rows[1005] == -1
+    assert rows[5] == 10
+    # point lookups prune by the same range layout
+    probe = spark.createDataFrame([(985,), (5,)], ["id"])
+    got = read_partitioned_for_keys(spark, tmp, "pt", probe, "id")
+    assert sorted(map(tuple, got.collect())) == [(5, 10), (985, -1)]
+    assert len(got.inputFiles()) <= 2
+
+
 # ----------------------------------------------------------- lease hardening
 def test_lease_exit_never_unlinks_successor_lock(tmp_path):
     from mgo_liveagent_data_pipeline_spark.sinks.writers import WriterLease

@@ -236,9 +236,21 @@ def main() -> None:
     # ---- fixed-delta merge cases: the partition-pruned MERGE claim is
     # that a SAME-SIZED delta costs the same against an N× bigger table
     # (ratio ≈ 1), where the flat whole-table-rewrite merge scales ~N×.
-    delta = or_1x.where(F.col("o_orderkey") % 211 == 0).withColumn(
+    # Hash bucketing only prunes while |delta keys| ≲ num_buckets (keys
+    # spray uniformly), so the hash case uses a 10-key delta; wide
+    # recency-skewed deltas are the RANGE-bucket case below, where any
+    # number of recent keys still lands in O(1) tail buckets.
+    delta = or_1x.where(F.col("o_orderkey") % 14983 == 0).withColumn(
         "o_orderpriority", F.lit("DELTA")
     )
+    # recency-skewed wide delta: the top ~700 keys of the 1× key range
+    # (every replica shifts keys upward, so against the N× table these
+    # are mid-range — still contiguous, which is what range mode needs)
+    max_key_1x = or_1x.agg(F.max("o_orderkey")).collect()[0][0]
+    tail_delta = or_1x.where(
+        F.col("o_orderkey") > max_key_1x - 3000
+    ).withColumn("o_orderpriority", F.lit("DELTA"))
+    range_w = int(max_key_1x // 64) + 1
 
     def flat_delta(df, base):
         overwrite(df, base, "t")
@@ -250,6 +262,13 @@ def main() -> None:
         partitioned_upsert(spark, df, base, "t", "o_orderkey", num_buckets=64)
         t0 = time.time()
         partitioned_upsert(spark, delta, base, "t", "o_orderkey")
+        return time.time() - t0
+
+    def pmerge_range_tail(df, base):
+        partitioned_upsert(spark, df, base, "t", "o_orderkey",
+                           range_width=range_w)
+        t0 = time.time()
+        partitioned_upsert(spark, tail_delta, base, "t", "o_orderkey")
         return time.time() - t0
 
     def scd2_pmerge_delta(df, base):
@@ -265,8 +284,9 @@ def main() -> None:
 
     merge_cases = {
         "flat_merge_fixed_delta": flat_delta,
-        "pmerge_fixed_delta": pmerge_delta,
-        "scd2_pmerge_fixed_delta": scd2_pmerge_delta,
+        "pmerge_10key_delta": pmerge_delta,
+        "pmerge_range_tail_delta": pmerge_range_tail,
+        "scd2_pmerge_10key_delta": scd2_pmerge_delta,
     }
 
     results = {}
@@ -274,6 +294,7 @@ def main() -> None:
     _wb = tempfile.mkdtemp(prefix="warm_", dir=big)
     flat_delta(or_1x, _wb)
     pmerge_delta(or_1x, os.path.join(_wb, "p"))
+    pmerge_range_tail(or_1x, os.path.join(_wb, "r"))
     scd2_pmerge_delta(or_1x, os.path.join(_wb, "s"))
     shutil.rmtree(_wb, ignore_errors=True)
     for name, fn in merge_cases.items():
