@@ -640,9 +640,15 @@ def connected_components(
     duplicates).
     """
     _require_numeric(pairs, (id_a, id_b), "connected_components")
+    # Materialize the (possibly very expensive) upstream pair plan ONCE
+    # before the symmetrize union references it twice: without this both
+    # union branches recompute the generator concurrently — a cache
+    # registered on the union materializes too late to help — and the 8×
+    # scale smoke measured pair generation paid double (~54 s of LSH work
+    # twice) before a single CC round ran.
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     edges = _scoped_persist(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

@@ -24,6 +24,10 @@ SKIP = {
     "stream_upsert_6h",
     "stream_merge_partitioned",
     "k_materialized_upsert",
+    "k_scd2_upsert",
+    "k5_history_sink",
+    "k_datepart_sink",
+    "k_zorder_sink",
 }
 
 
