@@ -332,3 +332,100 @@ def bloom_membership(
     return joined.groupBy(value_col).agg(
         F.bool_and(hit).alias("might_contain")
     )
+
+
+# ------------------------------------------------- histogram quantile sketch
+def value_histogram(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    num_bins: int = 128,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-bin histogram of ``value_col`` per group: ``(group..., bin,
+    cnt)`` plus the bin edges ``(group..., mn, mx)`` it was built with
+    (returned as columns so sketches stay self-describing). Deterministic
+    — bin = least(floor((v-mn)/(mx-mn)*B), B-1), pure IEEE double math an
+    oracle engine reproduces exactly — and MERGEABLE like the KMV/Bloom
+    relations: histograms built over the SAME edges add their counts
+    (union + sum per bin; merge-equals-whole is test-asserted). Pass
+    ``edges`` (a (group, mn, mx) relation, e.g. from the full corpus or a
+    previous day) to share binning across builds; by default edges come
+    from one narrow min/max aggregation of ``df`` itself.
+
+    Plan: stats agg (narrow) → broadcast join → one hash aggregation on
+    (group, bin): ≤ num_bins·|groups| rows shuffle, nothing wider."""
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    df = df.where(v.isNotNull())  # rank semantics ignore NULLs
+    if edges is None:
+        edges = df.groupBy(*g).agg(
+            F.min(v).alias("mn"), F.max(v).alias("mx")
+        )
+    binned = df.join(F.broadcast(edges), on=g).select(
+        *g,
+        F.col("mn"),
+        F.col("mx"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (v - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * F.lit(num_bins)
+                ),
+                F.lit(num_bins - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return binned.groupBy(*g, "mn", "mx", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: tuple[str, ...],
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    num_bins: int = 128,
+) -> DataFrame:
+    """Quantile estimates from ``value_histogram`` rows: for each q, the
+    bin whose cumulative range contains rank q·total, linearly
+    interpolated within the bin — error ≤ (mx−mn)/num_bins, exact in the
+    bin edges. Returns ``(group..., q, est)`` with ``est`` rounded to 4
+    decimals (both engines run the identical double expression, the
+    round is belt-and-braces). The cumulative window runs over ≤
+    num_bins·|groups| histogram rows — never the data."""
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy("bin")
+    wt = Window.partitionBy(*g)
+    c = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+        .withColumn("total", F.sum("cnt").over(wt))
+    )
+    q_df = c.crossJoin(
+        F.broadcast(
+            c.sparkSession.createDataFrame(
+                [(float(q),) for q in quantiles], "q double"
+            )
+        )
+    )
+    target = F.col("q") * F.col("total")
+    width = (F.col("mx") - F.col("mn")) / F.lit(num_bins)
+    est = F.col("mn") + (
+        F.col("bin")
+        + (target - F.col("cum_before")) / F.col("cnt")
+    ) * width
+    return (
+        q_df.where((F.col("cum") >= target) & (F.col("cum_before") < target))
+        .select(
+            *g,
+            "q",
+            F.round(F.least(est, F.col("mx")), 4).alias("est"),
+        )
+    )

@@ -40,9 +40,12 @@ def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       a manifest-bucketed table via ``partitioned_upsert``, which rewrites
       only the key-hash buckets containing source keys (untouched-bucket
       file immutability is asserted by ``tests/test_sinks.py``).
+    * ``scd2`` / ``scd2p`` — the type-2 dimension-history merge through
+      both layouts (``q_k_scd2_upsert``).
 
-    Both halves share one merge-algebra oracle, so a hash match proves the
-    partition-pruned write path produces the identical table state."""
+    The flat and partitioned halves share one merge-algebra oracle, so a
+    hash match proves the partition-pruned write path produces the
+    identical table state."""
     base_dir = tempfile.mkdtemp(prefix="mgo_sink_")
     orders = load_table(spark, sf_dir, "orders")
     overwrite(orders, base_dir, "orders_t")

@@ -544,6 +544,20 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch (operators/aggregations.py:
+    value_histogram / histogram_quantiles): per order status, p50/p95 of
+    the order value from a 128-bin fixed-edge histogram — deterministic
+    IEEE double math both engines reproduce bit-for-bit, mergeable by
+    summing same-edge bins. Driver-visible via the ``hq`` mode of
+    ``a2_a3_distinct_suite``."""
+    from ..operators.aggregations import histogram_quantiles, value_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = value_histogram(orders, ("o_orderstatus",), "o_totalprice", 128)
+    return histogram_quantiles(hist, ("o_orderstatus",), (0.5, 0.95), 128)
+
+
 def q_ht_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable time rollup (operators/aggregations.py:
     hypertable_rollup): hour/day/month continuous aggregates where each
@@ -1028,6 +1042,36 @@ ORACLES: dict[str, str] = {
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_members
         FROM probe GROUP BY c_mktsegment
     """,
+    # identical IEEE double expressions in the identical order — bin
+    # assignment, cumulative ranks, and interpolation all reproduce
+    # bit-for-bit (mirrors value_histogram/histogram_quantiles, B=128)
+    "histogram_quantiles": """
+        WITH vals AS (
+          SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS x
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        e AS (SELECT g, min(x) AS mn, max(x) AS mx FROM vals GROUP BY g),
+        binned AS (
+          SELECT vals.g, mn, mx,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE CAST(least(floor((x - mn) / (mx - mn) * 128), 127)
+                                AS INT) END AS bin
+          FROM vals JOIN e ON vals.g = e.g),
+        hist AS (
+          SELECT g, mn, mx, bin, count(*) AS cnt
+          FROM binned GROUP BY g, mn, mx, bin),
+        c AS (
+          SELECT g, mn, mx, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt AS cum_before,
+                 sum(cnt) OVER (PARTITION BY g) AS total
+          FROM hist),
+        qs AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q)
+        SELECT g AS o_orderstatus, q,
+               round(least(mn + (bin + (q * total - cum_before) / cnt)
+                           * ((mx - mn) / 128), mx), 4) AS est
+        FROM c, qs
+        WHERE cum >= q * total AND cum_before < q * total
+    """,
     # same md5-fraction hashing, same bottom-k, same (k-1)/h_k estimator
     # (mirrors operators/aggregations.py:kmv_distinct, k=64)
     "kmv_distinct": """
@@ -1246,6 +1290,7 @@ QUERIES = {
     "ht_rollup": q_ht_rollup,
     "kmv_distinct": q_kmv_distinct,
     "bloom_membership": q_bloom_membership,
+    "histogram_quantiles": q_histogram_quantiles,
     "a7_rollup": q_a7_rollup,
     "skew_salted_sum": q_skew_salted_sum,
     "skew_salted_join": q_skew_salted_join,

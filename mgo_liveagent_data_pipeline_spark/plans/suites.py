@@ -82,7 +82,18 @@ def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept-count packed as "est_cents|n_kept",
     operators/aggregations.py:kmv_distinct) + the Bloom membership
     sketch (``bloom`` mode — per-segment probes/might-contain/true-member
-    counts packed into k2, operators/aggregations.py:bloom_build)."""
+    counts packed into k2, operators/aggregations.py:bloom_build) + the
+    histogram quantile sketch (``hq`` mode — per-status p50/p95 order
+    value, operators/aggregations.py:histogram_quantiles)."""
+    hq = relational.q_histogram_quantiles(spark, sf_dir).select(
+        F.lit("hq").alias("mode"),
+        F.col("o_orderstatus").alias("k1"),
+        F.concat_ws(
+            "|",
+            F.round(F.col("q") * 100).cast("long").cast("string"),
+            F.round(F.col("est") * 100).cast("long").cast("string"),
+        ).alias("k2"),
+    )
     bloom = relational.q_bloom_membership(spark, sf_dir).select(
         F.lit("bloom").alias("mode"),
         F.col("c_mktsegment").alias("k1"),
@@ -112,7 +123,8 @@ def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("string").alias("k1"),
         _null("string").alias("k2"),
     )
-    return a2.unionByName(a3).unionByName(kmv).unionByName(bloom)
+    return a2.unionByName(a3).unionByName(kmv).unionByName(bloom)\
+        .unionByName(hq)
 
 
 def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,6 +691,13 @@ ORACLES: dict[str, str] = {
             "'bloom' AS mode, c_mktsegment AS k1, "
             "CAST(n_probed AS VARCHAR) || '|' || CAST(n_might AS VARCHAR) "
             "|| '|' || CAST(n_members AS VARCHAR) AS k2",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["histogram_quantiles"],
+            "'hq' AS mode, o_orderstatus AS k1, "
+            "CAST(CAST(round(q * 100) AS BIGINT) AS VARCHAR) || '|' || "
+            "CAST(CAST(round(est * 100) AS BIGINT) AS VARCHAR) AS k2",
         )
     ),
     "w4_w5_window_sweep": (

@@ -487,3 +487,77 @@ def test_bloom_prunes_incremental_antijoin(spark):
     assert surely_new.join(corpus, "k", "left_semi").count() == 0
     # and the prune is real: most of the 200 new keys skip verification
     assert surely_new.count() >= 150
+
+
+# ------------------------------------------------- histogram quantile sketch
+def test_histogram_quantiles_within_bin_error(spark):
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    # two groups with known distributions over [0, 10000)
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    hist = value_histogram(df, ("g",), "v", num_bins=100)
+    est = {
+        (r["g"], r["q"]): r["est"]
+        for r in histogram_quantiles(hist, ("g",), (0.5, 0.95), 100).collect()
+    }
+    # exact quantiles per group ~5000 / ~9500; bin width = ~100
+    for g in ("even", "odd"):
+        assert abs(est[(g, 0.5)] - 5000) <= 110, est
+        assert abs(est[(g, 0.95)] - 9500) <= 110, est
+
+
+def test_histogram_merge_equals_whole(spark):
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("g"),
+        F.pmod(F.xxhash64("id"), F.lit(100000)).cast("double").alias("v"),
+    )
+    edges = df.groupBy("g").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    a = df.where(F.col("v") < 40000)
+    b = df.where(F.col("v") >= 40000)
+    # merge = union of same-edge histograms, counts re-summed per bin
+    merged = (
+        value_histogram(a, ("g",), "v", 64, edges=edges)
+        .unionByName(value_histogram(b, ("g",), "v", 64, edges=edges))
+        .groupBy("g", "mn", "mx", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = value_histogram(df, ("g",), "v", 64, edges=edges)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    qm = histogram_quantiles(merged, ("g",), (0.5,), 64).collect()
+    qw = histogram_quantiles(whole, ("g",), (0.5,), 64).collect()
+    assert sorted(map(tuple, qm)) == sorted(map(tuple, qw))
+
+
+def test_histogram_constant_column(spark):
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    df = spark.range(0, 10).select(
+        F.lit("g").alias("g"), F.lit(7.5).alias("v")
+    )
+    hist = value_histogram(df, ("g",), "v", 16)
+    got = histogram_quantiles(hist, ("g",), (0.5, 0.95), 16).collect()
+    assert {r["est"] for r in got} == {7.5}
