@@ -419,3 +419,159 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_key, "corpus_id", "cosine_sim", "rank")
     )
+
+
+# ----------------------------------------------------- product quantization
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, left-fold summation (deterministic order both
+    engines: zip_with pairs in index order, aggregate folds left)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subspaces(vec: Column, num_subspaces: int, dim: int) -> Column:
+    """Array of (m, subvec) structs — vector split into equal slices."""
+    sub = dim // num_subspaces
+    return F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(vec, m * sub + 1, sub).alias("sv"),
+            )
+            for m in range(num_subspaces)
+        ]
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codebooks: per subspace ``m``, ``num_codes``
+    code vectors — deterministically seeded from the ``num_codes``
+    lowest-key corpus vectors' subvectors (the same oracle-exact seeding
+    trick as ``ivf_centroids``; production swaps in per-subspace k-means,
+    plan shape unchanged). The seed fetch is a TakeOrdered (no full
+    sort); the codebook is ≤ M·K tiny rows — always broadcast."""
+    w = Window.orderBy(F.asc("__k"))
+    seeds = (
+        corpus.select(
+            F.col(key_col).alias("__k"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .orderBy(F.asc("__k"))
+        .limit(num_codes)
+        .withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+    )
+    return seeds.select(
+        "code", F.explode(_subspaces(F.col("v"), num_subspaces, dim)).alias("s")
+    ).select(F.col("s.m").alias("m"), "code", F.col("s.sv").alias("sv"))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    num_subspaces: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``num_subspaces`` small codes: per subspace
+    the argmin-L2 code (ties → lowest code id, via min over a (dist,
+    code) struct — a deterministic total order). Returns ``(key, codes
+    array<int>)`` — the compressed representation: M bytes-ish per
+    vector instead of dim doubles (dim·8/M× smaller), which is what lets
+    a 100 TB corpus's index live in memory. Plan: explode to (key, m)
+    subvectors, broadcast-join the codebook, one (key, m) argmin agg +
+    one (key) reassembly agg — narrow rows throughout, no vector
+    payload past the first join."""
+    sub = corpus.select(
+        F.col(key_col).alias("__k"),
+        F.explode(
+            _subspaces(_as_double(F.col(vec_col)), num_subspaces, dim)
+        ).alias("s"),
+    ).select("__k", F.col("s.m").alias("m"), F.col("s.sv").alias("xv"))
+    scored = sub.join(F.broadcast(codebooks), on="m").withColumn(
+        "d", _l2sq(F.col("xv"), F.col("sv"))
+    )
+    best = scored.groupBy("__k", "m").agg(
+        F.min(F.struct(F.col("d"), F.col("code"))).alias("b")
+    )
+    return best.groupBy("__k").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", F.col("b.code").alias("c")))),
+            lambda s: s["c"],
+        ).alias("codes")
+    ).select(F.col("__k").alias(key_col), "codes")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key: str = "query_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): approx_dist(q, x) =
+    Σ_m L2²(q_m, codebook[m][code_m(x)]) — each query computes one M×K
+    distance table against the broadcast codebook, then scores every
+    ENCODED corpus row by table lookup: the corpus's float vectors are
+    never touched at query time, only the M-code representation. Ranks
+    ascending by distance (ties → lowest corpus id), rounded to 6
+    decimals; the per-pair sum folds the M partial distances in m-order
+    so both engines add the same doubles in the same order.
+
+    The 100 TB shape: encode once (an index build, like the IVF
+    assignment); the query-time joins move only (key, m, code) rows and
+    the broadcast table. Compose with IVF routing (encode per posting
+    list) for IVF-PQ. Returns (query, corpus_id, approx_dist, rank)."""
+    cb = pq_codebooks(corpus, num_subspaces, num_codes, dim, vec_col, key_col)
+    enc = pq_encode(corpus, cb, num_subspaces, dim, vec_col, key_col)
+    qsub = queries.select(
+        F.col(query_key),
+        F.explode(
+            _subspaces(_as_double(F.col(vec_col)), num_subspaces, dim)
+        ).alias("s"),
+    ).select(query_key, F.col("s.m").alias("m"), F.col("s.sv").alias("qv"))
+    dtable = qsub.join(F.broadcast(cb), on="m").select(
+        query_key, "m", "code", _l2sq(F.col("qv"), F.col("sv")).alias("d")
+    )
+    pairs = (
+        enc.select(
+            F.col(key_col).alias("corpus_id"),
+            F.posexplode("codes").alias("m", "code"),
+        )
+        .join(F.broadcast(dtable), on=["m", "code"])
+        .where(F.col("corpus_id") != F.col(query_key))
+    )
+    approx = pairs.groupBy(query_key, "corpus_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "d"))),
+                    lambda s: s["d"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("approx_dist")
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.asc("approx_dist"), F.asc("corpus_id")
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_key, "corpus_id", "approx_dist", "rank")
+    )

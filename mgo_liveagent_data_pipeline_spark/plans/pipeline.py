@@ -326,6 +326,21 @@ def q_ann_rh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rh_multiprobe_topk(emb, queries, k=5, num_planes=8, dim=64)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (operators/annsearch.py:pq_topk):
+    8 subspaces × 16 codes seeded from the 16 lowest-key vectors; query
+    time touches only the encoded codes + a broadcast distance table,
+    never the corpus floats. Driver-visible via the ``pq`` mode of
+    ``ann_suite``."""
+    from ..operators.annsearch import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=5, num_subspaces=8, num_codes=16, dim=64)
+
+
 def q_text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style segment-level dedup
     (operators/textops.py:paragraph_dedup): 10-word segments appearing in
@@ -397,6 +412,7 @@ QUERIES = {
     "ann_ivf_multiprobe_topk": q_ann_ivf_multiprobe_topk,
     "ann_rh_lsh_topk": q_ann_rh_lsh_topk,
     "ann_rh_multiprobe_topk": q_ann_rh_multiprobe_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "multimodal_frames": q_multimodal_frames,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_repetition": q_text_repetition,
@@ -710,6 +726,50 @@ _CLUSTERS_SQL = f"""
 ORACLES: dict[str, str] = {
     "ann_rh_lsh_topk": _rh_lsh_oracle(),
     "ann_rh_multiprobe_topk": _rh_multiprobe_oracle(),
+    # same seeds (16 lowest keys), same per-subspace argmin via a (d, code)
+    # struct-min, same m-ordered fold of the 8 partial distances — every
+    # double is produced by the identical expression in the identical order
+    "ann_pq_topk": """
+        WITH c AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        seeds AS (
+          SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+          FROM c ORDER BY vec_id LIMIT 16),
+        ms AS (SELECT CAST(unnest(range(8)) AS INT) AS m),
+        cb AS (SELECT m, code, v[m*8+1 : m*8+8] AS sv FROM seeds, ms),
+        csub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS xv FROM c, ms),
+        cenc AS (
+          SELECT vec_id, m,
+                 (min(struct_pack(d := list_sum(list_transform(range(1, 9),
+                      i -> (xv[i] - sv[i]) * (xv[i] - sv[i]))),
+                      c := code))).c AS code
+          FROM csub JOIN cb USING (m) GROUP BY vec_id, m),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        qsub AS (SELECT query_id, m, qv[m*8+1 : m*8+8] AS xv FROM q, ms),
+        dt AS (
+          SELECT query_id, m, code,
+                 list_sum(list_transform(range(1, 9),
+                     i -> (xv[i] - sv[i]) * (xv[i] - sv[i]))) AS d
+          FROM qsub JOIN cb USING (m)),
+        pairs AS (
+          SELECT query_id, vec_id AS corpus_id, dt.m, d
+          FROM cenc JOIN dt ON cenc.m = dt.m AND cenc.code = dt.code
+          WHERE vec_id <> query_id),
+        approx AS (
+          SELECT query_id, corpus_id,
+                 round(list_sum(list_transform(
+                     list_sort(list(struct_pack(m := m, d := d))),
+                     s -> s.d)), 6) AS approx_dist
+          FROM pairs GROUP BY query_id, corpus_id),
+        ranked AS (
+          SELECT query_id, corpus_id, approx_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_dist ASC, corpus_id ASC) AS rn
+          FROM approx)
+        SELECT query_id, corpus_id, approx_dist, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= 5
+    """,
     "multimodal_frames": """
         WITH base AS (
           SELECT doc_id, text,

@@ -420,7 +420,9 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, all strategies under one row: exact brute-force
     cosine baseline, IVF (1- and 2-probe), RH-LSH (exact-bucket and
-    Hamming-1 multi-probe)."""
+    Hamming-1 multi-probe), and PQ asymmetric-distance top-k (``pq``
+    mode — its metric is the L2² ADC distance, carried in the shared
+    metric column)."""
     members = [
         ("cosine", pipeline.q_ann_cosine_topk),
         ("ivf", pipeline.q_ann_ivf_topk),
@@ -438,7 +440,14 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
         out = part if out is None else out.unionByName(part)
-    return out
+    pq = pipeline.q_ann_pq_topk(spark, sf_dir).select(
+        F.lit("pq").alias("variant"),
+        "query_id",
+        "corpus_id",
+        F.col("approx_dist").alias("cosine_sim"),
+        "rank",
+    )
+    return out.unionByName(pq)
 
 
 # --------------------------------------------------------- enrichment suites
@@ -876,6 +885,11 @@ ORACLES: dict[str, str] = {
             ("rh_lsh", _P["ann_rh_lsh_topk"]),
             ("rh_multiprobe", _P["ann_rh_multiprobe_topk"]),
         )
+    )
+    + " UNION ALL "
+    + _tagged(
+        _P["ann_pq_topk"],
+        "'pq' AS variant, query_id, corpus_id, approx_dist AS cosine_sim, \"rank\"",
     ),
     "u2_geocode_suite": (
         _tagged(

@@ -100,3 +100,51 @@ def test_kmeans_keeps_emptied_cluster(spark):
         }
         assert set(cents) == {1, 2}, f"k shrank at iterations={iterations}"
         assert cents[1] == [1.0, 0.0]  # kept its seed centroid verbatim
+
+
+# ------------------------------------------------------ product quantization
+def test_pq_topk_recovers_clustered_neighbors(spark):
+    """On a corpus of 16 well-separated prototypes plus jittered copies
+    (the regime PQ is built for), every query's top-5 are same-cluster
+    members, and the codes are the compressed shape they claim."""
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    DIM, M, K, N = 16, 4, 16, 200
+
+    def vec(i):
+        p = i % 16
+        base = [5.0 if (p >> (d % 4)) & 1 else -5.0 for d in range(DIM)]
+        if i < 16:  # the 16 lowest keys are pure prototypes (= seeds)
+            return base
+        return [
+            round(b + ((i * 131 + d * 17) % 11 - 5) * 0.02, 4)
+            for d, b in enumerate(base)
+        ]
+
+    rows = [(i, vec(i)) for i in range(N)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    cb = pq_codebooks(emb, M, K, DIM)
+    assert cb.count() == M * K
+    enc = pq_encode(emb, cb, M, DIM)
+    codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert all(len(c) == M and all(0 <= x < K for x in c) for c in codes.values())
+    # seed vectors encode to themselves in every subspace... and jittered
+    # copies land on their prototype's codes (4 bits of p per subspace)
+    for i in (0, 7, 30, 45):
+        assert codes[i] == codes[i % 16], (i, codes[i], codes[i % 16])
+
+    queries = emb.where(F.col("vec_id").isin(20, 33, 47)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_topk(emb, queries, k=5, num_subspaces=M, num_codes=K, dim=DIM)
+    got = top.collect()
+    assert len(got) == 15
+    for r in got:
+        assert r["corpus_id"] % 16 == r["query_id"] % 16, r
