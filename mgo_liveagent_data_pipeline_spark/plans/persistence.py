@@ -302,6 +302,18 @@ def q_stream_merge_partitioned(
     return read_partitioned(spark, base_dir, "events_6h_p")
 
 
+def q_stream_join_30m(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 2
+) -> DataFrame:
+    """§2.8 stream-stream join: watermarked trades⋈quotes within a
+    30-minute event-time band (streaming/windows.py:stream_join_30m);
+    inner-join emission means the drained result equals the exact batch
+    join, which is the oracle."""
+    from ..streaming.windows import stream_join_30m
+
+    return stream_join_30m(spark, sf_dir, n_state_partitions=n_state_partitions)
+
+
 QUERIES = {
     "k_materialized_upsert": q_k_materialized_upsert,
     "k_scd2_upsert": q_k_scd2_upsert,
@@ -314,6 +326,7 @@ QUERIES = {
     "stream_upsert_6h": q_stream_upsert_6h,
     "stream_dedup_6h": q_stream_dedup_6h,
     "stream_merge_partitioned": q_stream_merge_partitioned,
+    "stream_join_30m": q_stream_join_30m,
 }
 
 ORACLES: dict[str, str] = {
@@ -477,6 +490,19 @@ ORACLES: dict[str, str] = {
         SELECT window_start, count(*) AS n_events,
                CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
         FROM b GROUP BY window_start
+    """,
+    # inner stream-stream join emits on match — no cutoff; exact batch twin
+    "stream_join_30m": """
+        WITH t AS (SELECT user_id, ts, value FROM events WHERE event_id % 2 = 1),
+             q AS (SELECT user_id, ts, value FROM events WHERE event_id % 2 = 0)
+        SELECT t.user_id, count(*) AS n_pairs,
+               CAST(round(sum(CAST(q.value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS total_quote_value
+        FROM t JOIN q
+          ON q.user_id = t.user_id
+         AND q.ts >= t.ts - INTERVAL 30 MINUTE
+         AND q.ts <= t.ts
+        GROUP BY t.user_id
     """,
     "stream_session_windows": """
         WITH o AS (

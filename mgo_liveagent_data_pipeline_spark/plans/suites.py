@@ -578,8 +578,10 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once upsert, stateful ingestion dedup (every event delivered
     twice, dropDuplicatesWithinWatermark must collapse it), the
     bucket-pruned streaming MERGE (``merge_part`` — the upsert's 100 TB
-    variant through ``partitioned_upsert``), and 30-minute-gap session
-    windows.
+    variant through ``partitioned_upsert``), the watermarked
+    stream-stream join (``join`` mode — trades⋈quotes within a
+    30-minute event-time band, streaming/windows.py:stream_join_30m),
+    and 30-minute-gap session windows.
 
     The AvailableNow streaming members run CONCURRENTLY via a thread pool: each is
     an independent run-to-completion AvailableNow query, so their fixed
@@ -590,6 +592,10 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     state stores, empty-target MERGE fast path) the members are cheap
     enough that the round-5 re-measurement flipped it: fan-out 7.3 s cold /
     2.2 s warm vs 11.1 s / 4.9 s sequential at sf0.01. The
+    round-5 join member adds ~1.5 s to the fan-out (two stream sources +
+    join state instantiation) — the suite's measured fixed cost is ~5 s
+    at sf0.01 with seven members, vs the 4 s target it met at five; the
+    coverage is worth the second. The
     ``spark.sql.shuffle.partitions`` state-store sizing is applied ONCE
     around the whole fan-out (members get ``n_state_partitions=None``) —
     per-member conf mutation would race across threads and could leave the
@@ -610,12 +616,16 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("dedup", persistence.q_stream_dedup_6h),
         ("merge_part", persistence.q_stream_merge_partitioned),
     )
-    with state_partitions(spark, 1), ThreadPoolExecutor(len(members)) as ex:
+    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 1) as ex:
+        join_fut = ex.submit(
+            persistence.q_stream_join_30m, spark, sf_dir, None
+        )
         done = list(
             ex.map(
                 lambda m: m[1](spark, sf_dir, n_state_partitions=None), members
             )
         )
+        join_df = join_fut.result()
     parts = [
         df.select(
             F.lit(tag).alias("mode"),
@@ -635,10 +645,18 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         _null("double").alias("total_value"),
     )
+    join_part = join_df.select(
+        F.lit("join").alias("mode"),
+        F.col("user_id").cast("string").alias("grp"),
+        _null("timestamp").alias("window_start"),
+        _null("timestamp").alias("window_end"),
+        F.col("n_pairs").alias("n_events"),
+        F.col("total_quote_value").alias("total_value"),
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.unionByName(sess)
+    return out.unionByName(sess).unionByName(join_part)
 
 
 # ------------------------------------------------------------------ oracles
@@ -981,6 +999,14 @@ ORACLES: dict[str, str] = {
             "'session' AS mode, CAST(user_id AS VARCHAR) AS grp, "
             "session_start AS window_start, session_end AS window_end, "
             "n_events, CAST(NULL AS DOUBLE) AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _K["stream_join_30m"],
+            "'join' AS mode, CAST(user_id AS VARCHAR) AS grp, "
+            "CAST(NULL AS TIMESTAMP) AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "n_pairs AS n_events, total_quote_value AS total_value",
         )
     ),
 }

@@ -391,3 +391,70 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def stream_join_30m(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    n_state_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: events split by id parity
+    into a trades stream (odd) and a quotes stream (even); each trade
+    matches same-user quotes from the preceding 30 minutes. Both sides
+    carry a 1-hour watermark and the join condition bounds event-time
+    distance, so each side's state holds ≤ watermark+band of rows and is
+    evicted as the watermark advances — the only way a stream-stream
+    join survives unbounded input. INNER join results emit as soon as
+    both rows arrive (no watermark holdback — that's for outer sides),
+    so the drained AvailableNow result equals the exact batch join and
+    the oracle needs no cutoff. Returns the per-user aggregate of the
+    matched pairs (the row-level matches land in the memory sink; the
+    aggregation is a batch query over it)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    trades = (
+        _event_stream(spark, path)
+        .where(F.col("event_id") % 2 == 1)
+        .withWatermark("ts", "1 hour")
+    )
+    quotes = (
+        _event_stream(spark, path)
+        .where(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("user_id").alias("q_user"),
+            F.col("ts").alias("q_ts"),
+            F.col("value").alias("q_value"),
+        )
+        .withWatermark("q_ts", "1 hour")
+    )
+    joined = trades.join(
+        quotes,
+        (F.col("user_id") == F.col("q_user"))
+        & (F.col("q_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("q_ts") <= F.col("ts")),
+        "inner",
+    ).select("user_id", "value", "q_value")
+    name = f"mgo_stream_join_{os.getpid()}_{next(_MEMSINK_IDS)}"
+    with state_partitions(spark, n_state_partitions), _checkpoint(
+        checkpoint_dir
+    ) as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(F.col("q_value").cast(MONEY)), 2)
+            .cast("double")
+            .alias("total_quote_value"),
+        )
+    )
