@@ -579,6 +579,39 @@ def _partitioned_merge(
     return pdir
 
 
+def read_partitioned_range(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    key: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Key-range scan over a RANGE-bucketed ptable: bucket ids for
+    [lo, hi] are pure arithmetic (lo//width .. hi//width — no data pass
+    at all), so only those buckets' current versions are read, then the
+    exact BETWEEN filter applies. The recency query a monotone-key table
+    exists for ("tickets since id X") touches O(range/width) buckets of
+    the table. Raises on hash-bucketed tables — a hash layout cannot
+    serve range scans; that's the rule-of-thumb trade documented in
+    DESIGN.md."""
+    pdir = _ptable_dir(base_dir, name)
+    man = _read_manifest(pdir)
+    rw = man.get("range_width")
+    if not rw:
+        raise ValueError(
+            f"{name} is hash-bucketed; range scans need range_width buckets"
+        )
+    paths = [
+        os.path.join(pdir, man["buckets"][str(b)])
+        for b in range(lo // rw, hi // rw + 1)
+        if str(b) in man["buckets"]
+    ]
+    if not paths:
+        return read_partitioned(spark, base_dir, name).limit(0)
+    return spark.read.parquet(*paths).where(F.col(key).between(lo, hi))
+
+
 def partitioned_upsert(
     spark: SparkSession,
     source: DataFrame,

@@ -398,6 +398,32 @@ def test_range_bucketed_upsert_tail_delta_touches_one_bucket(spark, tmp_path):
     assert len(got.inputFiles()) <= 2
 
 
+def test_read_partitioned_range_prunes_by_arithmetic(spark, tmp_path):
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        partitioned_upsert,
+        read_partitioned,
+        read_partitioned_range,
+    )
+
+    tmp = str(tmp_path)
+    base = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 7).alias("v"))
+    partitioned_upsert(spark, base, tmp, "pt", "id", range_width=100)
+    got = read_partitioned_range(spark, tmp, "pt", "id", 250, 449)
+    rows = sorted(r["id"] for r in got.collect())
+    assert rows == list(range(250, 450))
+    n_all = len(read_partitioned(spark, tmp, "pt").inputFiles())
+    assert n_all == 10
+    assert len(got.inputFiles()) == 3  # buckets 2, 3, 4 only
+    # empty range beyond the table
+    assert read_partitioned_range(spark, tmp, "pt", "id", 5000, 6000).count() == 0
+    # hash-bucketed tables refuse range scans loudly
+    partitioned_upsert(spark, base, tmp, "ph", "id", num_buckets=8)
+    with pytest.raises(ValueError, match="hash-bucketed"):
+        read_partitioned_range(spark, tmp, "ph", "id", 0, 10)
+
+
 # ----------------------------------------------------------- lease hardening
 def test_lease_exit_never_unlinks_successor_lock(tmp_path):
     from mgo_liveagent_data_pipeline_spark.sinks.writers import WriterLease
