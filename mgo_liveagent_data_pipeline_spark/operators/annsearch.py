@@ -575,3 +575,87 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select(query_key, "corpus_id", "approx_dist", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_col: str = "label",
+    query_key: str = "query_id",
+    n_probes: int = 1,
+) -> DataFrame:
+    """IVF-PQ: the two approximations composed the way a production ANN
+    index ships them — IVF routing prunes WHICH rows are scored
+    (n_probes posting lists instead of the corpus), PQ codes prune WHAT
+    is read per row (M codes instead of dim floats). Query cost is
+    n_probes·|corpus|/n_clusters code-rows + the broadcast M×K distance
+    table; the corpus floats are touched only at index build. The test
+    asserts the result equals ``pq_topk`` restricted to the probed
+    posting lists — routing changes candidate sets, never scores."""
+    cents = ivf_centroids(corpus, vec_col, key_col, label_col)
+    q = queries.select(
+        query_key, _as_double(F.col(vec_col)).alias("qv")
+    )
+    routed = q.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", F.round(cosine(F.col("qv"), F.col("centroid")), 6)
+    )
+    wq = Window.partitionBy(query_key).orderBy(F.desc("csim"), F.asc("cluster_id"))
+    probe = (
+        routed.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= n_probes)
+        .select(query_key, "cluster_id")
+    )
+
+    cb = pq_codebooks(corpus, num_subspaces, num_codes, dim, vec_col, key_col)
+    enc = pq_encode(corpus, cb, num_subspaces, dim, vec_col, key_col).join(
+        corpus.select(
+            F.col(key_col), F.col(label_col).alias("cluster_id")
+        ),
+        on=key_col,
+    )
+    qsub = queries.select(
+        F.col(query_key),
+        F.explode(
+            _subspaces(_as_double(F.col(vec_col)), num_subspaces, dim)
+        ).alias("s"),
+    ).select(query_key, F.col("s.m").alias("m"), F.col("s.sv").alias("qv"))
+    dtable = qsub.join(F.broadcast(cb), on="m").select(
+        query_key, "m", "code", _l2sq(F.col("qv"), F.col("sv")).alias("d")
+    )
+    pairs = (
+        enc.join(F.broadcast(probe), on="cluster_id")
+        .select(
+            F.col(key_col).alias("corpus_id"),
+            query_key,
+            F.posexplode("codes").alias("m", "code"),
+        )
+        .join(F.broadcast(dtable), on=[query_key, "m", "code"])
+        .where(F.col("corpus_id") != F.col(query_key))
+    )
+    approx = pairs.groupBy(query_key, "corpus_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "d"))),
+                    lambda s: s["d"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("approx_dist")
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.asc("approx_dist"), F.asc("corpus_id")
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_key, "corpus_id", "approx_dist", "rank")
+    )

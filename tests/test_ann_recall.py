@@ -148,3 +148,66 @@ def test_pq_topk_recovers_clustered_neighbors(spark):
     assert len(got) == 15
     for r in got:
         assert r["corpus_id"] % 16 == r["query_id"] % 16, r
+
+
+def test_ivfpq_equals_pq_restricted_to_probed_lists(spark):
+    """Routing changes candidate sets, never scores: IVF-PQ top-k equals
+    plain PQ top-k computed over only the probed posting lists."""
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        ivf_centroids,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_topk(emb, queries, k=5, n_probes=1)
+    rows = got.collect()
+    assert rows and all(r["rank"] <= 5 for r in rows)
+
+    # reference: per query, PQ over only its routed cluster's rows.
+    # pq_topk's codebooks must come from the FULL corpus (same seeds),
+    # so restrict at the candidate level by joining labels afterwards.
+    from mgo_liveagent_data_pipeline_spark.functions.similarity import cosine
+
+    cents = ivf_centroids(emb)
+    q = queries.select(
+        "query_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("qv"),
+    )
+    routed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cosine(F.col("qv"), F.col("centroid")), 6))
+    )
+    from pyspark.sql.window import Window
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("cluster_id")
+    )
+    probe = (
+        routed.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select("query_id", "cluster_id")
+    )
+    full_pq_pairs = pq_topk(emb, queries, k=10**9)  # unbounded: all scored
+    labels = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("label").alias("cluster_id")
+    )
+    want = (
+        full_pq_pairs.join(labels, on="corpus_id")
+        .join(probe, on=["query_id", "cluster_id"], how="left_semi")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("corpus_id")
+    )
+    want = (
+        want.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "corpus_id", "approx_dist", F.col("rk").alias("rank"))
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want.collect()))

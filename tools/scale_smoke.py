@@ -82,10 +82,13 @@ def main() -> None:
     replicate(spark, SF_DIR, big, "documents", factor, "doc_id", perturb_col="text")
     replicate(spark, SF_DIR, big, "events", factor, "event_id")
     replicate(spark, SF_DIR, big, "orders", factor, "o_orderkey")
+    replicate(spark, SF_DIR, big, "embeddings", factor, "vec_id")
     li_nx = spark.read.parquet(os.path.join(big, "lineitem.parquet"))
     docs_nx = spark.read.parquet(os.path.join(big, "documents.parquet"))
     ev_nx = _events(os.path.join(big, "events.parquet"))
     or_nx = spark.read.parquet(os.path.join(big, "orders.parquet"))
+    emb_1x = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb_nx = spark.read.parquet(os.path.join(big, "embeddings.parquet"))
 
     from mgo_liveagent_data_pipeline_spark.operators.dedup import (
         minhash_lsh_dedup,
@@ -215,9 +218,37 @@ def main() -> None:
         )
         return spark.read.parquet(os.path.join(base, "z.parquet"))
 
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        bloom_build,
+        bloom_membership,
+        histogram_quantiles,
+        value_histogram,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cust_1x = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+
+    def bloom_case(df):
+        b = bloom_build(df, "o_custkey", m_bits=65536, n_hashes=4)
+        return bloom_membership(cust_1x, "c_custkey", b, 65536, 4)
+
+    def hq_case(df):
+        h = value_histogram(df, ("o_orderstatus",), "o_totalprice", 128)
+        return histogram_quantiles(h, ("o_orderstatus",), (0.5, 0.95), 128)
+
+    def pq_case(df):
+        cb = pq_codebooks(df, 8, 16, 64)
+        return pq_encode(df, cb, 8, 64)
+
     cases = {
         "a1_agg": (a1, li_1x, li_nx),
         "zorder_write": (zw, or_1x, or_nx),
+        "bloom_build_probe": (bloom_case, or_1x, or_nx),
+        "histogram_quantiles": (hq_case, or_1x, or_nx),
+        "pq_encode": (pq_case, emb_1x, emb_nx),
         "w2_topk": (topk, li_1x, li_nx),
         "skew_salted_sum": (skewed_salted, li_1x, li_nx),
         "minhash_lsh": (minhash_lsh_dedup, docs_1x, docs_nx),
