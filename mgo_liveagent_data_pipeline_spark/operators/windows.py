@@ -54,6 +54,44 @@ def ordered_limit(df: DataFrame, order_by: list[Column], n: int) -> DataFrame:
     return df.orderBy(*order_by).limit(n)
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str | None = None,
+    session_col: str = "session_no",
+) -> DataFrame:
+    """Batch gap-based sessionization: rows for a key belong to the same
+    session while consecutive timestamps are ≤ ``gap_seconds`` apart; a
+    larger gap opens the next session. ``session_col`` numbers sessions
+    1..n per key in time order.
+
+    Classic lag + running-sum-of-boundaries algebra: ONE hash shuffle on
+    ``key_col`` plus an in-partition sort (exactly what a sort-merge join
+    pays), and both window passes share the same partitioning/ordering so
+    Catalyst plans a single Window node chain with no second exchange.
+    Downstream per-(key, session) aggregation also reuses the partitioning
+    (HashPartitioning(key) satisfies the grouped distribution on the
+    superset key), so a sessionize → session-stats pipeline is one shuffle
+    end-to-end at any scale. Pass ``tiebreak_col`` (a unique id) when
+    timestamps can tie so session numbering is deterministic."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    boundary = F.when(
+        gap.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        session_col, F.sum(boundary).over(running).cast("long")
+    )
+
+
 def lag_lead_delta(
     df: DataFrame,
     group_col: str,

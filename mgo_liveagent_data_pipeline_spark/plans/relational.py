@@ -499,6 +499,32 @@ def q_w6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/windows.py:sessionize): per-user
+    sessions close after a 6 h silence; per session — event count, span
+    seconds, and decimal-exact value total. One shuffle end-to-end: the
+    window pass hash-partitions on user_id and the (user_id, session_no)
+    aggregation reuses that partitioning. Driver-visible via the
+    ``session`` mode of ``w4_w5_window_sweep``."""
+    from ..operators.windows import sessionize
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    s = sessionize(
+        events, "user_id", "ts", gap_seconds=21600, tiebreak_col="event_id"
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_s"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/aggregations.py:kmv_distinct):
     per order status, the k=64 minimum md5 hash fractions of o_custkey
@@ -1017,6 +1043,30 @@ ORACLES: dict[str, str] = {
                m.id AS quote_event_id, m.val AS quote_value
         FROM c WHERE side = 1
     """,
+    # lag + running-sum-of-boundaries sessionization, mirroring
+    # operators/windows.py:sessionize (boundary when gap NULL or > 21600 s)
+    "w7_sessionize": """
+        WITH e AS (
+          SELECT event_id, user_id, ts, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM events),
+        s AS (
+          SELECT *, CAST(sum(CASE WHEN prev_ts IS NULL
+                        OR (epoch_us(ts) // 1000000)
+                           - (epoch_us(prev_ts) // 1000000) > 21600
+                      THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_no
+          FROM e)
+        SELECT user_id, session_no, count(*) AS n_events,
+               (epoch_us(max(ts)) // 1000000)
+                 - (epoch_us(min(ts)) // 1000000) AS duration_s,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+                 AS total_value
+        FROM s GROUP BY user_id, session_no
+    """,
     # same md5-position hashing as bloom_build (k=4 seeds, m=8192); the
     # word-packed bitmap is observably identical to position-set
     # membership, which is what SQL can express directly
@@ -1286,6 +1336,7 @@ QUERIES = {
     "w4_lag_lead": q_w4_lag_lead,
     "w5_rolling_window": q_w5_rolling_window,
     "w6_asof_join": q_w6_asof_join,
+    "w7_sessionize": q_w7_sessionize,
     "j8_range_join": q_j8_range_join,
     "ht_rollup": q_ht_rollup,
     "kmv_distinct": q_kmv_distinct,

@@ -130,8 +130,9 @@ def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-family frame specs: lag/lead deltas (w4) + 7-day range-frame
     rolling sum (w5) + the as-of join (``asof`` mode — trade rows carry
-    their latest preceding same-user quote,
-    operators/joins.py:asof_join)."""
+    their latest preceding same-user quote, operators/joins.py:asof_join)
+    + gap sessionization (``session`` mode — per-user 6 h-gap session
+    stats, operators/windows.py:sessionize)."""
     w4 = relational.q_w4_lag_lead(spark, sf_dir).select(
         F.lit("lag_lead").alias("mode"),
         F.col("event_id").cast("string").alias("key_s"),
@@ -153,7 +154,18 @@ def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quote_value").alias("metric"),
         F.col("quote_event_id").alias("extra_n"),
     )
-    return w4.unionByName(w5).unionByName(w6)
+    w7 = relational.q_w7_sessionize(spark, sf_dir).select(
+        F.lit("session").alias("mode"),
+        F.concat_ws(
+            "|",
+            F.col("session_no").cast("string"),
+            F.col("duration_s").cast("string"),
+        ).alias("key_s"),
+        F.col("user_id").alias("key_n"),
+        F.col("total_value").alias("metric"),
+        F.col("n_events").alias("extra_n"),
+    )
+    return w4.unionByName(w5).unionByName(w6).unionByName(w7)
 
 
 def q_skew_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,6 +757,13 @@ ORACLES: dict[str, str] = {
             "'asof' AS mode, CAST(event_id AS VARCHAR) AS key_s, "
             "user_id AS key_n, quote_value AS metric, "
             "quote_event_id AS extra_n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["w7_sessionize"],
+            "'session' AS mode, CAST(session_no AS VARCHAR) || '|' || "
+            "CAST(duration_s AS VARCHAR) AS key_s, user_id AS key_n, "
+            "total_value AS metric, n_events AS extra_n",
         )
     ),
     "skew_suite": (

@@ -145,3 +145,33 @@ def test_setops_and_metrics(spark):
     assert (m["n_new"], m["n_existing"], m["n_total"]) == (2, 1, 3)
     u = union_all([run, ex])
     assert u.count() == 5
+
+
+def test_sessionize_gap_boundaries_and_single_shuffle(spark):
+    from datetime import datetime
+
+    from mgo_liveagent_data_pipeline_spark.operators.windows import sessionize
+
+    rows = [
+        # user 1: 3 events within gap, then a >gap jump -> 2 sessions
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (2, 1, datetime(2024, 1, 1, 0, 10, 0), 2.0),
+        (3, 1, datetime(2024, 1, 1, 0, 20, 0), 3.0),
+        (4, 1, datetime(2024, 1, 1, 5, 0, 0), 4.0),
+        # user 2: exact-gap spacing stays in ONE session (<= is inclusive)
+        (5, 2, datetime(2024, 1, 1, 0, 0, 0), 5.0),
+        (6, 2, datetime(2024, 1, 1, 1, 0, 0), 6.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = sessionize(df, "user_id", "ts", gap_seconds=3600,
+                     tiebreak_col="event_id")
+    got = {r["event_id"]: r["session_no"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1, 6: 1}
+
+    # sessionize + per-session agg must be ONE shuffle end-to-end: the
+    # (user_id, session_no) groupBy reuses the window's hash partitioning
+    agg = out.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
