@@ -334,6 +334,128 @@ def bloom_membership(
     )
 
 
+# ----------------------------------------------------- count-min sketch
+def _cms_cols(value: Column, width: int, depth: int) -> list[Column]:
+    """``depth`` column positions for one value — one md5 per hash row,
+    seeded ``#d`` exactly like ``_bloom_positions`` (12 hex chars < 2^48
+    keeps the conv result a positive long)."""
+    return [
+        (
+            F.conv(
+                F.md5(
+                    F.concat(value.cast("string"), F.lit(f"#{d}"))
+                ).substr(1, 12),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        for d in range(depth)
+    ]
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch over ``value_col`` as a RELATION
+    ``(d int, w long, cnt long)`` — at most ``depth × width`` rows no
+    matter the corpus size, so the sketch broadcasts and (like the KMV /
+    Bloom relations) merges by union + re-sum per (d, w): per-partition
+    or per-day sketches combine without rescanning raw data.
+
+    Plan: one projection computing ``depth`` md5s per row, posexplode to
+    (d, w), ONE hash aggregation with map-side partial combine — the
+    shuffle carries ≤ depth·width rows per mapper. Deterministic (md5,
+    no RNG), so an oracle engine reproduces every cell bit-for-bit.
+
+    The 100 TB use: finding heavy hitters (boilerplate tokens, hot keys)
+    WITHOUT a full groupBy over billions of distinct terms — one cheap
+    sketch pass bounds every term's frequency from above, then only the
+    small candidate set that clears the threshold is exact-counted
+    (``cms_heavy_hitters``). Estimates never undercount; overcount is
+    bounded by e·N/width with probability 1 − e^(−depth)."""
+    w = (
+        F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
+    )
+    pos = df.where(F.col(value_col).isNotNull()).select(
+        F.posexplode(
+            F.array(*_cms_cols(F.col(value_col), width, depth))
+        ).alias("d", "w"),
+        w.alias("wt"),
+    )
+    return pos.groupBy("d", "w").agg(F.sum("wt").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same (width, depth):
+    union the cell relations, re-sum per (d, w)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    probe: DataFrame,
+    value_col: str,
+    cms: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Per distinct probe value, the CMS frequency upper bound:
+    min over the ``depth`` rows of that value's cell count (a missing
+    cell means 0 — the value was never inserted). Returns
+    ``(value_col, est_count)``; est_count ≥ true count always
+    (property-tested). Plan: distinct probes → posexplode positions →
+    BROADCAST join the ≤ depth·width-row sketch → min per value."""
+    vals = (
+        probe.select(value_col).where(F.col(value_col).isNotNull()).distinct()
+    )
+    pos = vals.select(
+        F.col(value_col),
+        F.posexplode(
+            F.array(*_cms_cols(F.col(value_col), width, depth))
+        ).alias("d", "w"),
+    )
+    joined = pos.join(F.broadcast(cms), ["d", "w"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Heavy hitters via sketch-then-verify: the CMS pass bounds every
+    value's count from above; only values whose BOUND clears
+    ``threshold`` (a superset of the true heavy hitters — CMS never
+    undercounts) are exact-counted, and the exact count filters the
+    false positives. Returns ``(value_col, est_count, n_true)`` with
+    n_true ≥ threshold. At scale the exact groupBy runs over a
+    semi-join-pruned sliver of the corpus, not every distinct value."""
+    sketch = cms_build(df, value_col, width, depth)
+    est = cms_estimate(df, value_col, sketch, width, depth).where(
+        F.col("est_count") >= threshold
+    )
+    pruned = df.join(F.broadcast(est), value_col, "semi")
+    exact = pruned.groupBy(value_col).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return (
+        est.join(exact, value_col)
+        .where(F.col("n_true") >= threshold)
+        .select(value_col, "est_count", "n_true")
+    )
+
+
 # ------------------------------------------------- histogram quantile sketch
 def value_histogram(
     df: DataFrame,

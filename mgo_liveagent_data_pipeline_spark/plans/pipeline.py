@@ -386,6 +386,32 @@ def q_text_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter tokens
+    (operators/aggregations.py:cms_heavy_hitters): one sketch pass
+    (depth 4 × width 1024 cells — broadcastable at any corpus size)
+    upper-bounds every token's frequency; only tokens whose bound clears
+    the threshold are exact-counted through a semi-join-pruned groupBy,
+    and the exact count drops the sketch's false positives. The
+    boilerplate-token detector a 100 TB curation pass runs instead of a
+    full distinct-term groupBy. Driver-visible via the ``cms`` mode of
+    ``text_corpus_stats``."""
+    from ..operators.aggregations import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("token")
+    )
+    return cms_heavy_hitters(
+        tokens, "token", threshold=200, width=1024, depth=4
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: media blob → fixed-size frame rows with digests."""
     from ..operators.multimodal import frame_sample, to_media_column
@@ -415,6 +441,7 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "multimodal_frames": q_multimodal_frames,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_heavy_hitters": q_text_heavy_hitters,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "text_stratified_sample": q_text_stratified_sample,
@@ -1129,5 +1156,30 @@ ORACLES: dict[str, str] = {
           FROM scored)
         SELECT key AS doc_id, term, tfidf, CAST(rn AS BIGINT) AS "rank"
         FROM ranked WHERE rn <= 5
+    """,
+    # same md5-seeded cell hashing as operators/aggregations.py:_cms_cols
+    # (depth 4, width 1024, seed '#d'); est = min cell count over depth
+    "text_heavy_hitters": r"""
+        WITH tok AS (
+          SELECT t.token
+          FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS t(token)
+          WHERE t.token <> ''),
+        pos AS (
+          SELECT token, i.i AS d,
+                 CAST(('0x' || substring(md5(token || '#'
+                      || CAST(i.i AS VARCHAR)), 1, 12)) AS BIGINT) % 1024 AS w
+          FROM tok, (SELECT unnest([0, 1, 2, 3]) AS i) AS i),
+        cells AS (
+          SELECT d, w, count(*) AS cnt FROM pos GROUP BY d, w),
+        est AS (
+          SELECT p.token, min(c.cnt) AS est_count
+          FROM (SELECT DISTINCT token, d, w FROM pos) p
+          JOIN cells c USING (d, w)
+          GROUP BY p.token),
+        truec AS (
+          SELECT token, count(*) AS n_true FROM tok GROUP BY token)
+        SELECT e.token, e.est_count, t.n_true
+        FROM est e JOIN truec t USING (token)
+        WHERE e.est_count >= 200 AND t.n_true >= 200
     """,
 }

@@ -307,7 +307,10 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(text_redacted) as key_s (the redacted text itself is
     hash-checked) and the packed match counts
     ``n_email*10000 + n_phone*100 + n_ipv4`` as n — plus, since round
-    5, ``decontam`` rows (eval-overlap hits per contaminated doc,
+    5, ``cms`` rows (count-min-sketch heavy-hitter tokens with their
+    sketch bound and exact count,
+    operators/aggregations.py:cms_heavy_hitters), ``decontam`` rows
+    (eval-overlap hits per contaminated doc,
     operators/textops.py:decontaminate) and ``shard`` rows (per-shard
     doc/token totals from the two-phase prefix-sum packer,
     operators/textops.py:pack_shards)."""
@@ -349,6 +352,13 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_email") * 10000 + F.col("n_phone") * 100 + F.col("n_ipv4")
         ).alias("n"),
     )
+    cms = pipeline.q_text_heavy_hitters(spark, sf_dir).select(
+        F.lit("cms").alias("mode"),
+        F.col("token").alias("key_s"),
+        F.col("est_count").alias("key_n"),
+        _null("double").alias("metric"),
+        F.col("n_true").alias("n"),
+    )
     decon = pipeline.q_text_decontaminate(spark, sf_dir).select(
         F.lit("decontam").alias("mode"),
         _null("string").alias("key_s"),
@@ -376,6 +386,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep_tok)
         .unionByName(rep_sh)
         .unionByName(pii)
+        .unionByName(cms)
         .unionByName(decon)
         .unionByName(shard)
     )
@@ -858,6 +869,12 @@ ORACLES: dict[str, str] = {
             "'pii' AS mode, md5(text_redacted) AS key_s, c_custkey AS key_n, "
             "CAST(NULL AS DOUBLE) AS metric, "
             "n_email * 10000 + n_phone * 100 + n_ipv4 AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_heavy_hitters"],
+            "'cms' AS mode, token AS key_s, est_count AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, n_true AS n",
         )
         + " UNION ALL "
         + _tagged(

@@ -561,3 +561,55 @@ def test_histogram_constant_column(spark):
     hist = value_histogram(df, ("g",), "v", 16)
     got = histogram_quantiles(hist, ("g",), (0.5, 0.95), 16).collect()
     assert {r["est"] for r in got} == {7.5}
+
+
+def test_cms_never_undercounts_and_exact_on_light_load(spark):
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        cms_build,
+        cms_estimate,
+    )
+
+    # 20 distinct values, skewed counts: value v appears v+1 times
+    rows = [(v,) for v in range(20) for _ in range(v + 1)]
+    df = spark.createDataFrame(rows, ["v"])
+    sketch = cms_build(df, "v", width=256, depth=4)
+    # sketch size bound holds regardless of input size
+    assert sketch.count() <= 256 * 4
+    est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(df, "v", sketch, width=256, depth=4).collect()
+    }
+    true = {v: v + 1 for v in range(20)}
+    for v, t in true.items():
+        assert est[v] >= t, (v, est[v], t)  # CMS never undercounts
+    # 20 values into 256 columns: collisions unlikely across ALL 4 rows,
+    # so the min-estimate is exact here
+    assert est == true
+
+
+def test_cms_merge_equals_whole_and_heavy_hitters(spark):
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        cms_build,
+        cms_heavy_hitters,
+        cms_merge,
+    )
+
+    a = spark.createDataFrame([("hot",)] * 50 + [("a",), ("b",)], ["v"])
+    b = spark.createDataFrame([("hot",)] * 30 + [("c",)] * 5, ["v"])
+    merged = cms_merge(
+        cms_build(a, "v", 128, 3), cms_build(b, "v", 128, 3)
+    )
+    whole = cms_build(a.unionByName(b), "v", 128, 3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    hh = cms_heavy_hitters(
+        a.unionByName(b), "v", threshold=10, width=128, depth=3
+    ).collect()
+    assert [(r["v"], r["n_true"]) for r in hh] == [("hot", 80)]
+    assert hh[0]["est_count"] >= 80
