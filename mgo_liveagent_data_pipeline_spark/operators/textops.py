@@ -341,6 +341,92 @@ def tfidf_top_terms(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Posting lists for full-text retrieval: one ``(term, key, tf, dl)``
+    row per distinct term per document (lowercased whitespace tokens),
+    carrying the document length so scoring never re-reads the corpus.
+
+    Plan: explode + one hash aggregation on (key, term) — the standard
+    index build; ``dl`` is ``size(tokens)`` computed in the same scan
+    projection (no second pass over the text). At scale the index is
+    written partitioned/bucketed BY TERM so a query's postings prune to
+    the handful of term partitions it touches (`bm25_topk` filters on
+    term before anything else for exactly that reason)."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    terms = df.select(
+        F.col(key_col).alias("key"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    return terms.groupBy("key", "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k retrieval over an on-the-fly inverted index
+    (``inverted_index``): per query term,
+    ``idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with the log-free
+    rational idf ``(N − df + 0.5) / (df + 0.5)`` (same libm-free
+    determinism argument as ``tfidf_top_terms``); per-term scores round
+    to 6 decimals and sum as DECIMAL so the total is order-independent
+    across engines and parallelism.
+
+    Query-path plan at 100 TB: the FIRST operation is
+    ``term IN (query)`` against the index — with a term-partitioned
+    index that is partition pruning down to |query| posting lists;
+    everything after (df-per-term, the N/avgdl scalars, scoring) is
+    broadcast-sized. The only shuffle carries candidate postings —
+    documents containing at least one query term. Returns
+    ``(key_col, score, n_matched)``, top ``k`` by (score desc, key)."""
+    index = inverted_index(df, text_col, key_col)
+    cand = index.where(F.col("term").isin([t.lower() for t in query_terms]))
+    idf_t = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    ).crossJoin(
+        df.select(
+            F.avg(F.size(_tokens(F.lower(F.col(text_col)))).cast("long"))
+            .alias("avgdl")
+        )
+    )
+    tfn = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    idf = (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    scored = (
+        cand.join(F.broadcast(idf_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score", F.round(idf * tfn, 6).cast("decimal(18,6)")
+        )
+    )
+    agg = scored.groupBy("key").agg(
+        F.round(F.sum("term_score"), 6).cast("double").alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    # global top-k with a total order (score desc, key asc): Spark plans
+    # TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    # full sort; the (score, key) total order makes the k-boundary
+    # deterministic even on rounded-score ties
+    return agg.orderBy(F.desc("score"), F.asc("key")).limit(k).select(
+        F.col("key").alias(key_col), "score", "n_matched"
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -412,6 +412,17 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval (operators/textops.py:bm25_topk): top-15
+    documents for the query ``hash join vector`` — rational-idf BM25 over
+    the posting-list index, scored only on term-pruned candidates.
+    Driver-visible via the ``bm25`` mode of ``text_corpus_stats``."""
+    from ..operators.textops import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "join", "vector"], "text", "doc_id", k=15)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: media blob → fixed-size frame rows with digests."""
     from ..operators.multimodal import frame_sample, to_media_column
@@ -442,6 +453,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_heavy_hitters": q_text_heavy_hitters,
+    "text_bm25_search": q_text_bm25_search,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "text_stratified_sample": q_text_stratified_sample,
@@ -1181,5 +1193,40 @@ ORACLES: dict[str, str] = {
         SELECT e.token, e.est_count, t.n_true
         FROM est e JOIN truec t USING (token)
         WHERE e.est_count >= 200 AND t.n_true >= 200
+    """,
+    # rational-idf BM25 (k1=1.2, b=0.75): idf=(N-df+0.5)/(df+0.5),
+    # per-term scores rounded then summed as DECIMAL — mirrors
+    # operators/textops.py:bm25_topk expression-for-expression
+    "text_bm25_search": r"""
+        WITH toks AS (
+          SELECT doc_id AS key,
+                 string_split_regex(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        postings AS (
+          SELECT key, dl, term, count(*) AS tf
+          FROM (SELECT key, CAST(len(tk) AS BIGINT) AS dl,
+                       unnest(tk) AS term FROM toks)
+          GROUP BY key, dl, term),
+        cand AS (
+          SELECT * FROM postings WHERE term IN ('hash', 'join', 'vector')),
+        idf_t AS (
+          SELECT term, count(*) AS df_t FROM cand GROUP BY term),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(CAST(len(tk) AS BIGINT)) AS avgdl
+          FROM toks),
+        scored AS (
+          SELECT c.key,
+                 CAST(round(
+                   ((s.n_docs - i.df_t + 0.5) / (i.df_t + 0.5))
+                   * ((c.tf * 2.2)
+                      / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl))),
+                   6) AS DECIMAL(18,6)) AS term_score
+          FROM cand c JOIN idf_t i USING (term) CROSS JOIN stats s)
+        SELECT key AS doc_id,
+               CAST(round(sum(term_score), 6) AS DOUBLE) AS score,
+               count(*) AS n_matched
+        FROM scored GROUP BY key
+        ORDER BY score DESC, doc_id ASC LIMIT 15
     """,
 }

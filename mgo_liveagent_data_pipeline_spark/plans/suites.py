@@ -309,7 +309,9 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_email*10000 + n_phone*100 + n_ipv4`` as n — plus, since round
     5, ``cms`` rows (count-min-sketch heavy-hitter tokens with their
     sketch bound and exact count,
-    operators/aggregations.py:cms_heavy_hitters), ``decontam`` rows
+    operators/aggregations.py:cms_heavy_hitters), ``bm25`` rows (BM25
+    top-15 retrieval for a fixed query,
+    operators/textops.py:bm25_topk), ``decontam`` rows
     (eval-overlap hits per contaminated doc,
     operators/textops.py:decontaminate) and ``shard`` rows (per-shard
     doc/token totals from the two-phase prefix-sum packer,
@@ -359,6 +361,13 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         F.col("n_true").alias("n"),
     )
+    bm25 = pipeline.q_text_bm25_search(spark, sf_dir).select(
+        F.lit("bm25").alias("mode"),
+        _null("string").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        F.col("score").alias("metric"),
+        F.col("n_matched").alias("n"),
+    )
     decon = pipeline.q_text_decontaminate(spark, sf_dir).select(
         F.lit("decontam").alias("mode"),
         _null("string").alias("key_s"),
@@ -387,6 +396,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep_sh)
         .unionByName(pii)
         .unionByName(cms)
+        .unionByName(bm25)
         .unionByName(decon)
         .unionByName(shard)
     )
@@ -875,6 +885,12 @@ ORACLES: dict[str, str] = {
             _P["text_heavy_hitters"],
             "'cms' AS mode, token AS key_s, est_count AS key_n, "
             "CAST(NULL AS DOUBLE) AS metric, n_true AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_bm25_search"],
+            "'bm25' AS mode, CAST(NULL AS VARCHAR) AS key_s, doc_id AS key_n, "
+            "score AS metric, n_matched AS n",
         )
         + " UNION ALL "
         + _tagged(

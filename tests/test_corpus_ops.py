@@ -613,3 +613,37 @@ def test_cms_merge_equals_whole_and_heavy_hitters(spark):
     ).collect()
     assert [(r["v"], r["n_true"]) for r in hh] == [("hot", 80)]
     assert hh[0]["est_count"] >= 80
+
+
+def test_bm25_ranks_matching_docs_and_prunes_candidates(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        bm25_topk,
+        inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),   # high tf for 'spark'
+            (2, "spark join"),               # both terms, short doc
+            (3, "join join join join join"), # only the common term
+            (4, "table scan filter"),        # no query term
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, ["spark", "join"], "text", "doc_id", k=10).collect()
+    keys = [r["doc_id"] for r in out]
+    # doc 4 matches nothing -> pruned before scoring, absent from results
+    assert 4 not in keys and set(keys) == {1, 2, 3}
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_matched"] == 2 and by_id[3]["n_matched"] == 1
+    # 'spark' is rarer (df 2/4) than 'join' (df 3/4): docs carrying it
+    # outrank the join-only doc
+    assert keys.index(1) < keys.index(3)
+    assert keys.index(2) < keys.index(3)
+    # scores strictly ordered (desc) with doc_id tiebreak
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+    idx = inverted_index(docs, "text", "doc_id")
+    row = idx.where("key = 1 and term = 'spark'").collect()[0]
+    assert row["tf"] == 3 and row["dl"] == 4
