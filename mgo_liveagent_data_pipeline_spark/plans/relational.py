@@ -525,6 +525,21 @@ def q_w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap fill with LOCF per event type
+    (operators/aggregations.py:gap_fill_locf): every hour between each
+    type's first and last event exists in the output — observed hours
+    carry their decimal-exact sum, silent hours carry the
+    last-seen value and is_gap = true. Driver-visible via the ``gf_*``
+    modes of ``f7_f9_time_buckets``."""
+    from ..operators.aggregations import gap_fill_locf
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    return gap_fill_locf(events, ("event_type",), "ts", 3600, "value")
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/aggregations.py:kmv_distinct):
     per order status, the k=64 minimum md5 hash fractions of o_custkey
@@ -1067,6 +1082,33 @@ ORACLES: dict[str, str] = {
                  AS total_value
         FROM s GROUP BY user_id, session_no
     """,
+    # bucket → dense generate_series grid → LOCF window, mirroring
+    # operators/aggregations.py:gap_fill_locf (3600 s buckets)
+    "gap_fill": """
+        WITH actual AS (
+          SELECT event_type,
+                 make_timestamp(((epoch_us(ts) // 1000000) // 3600 * 3600)
+                   * 1000000) AS bucket_ts,
+                 sum(CAST(value AS DECIMAL(18,6))) AS val
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT event_type, min(bucket_ts) AS b0, max(bucket_ts) AS b1
+          FROM actual GROUP BY 1),
+        grid AS (
+          SELECT event_type,
+                 unnest(generate_series(b0, b1, INTERVAL 3600 SECOND))
+                   AS bucket_ts
+          FROM bounds),
+        j AS (
+          SELECT g.event_type, g.bucket_ts, a.val
+          FROM grid g LEFT JOIN actual a USING (event_type, bucket_ts))
+        SELECT event_type, bucket_ts, val IS NULL AS is_gap,
+               CAST(round(last_value(val IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                 AS DOUBLE) AS total_value
+        FROM j
+    """,
     # same md5-position hashing as bloom_build (k=4 seeds, m=8192); the
     # word-packed bitmap is observably identical to position-set
     # membership, which is what SQL can express directly
@@ -1337,6 +1379,7 @@ QUERIES = {
     "w5_rolling_window": q_w5_rolling_window,
     "w6_asof_join": q_w6_asof_join,
     "w7_sessionize": q_w7_sessionize,
+    "gap_fill": q_gap_fill,
     "j8_range_join": q_j8_range_join,
     "ht_rollup": q_ht_rollup,
     "kmv_distinct": q_kmv_distinct,

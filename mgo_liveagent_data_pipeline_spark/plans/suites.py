@@ -228,7 +228,10 @@ def q_f7_f9_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 Manila-tz daily buckets + F8 6-hour tumbling buckets + F9 month
     window bounds. F9 contributes two tagged rows per month — start and
     end bound, each carrying the order count — so the full
-    (month_start, month_end_day, n_orders) signal survives the merge."""
+    (month_start, month_end_day, n_orders) signal survives the merge.
+    Plus the hypertable rollup (``ht_*`` modes) and hourly LOCF gap fill
+    (``gf_<event_type>`` modes, n_events carries the is_gap flag,
+    operators/aggregations.py:gap_fill_locf)."""
     f7 = relational.q_f7_tz_manila(spark, sf_dir).select(
         F.lit("manila_daily").alias("mode"),
         F.col("manila_date").cast("timestamp").alias("bucket_ts"),
@@ -260,11 +263,18 @@ def q_f7_f9_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+    gf = relational.q_gap_fill(spark, sf_dir).select(
+        F.concat(F.lit("gf_"), F.col("event_type")).alias("mode"),
+        "bucket_ts",
+        F.col("is_gap").cast("long").alias("n_events"),
+        "total_value",
+    )
     return (
         f7.unionByName(f8)
         .unionByName(f9_start)
         .unionByName(f9_end)
         .unionByName(ht)
+        .unionByName(gf)
     )
 
 
@@ -847,6 +857,12 @@ ORACLES: dict[str, str] = {
         + _tagged(
             _R["ht_rollup"],
             "'ht_' || level AS mode, bucket_ts, n_events, total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["gap_fill"],
+            "'gf_' || event_type AS mode, bucket_ts, "
+            "CAST(is_gap AS BIGINT) AS n_events, total_value",
         )
     ),
     "text_corpus_stats": (

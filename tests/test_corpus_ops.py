@@ -647,3 +647,33 @@ def test_bm25_ranks_matching_docs_and_prunes_candidates(spark):
     idx = inverted_index(docs, "text", "doc_id")
     row = idx.where("key = 1 and term = 'spark'").collect()[0]
     assert row["tf"] == 3 and row["dl"] == 4
+
+
+def test_gap_fill_locf_fills_missing_buckets(spark):
+    from datetime import datetime
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        gap_fill_locf,
+    )
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 15), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 45), 2.0),   # hour 0: sum 3.0
+        # hours 1-2 silent -> gaps carrying 3.0
+        ("a", datetime(2024, 1, 1, 3, 10), 7.0),   # hour 3: 7.0
+        ("b", datetime(2024, 1, 1, 5, 0), 9.0),    # single bucket, no gaps
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = gap_fill_locf(df, ("k",), "ts", 3600, "value").collect()
+    a = sorted(
+        [(r["bucket_ts"].hour, r["is_gap"], r["total_value"])
+         for r in out if r["k"] == "a"]
+    )
+    assert a == [
+        (0, False, 3.0),
+        (1, True, 3.0),
+        (2, True, 3.0),
+        (3, False, 7.0),
+    ]
+    b = [(r["is_gap"], r["total_value"]) for r in out if r["k"] == "b"]
+    assert b == [(False, 9.0)]
