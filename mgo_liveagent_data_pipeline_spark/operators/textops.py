@@ -341,6 +341,114 @@ def tfidf_top_terms(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_punct_ratio: float = 0.2,
+    max_upper_ratio: float = 0.3,
+    max_dup_token_frac: float = 0.65,
+    max_dup_shingle_frac: float = 0.35,
+    min_stopword_ratio: float = 0.01,
+    stopwords: tuple[str, ...] = EN_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style composed quality gate: every per-document signal this
+    module computes piecemeal (length, word shape, punctuation/caps,
+    repetition, stopword density), evaluated against explicit thresholds
+    in ONE pass, returning the keep/drop DECISION with its reasons —
+    the operator a curation pipeline actually runs, where the individual
+    metric queries are its debugging views.
+
+    Returns (``key_col``, n_tokens, keep, reasons) where ``reasons`` is
+    the comma-joined list of failed rule names in fixed rule order
+    (empty string ⇔ keep). Thresholds compare against the same
+    6-decimal-rounded ratios the metric operators publish, so the
+    decision is bit-reproducible in any engine.
+
+    All signals are Catalyst array/string expressions over one scan
+    projection — no explode, no shuffle, no Python; at 100 TB the filter
+    runs at parquet-scan speed and the output is a narrow decision
+    column you can semi-join against the corpus."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    n_tok = F.size(toks)
+    n_chars = F.length(t).cast("double")
+    n_tok_d = n_tok.cast("double")
+    mean_word_len = F.round(
+        F.when(n_tok > 0, (n_chars - (n_tok_d - 1)) / n_tok_d).otherwise(0.0),
+        6,
+    )
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    punct_ratio = F.round(
+        F.when(n_chars > 0, punct / n_chars).otherwise(0.0), 6
+    )
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double")
+    upper_ratio = F.round(
+        F.when(n_chars > 0, upper / n_chars).otherwise(0.0), 6
+    )
+    dup_tok = F.round(
+        F.when(
+            n_tok > 0,
+            (n_tok - F.size(F.array_distinct(toks))).cast("double") / n_tok_d,
+        ).otherwise(0.0),
+        6,
+    )
+    sh = F.when(
+        n_tok >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_sh = F.size(sh)
+    dup_sh = F.round(
+        F.when(
+            n_sh > 0,
+            (n_sh - F.size(F.array_distinct(sh))).cast("double")
+            / n_sh.cast("double"),
+        ).otherwise(0.0),
+        6,
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*stopwords))
+    ).cast("double")
+    stopword_ratio = F.round(
+        F.when(n_tok > 0, stop_hits / n_tok_d).otherwise(0.0), 6
+    )
+    rules = [
+        ("too_short", n_tok < min_tokens),
+        ("too_long", n_tok > max_tokens),
+        (
+            "word_len",
+            (mean_word_len < min_mean_word_len)
+            | (mean_word_len > max_mean_word_len),
+        ),
+        ("punct", punct_ratio > max_punct_ratio),
+        ("upper", upper_ratio > max_upper_ratio),
+        ("rep_token", dup_tok > max_dup_token_frac),
+        ("rep_shingle", dup_sh > max_dup_shingle_frac),
+        ("stopword", stopword_ratio < min_stopword_ratio),
+    ]
+    reasons = F.concat_ws(
+        ",",
+        *[
+            F.when(cond, F.lit(name)).otherwise(F.lit(None))
+            for name, cond in rules
+        ],
+    )
+    return df.select(
+        F.col(key_col),
+        n_tok.cast("long").alias("n_tokens"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def inverted_index(
     df: DataFrame,
     text_col: str = "text",

@@ -412,6 +412,17 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Gopher-style keep/drop gate
+    (operators/textops.py:quality_filter): every document scored against
+    the full rule set in one scan, decision + failed-rule reasons out.
+    Driver-visible via the ``qfilter`` mode of ``text_corpus_stats``."""
+    from ..operators.textops import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_filter(docs)
+
+
 def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text retrieval (operators/textops.py:bm25_topk): top-15
     documents for the query ``hash join vector`` — rational-idf BM25 over
@@ -454,6 +465,7 @@ QUERIES = {
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_heavy_hitters": q_text_heavy_hitters,
     "text_bm25_search": q_text_bm25_search,
+    "text_quality_filter": q_text_quality_filter,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "text_stratified_sample": q_text_stratified_sample,
@@ -1228,5 +1240,69 @@ ORACLES: dict[str, str] = {
                count(*) AS n_matched
         FROM scored GROUP BY key
         ORDER BY score DESC, doc_id ASC LIMIT 15
+    """,
+    # fixed-order rule list mirroring operators/textops.py:quality_filter
+    # defaults (min_tokens 30, max 100000, word_len [2,12], punct .2,
+    # upper .3, dup_token .65, dup_shingle .35, stopword .01); thresholds
+    # compare the same 6-decimal-rounded ratios both engines publish
+    "text_quality_filter": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS tk,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   AS DOUBLE) AS punct,
+                 CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                   AS DOUBLE) AS upper_c
+          FROM documents),
+        s AS (
+          SELECT doc_id, tk, n_chars,
+                 CAST(length(tk) AS BIGINT) AS n_tok,
+                 CAST(length(tk) AS DOUBLE) AS n_tok_d,
+                 CASE WHEN length(tk) >= 3
+                      THEN list_transform(range(1, length(tk) - 1),
+                             i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [] END AS sh,
+                 punct, upper_c
+          FROM t),
+        r AS (
+          SELECT doc_id, n_tok,
+                 CASE WHEN n_tok > 0
+                      THEN round((n_chars - (n_tok_d - 1)) / n_tok_d, 6)
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN n_chars > 0 THEN round(punct / n_chars, 6)
+                      ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_chars > 0 THEN round(upper_c / n_chars, 6)
+                      ELSE 0.0 END AS upper_ratio,
+                 CASE WHEN n_tok > 0
+                      THEN round((n_tok - length(list_distinct(tk)))
+                                 / n_tok_d, 6)
+                      ELSE 0.0 END AS dup_tok,
+                 CASE WHEN length(sh) > 0
+                      THEN round(CAST(length(sh) - length(list_distinct(sh))
+                                 AS DOUBLE) / CAST(length(sh) AS DOUBLE), 6)
+                      ELSE 0.0 END AS dup_sh,
+                 CASE WHEN n_tok > 0
+                      THEN round(CAST(length(list_filter(tk, x -> lower(x) IN
+                             ('the','a','and','of','to','in','is','it')))
+                             AS DOUBLE) / n_tok_d, 6)
+                      ELSE 0.0 END AS stop_ratio
+          FROM s),
+        d AS (
+          SELECT doc_id, n_tok AS n_tokens,
+                 concat_ws(',',
+                   CASE WHEN n_tok < 30 THEN 'too_short' END,
+                   CASE WHEN n_tok > 100000 THEN 'too_long' END,
+                   CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                        THEN 'word_len' END,
+                   CASE WHEN punct_ratio > 0.2 THEN 'punct' END,
+                   CASE WHEN upper_ratio > 0.3 THEN 'upper' END,
+                   CASE WHEN dup_tok > 0.65 THEN 'rep_token' END,
+                   CASE WHEN dup_sh > 0.35 THEN 'rep_shingle' END,
+                   CASE WHEN stop_ratio < 0.01 THEN 'stopword' END
+                 ) AS reasons
+          FROM r)
+        SELECT doc_id, n_tokens, reasons = '' AS keep, reasons FROM d
     """,
 }

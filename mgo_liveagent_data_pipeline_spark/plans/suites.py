@@ -319,8 +319,10 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_email*10000 + n_phone*100 + n_ipv4`` as n — plus, since round
     5, ``cms`` rows (count-min-sketch heavy-hitter tokens with their
     sketch bound and exact count,
-    operators/aggregations.py:cms_heavy_hitters), ``bm25`` rows (BM25
-    top-15 retrieval for a fixed query,
+    operators/aggregations.py:cms_heavy_hitters), ``qfilter`` rows (the
+    composed Gopher-rule keep/drop decision with reasons, n packs
+    ``keep*100000 + n_tokens``, operators/textops.py:quality_filter),
+    ``bm25`` rows (BM25 top-15 retrieval for a fixed query,
     operators/textops.py:bm25_topk), ``decontam`` rows
     (eval-overlap hits per contaminated doc,
     operators/textops.py:decontaminate) and ``shard`` rows (per-shard
@@ -371,6 +373,13 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         F.col("n_true").alias("n"),
     )
+    qf = pipeline.q_text_quality_filter(spark, sf_dir).select(
+        F.lit("qfilter").alias("mode"),
+        F.col("reasons").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        _null("double").alias("metric"),
+        (F.col("keep").cast("long") * 100000 + F.col("n_tokens")).alias("n"),
+    )
     bm25 = pipeline.q_text_bm25_search(spark, sf_dir).select(
         F.lit("bm25").alias("mode"),
         _null("string").alias("key_s"),
@@ -406,6 +415,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep_sh)
         .unionByName(pii)
         .unionByName(cms)
+        .unionByName(qf)
         .unionByName(bm25)
         .unionByName(decon)
         .unionByName(shard)
@@ -901,6 +911,13 @@ ORACLES: dict[str, str] = {
             _P["text_heavy_hitters"],
             "'cms' AS mode, token AS key_s, est_count AS key_n, "
             "CAST(NULL AS DOUBLE) AS metric, n_true AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_quality_filter"],
+            "'qfilter' AS mode, reasons AS key_s, doc_id AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, "
+            "CAST(keep AS BIGINT) * 100000 + n_tokens AS n",
         )
         + " UNION ALL "
         + _tagged(

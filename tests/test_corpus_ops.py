@@ -677,3 +677,32 @@ def test_gap_fill_locf_fills_missing_buckets(spark):
     ]
     b = [(r["is_gap"], r["total_value"]) for r in out if r["k"] == "b"]
     assert b == [(False, 9.0)]
+
+
+def test_quality_filter_reasons_and_keep(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        quality_filter,
+    )
+
+    good = "the and of " + " ".join(f"word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, good),                            # passes every rule
+            (2, "short text"),                    # too_short (+stopword: 0 hits? 'text'... no) 
+            (3, ("spam " * 60).strip()),          # rep_token + stopword
+            (4, good.upper()),                    # upper (caps-heavy)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert not out[2]["keep"] and "too_short" in out[2]["reasons"]
+    r3 = out[3]["reasons"]
+    assert not out[3]["keep"] and "rep_token" in r3 and "stopword" in r3
+    # fixed rule order in the reasons string
+    assert r3.index("rep_token") < r3.index("stopword")
+    assert not out[4]["keep"] and "upper" in out[4]["reasons"]
+    # decision column is narrow: only key, n_tokens, keep, reasons
+    assert quality_filter(docs).columns == [
+        "doc_id", "n_tokens", "keep", "reasons"
+    ]
