@@ -525,6 +525,33 @@ def q_w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip on Spark's native operators: order
+    counts cross-tabbed priority × status (``groupBy().pivot(values)``
+    — values listed explicitly so the plan needs no extra distinct-scan
+    pass), then melted back to long form with ``unpivot``. Emitting the
+    long form makes the oracle a plain conditional aggregate while the
+    Spark plan still exercises both pivot directions; absent
+    combinations surface as count 0 (the round trip materializes the
+    full cross product — exactly what a plain GROUP BY can't do).
+    Driver-visible via the ``pivot`` mode of ``a2_a3_distinct_suite``."""
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    pv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        pv.unpivot("o_orderpriority", statuses, "status", "n")
+        .select(
+            "o_orderpriority",
+            "status",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly gap fill with LOCF per event type
     (operators/aggregations.py:gap_fill_locf): every hour between each
@@ -1082,6 +1109,20 @@ ORACLES: dict[str, str] = {
                  AS total_value
         FROM s GROUP BY user_id, session_no
     """,
+    # full priority × {F,O,P} cross product with 0 for absent combos —
+    # the long form of the pivot/unpivot round trip
+    "pivot_unpivot": """
+        WITH p AS (SELECT DISTINCT o_orderpriority FROM orders),
+        s AS (SELECT unnest(['F', 'O', 'P']) AS status),
+        c AS (
+          SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n
+          FROM orders GROUP BY 1, 2)
+        SELECT p.o_orderpriority, s.status,
+               coalesce(c.n, 0) AS n_orders
+        FROM p CROSS JOIN s
+        LEFT JOIN c ON c.o_orderpriority = p.o_orderpriority
+                   AND c.status = s.status
+    """,
     # bucket → dense generate_series grid → LOCF window, mirroring
     # operators/aggregations.py:gap_fill_locf (3600 s buckets)
     "gap_fill": """
@@ -1380,6 +1421,7 @@ QUERIES = {
     "w6_asof_join": q_w6_asof_join,
     "w7_sessionize": q_w7_sessionize,
     "gap_fill": q_gap_fill,
+    "pivot_unpivot": q_pivot_unpivot,
     "j8_range_join": q_j8_range_join,
     "ht_rollup": q_ht_rollup,
     "kmv_distinct": q_kmv_distinct,

@@ -84,7 +84,9 @@ def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch (``bloom`` mode — per-segment probes/might-contain/true-member
     counts packed into k2, operators/aggregations.py:bloom_build) + the
     histogram quantile sketch (``hq`` mode — per-status p50/p95 order
-    value, operators/aggregations.py:histogram_quantiles)."""
+    value, operators/aggregations.py:histogram_quantiles) + the pivot →
+    unpivot round trip (``pivot`` mode — priority × status cross-tab
+    counts packed as "status|n", plans/relational.py:q_pivot_unpivot)."""
     hq = relational.q_histogram_quantiles(spark, sf_dir).select(
         F.lit("hq").alias("mode"),
         F.col("o_orderstatus").alias("k1"),
@@ -123,8 +125,15 @@ def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("string").alias("k1"),
         _null("string").alias("k2"),
     )
+    pv = relational.q_pivot_unpivot(spark, sf_dir).select(
+        F.lit("pivot").alias("mode"),
+        F.col("o_orderpriority").alias("k1"),
+        F.concat_ws(
+            "|", F.col("status"), F.col("n_orders").cast("string")
+        ).alias("k2"),
+    )
     return a2.unionByName(a3).unionByName(kmv).unionByName(bloom)\
-        .unionByName(hq)
+        .unionByName(hq).unionByName(pv)
 
 
 def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,6 +787,12 @@ ORACLES: dict[str, str] = {
             "'hq' AS mode, o_orderstatus AS k1, "
             "CAST(CAST(round(q * 100) AS BIGINT) AS VARCHAR) || '|' || "
             "CAST(CAST(round(est * 100) AS BIGINT) AS VARCHAR) AS k2",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["pivot_unpivot"],
+            "'pivot' AS mode, o_orderpriority AS k1, "
+            "status || '|' || CAST(n_orders AS VARCHAR) AS k2",
         )
     ),
     "w4_w5_window_sweep": (
