@@ -341,6 +341,62 @@ def tfidf_top_terms(
     )
 
 
+# URL shape: scheme + non-space run; host = authority before /?#; RE2/Java
+# common subset (no lookaround) so the DuckDB oracle evaluates identically
+URL_PATTERN = r"https?://[^\s]+"
+HOST_PATTERN = r"https?://([^/?#\s]+)"
+REG_DOMAIN_PATTERN = r"([^.]+\.[^.]+)$"
+
+
+def extract_urls(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document URL extraction + domain normalization — the first
+    step of every web-corpus curation pass (domain blocklists, per-site
+    caps, provenance stats). One ``regexp_extract_all`` + explode per
+    row, then pure string expressions: host = the authority component
+    lowercased with a leading ``www.`` stripped; registered_domain = the
+    last two labels (the public-suffix-list-free approximation — a
+    production build swaps in the PSL as a broadcast dim without
+    changing the plan). Returns (``key_col``, url, host,
+    registered_domain); no shuffle — curation filters semi-join this at
+    scan speed."""
+    urls = df.select(
+        F.col(key_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    )
+    host_raw = F.lower(F.regexp_extract(F.col("url"), HOST_PATTERN, 1))
+    host = F.regexp_replace(host_raw, r"^www\.", "")
+    return urls.select(
+        F.col(key_col),
+        "url",
+        host.alias("host"),
+        F.regexp_extract(host, REG_DOMAIN_PATTERN, 1).alias(
+            "registered_domain"
+        ),
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registered-domain corpus stats over ``extract_urls``: URL
+    occurrences and distinct documents citing the domain. One hash
+    aggregation on the domain key — the relation a per-site cap or
+    blocklist join consumes (broadcast-sized: |domains| ≪ |urls|)."""
+    u = extract_urls(df, text_col, key_col)
+    return u.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct(key_col).alias("n_docs"),
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

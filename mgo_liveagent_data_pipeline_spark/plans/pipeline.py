@@ -423,6 +423,33 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs)
 
 
+def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + domain rollup (operators/textops.py:extract_urls
+    / domain_stats) over deterministic key-derived web text — the
+    synthetic documents carry no URLs, so the fixture appends two per
+    doc (one ``https://www.``-prefixed with query string, one bare
+    ``http://`` with a port-free host) built from doc_id; both engines
+    build the identical string, so the oracle checks extraction, host
+    normalization (lowercase, www-strip, path/query cut) and the
+    registered-domain rollup itself. Driver-visible via the ``url``
+    mode of ``text_corpus_stats``."""
+    from ..operators.textops import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    dk = F.col("doc_id")
+    u1 = F.format_string(
+        "https://www.Sub%d.site%d.com/p/%d?ref=x", dk % 5, dk % 17, dk
+    )
+    u2 = F.format_string("http://cdn%d.example.org/asset/%d", dk % 3, dk)
+    fixture = docs.select(
+        dk,
+        F.concat_ws(
+            " ", F.col("text"), F.lit("see"), u1, F.lit("and"), u2
+        ).alias("web_text"),
+    )
+    return domain_stats(fixture, "web_text", "doc_id")
+
+
 def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text retrieval (operators/textops.py:bm25_topk): top-15
     documents for the query ``hash join vector`` — rational-idf BM25 over
@@ -466,6 +493,7 @@ QUERIES = {
     "text_heavy_hitters": q_text_heavy_hitters,
     "text_bm25_search": q_text_bm25_search,
     "text_quality_filter": q_text_quality_filter,
+    "text_url_domains": q_text_url_domains,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "text_stratified_sample": q_text_stratified_sample,
@@ -1304,5 +1332,35 @@ ORACLES: dict[str, str] = {
                  ) AS reasons
           FROM r)
         SELECT doc_id, n_tokens, reasons = '' AS keep, reasons FROM d
+    """,
+    # same key-derived URL fixture as q_text_url_domains; extraction /
+    # host normalization / registered-domain mirror extract_urls
+    "text_url_domains": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 concat_ws(' ', text, 'see',
+                   printf('https://www.Sub%d.site%d.com/p/%d?ref=x',
+                          doc_id % 5, doc_id % 17, doc_id),
+                   'and',
+                   printf('http://cdn%d.example.org/asset/%d',
+                          doc_id % 3, doc_id)
+                 ) AS web_text
+          FROM documents),
+        u AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(web_text, 'https?://[^\s]+'))
+                   AS url
+          FROM t),
+        h AS (
+          SELECT doc_id, url,
+                 regexp_replace(
+                   lower(regexp_extract(url, 'https?://([^/?#\s]+)', 1)),
+                   '^www\.', '') AS host
+          FROM u)
+        SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                 AS registered_domain,
+               count(*) AS n_urls,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM h GROUP BY 1
     """,
 }

@@ -328,7 +328,9 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_email*10000 + n_phone*100 + n_ipv4`` as n — plus, since round
     5, ``cms`` rows (count-min-sketch heavy-hitter tokens with their
     sketch bound and exact count,
-    operators/aggregations.py:cms_heavy_hitters), ``qfilter`` rows (the
+    operators/aggregations.py:cms_heavy_hitters), ``url`` rows
+    (registered-domain rollup over the synthesized web-text fixture,
+    operators/textops.py:extract_urls), ``qfilter`` rows (the
     composed Gopher-rule keep/drop decision with reasons, n packs
     ``keep*100000 + n_tokens``, operators/textops.py:quality_filter),
     ``bm25`` rows (BM25 top-15 retrieval for a fixed query,
@@ -382,6 +384,13 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         F.col("n_true").alias("n"),
     )
+    url = pipeline.q_text_url_domains(spark, sf_dir).select(
+        F.lit("url").alias("mode"),
+        F.col("registered_domain").alias("key_s"),
+        F.col("n_docs").alias("key_n"),
+        _null("double").alias("metric"),
+        F.col("n_urls").alias("n"),
+    )
     qf = pipeline.q_text_quality_filter(spark, sf_dir).select(
         F.lit("qfilter").alias("mode"),
         F.col("reasons").alias("key_s"),
@@ -424,6 +433,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep_sh)
         .unionByName(pii)
         .unionByName(cms)
+        .unionByName(url)
         .unionByName(qf)
         .unionByName(bm25)
         .unionByName(decon)
@@ -926,6 +936,12 @@ ORACLES: dict[str, str] = {
             _P["text_heavy_hitters"],
             "'cms' AS mode, token AS key_s, est_count AS key_n, "
             "CAST(NULL AS DOUBLE) AS metric, n_true AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_url_domains"],
+            "'url' AS mode, registered_domain AS key_s, n_docs AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, n_urls AS n",
         )
         + " UNION ALL "
         + _tagged(

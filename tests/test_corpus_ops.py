@@ -706,3 +706,31 @@ def test_quality_filter_reasons_and_keep(spark):
     assert quality_filter(docs).columns == [
         "doc_id", "n_tokens", "keep", "reasons"
     ]
+
+
+def test_extract_urls_normalizes_hosts_and_domains(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        domain_stats,
+        extract_urls,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "read https://WWW.Blog.Example.com/a?x=1 and "
+                "http://cdn.example.com/img.png"),
+            (2, "plain text, no links here"),
+            (3, "dup https://blog.example.com/b https://other.org/"),
+        ],
+        ["doc_id", "text"],
+    )
+    u = extract_urls(docs).collect()
+    got = {(r["doc_id"], r["host"], r["registered_domain"]) for r in u}
+    assert (1, "blog.example.com", "example.com") in got   # www+case stripped
+    assert (1, "cdn.example.com", "example.com") in got
+    assert (3, "other.org", "other.org") in got
+    assert all(r["doc_id"] != 2 for r in u)                # no URLs -> no rows
+
+    s = {r["registered_domain"]: (r["n_urls"], r["n_docs"])
+         for r in domain_stats(docs).collect()}
+    assert s["example.com"] == (3, 2)   # 3 urls across docs 1 and 3
+    assert s["other.org"] == (1, 1)
