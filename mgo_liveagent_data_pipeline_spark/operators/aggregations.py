@@ -389,6 +389,41 @@ def bloom_membership(
     )
 
 
+def standardize(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score feature scaling — the ML-prep normalization pass
+    (per-feature / per-segment standardization before distance math or
+    model input). Appends ``out_col`` = (x − μ_g) / σ_g rounded to 6
+    decimals; σ_g = 0 (constant group, or singleton) yields NULL.
+
+    Determinism across engines and parallelism: μ and σ derive from
+    DECIMAL sums of x and x² (order-independent exact accumulation —
+    double summation would drift with partitioning), converted to double
+    only for the final scalar division/sqrt, which IEEE rounds
+    identically everywhere. Plan: one hash aggregation to the per-group
+    stats relation (|groups| rows — broadcast), then a broadcast join
+    back onto the rows; the corpus shuffles zero times."""
+    x = F.col(value_col)
+    xd = x.cast("decimal(25,6)")
+    stats = df.groupBy(*group_cols).agg(
+        F.sum(xd).alias("__s"),
+        F.sum((x * x).cast("decimal(30,6)")).alias("__s2"),
+        F.count(x).alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = F.col("__s2").cast("double") / n - mean * mean
+    std = F.sqrt(F.when(var > 0, var))
+    enriched = df.join(F.broadcast(stats), list(group_cols))
+    return enriched.withColumn(
+        out_col, F.round((x - mean) / std, 6)
+    ).drop("__s", "__s2", "__n")
+
+
 # ----------------------------------------------------- count-min sketch
 def _cms_cols(value: Column, width: int, depth: int) -> list[Column]:
     """``depth`` column positions for one value — one md5 per hash row,

@@ -288,6 +288,35 @@ def stratified_hash_sample(
     return df.where(bucket < (rate * F.lit(float(scale))))
 
 
+def group_sample_k(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-quota sampling: exactly min(k, |group|) rows
+    per group, chosen by md5(key) order — the "N examples per
+    language/source" curation quota that rate-based
+    ``stratified_hash_sample`` can't express (a rate can't guarantee a
+    count). md5 ordering makes the choice reproducible across runs,
+    engines and partitionings, and UNIFORM within the group (hash order
+    is independent of any data attribute). Returns the sampled rows plus
+    ``sample_rank`` (1..k in hash order).
+
+    Plan: one hash shuffle on the group key + in-partition sort;
+    Spark's WindowGroupLimit pushes the ``rank <= k`` bound into the
+    sort, so each partition keeps only k rows per group — never a full
+    per-group materialization at 100 TB."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

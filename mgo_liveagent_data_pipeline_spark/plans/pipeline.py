@@ -450,6 +450,18 @@ def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(fixture, "web_text", "doc_id")
 
 
+def q_text_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota sampling (operators/textops.py:group_sample_k): 20
+    docs per language in deterministic md5(key) order. Driver-visible
+    via the ``ksample`` mode of ``text_corpus_stats``."""
+    from ..operators.textops import group_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_sample_k(docs, "lang", k=20).select(
+        "lang", "doc_id", "sample_rank"
+    )
+
+
 def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text retrieval (operators/textops.py:bm25_topk): top-15
     documents for the query ``hash join vector`` — rational-idf BM25 over
@@ -494,6 +506,7 @@ QUERIES = {
     "text_bm25_search": q_text_bm25_search,
     "text_quality_filter": q_text_quality_filter,
     "text_url_domains": q_text_url_domains,
+    "text_group_sample": q_text_group_sample,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "text_stratified_sample": q_text_stratified_sample,
@@ -1362,5 +1375,16 @@ ORACLES: dict[str, str] = {
                count(*) AS n_urls,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM h GROUP BY 1
+    """,
+    # deterministic md5(key)-ordered quota, mirroring group_sample_k
+    "text_group_sample": """
+        WITH r AS (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+        FROM r WHERE rn <= 20
     """,
 }

@@ -525,6 +525,23 @@ def q_w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization
+    (operators/aggregations.py:standardize): event values scaled against
+    their event type's mean/σ — decimal-exact sums make μ/σ
+    order-independent, and the stats relation broadcasts back onto the
+    rows (the corpus never shuffles). Driver-visible via the ``zscore``
+    mode of ``w4_w5_window_sweep``."""
+    from ..operators.aggregations import standardize
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return standardize(events, ("event_type",), "value").select(
+        "event_id", "event_type", "value", "zscore"
+    )
+
+
 def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot → unpivot round trip on Spark's native operators: order
     counts cross-tabbed priority × status (``groupBy().pivot(values)``
@@ -1109,6 +1126,25 @@ ORACLES: dict[str, str] = {
                  AS total_value
         FROM s GROUP BY user_id, session_no
     """,
+    # decimal-exact per-group moments → double scalars, mirroring
+    # operators/aggregations.py:standardize expression-for-expression
+    "zscore": """
+        WITH st AS (
+          SELECT event_type,
+                 CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s,
+                 CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+                   AS s2,
+                 CAST(count(value) AS DOUBLE) AS n
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT event_type, s / n AS mean,
+                 s2 / n - (s / n) * (s / n) AS var
+          FROM st)
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - m.mean)
+                     / sqrt(CASE WHEN m.var > 0 THEN m.var END), 6) AS zscore
+        FROM events e JOIN m USING (event_type)
+    """,
     # full priority × {F,O,P} cross product with 0 for absent combos —
     # the long form of the pivot/unpivot round trip
     "pivot_unpivot": """
@@ -1422,6 +1458,7 @@ QUERIES = {
     "w7_sessionize": q_w7_sessionize,
     "gap_fill": q_gap_fill,
     "pivot_unpivot": q_pivot_unpivot,
+    "zscore": q_zscore,
     "j8_range_join": q_j8_range_join,
     "ht_rollup": q_ht_rollup,
     "kmv_distinct": q_kmv_distinct,

@@ -141,7 +141,9 @@ def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling sum (w5) + the as-of join (``asof`` mode — trade rows carry
     their latest preceding same-user quote, operators/joins.py:asof_join)
     + gap sessionization (``session`` mode — per-user 6 h-gap session
-    stats, operators/windows.py:sessionize)."""
+    stats, operators/windows.py:sessionize) + per-group z-score
+    standardization (``zscore`` mode,
+    operators/aggregations.py:standardize)."""
     w4 = relational.q_w4_lag_lead(spark, sf_dir).select(
         F.lit("lag_lead").alias("mode"),
         F.col("event_id").cast("string").alias("key_s"),
@@ -163,6 +165,13 @@ def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quote_value").alias("metric"),
         F.col("quote_event_id").alias("extra_n"),
     )
+    zs = relational.q_zscore(spark, sf_dir).select(
+        F.lit("zscore").alias("mode"),
+        F.col("event_type").alias("key_s"),
+        F.col("event_id").alias("key_n"),
+        F.col("zscore").alias("metric"),
+        _null("long").alias("extra_n"),
+    )
     w7 = relational.q_w7_sessionize(spark, sf_dir).select(
         F.lit("session").alias("mode"),
         F.concat_ws(
@@ -174,7 +183,12 @@ def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value").alias("metric"),
         F.col("n_events").alias("extra_n"),
     )
-    return w4.unionByName(w5).unionByName(w6).unionByName(w7)
+    return (
+        w4.unionByName(w5)
+        .unionByName(w6)
+        .unionByName(w7)
+        .unionByName(zs)
+    )
 
 
 def q_skew_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,7 +342,9 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_email*10000 + n_phone*100 + n_ipv4`` as n — plus, since round
     5, ``cms`` rows (count-min-sketch heavy-hitter tokens with their
     sketch bound and exact count,
-    operators/aggregations.py:cms_heavy_hitters), ``url`` rows
+    operators/aggregations.py:cms_heavy_hitters), ``ksample`` rows
+    (deterministic 20-per-language quota sample,
+    operators/textops.py:group_sample_k), ``url`` rows
     (registered-domain rollup over the synthesized web-text fixture,
     operators/textops.py:extract_urls), ``qfilter`` rows (the
     composed Gopher-rule keep/drop decision with reasons, n packs
@@ -384,6 +400,13 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         F.col("n_true").alias("n"),
     )
+    ksample = pipeline.q_text_group_sample(spark, sf_dir).select(
+        F.lit("ksample").alias("mode"),
+        F.col("lang").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        _null("double").alias("metric"),
+        F.col("sample_rank").alias("n"),
+    )
     url = pipeline.q_text_url_domains(spark, sf_dir).select(
         F.lit("url").alias("mode"),
         F.col("registered_domain").alias("key_s"),
@@ -433,6 +456,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep_sh)
         .unionByName(pii)
         .unionByName(cms)
+        .unionByName(ksample)
         .unionByName(url)
         .unionByName(qf)
         .unionByName(bm25)
@@ -831,6 +855,12 @@ ORACLES: dict[str, str] = {
             "CAST(duration_s AS VARCHAR) AS key_s, user_id AS key_n, "
             "total_value AS metric, n_events AS extra_n",
         )
+        + " UNION ALL "
+        + _tagged(
+            _R["zscore"],
+            "'zscore' AS mode, event_type AS key_s, event_id AS key_n, "
+            "zscore AS metric, CAST(NULL AS BIGINT) AS extra_n",
+        )
     ),
     "skew_suite": (
         _tagged(
@@ -936,6 +966,12 @@ ORACLES: dict[str, str] = {
             _P["text_heavy_hitters"],
             "'cms' AS mode, token AS key_s, est_count AS key_n, "
             "CAST(NULL AS DOUBLE) AS metric, n_true AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_group_sample"],
+            "'ksample' AS mode, lang AS key_s, doc_id AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, sample_rank AS n",
         )
         + " UNION ALL "
         + _tagged(

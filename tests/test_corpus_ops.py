@@ -734,3 +734,57 @@ def test_extract_urls_normalizes_hosts_and_domains(spark):
          for r in domain_stats(docs).collect()}
     assert s["example.com"] == (3, 2)   # 3 urls across docs 1 and 3
     assert s["other.org"] == (1, 1)
+
+
+def test_group_sample_k_quota_and_determinism(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        group_sample_k,
+    )
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = group_sample_k(df, "lang", k=5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["sample_rank"], r["doc_id"]))
+    # exactly 5 per group, ranks 1..5
+    assert sorted(x[0] for x in by_lang["en"]) == [1, 2, 3, 4, 5]
+    assert sorted(x[0] for x in by_lang["fr"]) == [1, 2, 3, 4, 5]
+    # partitioning-invariant: same keys chosen at different parallelism
+    out2 = group_sample_k(df.repartition(7), "lang", k=5).collect()
+    assert sorted((r["lang"], r["doc_id"]) for r in out) == sorted(
+        (r["lang"], r["doc_id"]) for r in out2
+    )
+    # quota smaller than the group: min(k, |group|)
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "lang"])
+    assert group_sample_k(tiny, "lang", k=9).count() == 2
+
+
+def test_standardize_zscore_properties(spark):
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        standardize,
+    )
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [("b", 7.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = standardize(df, ("g",), "x")
+    a = out.where("g = 'a'")
+    # z-scores of 1..5: mean 3, std sqrt(2) -> symmetric around 0
+    stats = a.agg(
+        F.round(F.sum("zscore"), 6).alias("s"),
+        F.max("zscore").alias("mx"),
+    ).collect()[0]
+    assert stats["s"] == 0.0
+    assert abs(stats["mx"] - 1.414214) < 1e-6
+    # constant group: sigma 0 -> NULL zscores, rows preserved
+    b = out.where("g = 'b'").collect()
+    assert len(b) == 2 and all(r["zscore"] is None for r in b)
+    # partitioning-invariant (decimal-exact moments)
+    z1 = sorted((r["g"], r["x"], r["zscore"]) for r in out.collect())
+    z2 = sorted(
+        (r["g"], r["x"], r["zscore"])
+        for r in standardize(df.repartition(5), ("g",), "x").collect()
+    )
+    assert z1 == z2

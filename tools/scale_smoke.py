@@ -201,6 +201,66 @@ def main() -> None:
     def kmv(df):
         return kmv_distinct(df, ("l_returnflag",), "l_orderkey", k=64)
 
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        cms_heavy_hitters,
+        gap_fill_locf,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        bm25_topk,
+        domain_stats,
+        quality_filter,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.windows import sessionize
+
+    def sess(ev):
+        s = sessionize(
+            ev.select("event_id", "user_id", "ts", "value"),
+            "user_id", "ts", 21600, tiebreak_col="event_id",
+        )
+        return s.groupBy("user_id", "session_no").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def gf(ev):
+        # grid size is ts-span-bound (constant across factors); only the
+        # bucket aggregation's input scales — the "raw touched once" claim
+        return gap_fill_locf(
+            ev.select("event_type", "ts", "value"),
+            ("event_type",), "ts", 3600, "value",
+        )
+
+    def cms(df):
+        toks = df.select(
+            F.explode(
+                F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                         lambda x: x != F.lit(""))
+            ).alias("token")
+        )
+        return cms_heavy_hitters(toks, "token", threshold=200)
+
+    def bm25(df):
+        # replica text is word-perturbed, so candidates stay 1×-sized;
+        # the scaling cost is the index build over the N× corpus
+        return bm25_topk(df, ["hash", "join", "vector"], "text", "doc_id",
+                         k=15)
+
+    def qf(df):
+        return quality_filter(df)
+
+    def urls(df):
+        dk = F.col("doc_id")
+        fixture = df.select(
+            dk,
+            F.concat_ws(
+                " ", F.col("text"), F.lit("see"),
+                F.format_string(
+                    "https://www.s%d.site%d.com/p/%d?x=1",
+                    dk % 5, dk % 17, dk,
+                ),
+            ).alias("web_text"),
+        )
+        return domain_stats(fixture, "web_text", "doc_id")
+
     from mgo_liveagent_data_pipeline_spark.sinks.writers import (
         overwrite,
         partitioned_scd2_upsert,
@@ -262,6 +322,12 @@ def main() -> None:
         "range_join": (rjoin, li_1x, li_nx),
         "ht_rollup": (hypertable_rollup, ev_1x, ev_nx),
         "kmv_distinct": (kmv, li_1x, li_nx),
+        "sessionize": (sess, ev_1x, ev_nx),
+        "gap_fill_locf": (gf, ev_1x, ev_nx),
+        "cms_heavy_hitters": (cms, docs_1x, docs_nx),
+        "bm25_topk": (bm25, docs_1x, docs_nx),
+        "quality_filter": (qf, docs_1x, docs_nx),
+        "url_domain_stats": (urls, docs_1x, docs_nx),
     }
 
     # ---- fixed-delta merge cases: the partition-pruned MERGE claim is
