@@ -180,8 +180,15 @@ def gap_fill_locf(
         (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
         * bucket_seconds
     ).alias("bucket_ts")
-    actual = df.groupBy(*key_cols, bucket).agg(
-        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__val")
+    from .dedup import _scoped_persist
+
+    # both the bounds branch and the grid join consume `actual`; persist
+    # so the raw scan+aggregate truly runs once (callers release via
+    # dedup.release_intermediates, same as hypertable_rollup)
+    actual = _scoped_persist(
+        df.groupBy(*key_cols, bucket).agg(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__val")
+        )
     )
     bounds = actual.groupBy(*key_cols).agg(
         F.min("bucket_ts").alias("__b0"), F.max("bucket_ts").alias("__b1")
@@ -398,30 +405,35 @@ def standardize(
     """Per-group z-score feature scaling — the ML-prep normalization pass
     (per-feature / per-segment standardization before distance math or
     model input). Appends ``out_col`` = (x − μ_g) / σ_g rounded to 6
-    decimals; σ_g = 0 (constant group, or singleton) yields NULL.
+    decimals; σ_g = 0 (constant group — detected via min = max, immune
+    to the 6-decimal moment quantization — or singleton) yields NULL.
 
     Determinism across engines and parallelism: μ and σ derive from
     DECIMAL sums of x and x² (order-independent exact accumulation —
     double summation would drift with partitioning), converted to double
     only for the final scalar division/sqrt, which IEEE rounds
     identically everywhere. Plan: one hash aggregation to the per-group
-    stats relation (|groups| rows — broadcast), then a broadcast join
-    back onto the rows; the corpus shuffles zero times."""
+    stats relation (|groups| rows — broadcast), then a broadcast LEFT
+    join back onto the rows (NULL group keys keep their rows, zscore
+    NULL — an append-a-column operator must not drop data); the corpus
+    shuffles zero times."""
     x = F.col(value_col)
     xd = x.cast("decimal(25,6)")
     stats = df.groupBy(*group_cols).agg(
         F.sum(xd).alias("__s"),
         F.sum((x * x).cast("decimal(30,6)")).alias("__s2"),
         F.count(x).alias("__n"),
+        F.min(x).alias("__mn"),
+        F.max(x).alias("__mx"),
     )
     n = F.col("__n").cast("double")
     mean = F.col("__s").cast("double") / n
     var = F.col("__s2").cast("double") / n - mean * mean
-    std = F.sqrt(F.when(var > 0, var))
-    enriched = df.join(F.broadcast(stats), list(group_cols))
+    std = F.sqrt(F.when((F.col("__mn") < F.col("__mx")) & (var > 0), var))
+    enriched = df.join(F.broadcast(stats), list(group_cols), "left")
     return enriched.withColumn(
         out_col, F.round((x - mean) / std, 6)
-    ).drop("__s", "__s2", "__n")
+    ).drop("__s", "__s2", "__n", "__mn", "__mx")
 
 
 # ----------------------------------------------------- count-min sketch
@@ -462,12 +474,14 @@ def cms_build(
     shuffle carries ≤ depth·width rows per mapper. Deterministic (md5,
     no RNG), so an oracle engine reproduces every cell bit-for-bit.
 
-    The 100 TB use: finding heavy hitters (boilerplate tokens, hot keys)
-    WITHOUT a full groupBy over billions of distinct terms — one cheap
-    sketch pass bounds every term's frequency from above, then only the
-    small candidate set that clears the threshold is exact-counted
-    (``cms_heavy_hitters``). Estimates never undercount; overcount is
-    bounded by e·N/width with probability 1 − e^(−depth)."""
+    The 100 TB use: the sketch is the frequency artifact a RECURRING
+    pipeline persists — per-batch sketches merge into corpus-lifetime
+    bounds without rescanning history, and candidate sets (a new batch's
+    values, a suspect list) probe the broadcast cells without touching
+    raw data. Estimates never undercount; overcount is bounded by
+    e·N/width with probability 1 − e^(−depth). (Probing EVERY distinct
+    value still costs a distinct-cardinality shuffle — see the cost
+    note on ``cms_heavy_hitters``.)"""
     w = (
         F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
     )
@@ -529,11 +543,27 @@ def cms_heavy_hitters(
     ``threshold`` (a superset of the true heavy hitters — CMS never
     undercounts) are exact-counted, and the exact count filters the
     false positives. Returns ``(value_col, est_count, n_true)`` with
-    n_true ≥ threshold. At scale the exact groupBy runs over a
-    semi-join-pruned sliver of the corpus, not every distinct value."""
+    n_true ≥ threshold.
+
+    Honest cost accounting: probing every corpus value (as here) still
+    shuffles at distinct-value cardinality inside ``cms_estimate`` — the
+    sketch does NOT beat a plain groupBy count on a one-shot scan. Its
+    wins are (a) the exact verification groupBy runs only over the
+    semi-join-pruned bound-clearing sliver, (b) the sketch itself is a
+    tiny persisted MERGEABLE artifact: a recurring pipeline stores one
+    per batch and unions them (``cms_merge``) to bound corpus-lifetime
+    frequencies without rescanning history, probing only a candidate set
+    (e.g. the new batch's values) instead of the full vocabulary."""
+    from .dedup import _scoped_persist
+
     sketch = cms_build(df, value_col, width, depth)
-    est = cms_estimate(df, value_col, sketch, width, depth).where(
-        F.col("est_count") >= threshold
+    # `est` feeds both the semi-join prune and the final attach; persist
+    # so the sketch + estimate lineage executes once (callers release
+    # via dedup.release_intermediates)
+    est = _scoped_persist(
+        cms_estimate(df, value_col, sketch, width, depth).where(
+            F.col("est_count") >= threshold
+        )
     )
     pruned = df.join(F.broadcast(est), value_col, "semi")
     exact = pruned.groupBy(value_col).agg(

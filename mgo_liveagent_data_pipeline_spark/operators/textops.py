@@ -84,7 +84,13 @@ def _quality_cols(t: Column) -> dict[str, Column]:
     toks = _tokens(t)
     n_chars = F.length(t).cast("double")
     n_tokens = F.size(toks).cast("double")
-    mean_word_len = F.round(F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(0.0), 6)
+    # exact token-length mean (sum of token lengths / count), NOT the
+    # (chars - separators)/n approximation — that one counts every extra
+    # whitespace char of multi-space/newline formatting as letter mass
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    mean_word_len = F.round(F.when(n_tokens > 0, tok_chars / n_tokens).otherwise(0.0), 6)
     punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
     punct_ratio = F.round(F.when(n_chars > 0, punct / n_chars).otherwise(0.0), 6)
     upper = F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double")
@@ -370,10 +376,14 @@ def tfidf_top_terms(
     )
 
 
-# URL shape: scheme + non-space run; host = authority before /?#; RE2/Java
-# common subset (no lookaround) so the DuckDB oracle evaluates identically
+# URL shape: scheme + non-space run; authority = run before /?#; host =
+# authority minus optional userinfo@ prefix and :port suffix (a blocklist
+# keyed on registered_domain must not be bypassable by writing
+# user@evil.com or evil.com:8080). RE2/Java common subset (no lookaround)
+# so the DuckDB oracle evaluates identically.
 URL_PATTERN = r"https?://[^\s]+"
-HOST_PATTERN = r"https?://([^/?#\s]+)"
+AUTHORITY_PATTERN = r"https?://([^/?#\s]+)"
+HOST_IN_AUTHORITY_PATTERN = r"^(?:[^@]*@)?([^:]+)"
 REG_DOMAIN_PATTERN = r"([^.]+\.[^.]+)$"
 
 
@@ -386,7 +396,8 @@ def extract_urls(
     step of every web-corpus curation pass (domain blocklists, per-site
     caps, provenance stats). One ``regexp_extract_all`` + explode per
     row, then pure string expressions: host = the authority component
-    lowercased with a leading ``www.`` stripped; registered_domain = the
+    with userinfo/port stripped, lowercased, leading ``www.`` removed;
+    registered_domain = the
     last two labels (the public-suffix-list-free approximation — a
     production build swaps in the PSL as a broadcast dim without
     changing the plan). Returns (``key_col``, url, host,
@@ -398,7 +409,8 @@ def extract_urls(
             F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
         ).alias("url"),
     )
-    host_raw = F.lower(F.regexp_extract(F.col("url"), HOST_PATTERN, 1))
+    authority = F.lower(F.regexp_extract(F.col("url"), AUTHORITY_PATTERN, 1))
+    host_raw = F.regexp_extract(authority, HOST_IN_AUTHORITY_PATTERN, 1)
     host = F.regexp_replace(host_raw, r"^www\.", "")
     return urls.select(
         F.col(key_col),
@@ -464,9 +476,13 @@ def quality_filter(
     n_tok = F.size(toks)
     n_chars = F.length(t).cast("double")
     n_tok_d = n_tok.cast("double")
+    # exact token-length mean — whitespace formatting must not count as
+    # letter mass (same formula as _quality_cols)
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double")
     mean_word_len = F.round(
-        F.when(n_tok > 0, (n_chars - (n_tok_d - 1)) / n_tok_d).otherwise(0.0),
-        6,
+        F.when(n_tok > 0, tok_chars / n_tok_d).otherwise(0.0), 6
     )
     punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
     punct_ratio = F.round(
@@ -519,12 +535,17 @@ def quality_filter(
         ("rep_shingle", dup_sh > max_dup_shingle_frac),
         ("stopword", stopword_ratio < min_stopword_ratio),
     ]
-    reasons = F.concat_ws(
-        ",",
-        *[
-            F.when(cond, F.lit(name)).otherwise(F.lit(None))
-            for name, cond in rules
-        ],
+    # NULL text would make every rule condition NULL → concat_ws skips
+    # them all → reasons '' and keep TRUE; a quality gate must fail
+    # closed on the most degenerate input, so it gets its own rule
+    reasons = F.when(t.isNull(), F.lit("null_text")).otherwise(
+        F.concat_ws(
+            ",",
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules
+            ],
+        )
     )
     return df.select(
         F.col(key_col),
@@ -584,16 +605,23 @@ def bm25_topk(
     broadcast-sized. The only shuffle carries candidate postings —
     documents containing at least one query term. Returns
     ``(key_col, score, n_matched)``, top ``k`` by (score desc, key)."""
+    from .dedup import _scoped_persist
+
     index = inverted_index(df, text_col, key_col)
-    cand = index.where(F.col("term").isin([t.lower() for t in query_terms]))
+    # `cand` feeds both the per-term df count and the scoring join;
+    # persist so the index build runs once (callers release via
+    # dedup.release_intermediates)
+    cand = _scoped_persist(
+        index.where(F.col("term").isin([t.lower() for t in query_terms]))
+    )
     idf_t = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    # ONE corpus pass for both scalars (count + avgdl) — includes
+    # zero-token docs, which the postings-derived dl would miss
     stats = df.select(
+        F.size(_tokens(F.lower(F.col(text_col)))).cast("long").alias("__dl")
+    ).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-    ).crossJoin(
-        df.select(
-            F.avg(F.size(_tokens(F.lower(F.col(text_col)))).cast("long"))
-            .alias("avgdl")
-        )
+        F.avg("__dl").alias("avgdl"),
     )
     tfn = (F.col("tf") * (F.lit(k1) + 1.0)) / (
         F.col("tf")

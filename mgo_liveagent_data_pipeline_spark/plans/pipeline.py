@@ -1081,13 +1081,16 @@ ORACLES: dict[str, str] = {
           SELECT doc_id,
                  CAST(length(text) AS DOUBLE) AS n_chars,
                  CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+                 CAST(list_sum(list_transform(
+                   string_split_regex(trim(text), '\s+'),
+                   x -> length(x))) AS DOUBLE) AS tok_chars,
                  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
                  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS upper_c
           FROM documents),
         f AS (
           SELECT doc_id, n_chars, n_tokens,
                  CASE WHEN n_tokens > 0
-                      THEN round((n_chars - (n_tokens - 1)) / n_tokens, 6) ELSE 0.0 END AS mean_word_len,
+                      THEN round(tok_chars / n_tokens, 6) ELSE 0.0 END AS mean_word_len,
                  CASE WHEN n_chars > 0 THEN round(punct / n_chars, 6) ELSE 0.0 END AS punct_ratio,
                  CASE WHEN n_chars > 0 THEN round(upper_c / n_chars, 6) ELSE 0.0 END AS upper_ratio
           FROM t)
@@ -1289,6 +1292,7 @@ ORACLES: dict[str, str] = {
     "text_quality_filter": r"""
         WITH t AS (
           SELECT doc_id,
+                 text IS NULL AS is_null,
                  list_filter(string_split_regex(trim(text), '\s+'),
                              x -> x <> '') AS tk,
                  CAST(length(text) AS DOUBLE) AS n_chars,
@@ -1298,7 +1302,7 @@ ORACLES: dict[str, str] = {
                    AS DOUBLE) AS upper_c
           FROM documents),
         s AS (
-          SELECT doc_id, tk, n_chars,
+          SELECT doc_id, is_null, tk, n_chars,
                  CAST(length(tk) AS BIGINT) AS n_tok,
                  CAST(length(tk) AS DOUBLE) AS n_tok_d,
                  CASE WHEN length(tk) >= 3
@@ -1308,9 +1312,10 @@ ORACLES: dict[str, str] = {
                  punct, upper_c
           FROM t),
         r AS (
-          SELECT doc_id, n_tok,
+          SELECT doc_id, is_null, n_tok,
                  CASE WHEN n_tok > 0
-                      THEN round((n_chars - (n_tok_d - 1)) / n_tok_d, 6)
+                      THEN round(CAST(list_sum(list_transform(tk,
+                             x -> length(x))) AS DOUBLE) / n_tok_d, 6)
                       ELSE 0.0 END AS mean_word_len,
                  CASE WHEN n_chars > 0 THEN round(punct / n_chars, 6)
                       ELSE 0.0 END AS punct_ratio,
@@ -1332,6 +1337,7 @@ ORACLES: dict[str, str] = {
           FROM s),
         d AS (
           SELECT doc_id, n_tok AS n_tokens,
+                 CASE WHEN is_null THEN 'null_text' ELSE
                  concat_ws(',',
                    CASE WHEN n_tok < 30 THEN 'too_short' END,
                    CASE WHEN n_tok > 100000 THEN 'too_long' END,
@@ -1342,7 +1348,7 @@ ORACLES: dict[str, str] = {
                    CASE WHEN dup_tok > 0.65 THEN 'rep_token' END,
                    CASE WHEN dup_sh > 0.35 THEN 'rep_shingle' END,
                    CASE WHEN stop_ratio < 0.01 THEN 'stopword' END
-                 ) AS reasons
+                 ) END AS reasons
           FROM r)
         SELECT doc_id, n_tokens, reasons = '' AS keep, reasons FROM d
     """,
@@ -1367,7 +1373,9 @@ ORACLES: dict[str, str] = {
         h AS (
           SELECT doc_id, url,
                  regexp_replace(
-                   lower(regexp_extract(url, 'https?://([^/?#\s]+)', 1)),
+                   regexp_extract(
+                     lower(regexp_extract(url, 'https?://([^/?#\s]+)', 1)),
+                     '^(?:[^@]*@)?([^:]+)', 1),
                    '^www\.', '') AS host
           FROM u)
         SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1)

@@ -720,6 +720,8 @@ def test_extract_urls_normalizes_hosts_and_domains(spark):
                 "http://cdn.example.com/img.png"),
             (2, "plain text, no links here"),
             (3, "dup https://blog.example.com/b https://other.org/"),
+            (4, "tricky https://user:pw@Evil.example.com:8443/x "
+                "http://example.com:8080/y"),
         ],
         ["doc_id", "text"],
     )
@@ -729,10 +731,14 @@ def test_extract_urls_normalizes_hosts_and_domains(spark):
     assert (1, "cdn.example.com", "example.com") in got
     assert (3, "other.org", "other.org") in got
     assert all(r["doc_id"] != 2 for r in u)                # no URLs -> no rows
+    # userinfo@ and :port must not leak into the rollup key — a
+    # blocklist on example.com would otherwise be bypassable
+    assert (4, "evil.example.com", "example.com") in got
+    assert (4, "example.com", "example.com") in got
 
     s = {r["registered_domain"]: (r["n_urls"], r["n_docs"])
          for r in domain_stats(docs).collect()}
-    assert s["example.com"] == (3, 2)   # 3 urls across docs 1 and 3
+    assert s["example.com"] == (5, 3)   # 5 urls across docs 1, 3, 4
     assert s["other.org"] == (1, 1)
 
 
@@ -788,3 +794,47 @@ def test_standardize_zscore_properties(spark):
         for r in standardize(df.repartition(5), ("g",), "x").collect()
     )
     assert z1 == z2
+
+
+def test_quality_filter_null_text_fails_closed(spark):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        quality_filter,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    df = spark.createDataFrame([(1, None)], schema)
+    r = quality_filter(df).collect()[0]
+    assert not r["keep"] and r["reasons"] == "null_text"
+
+
+def test_standardize_preserves_null_group_and_quantized_constants(spark):
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        standardize,
+    )
+
+    schema = StructType([
+        StructField("g", StringType()),
+        StructField("x", DoubleType()),
+    ])
+    rows = [("a", 1.0), ("a", 2.0), (None, 5.0),
+            # constant group whose value does not fit in 6 decimals:
+            # quantized moments give var > 0, min=max must still win
+            ("c", 0.1234567), ("c", 0.1234567)]
+    df = spark.createDataFrame(rows, schema)
+    rows_out = standardize(df, ("g",), "x").collect()
+    out = {(r["g"], r["x"]): r["zscore"] for r in rows_out}
+    assert len(rows_out) == 5                 # NULL-group row preserved
+    assert out[(None, 5.0)] is None
+    assert out[("c", 0.1234567)] is None      # constant group -> NULL
+    assert out[("a", 1.0)] == -1.0 and out[("a", 2.0)] == 1.0
