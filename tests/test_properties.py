@@ -234,3 +234,81 @@ def test_connected_components_matches_union_find(spark, edges):
     }
     release_intermediates()
     assert got == expected
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=50_000), # epoch offset s
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_sessionize_matches_python_reference(spark, rows):
+    """Session numbering equals the single-threaded reference: sort each
+    user's events by (ts, id), open a new session when the gap exceeds
+    the threshold."""
+    from datetime import datetime, timedelta
+
+    from mgo_liveagent_data_pipeline_spark.operators.windows import sessionize
+
+    gap = 3600
+    base = datetime(2024, 1, 1)
+    data = [
+        (i, u, base + timedelta(seconds=off), 0.0)
+        for i, (u, off) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["event_id", "user_id", "ts", "value"])
+    got = {
+        r["event_id"]: r["session_no"]
+        for r in sessionize(df, "user_id", "ts", gap, "event_id").collect()
+    }
+
+    expect = {}
+    by_user: dict[int, list] = {}
+    for i, u, ts, _v in data:
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        prev = None
+        sno = 0
+        for ts, i in evs:
+            if prev is None or (ts - prev).total_seconds() > gap:
+                sno += 1
+            expect[i] = sno
+            prev = ts
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=3),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cms_estimate_upper_bounds_every_count(spark, values):
+    """CMS never undercounts, for arbitrary collision-heavy value sets
+    (3-char alphabet-of-5 strings force cell collisions at width 16)."""
+    from collections import Counter
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    sketch = cms_build(df, "v", width=16, depth=2)
+    est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(df, "v", sketch, width=16, depth=2).collect()
+    }
+    true = Counter(values)
+    assert set(est) == set(true)
+    for v, t in true.items():
+        assert est[v] >= t
