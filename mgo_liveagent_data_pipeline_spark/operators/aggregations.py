@@ -396,6 +396,54 @@ def bloom_membership(
     )
 
 
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass data profiler (the Deequ/dbt-style run-summary a
+    pipeline publishes next to every load): per column — row count, null
+    count, distinct count, and the modal value with its frequency.
+
+    Plan shape: ONE scan explodes each row into (column, value-as-string)
+    struct pairs, ONE hash aggregation to (column, value) counts, then
+    column-level rollups over that tiny relation — profiling N columns
+    costs one corpus pass, not N (the naive per-column loop re-scans the
+    table N times at 100 TB). Values compare as strings so one relation
+    carries every column's type; tie-break on (count, value) makes the
+    modal value deterministic. Returns (column, n_rows, n_null,
+    n_distinct, top_value, top_n)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in cols
+        ]
+    )
+    long = df.select(F.explode(pairs).alias("p")).select("p.*")
+    counts = long.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    base = counts.groupBy("column").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(
+            F.when(F.col("value").isNull(), F.col("cnt")).otherwise(0)
+        ).alias("n_null"),
+        F.count(F.when(F.col("value").isNotNull(), 1)).alias("n_distinct"),
+    )
+    top = (
+        counts.where(F.col("value").isNotNull())
+        .groupBy("column")
+        .agg(F.max(F.struct(F.col("cnt"), F.col("value"))).alias("__t"))
+        .select(
+            "column",
+            F.col("__t.value").alias("top_value"),
+            F.col("__t.cnt").alias("top_n"),
+        )
+    )
+    return base.join(top, "column", "left").select(
+        "column", "n_rows", "n_null", "n_distinct", "top_value", "top_n"
+    )
+
+
 def standardize(
     df: DataFrame,
     group_cols: tuple[str, ...],

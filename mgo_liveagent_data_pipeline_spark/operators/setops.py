@@ -48,3 +48,55 @@ def new_vs_existing_counts(
         ),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff — the regression check between two runs of the same
+    load (yesterday's table vs today's): per key, classify as ``added``
+    (key only in new), ``removed`` (only in old), ``changed`` (present
+    in both, ≥1 value column differs null-safely) or ``unchanged``, with
+    the count of differing columns.
+
+    ONE full-outer sort-merge join on the key — the canonical plan; both
+    sides shuffle once on the key and every comparison happens in the
+    merged row, so diffing two 100 TB snapshots costs the same as
+    joining them. Null-safe comparison (`eqNullSafe`) means NULL→value
+    and value→NULL both count as changes. Returns (``key_cols``…,
+    diff_status, n_changed_cols)."""
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"__o_{c}") for c in value_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"__n_{c}") for c in value_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    n_diff = sum(
+        F.when(
+            F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), 0
+        ).otherwise(1)
+        for c in value_cols
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(n_diff > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    present_diff = F.when(
+        F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull(),
+        n_diff,
+    ).otherwise(F.lit(0))
+    return j.select(
+        *key_cols,
+        status.alias("diff_status"),
+        present_diff.cast("long").alias("n_changed_cols"),
+    )

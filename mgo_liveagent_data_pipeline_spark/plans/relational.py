@@ -525,6 +525,47 @@ def q_w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler
+    (operators/aggregations.py:profile_columns) over three orders
+    columns — null/distinct/modal-value stats from ONE scan. Driver-
+    visible via the ``profile`` mode of ``metrics_new_vs_existing``."""
+    from ..operators.aggregations import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/setops.py:table_diff) between two
+    key-derived views of orders: old drops keys ≡0 (mod 97), new drops
+    keys ≡0 (mod 89) and bumps o_totalprice by 1.00 for keys ≡0
+    (mod 13) — so all four diff classes appear deterministically.
+    Summarized per class. Driver-visible via the ``diff`` mode of
+    ``metrics_new_vs_existing``."""
+    from ..operators.setops import table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.where(F.col("o_orderkey") % 97 != 0)
+    new = orders.where(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = table_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return d.groupBy("diff_status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_changed_cols").alias("n_changed_cols"),
+    )
+
+
 def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score standardization
     (operators/aggregations.py:standardize): event values scaled against
@@ -1126,6 +1167,56 @@ ORACLES: dict[str, str] = {
                  AS total_value
         FROM s GROUP BY user_id, session_no
     """,
+    # one block per profiled column, mirroring profile_columns: stats
+    # over the native column, modal value over its VARCHAR cast with
+    # (count, value) descending tie-break
+    "profile_columns": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS "column", b.n_rows, b.n_null, b.n_distinct,
+               t.value AS top_value, t.cnt AS top_n
+        FROM (
+          SELECT count(*) AS n_rows,
+                 CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_null,
+                 count(DISTINCT {c}) AS n_distinct
+          FROM orders) b
+        LEFT JOIN (
+          SELECT CAST({c} AS VARCHAR) AS value, count(*) AS cnt
+          FROM orders WHERE {c} IS NOT NULL
+          GROUP BY 1 ORDER BY cnt DESC, value DESC LIMIT 1) t ON true
+        """
+        for c in ("o_orderstatus", "o_orderpriority", "o_custkey")
+    ),
+    # full-outer-join diff classes over the same key-derived snapshots
+    "table_diff": """
+        WITH o AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 97 <> 0),
+        n AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 89 <> 0),
+        j AS (
+          SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+                 o.o_orderkey IS NOT NULL AS in_old,
+                 n.o_orderkey IS NOT NULL AS in_new,
+                 (CASE WHEN o.o_orderstatus IS NOT DISTINCT FROM
+                            n.o_orderstatus THEN 0 ELSE 1 END)
+                 + (CASE WHEN o.o_totalprice IS NOT DISTINCT FROM
+                              n.o_totalprice THEN 0 ELSE 1 END) AS nd
+          FROM o FULL OUTER JOIN n USING (o_orderkey)),
+        c AS (
+          SELECT CASE WHEN NOT in_old THEN 'added'
+                      WHEN NOT in_new THEN 'removed'
+                      WHEN nd > 0 THEN 'changed'
+                      ELSE 'unchanged' END AS diff_status,
+                 CASE WHEN in_old AND in_new THEN nd ELSE 0 END AS nd
+          FROM j)
+        SELECT diff_status, count(*) AS n_keys,
+               CAST(sum(nd) AS BIGINT) AS n_changed_cols
+        FROM c GROUP BY 1
+    """,
     # decimal-exact per-group moments → double scalars, mirroring
     # operators/aggregations.py:standardize expression-for-expression
     "zscore": """
@@ -1325,7 +1416,7 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 20000
     """,
-    "metrics_new_vs_existing": f"""
+    "metrics_counts": f"""
         WITH run AS (
           SELECT DISTINCT user_id FROM events
           WHERE ts >= TIMESTAMP '{WIN_START}' AND ts < TIMESTAMP '{WIN_END}'),
@@ -1459,6 +1550,8 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "pivot_unpivot": q_pivot_unpivot,
     "zscore": q_zscore,
+    "profile_columns": q_profile_columns,
+    "table_diff": q_table_diff,
     "j8_range_join": q_j8_range_join,
     "ht_rollup": q_ht_rollup,
     "kmv_distinct": q_kmv_distinct,
@@ -1470,7 +1563,7 @@ QUERIES = {
     "e1_except_keys": q_e1_except_keys,
     "e2_intersect_keys": q_e2_intersect_keys,
     "e3_union_all": q_e3_union_all,
-    "metrics_new_vs_existing": q_metrics_new_vs_existing,
+    "metrics_counts": q_metrics_new_vs_existing,
     "f1_regex_extract": q_f1_regex_extract,
     "f2_f3_normalize": q_f2_f3_normalize,
     "f6_array_join": q_f6_array_join,

@@ -136,6 +136,41 @@ def q_a2_a3_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hq).unionByName(pv)
 
 
+def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-level pipeline metrics under one driver row: the A4
+    new/existing/total accounting (``counts`` mode), the single-pass
+    column profiler (``profile`` mode — per-column null/distinct/modal
+    stats, operators/aggregations.py:profile_columns; n_rows is checked
+    at member level), and the snapshot diff summary (``diff`` mode —
+    added/removed/changed/unchanged key counts,
+    operators/setops.py:table_diff)."""
+    counts = relational.q_metrics_new_vs_existing(spark, sf_dir).select(
+        F.lit("counts").alias("mode"),
+        _null("string").alias("key_s"),
+        F.col("n_new").alias("n1"),
+        F.col("n_existing").alias("n2"),
+        F.col("n_total").alias("n3"),
+        _null("string").alias("top_s"),
+    )
+    prof = relational.q_profile_columns(spark, sf_dir).select(
+        F.lit("profile").alias("mode"),
+        F.col("column").alias("key_s"),
+        F.col("n_null").alias("n1"),
+        F.col("n_distinct").alias("n2"),
+        F.col("top_n").alias("n3"),
+        F.col("top_value").alias("top_s"),
+    )
+    diff = relational.q_table_diff(spark, sf_dir).select(
+        F.lit("diff").alias("mode"),
+        F.col("diff_status").alias("key_s"),
+        F.col("n_keys").alias("n1"),
+        F.col("n_changed_cols").alias("n2"),
+        _null("long").alias("n3"),
+        _null("string").alias("top_s"),
+    )
+    return counts.unionByName(prof).unionByName(diff)
+
+
 def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-family frame specs: lag/lead deltas (w4) + 7-day range-frame
     rolling sum (w5) + the as-of join (``asof`` mode — trade rows carry
@@ -791,6 +826,27 @@ ORACLES: dict[str, str] = {
             "CAST(round(sum_qty * 100) AS BIGINT) AS n",
         )
     ),
+    "metrics_new_vs_existing": (
+        _tagged(
+            _R["metrics_counts"],
+            "'counts' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
+            "n_new AS n1, n_existing AS n2, n_total AS n3, "
+            "CAST(NULL AS VARCHAR) AS top_s",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["profile_columns"],
+            "'profile' AS mode, \"column\" AS key_s, n_null AS n1, "
+            "n_distinct AS n2, top_n AS n3, top_value AS top_s",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["table_diff"],
+            "'diff' AS mode, diff_status AS key_s, n_keys AS n1, "
+            "n_changed_cols AS n2, CAST(NULL AS BIGINT) AS n3, "
+            "CAST(NULL AS VARCHAR) AS top_s",
+        )
+    ),
     "a2_a3_distinct_suite": (
         _tagged(
             _R["a2_distinct"],
@@ -1167,6 +1223,7 @@ QUERIES = {
     "s7_w3_preview_limit": q_s7_w3_preview_limit,
     "j2_j4_semi_anti": q_j2_j4_semi_anti,
     "a2_a3_distinct_suite": q_a2_a3_distinct_suite,
+    "metrics_new_vs_existing": q_metrics_new_vs_existing,
     "w4_w5_window_sweep": q_w4_w5_window_sweep,
     "skew_suite": q_skew_suite,
     "setops_suite": q_setops_suite,

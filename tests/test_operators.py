@@ -175,3 +175,62 @@ def test_sessionize_gap_boundaries_and_single_shuffle(spark):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_table_diff_classifies_all_four_ways(spark):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from mgo_liveagent_data_pipeline_spark.operators.setops import table_diff
+
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("a", StringType()),
+        StructField("b", DoubleType()),
+    ])
+    old = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, None, 3.0), (4, "gone", 4.0)],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 1.0),        # unchanged
+         (2, "y", 9.0),        # changed: b
+         (3, "now", 30.0),     # changed: a (NULL -> value) and b
+         (5, "fresh", 5.0)],   # added
+        schema,
+    )
+    out = {r["k"]: (r["diff_status"], r["n_changed_cols"])
+           for r in table_diff(old, new, ["k"], ["a", "b"]).collect()}
+    assert out == {
+        1: ("unchanged", 0),
+        2: ("changed", 1),
+        3: ("changed", 2),   # null-safe: NULL->'now' counts
+        4: ("removed", 0),
+        5: ("added", 0),
+    }
+
+
+def test_profile_columns_single_pass_stats(spark):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        profile_columns,
+    )
+
+    schema = StructType([
+        StructField("s", StringType()),
+        StructField("n", LongType()),
+    ])
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None), (None, 2), (None, 2)], schema
+    )
+    out = {r["column"]: r for r in profile_columns(df, ["s", "n"]).collect()}
+    s = out["s"]
+    assert (s["n_rows"], s["n_null"], s["n_distinct"]) == (5, 2, 2)
+    assert (s["top_value"], s["top_n"]) == ("a", 2)
+    n = out["n"]
+    assert (n["n_rows"], n["n_null"], n["n_distinct"]) == (5, 1, 2)
+    assert (n["top_value"], n["top_n"]) == ("2", 3)
