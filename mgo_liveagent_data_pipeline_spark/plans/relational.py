@@ -566,6 +566,32 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 24 h funnel view → click → purchase
+    (operators/behavior.py:funnel): per step, users whose earliest
+    qualifying event follows their previous step within a day.
+    Driver-visible via the ``funnel`` mode of
+    ``metrics_new_vs_existing``."""
+    from ..operators.behavior import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel(
+        events, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_seconds=86400,
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle
+    (operators/behavior.py:retention_cohorts): distinct users per
+    (first-seen week, activity week offset). Driver-visible via the
+    ``cohort`` mode of ``metrics_new_vs_existing``."""
+    from ..operators.behavior import retention_cohorts
+
+    events = load_table(spark, sf_dir, "events")
+    return retention_cohorts(events, "user_id", "ts")
+
+
 def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score standardization
     (operators/aggregations.py:standardize): event values scaled against
@@ -1217,6 +1243,60 @@ ORACLES: dict[str, str] = {
                CAST(sum(nd) AS BIGINT) AS n_changed_cols
         FROM c GROUP BY 1
     """,
+    # same per-user sorted-timestamp-list recurrence as behavior.funnel:
+    # t0 = earliest 'view'; t_k = earliest next-step event in
+    # (t_{k-1}, t_{k-1} + 24 h]
+    "funnel": """
+        WITH pu AS (
+          SELECT user_id,
+                 list_sort(list_filter(list(CASE WHEN event_type = 'view'
+                   THEN ts END), x -> x IS NOT NULL)) AS t0,
+                 list_sort(list_filter(list(CASE WHEN event_type = 'click'
+                   THEN ts END), x -> x IS NOT NULL)) AS t1,
+                 list_sort(list_filter(list(CASE WHEN event_type = 'purchase'
+                   THEN ts END), x -> x IS NOT NULL)) AS t2
+          FROM events GROUP BY user_id),
+        r AS (
+          SELECT user_id, t0[1] AS r0,
+                 list_filter(t1, x -> x > t0[1]
+                   AND x <= t0[1] + INTERVAL 86400 SECOND)[1] AS r1
+          FROM pu),
+        r2 AS (
+          SELECT r.user_id, r.r0, r.r1,
+                 list_filter(pu.t2, x -> x > r.r1
+                   AND x <= r.r1 + INTERVAL 86400 SECOND)[1] AS rr2
+          FROM r JOIN pu USING (user_id))
+        SELECT 1 AS step_no, 'view' AS step,
+               CAST(sum(CASE WHEN r0 IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_users FROM r2
+        UNION ALL
+        SELECT 2, 'click',
+               CAST(sum(CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM r2
+        UNION ALL
+        SELECT 3, 'purchase',
+               CAST(sum(CASE WHEN rr2 IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM r2
+    """,
+    "retention_cohorts": """
+        WITH first AS (
+          -- DuckDB date_trunc('week') yields DATE; cast back to match
+          -- Spark's TIMESTAMP week bucket
+          SELECT user_id,
+                 CAST(min(date_trunc('week', ts)) AS TIMESTAMP)
+                   AS cohort_week
+          FROM events GROUP BY user_id),
+        active AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+          FROM events)
+        SELECT f.cohort_week,
+               ((epoch_us(a.w) // 1000000)
+                - (epoch_us(f.cohort_week) // 1000000)) // 604800 AS week_no,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM active a JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    """,
     # decimal-exact per-group moments → double scalars, mirroring
     # operators/aggregations.py:standardize expression-for-expression
     "zscore": """
@@ -1552,6 +1632,8 @@ QUERIES = {
     "zscore": q_zscore,
     "profile_columns": q_profile_columns,
     "table_diff": q_table_diff,
+    "funnel": q_funnel,
+    "retention_cohorts": q_retention_cohorts,
     "j8_range_join": q_j8_range_join,
     "ht_rollup": q_ht_rollup,
     "kmv_distinct": q_kmv_distinct,

@@ -141,9 +141,12 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     new/existing/total accounting (``counts`` mode), the single-pass
     column profiler (``profile`` mode — per-column null/distinct/modal
     stats, operators/aggregations.py:profile_columns; n_rows is checked
-    at member level), and the snapshot diff summary (``diff`` mode —
+    at member level), the snapshot diff summary (``diff`` mode —
     added/removed/changed/unchanged key counts,
-    operators/setops.py:table_diff)."""
+    operators/setops.py:table_diff), the 24 h ordered funnel (``funnel``
+    mode, operators/behavior.py:funnel) and the weekly retention
+    triangle (``cohort`` mode,
+    operators/behavior.py:retention_cohorts)."""
     counts = relational.q_metrics_new_vs_existing(spark, sf_dir).select(
         F.lit("counts").alias("mode"),
         _null("string").alias("key_s"),
@@ -168,7 +171,28 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("long").alias("n3"),
         _null("string").alias("top_s"),
     )
-    return counts.unionByName(prof).unionByName(diff)
+    fun = relational.q_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("mode"),
+        F.col("step").alias("key_s"),
+        F.col("step_no").cast("long").alias("n1"),
+        F.col("n_users").alias("n2"),
+        _null("long").alias("n3"),
+        _null("string").alias("top_s"),
+    )
+    coh = relational.q_retention_cohorts(spark, sf_dir).select(
+        F.lit("cohort").alias("mode"),
+        F.col("cohort_week").cast("string").alias("key_s"),
+        F.col("week_no").alias("n1"),
+        F.col("n_users").alias("n2"),
+        _null("long").alias("n3"),
+        _null("string").alias("top_s"),
+    )
+    return (
+        counts.unionByName(prof)
+        .unionByName(diff)
+        .unionByName(fun)
+        .unionByName(coh)
+    )
 
 
 def q_w4_w5_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,6 +868,20 @@ ORACLES: dict[str, str] = {
             _R["table_diff"],
             "'diff' AS mode, diff_status AS key_s, n_keys AS n1, "
             "n_changed_cols AS n2, CAST(NULL AS BIGINT) AS n3, "
+            "CAST(NULL AS VARCHAR) AS top_s",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["funnel"],
+            "'funnel' AS mode, step AS key_s, CAST(step_no AS BIGINT) AS n1, "
+            "n_users AS n2, CAST(NULL AS BIGINT) AS n3, "
+            "CAST(NULL AS VARCHAR) AS top_s",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["retention_cohorts"],
+            "'cohort' AS mode, CAST(cohort_week AS VARCHAR) AS key_s, "
+            "week_no AS n1, n_users AS n2, CAST(NULL AS BIGINT) AS n3, "
             "CAST(NULL AS VARCHAR) AS top_s",
         )
     ),

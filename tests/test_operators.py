@@ -234,3 +234,60 @@ def test_profile_columns_single_pass_stats(spark):
     n = out["n"]
     assert (n["n_rows"], n["n_null"], n["n_distinct"]) == (5, 1, 2)
     assert (n["top_value"], n["top_n"]) == ("2", 3)
+
+
+def test_funnel_ordered_within_window(spark):
+    from datetime import datetime
+
+    from mgo_liveagent_data_pipeline_spark.operators.behavior import funnel
+
+    H = 3600
+    rows = [
+        # u1 converts fully in order
+        (1, "view", datetime(2024, 1, 1, 0)),
+        (1, "click", datetime(2024, 1, 1, 1)),
+        (1, "buy", datetime(2024, 1, 1, 2)),
+        # u2 clicks BEFORE viewing -> click must not count
+        (2, "click", datetime(2024, 1, 1, 0)),
+        (2, "view", datetime(2024, 1, 1, 1)),
+        # u3 views then clicks too late (outside the window)
+        (3, "view", datetime(2024, 1, 1, 0)),
+        (3, "click", datetime(2024, 1, 3, 0)),
+        # u4 never views; later steps can't count
+        (4, "click", datetime(2024, 1, 1, 0)),
+        (4, "buy", datetime(2024, 1, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r["step"]: (r["step_no"], r["n_users"]) for r in funnel(
+        df, "user_id", "ts", "event_type", ["view", "click", "buy"],
+        within_seconds=2 * H,
+    ).collect()}
+    assert out == {"view": (1, 3), "click": (2, 1), "buy": (3, 1)}
+
+
+def test_retention_cohorts_triangle(spark):
+    from datetime import datetime
+
+    from mgo_liveagent_data_pipeline_spark.operators.behavior import (
+        retention_cohorts,
+    )
+
+    # weeks: 2024-01-01 (Mon), 2024-01-08, 2024-01-15
+    rows = [
+        (1, datetime(2024, 1, 2)),   # cohort w0
+        (1, datetime(2024, 1, 9)),   # active w1
+        (1, datetime(2024, 1, 16)),  # active w2
+        (2, datetime(2024, 1, 3)),   # cohort w0, never returns
+        (3, datetime(2024, 1, 10)),  # cohort w1
+        (3, datetime(2024, 1, 17)),  # active w1+1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(str(r["cohort_week"].date()), r["week_no"]): r["n_users"]
+           for r in retention_cohorts(df, "user_id", "ts").collect()}
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
