@@ -42,6 +42,8 @@ def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       file immutability is asserted by ``tests/test_sinks.py``).
     * ``scd2`` / ``scd2p`` — the type-2 dimension-history merge through
       both layouts (``q_k_scd2_upsert``).
+    * ``cdc`` — the change-feed latest-wins apply with delete
+      tombstones (``q_k_cdc_apply``, sinks/writers.py:apply_cdc).
 
     The flat and partitioned halves share one merge-algebra oracle, so a
     hash match proves the partition-pruned write path produces the
@@ -70,8 +72,53 @@ def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         ).select(F.lit(tag).alias("mode"), "status", "n", "total_value")
 
+    cdc = q_k_cdc_apply(spark, sf_dir).select(
+        F.lit("cdc").alias("mode"), "status", "n", "total_value"
+    )
     return agg(merged, "flat").unionByName(agg(pmerged, "partitioned")) \
-        .unionByName(q_k_scd2_upsert(spark, sf_dir))
+        .unionByName(q_k_scd2_upsert(spark, sf_dir)).unionByName(cdc)
+
+
+def q_k_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed apply (sinks/writers.py:apply_cdc): a key-derived change
+    feed — updates (+5.00, seq 2) for keys ≡0 (mod 11), delete
+    tombstones (seq 3) for keys ≡0 (mod 23), inserts of shifted new
+    keys for keys ≡0 (mod 31) — collapsed latest-wins onto the orders
+    snapshot (keys divisible by 11·23 get U then D: the D must win).
+    Summarized per status. Driver-visible via the ``cdc`` mode of
+    ``k_materialized_upsert``."""
+    from ..sinks.writers import apply_cdc
+
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    u = t.where(k % 11 == 0).select(
+        k.alias("o_orderkey"),
+        F.col("o_orderstatus"),
+        (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        F.lit(2).alias("seq"), F.lit("U").alias("op"),
+    )
+    d = t.where(k % 23 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(3).alias("seq"), F.lit("D").alias("op"),
+    )
+    ins = t.where(k % 31 == 0).select(
+        (k + 3_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.lit(1).alias("seq"), F.lit("I").alias("op"),
+    )
+    applied = apply_cdc(
+        t, u.unionByName(d).unionByName(ins),
+        ["o_orderkey"], "seq", "op",
+    )
+    return applied.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
 
 
 _SCD2_T1 = "2024-01-01 00:00:00"
@@ -317,6 +364,7 @@ def q_stream_join_30m(
 QUERIES = {
     "k_materialized_upsert": q_k_materialized_upsert,
     "k_scd2_upsert": q_k_scd2_upsert,
+    "k_cdc_apply": q_k_cdc_apply,
     "k5_history_sink": q_k5_history_sink,
     "k_datepart_sink": q_k_datepart_sink,
     "k_zorder_sink": q_k_zorder_sink,
@@ -329,7 +377,37 @@ QUERIES = {
     "stream_join_30m": q_stream_join_30m,
 }
 
+# latest-wins collapse mirrored from apply_cdc: row_number over
+# (seq DESC, op DESC) = max_by struct(seq, op)
+_CDC_SQL = """
+        WITH t AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+          FROM orders),
+        ch AS (
+          SELECT k, s, p + 5.0 AS p, 2 AS seq, 'U' AS op
+          FROM t WHERE k % 11 = 0
+          UNION ALL
+          SELECT k, s, p, 3, 'D' FROM t WHERE k % 23 = 0
+          UNION ALL
+          SELECT k + 3000000, 'N', p, 1, 'I' FROM t WHERE k % 31 = 0),
+        latest AS (
+          SELECT k, s, p, op FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+            FROM ch) WHERE rn = 1),
+        applied AS (
+          SELECT k, s, p FROM t
+          WHERE k NOT IN (SELECT k FROM latest)
+          UNION ALL
+          SELECT k, s, p FROM latest WHERE op <> 'D')
+        SELECT s AS status, count(*) AS n,
+               CAST(round(sum(CAST(p AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS total_value
+        FROM applied GROUP BY s
+"""
+
 ORACLES: dict[str, str] = {
+    "k_cdc_apply": _CDC_SQL,
     # same algebra as k4_upsert_merge — but computed through a real
     # write/merge/read round trip on the Spark side, once per layout
     # (flat whole-table merge, partitioned bucket-pruned merge)
@@ -368,6 +446,10 @@ ORACLES: dict[str, str] = {
         SELECT 'scd2' AS mode, status, n, total_value FROM sagg
         UNION ALL
         SELECT 'scd2p' AS mode, status, n, total_value FROM sagg)
+        UNION ALL
+        SELECT 'cdc' AS mode, status, n, total_value FROM ("""
+    + _CDC_SQL
+    + """)
     """,
     # after batch 2: key%20==0 rows are closed at T2 with an 'X' successor;
     # every other key keeps its T1-open row (including the re-delivered

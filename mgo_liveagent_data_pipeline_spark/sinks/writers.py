@@ -1037,3 +1037,46 @@ def prepare_and_load(
     if write_mode == "overwrite":
         return overwrite(df, base_dir, name)
     return append(df, base_dir, name)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+) -> DataFrame:
+    """Change-data-capture apply: collapse a change feed (insert/update
+    rows + 'D' delete tombstones, each stamped with a monotonically
+    increasing ``seq_col``) onto a target snapshot — the algebra behind
+    replicating an OLTP table into the lake. Latest change per key wins;
+    a winning 'D' removes the key, anything else replaces the row.
+    (``seq_col`` must order a key's changes totally — ties fall back to
+    ``op_col`` so the result stays deterministic, but a feed with real
+    seq ties is ambiguous by construction.)
+
+    Plan shape at 100 TB: ONE max_by aggregation collapses the feed to
+    |changed keys| rows (map-side partial combine — a day's feed
+    collapses before it shuffles), then one left-anti join against the
+    target on the key. The target is read once and never re-sorted;
+    pair with ``partitioned_upsert``'s bucket layout to rewrite only the
+    buckets containing changed keys."""
+    payload = [
+        c for c in changes.columns
+        if c not in (*key_cols, seq_col, op_col)
+    ]
+    latest = (
+        changes.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload], F.col(op_col)),
+                F.struct(F.col(seq_col), F.col(op_col)),
+            ).alias("__last")
+        )
+        .select(*key_cols, "__last.*")
+    )
+    survivors = latest.where(F.col(op_col) != "D").drop(op_col)
+    untouched = target.join(
+        latest.select(*key_cols), key_cols, "left_anti"
+    )
+    return untouched.unionByName(survivors)

@@ -859,3 +859,42 @@ def test_partitioned_upsert_concurrent_writers(spark, tmp_path):
     assert rows[0] == "base"
     assert all(rows[100 + i] == "w100" for i in range(5))
     assert all(rows[200 + i] == "w200" for i in range(5))
+
+
+def test_apply_cdc_latest_wins_and_tombstones(spark):
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "s", "p"],
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 1: update then delete -> delete wins
+            (1, "a2", 11.0, 1, "U"),
+            (1, "a2", 11.0, 2, "D"),
+            # key 2: delete then a LATER re-insert -> row comes back
+            (2, "b2", 21.0, 2, "I"),
+            (2, "b", 20.0, 1, "D"),
+            # key 9: pure insert of a new key
+            (9, "z", 90.0, 1, "I"),
+        ],
+        ["k", "s", "p", "seq", "op"],
+    )
+    out = {r["k"]: (r["s"], r["p"])
+           for r in apply_cdc(target, changes, ["k"], "seq", "op").collect()}
+    assert out == {
+        2: ("b2", 21.0),   # re-insert after delete
+        3: ("c", 30.0),    # untouched
+        9: ("z", 90.0),    # new key
+    }
+    # key 1 deleted; applying the SAME feed again is idempotent
+    again = apply_cdc(
+        spark.createDataFrame(
+            [(k, s, p) for k, (s, p) in out.items()], ["k", "s", "p"]
+        ),
+        changes, ["k"], "seq", "op",
+    ).collect()
+    assert {r["k"]: (r["s"], r["p"]) for r in again} == out
