@@ -247,6 +247,52 @@ def main() -> None:
     def qf(df):
         return quality_filter(df)
 
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        profile_columns,
+        standardize,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.behavior import (
+        funnel,
+        retention_cohorts,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.setops import table_diff
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import apply_cdc
+
+    def funnel_case(ev):
+        return funnel(ev, "user_id", "ts", "event_type",
+                      ["view", "click", "purchase"], within_seconds=86400)
+
+    def cohorts(ev):
+        return retention_cohorts(ev, "user_id", "ts")
+
+    def zsc(ev):
+        return standardize(
+            ev.select("event_id", "event_type", "value"),
+            ("event_type",), "value",
+        )
+
+    def prof(df):
+        return profile_columns(
+            df, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+        )
+
+    def tdiff(df):
+        old = df.where(F.col("o_orderkey") % 97 != 0)
+        new = df.where(F.col("o_orderkey") % 89 != 0)
+        return table_diff(
+            old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+        ).groupBy("diff_status").agg(F.count(F.lit(1)))
+
+    def cdc(df):
+        t = df.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        ch = t.where(F.col("o_orderkey") % 11 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        )
+        return apply_cdc(t, ch, ["o_orderkey"], "seq", "op").groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)))
+
     def urls(df):
         dk = F.col("doc_id")
         fixture = df.select(
@@ -328,6 +374,12 @@ def main() -> None:
         "bm25_topk": (bm25, docs_1x, docs_nx),
         "quality_filter": (qf, docs_1x, docs_nx),
         "url_domain_stats": (urls, docs_1x, docs_nx),
+        "funnel": (funnel_case, ev_1x, ev_nx),
+        "retention_cohorts": (cohorts, ev_1x, ev_nx),
+        "zscore_standardize": (zsc, ev_1x, ev_nx),
+        "profile_columns": (prof, or_1x, or_nx),
+        "table_diff": (tdiff, or_1x, or_nx),
+        "cdc_apply": (cdc, or_1x, or_nx),
     }
 
     # ---- fixed-delta merge cases: the partition-pruned MERGE claim is
