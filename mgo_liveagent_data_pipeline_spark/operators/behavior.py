@@ -51,29 +51,43 @@ def funnel(
     ]
     per_user = df.groupBy(user_col).agg(*tses)
 
-    # fold the sequential recurrence as column expressions: t0 = earliest
-    # step-0 event; t_k = earliest step-k event in (t_{k-1}, t_{k-1}+W].
+    # fold the sequential recurrence one projection per step: t0 =
+    # earliest step-0 event; t_k = earliest step-k event in
+    # (t_{k-1}, t_{k-1}+W]. Each step's time is materialized as a real
+    # column (withColumn) so step k references an ATTRIBUTE, not an
+    # inlined copy of the whole t_{k-1} expression — inlining grows the
+    # tree ~2^k with funnel length and blows up codegen past ~10 steps.
     # F.get (0-based) is the null-on-missing element read — element_at
     # THROWS on an empty array under ANSI mode. The filter lambdas take
     # exactly ONE parameter: a second one would silently bind the array
-    # index (the (element, index) HOF form).
-    t_prev = F.get(F.col("__ts_0"), 0)
-    reach = [t_prev]
+    # index (the (element, index) HOF form). The window upper bound adds
+    # a make_interval — NOT unix_timestamp arithmetic, which truncates
+    # t_{k-1} to whole seconds and shrinks the window by the fractional
+    # part (a real divergence vs the oracle's INTERVAL arithmetic on
+    # microsecond-precision event timestamps).
+    # helper so each lambda stays SINGLE-parameter (PySpark counts
+    # parameters — including defaults — to pick the HOF arity) while
+    # binding this iteration's lo/hi by closure
+    def _after(arr, lo, hi):
+        if hi is None:
+            return F.filter(arr, lambda x: x > lo)
+        return F.filter(arr, lambda x: (x > lo) & (x <= hi))
+
+    cur = per_user.withColumn("__t0", F.get(F.col("__ts_0"), 0))
     for i in range(1, len(steps)):
-        lo = t_prev
-        if within_seconds is not None:
-            hi = F.timestamp_seconds(
-                F.unix_timestamp(t_prev) + within_seconds
-            )
-            cand = F.filter(
-                F.col(f"__ts_{i}"), lambda x: (x > lo) & (x <= hi)
-            )
-        else:
-            cand = F.filter(F.col(f"__ts_{i}"), lambda x: x > lo)
-        t_prev = F.get(cand, 0)
-        reach.append(t_prev)
-    reached = per_user.select(
-        *[r.isNotNull().cast("long").alias(f"__r{i}") for i, r in enumerate(reach)]
+        lo = F.col(f"__t{i - 1}")
+        hi = (
+            lo + F.make_interval(secs=F.lit(within_seconds))
+            if within_seconds is not None
+            else None
+        )
+        cand = _after(F.col(f"__ts_{i}"), lo, hi)
+        cur = cur.withColumn(f"__t{i}", F.get(cand, 0))
+    reached = cur.select(
+        *[
+            F.col(f"__t{i}").isNotNull().cast("long").alias(f"__r{i}")
+            for i in range(len(steps))
+        ]
     )
     agg = reached.agg(
         *[F.sum(f"__r{i}").alias(f"__n{i}") for i in range(len(steps))]
@@ -103,19 +117,27 @@ def retention_cohorts(
     Returns (cohort_week, week_no, n_users) where week_no 0 is the
     cohort week itself.
 
-    Plan: first-seen week is a groupBy(user) MIN; activity weeks are the
-    distinct (user, week) projection; one join on the user key (both
-    sides already hash-partitioned by user, so the join reuses the
-    aggregation's exchange) and a final count-distinct rollup at
-    (cohort, week_no) cardinality — weeks², not events."""
+    Plan: ONE groupBy(user) produces both the first-seen week (MIN) and
+    the distinct activity-week set (collect_set) — no separate distinct
+    projection, no join, so the whole per-user phase rides a single
+    user-key shuffle; exploding the week set yields |user-weeks| narrow
+    rows into the final count-distinct rollup at (cohort, week_no)
+    cardinality. week_no is a calendar-day difference (datediff // 7),
+    NOT epoch-second arithmetic: both buckets are week-truncated
+    Mondays, so day math is exact, and it stays correct in non-UTC
+    session timezones where a DST-transition week is not 604800 s
+    long."""
     week = F.date_trunc("week", F.col(ts_col))
-    first = df.groupBy(user_col).agg(F.min(week).alias("cohort_week"))
-    active = df.select(user_col, week.alias("__w")).distinct()
-    j = active.join(first, user_col)
-    week_no = (
-        (F.unix_timestamp("__w") - F.unix_timestamp("cohort_week"))
-        / (7 * 86400)
-    ).cast("long")
+    per_user = df.groupBy(user_col).agg(
+        F.min(week).alias("cohort_week"),
+        F.collect_set(week).alias("__ws"),
+    )
+    j = per_user.select(
+        user_col, "cohort_week", F.explode("__ws").alias("__w")
+    )
+    week_no = (F.datediff(F.col("__w"), F.col("cohort_week")) / 7).cast(
+        "long"
+    )
     return (
         j.select("cohort_week", week_no.alias("week_no"), F.col(user_col))
         .groupBy("cohort_week", "week_no")

@@ -79,11 +79,17 @@ def table_diff(
         F.lit(1).alias("__in_new"),
     )
     j = o.join(n, key_cols, "full_outer")
+    # seed with a Column: Python sum() of an EMPTY generator is int 0,
+    # which breaks `.when(n_diff > 0, ...)` for the legitimate key-only
+    # (value_cols=[]) added/removed diff
     n_diff = sum(
-        F.when(
-            F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), 0
-        ).otherwise(1)
-        for c in value_cols
+        (
+            F.when(
+                F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), 0
+            ).otherwise(1)
+            for c in value_cols
+        ),
+        start=F.lit(0),
     )
     status = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))

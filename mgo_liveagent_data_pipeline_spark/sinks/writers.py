@@ -1053,7 +1053,10 @@ def apply_cdc(
     a winning 'D' removes the key, anything else replaces the row.
     (``seq_col`` must order a key's changes totally — ties fall back to
     ``op_col`` so the result stays deterministic, but a feed with real
-    seq ties is ambiguous by construction.)
+    seq ties is ambiguous by construction.) A winning change whose op is
+    NULL (malformed feed row) is applied as an upsert, NOT a delete —
+    a bare ``op != 'D'`` filter evaluates NULL and would silently drop
+    the key exactly like a tombstone.
 
     Plan shape at 100 TB: ONE max_by aggregation collapses the feed to
     |changed keys| rows (map-side partial combine — a day's feed
@@ -1075,7 +1078,9 @@ def apply_cdc(
         )
         .select(*key_cols, "__last.*")
     )
-    survivors = latest.where(F.col(op_col) != "D").drop(op_col)
+    survivors = latest.where(
+        F.col(op_col).isNull() | (F.col(op_col) != "D")
+    ).drop(op_col)
     untouched = target.join(
         latest.select(*key_cols), key_cols, "left_anti"
     )

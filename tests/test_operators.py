@@ -265,6 +265,98 @@ def test_funnel_ordered_within_window(spark):
     assert out == {"view": (1, 3), "click": (2, 1), "buy": (3, 1)}
 
 
+def test_funnel_window_keeps_fractional_seconds(spark):
+    from datetime import datetime
+
+    from mgo_liveagent_data_pipeline_spark.operators.behavior import funnel
+
+    # view at .600; click at exactly view+window but landing INSIDE the
+    # window only because the bound keeps the fractional part — a
+    # unix_timestamp-based bound truncates .600 away and drops it
+    rows = [
+        (1, "view", datetime(2024, 1, 1, 0, 0, 0, 600000)),
+        (1, "click", datetime(2024, 1, 1, 1, 0, 0, 400000)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r["step"]: r["n_users"] for r in funnel(
+        df, "user_id", "ts", "event_type", ["view", "click"],
+        within_seconds=3600,
+    ).collect()}
+    assert out == {"view": 1, "click": 1}
+
+
+def test_funnel_many_steps_linear_plan(spark):
+    from datetime import datetime
+
+    from mgo_liveagent_data_pipeline_spark.operators.behavior import funnel
+
+    # 12 steps: would be ~2^12 expression nodes under inlined recurrence;
+    # the chained-attribute form must build and run fine
+    steps = [f"s{i}" for i in range(12)]
+    rows = [(1, s, datetime(2024, 1, 1, 0, i)) for i, s in enumerate(steps)]
+    rows += [(2, s, datetime(2024, 1, 1, 0, i))
+             for i, s in enumerate(steps[:5])]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r["step_no"]: r["n_users"] for r in funnel(
+        df, "user_id", "ts", "event_type", steps, within_seconds=3600,
+    ).collect()}
+    assert out == {i + 1: (2 if i < 5 else 1) for i in range(12)}
+
+
+def test_retention_cohorts_dst_week_not_misbucketed(spark):
+    from datetime import datetime
+
+    from mgo_liveagent_data_pipeline_spark.operators.behavior import (
+        retention_cohorts,
+    )
+
+    # America/New_York spring-forward week (2024-03-10): the week from
+    # Mon 03-04 to Mon 03-11 is 601200 s long, so epoch-second
+    # arithmetic floors week 1 down to week 0 — calendar-day math must
+    # not
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [
+            (1, datetime(2024, 3, 5)),   # cohort week Mon 03-04
+            (1, datetime(2024, 3, 12)),  # active week Mon 03-11
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        out = {(str(r["cohort_week"].date()), r["week_no"]): r["n_users"]
+               for r in retention_cohorts(df, "user_id", "ts").collect()}
+        assert out == {("2024-03-04", 0): 1, ("2024-03-04", 1): 1}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_retention_cohorts_single_user_shuffle(spark):
+    from datetime import datetime
+
+    from mgo_liveagent_data_pipeline_spark.operators.behavior import (
+        retention_cohorts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2)), (1, datetime(2024, 1, 9))],
+        ["user_id", "ts"],
+    )
+    out = retention_cohorts(df, "user_id", "ts")
+    # one corpus shuffle on user_id + one rollup shuffle — the old
+    # distinct-plus-join shape paid a third exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_table_diff_key_only(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.setops import table_diff
+
+    old = spark.createDataFrame([(1,), (2,)], ["k"])
+    new = spark.createDataFrame([(2,), (3,)], ["k"])
+    out = {r["k"]: r["diff_status"]
+           for r in table_diff(old, new, ["k"], []).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "added"}
+
+
 def test_retention_cohorts_triangle(spark):
     from datetime import datetime
 

@@ -898,3 +898,28 @@ def test_apply_cdc_latest_wins_and_tombstones(spark):
         changes, ["k"], "seq", "op",
     ).collect()
     assert {r["k"]: (r["s"], r["p"]) for r in again} == out
+
+
+def test_apply_cdc_null_op_is_upsert_not_silent_delete(spark):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import apply_cdc
+
+    target = spark.createDataFrame(
+        [(5, "old", 50.0)], ["k", "s", "p"]
+    )
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("s", StringType()),
+        StructField("p", DoubleType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+    ])
+    # malformed feed row: NULL op wins the key — must apply as an
+    # upsert, not vanish the key like a tombstone
+    changes = spark.createDataFrame([(5, "new", 55.0, 9, None)], schema)
+    out = {r["k"]: (r["s"], r["p"])
+           for r in apply_cdc(target, changes, ["k"], "seq", "op").collect()}
+    assert out == {5: ("new", 55.0)}
