@@ -323,6 +323,128 @@ def group_sample_k(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture resampling: downsample each domain so the kept
+    corpus approaches a TARGET token mixture (``weights``, normalized
+    internally) within an overall ``budget_tokens`` — the data-mixing
+    step that turns "whatever the crawl contains" into "30% web / 30%
+    code / 40% books". Domains absent from ``weights`` get weight 0 and
+    are dropped. A domain that is UNDER-represented keeps everything
+    (rate caps at 1.0 — hash sampling can only remove, not invent).
+
+    A doc survives iff its md5(key) bucket falls under its domain's
+    acceptance rate ``min(1, target_tokens / current_tokens)`` — the
+    same engine-/partitioning-independent determinism trick as
+    ``stratified_hash_sample``, but with the rate COMPUTED from the
+    corpus instead of supplied.
+
+    Plan at 100 TB: per-domain token totals are one hash agg with
+    map-side combine down to |domains| rows; the rates table is
+    broadcast back (no corpus shuffle), and the accept test is a narrow
+    filter fused into the scan projection. Returns the kept rows plus
+    ``accept_rate``.
+    """
+    total_w = sum(weights.values())
+    n_tokens = F.size(
+        F.filter(_tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    ).cast("long")
+    with_toks = df.withColumn("__nt", n_tokens)
+    cur = with_toks.groupBy(domain_col).agg(
+        F.sum("__nt").alias("__cur")
+    )
+    target = F.lit(None).cast("double")
+    for value, w in sorted(weights.items()):
+        target = F.when(
+            F.col(domain_col) == value,
+            F.lit(float(budget_tokens) * (w / total_w)),
+        ).otherwise(target)
+    # filter unlisted domains BEFORE least(): Spark's least() skips
+    # NULL operands, so least(1.0, NULL-target) would silently keep an
+    # unweighted domain in full instead of dropping it
+    rates = (
+        cur.withColumn("__target", target)
+        .where(F.col("__target").isNotNull())
+        .select(
+            domain_col,
+            F.least(
+                F.lit(1.0), F.col("__target") / F.col("__cur").cast("double")
+            ).alias("accept_rate"),
+        )
+    )
+    bucket = F.conv(
+        F.md5(F.col(key_col).cast("string")).substr(1, 8), 16, 10
+    ).cast("long")
+    scale = float(16**8)
+    return (
+        with_toks.join(F.broadcast(rates), domain_col)
+        .where(bucket < F.col("accept_rate") * F.lit(scale))
+        .drop("__nt")
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed bag-of-words linear model scoring — the fasttext-style
+    quality-classifier inference pass (score every document against a
+    trained linear model) that sits between the cheap heuristic filters
+    and expensive LLM scoring in a curation pipeline. ``weights`` is the
+    model: (bucket BIGINT, weight BIGINT) with integer weights in
+    fixed-point milli-units — INTEGER so the per-doc sum is
+    order-independent and bit-exact at any parallelism; the single
+    float division happens once per doc at the end.
+
+    Tokens hash to ``bucket`` via the first-8-hex-of-md5 trick (stable
+    across engines); score = mean token weight / 1000. Docs with no
+    tokens score NULL (kept, via the left join).
+
+    Plan at 100 TB: explode tokens (narrow flatMap), BROADCAST-join the
+    |n_buckets|-row model (no corpus shuffle), then ONE groupBy(key)
+    whose map-side combine collapses token rows back to |docs| before
+    the only shuffle. Returns (key, n_tokens, score).
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    exploded = df.select(
+        F.col(key_col), F.explode_outer(toks).alias("__tok")
+    )
+    bucket = (
+        F.conv(F.md5(F.col("__tok")).substr(1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+    scored = (
+        exploded.withColumn("__b", bucket)
+        .join(
+            F.broadcast(weights.withColumnRenamed("bucket", "__b")),
+            "__b",
+            "left",
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count("__tok").alias("n_tokens"),
+            F.sum("weight").alias("__wsum"),
+        )
+    )
+    return scored.select(
+        key_col,
+        F.col("n_tokens").cast("long"),
+        (
+            F.col("__wsum").cast("double")
+            / (F.col("n_tokens") * 1000).cast("double")
+        ).alias("score"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

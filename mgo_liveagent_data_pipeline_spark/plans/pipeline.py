@@ -462,6 +462,69 @@ def q_text_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# binary-exact mixture weights (0.25/0.5 avoid decimal-float drift in the
+# normalizing sum) and token budget for the mixture-resampling member
+MIXTURE_WEIGHTS = {"de": 0.5, "en": 0.25, "zh": 0.25}
+MIXTURE_BUDGET = 8000
+
+# hashed linear model size for the quality-scorer member
+QMODEL_BUCKETS = 4096
+
+
+def q_text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (operators/textops.py:mixture_sample):
+    rebalance the corpus toward a 50/25/25 de/en/zh token mixture within
+    an 8000-token budget — es/fr drop out (weight 0), de keeps
+    everything (under-represented, rate caps at 1.0), en/zh downsample.
+    Summarized per language. Driver-visible via the ``mixture`` mode of
+    ``text_corpus_stats``."""
+    from ..operators.textops import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs, "lang", MIXTURE_WEIGHTS, MIXTURE_BUDGET, "text", "doc_id"
+    )
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+        )
+    ).cast("long")
+    return (
+        kept.withColumn("__nt", n_tokens)
+        .groupBy("lang", "accept_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens_kept"),
+        )
+        .select("lang", "n_docs", "n_tokens_kept", "accept_rate")
+    )
+
+
+def qmodel_weights(spark: SparkSession) -> DataFrame:
+    """Deterministic stand-in for a trained linear model: integer
+    milli-weights derived from a Knuth multiplicative mix of the bucket
+    id, reproducible in any engine. A real deployment loads the trained
+    (bucket, weight) table instead; the scoring plan is identical."""
+    return spark.range(QMODEL_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 2654435761) % 2001 - 1000).alias("weight"),
+    )
+
+
+def q_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-model scoring
+    (operators/textops.py:hashed_linear_score): every document scored
+    against a 4096-bucket integer-weight model via explode →
+    broadcast-join → one groupBy(doc). Driver-visible via the
+    ``qmodel`` mode of ``text_corpus_stats``."""
+    from ..operators.textops import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(
+        docs, qmodel_weights(spark), QMODEL_BUCKETS, "text", "doc_id"
+    )
+
+
 def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text retrieval (operators/textops.py:bm25_topk): top-15
     documents for the query ``hash join vector`` — rational-idf BM25 over
@@ -510,6 +573,8 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "text_stratified_sample": q_text_stratified_sample,
+    "text_mixture_sample": q_text_mixture_sample,
+    "text_quality_model": q_text_quality_model,
     "text_paragraph_dedup": q_text_paragraph_dedup,
     "text_decontaminate": q_text_decontaminate,
     "text_shard_pack": q_text_shard_pack,
@@ -1139,6 +1204,59 @@ ORACLES: dict[str, str] = {
         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
               < (CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END) * 4294967296.0
         GROUP BY lang
+    """,
+    # mixture resample: rate = min(1, budget·w/Σw ÷ current-domain
+    # tokens); keep iff md5 bucket < rate·16^8 (same trick as
+    # text_stratified_sample, rate computed from the corpus)
+    "text_mixture_sample": r"""
+        WITH d AS (
+          SELECT lang, doc_id,
+                 length(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS nt
+          FROM documents),
+        cur AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS c
+                FROM d GROUP BY lang),
+        r AS (
+          SELECT lang,
+                 least(1.0,
+                   (8000.0 * (CASE lang WHEN 'de' THEN 0.5
+                                        WHEN 'en' THEN 0.25
+                                        WHEN 'zh' THEN 0.25 END / 1.0))
+                   / CAST(c AS DOUBLE)) AS accept_rate
+          FROM cur
+          WHERE lang IN ('de', 'en', 'zh')),
+        k AS (
+          SELECT d.lang, d.doc_id, d.nt, r.accept_rate
+          FROM d JOIN r USING (lang)
+          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) < accept_rate * 4294967296.0)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens_kept, accept_rate
+        FROM k GROUP BY lang, accept_rate
+    """,
+    # hashed linear scorer: integer milli-weight per md5 bucket, one
+    # integer sum per doc, single double division at the end
+    "text_quality_model": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        w AS (SELECT range AS b, (range * 2654435761) % 2001 - 1000 AS wt
+              FROM range(0, 4096)),
+        ex AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+        s AS (
+          SELECT ex.doc_id, count(*) AS n, sum(w.wt) AS ws
+          FROM ex JOIN w
+            ON CAST(('0x' || substring(md5(ex.tok), 1, 8)) AS BIGINT) % 4096
+               = w.b
+          GROUP BY ex.doc_id)
+        SELECT t.doc_id,
+               CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+               CASE WHEN s.n > 0
+                    THEN CAST(s.ws AS DOUBLE) / CAST(s.n * 1000 AS DOUBLE)
+               END AS score
+        FROM toks t LEFT JOIN s USING (doc_id)
     """,
     "text_pii_scrub": r"""
         WITH t AS (

@@ -411,9 +411,13 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bm25`` rows (BM25 top-15 retrieval for a fixed query,
     operators/textops.py:bm25_topk), ``decontam`` rows
     (eval-overlap hits per contaminated doc,
-    operators/textops.py:decontaminate) and ``shard`` rows (per-shard
+    operators/textops.py:decontaminate), ``shard`` rows (per-shard
     doc/token totals from the two-phase prefix-sum packer,
-    operators/textops.py:pack_shards)."""
+    operators/textops.py:pack_shards), ``mixture`` rows (per-language
+    summary of the domain-mixture resample toward a 50/25/25 de/en/zh
+    token target, operators/textops.py:mixture_sample) and ``qmodel``
+    rows (per-doc hashed-linear quality-model scores,
+    operators/textops.py:hashed_linear_score)."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -509,6 +513,20 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").alias("n"),
         )
     )
+    mixture = pipeline.q_text_mixture_sample(spark, sf_dir).select(
+        F.lit("mixture").alias("mode"),
+        F.col("lang").alias("key_s"),
+        F.col("n_docs").alias("key_n"),
+        F.col("accept_rate").alias("metric"),
+        F.col("n_tokens_kept").alias("n"),
+    )
+    qmodel = pipeline.q_text_quality_model(spark, sf_dir).select(
+        F.lit("qmodel").alias("mode"),
+        _null("string").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        F.col("score").alias("metric"),
+        F.col("n_tokens").alias("n"),
+    )
     return (
         tfidf.unionByName(sample)
         .unionByName(rep_tok)
@@ -521,6 +539,8 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bm25)
         .unionByName(decon)
         .unionByName(shard)
+        .unionByName(mixture)
+        .unionByName(qmodel)
     )
 
 
@@ -1097,6 +1117,18 @@ ORACLES: dict[str, str] = {
         "count(*) AS n FROM ("
         + _P["text_shard_pack"]
         + ") GROUP BY shard_id"
+        + " UNION ALL "
+        + _tagged(
+            _P["text_mixture_sample"],
+            "'mixture' AS mode, lang AS key_s, n_docs AS key_n, "
+            "accept_rate AS metric, n_tokens_kept AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_quality_model"],
+            "'qmodel' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
+            "doc_id AS key_n, score AS metric, n_tokens AS n",
+        )
     ),
     "f11_f12_schedule_safecast": """
         SELECT event_id,

@@ -838,3 +838,74 @@ def test_standardize_preserves_null_group_and_quantized_constants(spark):
     assert out[(None, 5.0)] is None
     assert out[("c", 0.1234567)] is None      # constant group -> NULL
     assert out[("a", 1.0)] == -1.0 and out[("a", 2.0)] == 1.0
+
+
+def test_mixture_sample_rates_cap_and_unweighted_drop(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        mixture_sample,
+    )
+
+    # domain a: 10 docs x 10 tokens = 100; domain b: 1 doc x 10 = 10;
+    # domain c unweighted -> dropped entirely
+    rows = []
+    for i in range(10):
+        rows.append((i, "a", " ".join(["w"] * 10)))
+    rows.append((100, "b", " ".join(["w"] * 10)))
+    rows.append((200, "c", " ".join(["w"] * 10)))
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+    # budget 60, weights 5/1: a target 50/100 -> rate 0.5; b target
+    # 10/10 -> rate caps at 1.0 (under-represented keeps everything)
+    out = mixture_sample(
+        df, "domain", {"a": 5.0, "b": 1.0}, 60, "text", "doc_id"
+    )
+    got = out.collect()
+    rates = {r["domain"]: r["accept_rate"] for r in got}
+    assert rates.get("b") == 1.0
+    assert all(r["domain"] != "c" for r in got)
+    # md5-bucket fractions of "0".."9": only ids 6 (0.09), 9 (0.27)
+    # fall under 0.5 — the deterministic half-rate subset
+    kept_a = sorted(r["doc_id"] for r in got if r["domain"] == "a")
+    assert kept_a == [6, 9]
+
+
+def test_hashed_linear_score_exact_and_empty_doc(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        hashed_linear_score,
+    )
+
+    weights = spark.range(64).selectExpr(
+        "id AS bucket", "CAST(id * 10 AS BIGINT) AS weight"
+    )
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "   ")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in hashed_linear_score(
+        df, weights, 64, "text", "doc_id"
+    ).collect()}
+    assert out[1]["n_tokens"] == 3
+    # recompute expected: bucket = first-8-hex md5 % 64, weight b*10
+    import hashlib
+    def b(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+    expected = (b("x") * 10 * 2 + b("y") * 10) / (3 * 1000)
+    assert abs(out[1]["score"] - expected) < 1e-12
+    # whitespace-only doc: kept, zero tokens, NULL score
+    assert out[2]["n_tokens"] == 0 and out[2]["score"] is None
+
+
+def test_hashed_linear_score_plan_broadcasts_model(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        hashed_linear_score,
+    )
+
+    weights = spark.range(64).selectExpr(
+        "id AS bucket", "CAST(id AS BIGINT) AS weight"
+    )
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    plan = (
+        hashed_linear_score(df, weights, 64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the model join must be broadcast (no corpus shuffle before the
+    # per-doc aggregation)
+    assert "BroadcastHashJoin" in plan, plan
