@@ -44,6 +44,10 @@ def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       both layouts (``q_k_scd2_upsert``).
     * ``cdc`` — the change-feed latest-wins apply with delete
       tombstones (``q_k_cdc_apply``, sinks/writers.py:apply_cdc).
+    * ``ttravel`` — time travel on the versioned (atomic-pointer) table:
+      seed, merge, then read version 1 back — the pre-merge snapshot
+      must still be byte-readable after the merge committed
+      (sinks/writers.py:read_versioned / list_versions).
 
     The flat and partitioned halves share one merge-algebra oracle, so a
     hash match proves the partition-pruned write path produces the
@@ -75,8 +79,16 @@ def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = q_k_cdc_apply(spark, sf_dir).select(
         F.lit("cdc").alias("mode"), "status", "n", "total_value"
     )
+
+    from ..sinks.writers import read_versioned, versioned_upsert, versioned_write
+
+    versioned_write(orders, base_dir, "orders_v")
+    versioned_upsert(spark, source, base_dir, "orders_v", "o_orderkey")
+    ttravel = read_versioned(spark, base_dir, "orders_v", version=1)
+
     return agg(merged, "flat").unionByName(agg(pmerged, "partitioned")) \
-        .unionByName(q_k_scd2_upsert(spark, sf_dir)).unionByName(cdc)
+        .unionByName(q_k_scd2_upsert(spark, sf_dir)).unionByName(cdc) \
+        .unionByName(agg(ttravel, "ttravel"))
 
 
 def q_k_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,6 +462,12 @@ ORACLES: dict[str, str] = {
         SELECT 'cdc' AS mode, status, n, total_value FROM ("""
     + _CDC_SQL
     + """)
+        UNION ALL
+        -- time travel: version 1 is the table BEFORE the merge
+        SELECT 'ttravel' AS mode, o_orderstatus AS status, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_value
+        FROM orders GROUP BY o_orderstatus
     """,
     # after batch 2: key%20==0 rows are closed at T2 with an 'X' successor;
     # every other key keeps its T1-open row (including the re-delivered

@@ -299,12 +299,54 @@ def _allocate_version(vdir: str) -> tuple[int, list[int]]:
             continue
 
 
+def _committed_versions(vdir: str) -> set[int]:
+    """Versions recorded as committed: the ``_HISTORY`` log plus whatever
+    ``_CURRENT`` points at (a crash between pointer flip and history
+    append leaves the new version current-but-unlogged; the next publish
+    reconciles it)."""
+    out: set[int] = set()
+    hist = os.path.join(vdir, "_HISTORY")
+    if os.path.exists(hist):
+        with open(hist) as f:
+            out.update(
+                int(line.strip()[2:])
+                for line in f
+                if line.strip().startswith("v_")
+            )
+    pointer = os.path.join(vdir, "_CURRENT")
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            out.add(int(f.read().strip()[2:]))
+    return out
+
+
+def _append_history(vdir: str, v: int) -> None:
+    with open(os.path.join(vdir, "_HISTORY"), "a") as f:
+        f.write(f"v_{v}\n")
+
+
 def _publish_version(
     df: DataFrame, vdir: str, keep: int, lease: "WriterLease | None" = None
 ) -> str:
     """Write a new version and flip the pointer. Caller holds the lease;
     passing it enables the pre-flip ownership check (``LeaseLostError``
     instead of a lost update if the lease was stolen mid-write)."""
+    # reconcile: a prior publisher may have crashed after its pointer
+    # flip but before logging history — adopt the current version into
+    # the log so time travel keeps seeing it once we supersede it
+    pointer_f = os.path.join(vdir, "_CURRENT")
+    if os.path.exists(pointer_f):
+        with open(pointer_f) as f:
+            cur = int(f.read().strip()[2:])
+        with open(os.path.join(vdir, "_HISTORY"), "a+") as f:
+            f.seek(0)
+            logged = {
+                int(line.strip()[2:])
+                for line in f
+                if line.strip().startswith("v_")
+            }
+            if cur not in logged:
+                f.write(f"v_{cur}\n")
     new_v, existing = _allocate_version(vdir)
     vpath = os.path.join(vdir, f"v_{new_v}")
     df.write.mode("overwrite").parquet(vpath)
@@ -319,9 +361,20 @@ def _publish_version(
             f"lease on {vdir} lost before pointer flip; aborting publish"
         )
     os.replace(tmp, pointer)  # the atomic commit
-    # prune versions older than the kept window (current + keep-1 before)
-    for v in existing[: max(0, len(existing) - (keep - 1))]:
-        shutil.rmtree(os.path.join(vdir, f"v_{v}"), ignore_errors=True)
+    _append_history(vdir, new_v)
+    # prune COMMITTED versions older than the kept window (current +
+    # keep-1 before) and sweep dead orphans (allocated below new_v but
+    # never committed — a crashed writer's leftovers; allocation is
+    # lease-serialized so nothing below new_v can still be in flight)
+    committed = sorted(_committed_versions(vdir))
+    retained = set(committed[max(0, len(committed) - keep):])
+    for v in existing:
+        if v not in retained:
+            shutil.rmtree(os.path.join(vdir, f"v_{v}"), ignore_errors=True)
+    hist_tmp = os.path.join(vdir, "_HISTORY.tmp")
+    with open(hist_tmp, "w") as f:
+        f.writelines(f"v_{v}\n" for v in sorted(retained))
+    os.replace(hist_tmp, os.path.join(vdir, "_HISTORY"))
     return vpath
 
 
@@ -348,12 +401,42 @@ def versioned_write(df: DataFrame, base_dir: str, name: str, keep: int = 2) -> s
         return _publish_version(df, vdir, keep, lease)
 
 
-def read_versioned(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
-    """Resolve the ``_CURRENT`` pointer and read that version."""
+def list_versions(base_dir: str, name: str) -> list[int]:
+    """Readable committed versions, ascending — the time-travel window:
+    the ``keep`` retained versions that are both in the commit record
+    (``_HISTORY`` ∪ current pointer — an allocated-but-never-committed
+    orphan from a crashed writer is NOT history) and still on disk."""
     vdir = _versioned_dir(base_dir, name)
-    with open(os.path.join(vdir, "_CURRENT")) as f:
-        v = f.read().strip()
-    return spark.read.parquet(os.path.join(vdir, v))
+    return sorted(
+        v
+        for v in _committed_versions(vdir)
+        if os.path.isdir(os.path.join(vdir, f"v_{v}"))
+    )
+
+
+def read_versioned(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read the table — the ``_CURRENT`` pointer by default, or a
+    retained older ``version`` (time travel, Delta's ``versionAsOf``):
+    audit "what did the table say when the 03:00 job ran", reproduce a
+    training run against the exact snapshot it saw, diff two loads with
+    ``table_diff``. Raises ``ValueError`` for a version outside the
+    retained window (pruned, never committed, or future)."""
+    vdir = _versioned_dir(base_dir, name)
+    if version is None:
+        with open(os.path.join(vdir, "_CURRENT")) as f:
+            v = f.read().strip()
+        return spark.read.parquet(os.path.join(vdir, v))
+    retained = list_versions(base_dir, name)
+    if version not in retained:
+        raise ValueError(
+            f"version {version} not readable for {name}; retained: {retained}"
+        )
+    return spark.read.parquet(os.path.join(vdir, f"v_{version}"))
 
 
 def versioned_upsert(

@@ -143,6 +143,47 @@ def test_versioned_table_atomic_pointer_flip(spark, tmp_path):
     assert os.path.isdir(os.path.join(vdir, cur))
 
 
+def test_versioned_time_travel_window(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _versioned_dir,
+        list_versions,
+        read_versioned,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    tmp = str(tmp_path)
+    seed = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    versioned_write(seed, tmp, "t")                     # v1
+    src = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"])
+    versioned_upsert(spark, src, tmp, "t", "id")        # v2
+
+    # an allocated-but-never-committed orphan is NOT time-travelable
+    vdir = _versioned_dir(tmp, "t")
+    orphan = os.path.join(vdir, "v_99")
+    spark.createDataFrame([(9, "x")], ["id", "v"]).write.parquet(orphan)
+    assert list_versions(tmp, "t") == [1, 2]
+
+    # version 1 is the pre-merge snapshot, current is the merged state
+    old = {r["id"]: r["v"]
+           for r in read_versioned(spark, tmp, "t", version=1).collect()}
+    assert old == {1: "a", 2: "b"}
+    now = {r["id"]: r["v"] for r in read_versioned(spark, tmp, "t").collect()}
+    assert now == {1: "a", 2: "B", 3: "c"}
+
+    # a third publish prunes v1 (keep=2): outside the window -> error
+    versioned_upsert(spark, src, tmp, "t", "id")
+    assert 1 not in list_versions(tmp, "t")
+    with pytest.raises(ValueError, match="not readable"):
+        read_versioned(spark, tmp, "t", version=1)
+    with pytest.raises(ValueError, match="not readable"):
+        read_versioned(spark, tmp, "t", version=99)
+
+
 def test_writer_lease_breaks_stale_lock(spark, tmp_path):
     """A lock file left by a crashed writer (older than the TTL) is broken
     by the next writer instead of wedging the table forever."""

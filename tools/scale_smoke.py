@@ -293,6 +293,23 @@ def main() -> None:
             "o_orderstatus"
         ).agg(F.count(F.lit(1)))
 
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        hashed_linear_score,
+        mixture_sample,
+    )
+    from mgo_liveagent_data_pipeline_spark.plans.pipeline import (
+        qmodel_weights,
+    )
+
+    def mix(df):
+        return mixture_sample(
+            df, "lang", {"de": 0.5, "en": 0.25, "zh": 0.25}, 8000,
+            "text", "doc_id",
+        ).groupBy("lang").agg(F.count(F.lit(1)))
+
+    def qmodel(df):
+        return hashed_linear_score(df, qmodel_weights(spark), 4096)
+
     def urls(df):
         dk = F.col("doc_id")
         fixture = df.select(
@@ -380,6 +397,8 @@ def main() -> None:
         "profile_columns": (prof, or_1x, or_nx),
         "table_diff": (tdiff, or_1x, or_nx),
         "cdc_apply": (cdc, or_1x, or_nx),
+        "mixture_sample": (mix, docs_1x, docs_nx),
+        "qmodel_score": (qmodel, docs_1x, docs_nx),
     }
 
     # ---- fixed-delta merge cases: the partition-pruned MERGE claim is
