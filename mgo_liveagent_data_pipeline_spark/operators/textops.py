@@ -349,7 +349,8 @@ def mixture_sample(
     map-side combine down to |domains| rows; the rates table is
     broadcast back (no corpus shuffle), and the accept test is a narrow
     filter fused into the scan projection. Returns the kept rows plus
-    ``accept_rate``.
+    ``accept_rate`` and the per-doc ``n_tokens`` already computed for
+    the totals (so callers don't re-tokenize to report budgets).
     """
     total_w = sum(weights.values())
     n_tokens = F.size(
@@ -367,15 +368,17 @@ def mixture_sample(
         ).otherwise(target)
     # filter unlisted domains BEFORE least(): Spark's least() skips
     # NULL operands, so least(1.0, NULL-target) would silently keep an
-    # unweighted domain in full instead of dropping it
+    # unweighted domain in full instead of dropping it. Zero-token
+    # weighted domains rate 1.0 outright (under-represented in the
+    # extreme) — the division would raise DIVIDE_BY_ZERO under ANSI
     rates = (
         cur.withColumn("__target", target)
         .where(F.col("__target").isNotNull())
         .select(
             domain_col,
-            F.least(
+            F.when(F.col("__cur") > 0, F.least(
                 F.lit(1.0), F.col("__target") / F.col("__cur").cast("double")
-            ).alias("accept_rate"),
+            )).otherwise(F.lit(1.0)).alias("accept_rate"),
         )
     )
     bucket = F.conv(
@@ -385,7 +388,7 @@ def mixture_sample(
     return (
         with_toks.join(F.broadcast(rates), domain_col)
         .where(bucket < F.col("accept_rate") * F.lit(scale))
-        .drop("__nt")
+        .withColumnRenamed("__nt", "n_tokens")
     )
 
 

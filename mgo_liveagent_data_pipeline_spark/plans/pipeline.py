@@ -484,17 +484,11 @@ def q_text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = mixture_sample(
         docs, "lang", MIXTURE_WEIGHTS, MIXTURE_BUDGET, "text", "doc_id"
     )
-    n_tokens = F.size(
-        F.filter(
-            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
-        )
-    ).cast("long")
     return (
-        kept.withColumn("__nt", n_tokens)
-        .groupBy("lang", "accept_rate")
+        kept.groupBy("lang", "accept_rate")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__nt").alias("n_tokens_kept"),
+            F.sum("n_tokens").alias("n_tokens_kept"),
         )
         .select("lang", "n_docs", "n_tokens_kept", "accept_rate")
     )

@@ -299,24 +299,43 @@ def _allocate_version(vdir: str) -> tuple[int, list[int]]:
             continue
 
 
+def _logged_versions(vdir: str) -> set[int]:
+    """Versions recorded in the ``_HISTORY`` log."""
+    hist = os.path.join(vdir, "_HISTORY")
+    if not os.path.exists(hist):
+        return set()
+    with open(hist) as f:
+        return {
+            int(line.strip()[2:])
+            for line in f
+            if line.strip().startswith("v_")
+        }
+
+
+def _read_pointer(vdir: str) -> int | None:
+    """Parse ``_CURRENT``; None if absent or torn (a crash can leave the
+    pointer zero-length — rename-without-fsync — and a torn pointer must
+    degrade to 'no current', not an unhandled ValueError that wedges
+    every subsequent publish)."""
+    pointer = os.path.join(vdir, "_CURRENT")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as f:
+        raw = f.read().strip()
+    if raw.startswith("v_") and raw[2:].isdigit():
+        return int(raw[2:])
+    return None
+
+
 def _committed_versions(vdir: str) -> set[int]:
     """Versions recorded as committed: the ``_HISTORY`` log plus whatever
     ``_CURRENT`` points at (a crash between pointer flip and history
     append leaves the new version current-but-unlogged; the next publish
     reconciles it)."""
-    out: set[int] = set()
-    hist = os.path.join(vdir, "_HISTORY")
-    if os.path.exists(hist):
-        with open(hist) as f:
-            out.update(
-                int(line.strip()[2:])
-                for line in f
-                if line.strip().startswith("v_")
-            )
-    pointer = os.path.join(vdir, "_CURRENT")
-    if os.path.exists(pointer):
-        with open(pointer) as f:
-            out.add(int(f.read().strip()[2:]))
+    out = _logged_versions(vdir)
+    cur = _read_pointer(vdir)
+    if cur is not None:
+        out.add(cur)
     return out
 
 
@@ -334,19 +353,9 @@ def _publish_version(
     # reconcile: a prior publisher may have crashed after its pointer
     # flip but before logging history — adopt the current version into
     # the log so time travel keeps seeing it once we supersede it
-    pointer_f = os.path.join(vdir, "_CURRENT")
-    if os.path.exists(pointer_f):
-        with open(pointer_f) as f:
-            cur = int(f.read().strip()[2:])
-        with open(os.path.join(vdir, "_HISTORY"), "a+") as f:
-            f.seek(0)
-            logged = {
-                int(line.strip()[2:])
-                for line in f
-                if line.strip().startswith("v_")
-            }
-            if cur not in logged:
-                f.write(f"v_{cur}\n")
+    cur = _read_pointer(vdir)
+    if cur is not None and cur not in _logged_versions(vdir):
+        _append_history(vdir, cur)
     new_v, existing = _allocate_version(vdir)
     vpath = os.path.join(vdir, f"v_{new_v}")
     df.write.mode("overwrite").parquet(vpath)
@@ -354,6 +363,9 @@ def _publish_version(
     tmp = pointer + ".tmp"
     with open(tmp, "w") as f:
         f.write(f"v_{new_v}")
+        f.flush()
+        os.fsync(f.fileno())  # a torn pointer after os.replace is a
+        # corrupt table for readers; fsync-before-rename closes it
     if lease is not None and not lease.owns():
         os.unlink(tmp)
         shutil.rmtree(vpath, ignore_errors=True)
@@ -425,12 +437,22 @@ def read_versioned(
     audit "what did the table say when the 03:00 job ran", reproduce a
     training run against the exact snapshot it saw, diff two loads with
     ``table_diff``. Raises ``ValueError`` for a version outside the
-    retained window (pruned, never committed, or future)."""
+    retained window (pruned, never committed, or future).
+
+    Caveat (same as any lazy reader of the oldest retained version): the
+    window check is eager but the parquet read is lazy, so a publish
+    that prunes the requested version between this call and the action
+    surfaces as a FileNotFoundException, not this ValueError — size
+    ``keep`` to cover the longest in-flight read."""
     vdir = _versioned_dir(base_dir, name)
     if version is None:
-        with open(os.path.join(vdir, "_CURRENT")) as f:
-            v = f.read().strip()
-        return spark.read.parquet(os.path.join(vdir, v))
+        cur = _read_pointer(vdir)
+        if cur is None:
+            raise ValueError(
+                f"no committed current version for {name} (missing or "
+                f"torn _CURRENT pointer; republish to heal)"
+            )
+        return spark.read.parquet(os.path.join(vdir, f"v_{cur}"))
     retained = list_versions(base_dir, name)
     if version not in retained:
         raise ValueError(

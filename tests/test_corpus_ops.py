@@ -866,6 +866,17 @@ def test_mixture_sample_rates_cap_and_unweighted_drop(spark):
     # fall under 0.5 — the deterministic half-rate subset
     kept_a = sorted(r["doc_id"] for r in got if r["domain"] == "a")
     assert kept_a == [6, 9]
+    # kept rows carry the already-computed token counts
+    assert all(r["n_tokens"] == 10 for r in got)
+
+    # a weighted domain with ZERO corpus tokens must rate 1.0, not
+    # raise DIVIDE_BY_ZERO under the ANSI session
+    empty = spark.createDataFrame(
+        [(1, "e", "   "), (2, "e", "")], ["doc_id", "domain", "text"]
+    )
+    out2 = mixture_sample(empty, "domain", {"e": 1.0}, 100).collect()
+    assert {r["doc_id"] for r in out2} == {1, 2}
+    assert all(r["accept_rate"] == 1.0 for r in out2)
 
 
 def test_hashed_linear_score_exact_and_empty_doc(spark):
