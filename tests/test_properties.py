@@ -312,3 +312,53 @@ def test_cms_estimate_upper_bounds_every_count(spark, values):
     assert set(est) == set(true)
     for v, t in true.items():
         assert est[v] >= t
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),           # domain
+            st.integers(min_value=0, max_value=8),      # token count
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=1, max_value=200),            # budget
+)
+def test_mixture_sample_matches_python_reference(spark, rows, budget):
+    """The kept set equals the single-threaded reference: per-domain
+    rate = min(1, budget·w/Σw ÷ domain tokens) (1.0 when the domain has
+    no tokens), keep iff first-8-hex md5(doc_id) < rate·16^8. Domain
+    'c' is unweighted and must vanish."""
+    import hashlib
+
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        mixture_sample,
+    )
+
+    weights = {"a": 0.5, "b": 0.5}
+    data = [
+        (i, dom, " ".join(["w"] * nt)) for i, (dom, nt) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "domain", "text"])
+    got = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "domain", weights, budget, "text", "doc_id"
+        ).collect()
+    )
+
+    cur: dict[str, int] = {}
+    for _i, dom, text in data:
+        cur[dom] = cur.get(dom, 0) + len(text.split())
+    expect = []
+    for i, dom, _text in data:
+        if dom not in weights:
+            continue
+        target = float(budget) * (weights[dom] / 1.0)
+        rate = 1.0 if cur[dom] == 0 else min(1.0, target / cur[dom])
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        if bucket < rate * 16**8:
+            expect.append(i)
+    assert got == sorted(expect)
