@@ -147,7 +147,10 @@ def q_k_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     it. Batch 2 runs twice on the flat layout (idempotent no-op). The
     aggregation key encodes status + both validity dates, so a hash match
     pins the full [valid_from, valid_to) history, not just current rows.
-    The reference keeps only load-time history (extractor_bq_helpers.py:
+    A third ``scd2asof`` mode reads the history back AS OF a timestamp
+    between the two batches (sinks/writers.py:scd2_as_of) — the
+    point-in-time view must reproduce the T1 state exactly. The
+    reference keeps only load-time history (extractor_bq_helpers.py:
     83-108); SCD2 is its point-in-time strengthening."""
     base_dir = tempfile.mkdtemp(prefix="mgo_scd2_")
     orders = load_table(spark, sf_dir, "orders")
@@ -193,7 +196,14 @@ def q_k_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(tag).alias("mode"), "status", "n", "total_value")
         )
 
-    return agg(flat, "scd2").unionByName(agg(part, "scd2p"))
+    from ..sinks.writers import scd2_as_of
+
+    asof = scd2_as_of(flat, "2024-03-01 00:00:00")
+    return (
+        agg(flat, "scd2")
+        .unionByName(agg(part, "scd2p"))
+        .unionByName(agg(asof, "scd2asof"))
+    )
 
 
 def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,7 +467,16 @@ ORACLES: dict[str, str] = {
                FROM r GROUP BY 1)
         SELECT 'scd2' AS mode, status, n, total_value FROM sagg
         UNION ALL
-        SELECT 'scd2p' AS mode, status, n, total_value FROM sagg)
+        SELECT 'scd2p' AS mode, status, n, total_value FROM sagg
+        UNION ALL
+        SELECT 'scd2asof' AS mode,
+               o_orderstatus || '@' || vf || '/' || vt AS status,
+               count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_value
+        FROM r
+        WHERE vf <= '2024-03-01' AND (vt = 'open' OR vt > '2024-03-01')
+        GROUP BY 2)
         UNION ALL
         SELECT 'cdc' AS mode, status, n, total_value FROM ("""
     + _CDC_SQL
@@ -491,6 +510,16 @@ ORACLES: dict[str, str] = {
         SELECT 'scd2' AS mode, status, n, total_value FROM sagg
         UNION ALL
         SELECT 'scd2p' AS mode, status, n, total_value FROM sagg
+        UNION ALL
+        -- point-in-time view between the batches = the T1 state
+        SELECT 'scd2asof' AS mode,
+               o_orderstatus || '@' || vf || '/' || vt AS status,
+               count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_value
+        FROM r
+        WHERE vf <= '2024-03-01' AND (vt = 'open' OR vt > '2024-03-01')
+        GROUP BY 2
     """,
     "k5_history_sink": """
         SELECT 'hist' AS mode, n_name AS k1, CAST(1 AS BIGINT) AS n,
