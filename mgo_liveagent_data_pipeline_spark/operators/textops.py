@@ -352,11 +352,16 @@ def mixture_sample(
     ``accept_rate`` and the per-doc ``n_tokens`` already computed for
     the totals (so callers don't re-tokenize to report budgets).
     """
+    from .dedup import _scoped_persist
+
     total_w = sum(weights.values())
     n_tokens = F.size(
         F.filter(_tokens(F.col(text_col)), lambda x: x != F.lit(""))
     ).cast("long")
-    with_toks = df.withColumn("__nt", n_tokens)
+    # consumed twice (per-domain totals, then the accept filter) — persist
+    # so the corpus is scanned and tokenized once (released via
+    # dedup.release_intermediates, same as gap_fill_locf / bm25_topk)
+    with_toks = _scoped_persist(df.withColumn("__nt", n_tokens))
     cur = with_toks.groupBy(domain_col).agg(
         F.sum("__nt").alias("__cur")
     )

@@ -80,9 +80,12 @@ def sessionize(
         [F.col(tiebreak_col)] if tiebreak_col is not None else []
     )
     w = Window.partitionBy(key_col).orderBy(*order)
-    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    # microsecond-exact gap: unix_timestamp() truncates fractional
+    # seconds, which would session events 3600.9 s apart together at
+    # gap_seconds=3600 — the same truncation bug the funnel fix rejected
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
     boundary = F.when(
-        gap.isNull() | (gap > gap_seconds), F.lit(1)
+        gap.isNull() | (gap > gap_seconds * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     running = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -115,8 +115,11 @@ def q_k_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice",
         F.lit(3).alias("seq"), F.lit("D").alias("op"),
     )
+    # negative keys keep the insert leg disjoint from live orderkeys at
+    # EVERY scale factor (a fixed positive shift collides once orderkeys
+    # exceed it, silently degrading inserts into updates)
     ins = t.where(k % 31 == 0).select(
-        (k + 3_000_000).alias("o_orderkey"),
+        (-k).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
         F.col("o_totalprice"),
         F.lit(1).alias("seq"), F.lit("I").alias("op"),
@@ -411,7 +414,7 @@ _CDC_SQL = """
           UNION ALL
           SELECT k, s, p, 3, 'D' FROM t WHERE k % 23 = 0
           UNION ALL
-          SELECT k + 3000000, 'N', p, 1, 'I' FROM t WHERE k % 31 = 0),
+          SELECT -k, 'N', p, 1, 'I' FROM t WHERE k % 31 = 0),
         latest AS (
           SELECT k, s, p, op FROM (
             SELECT *, row_number() OVER (

@@ -1179,8 +1179,8 @@ ORACLES: dict[str, str] = {
           FROM events),
         s AS (
           SELECT *, CAST(sum(CASE WHEN prev_ts IS NULL
-                        OR (epoch_us(ts) // 1000000)
-                           - (epoch_us(prev_ts) // 1000000) > 21600
+                        OR epoch_us(ts) - epoch_us(prev_ts)
+                           > CAST(21600 AS BIGINT) * 1000000
                       THEN 1 ELSE 0 END) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1305,16 +1305,21 @@ ORACLES: dict[str, str] = {
                  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s,
                  CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
                    AS s2,
-                 CAST(count(value) AS DOUBLE) AS n
+                 CAST(count(value) AS DOUBLE) AS n,
+                 min(value) AS mn, max(value) AS mx
           FROM events GROUP BY 1),
         m AS (
-          SELECT event_type, s / n AS mean,
+          SELECT event_type, mn, mx, s / n AS mean,
                  s2 / n - (s / n) * (s / n) AS var
           FROM st)
+        -- LEFT JOIN + min<>max guard mirror the standardize operator:
+        -- NULL-keyed rows are kept (zscore NULL) and quantized constant
+        -- groups are caught even when var rounds to a small positive
         SELECT e.event_id, e.event_type, e.value,
                round((e.value - m.mean)
-                     / sqrt(CASE WHEN m.var > 0 THEN m.var END), 6) AS zscore
-        FROM events e JOIN m USING (event_type)
+                     / sqrt(CASE WHEN m.mn < m.mx AND m.var > 0
+                            THEN m.var END), 6) AS zscore
+        FROM events e LEFT JOIN m USING (event_type)
     """,
     # full priority × {F,O,P} cross product with 0 for absent combos —
     # the long form of the pivot/unpivot round trip

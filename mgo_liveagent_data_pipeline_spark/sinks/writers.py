@@ -305,10 +305,13 @@ def _logged_versions(vdir: str) -> set[int]:
     if not os.path.exists(hist):
         return set()
     with open(hist) as f:
+        # a crash mid-append can leave a torn tail line ("v_" or "v_1"
+        # truncated mid-digit); skip anything non-numeric instead of
+        # raising, the same degrade-to-absent rule _read_pointer applies
         return {
             int(line.strip()[2:])
             for line in f
-            if line.strip().startswith("v_")
+            if line.strip().startswith("v_") and line.strip()[2:].isdigit()
         }
 
 
@@ -342,6 +345,10 @@ def _committed_versions(vdir: str) -> set[int]:
 def _append_history(vdir: str, v: int) -> None:
     with open(os.path.join(vdir, "_HISTORY"), "a") as f:
         f.write(f"v_{v}\n")
+        f.flush()
+        os.fsync(f.fileno())  # unfsynced appends can tear on crash; the
+        # reader skips torn lines, but fsync keeps committed versions
+        # from silently vanishing from time travel after power loss
 
 
 def _publish_version(
@@ -386,6 +393,8 @@ def _publish_version(
     hist_tmp = os.path.join(vdir, "_HISTORY.tmp")
     with open(hist_tmp, "w") as f:
         f.writelines(f"v_{v}\n" for v in sorted(retained))
+        f.flush()
+        os.fsync(f.fileno())  # same fsync-before-rename rule as _CURRENT
     os.replace(hist_tmp, os.path.join(vdir, "_HISTORY"))
     return vpath
 
