@@ -66,6 +66,15 @@ def _cpu_pcts(a: list[int] | None, b: list[int] | None) -> dict | None:
     }
 
 
+def _ambient_sample(interval: float = 0.3) -> dict | None:
+    """Ambient-load sample taken while Spark is idle (between passes):
+    busy here is co-tenant/background load, not our own executors — the
+    signal that decides whether a pass's timings are trustworthy."""
+    a = _cpu_snap()
+    time.sleep(interval)
+    return _cpu_pcts(a, _cpu_snap())
+
+
 def main() -> None:
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -99,27 +108,50 @@ def main() -> None:
         if name in ("a1_pricing_summary", "u1_convo_analysis"):
             fn(spark, SF_DIR).count()
 
-    # min of 3 timed reps per query — but INTERLEAVED as three passes over
-    # the whole suite rather than back-to-back reps. A single sample
-    # swings ±20% with ambient machine load, and BENCHNOTES documents
-    # multi-second ambient episodes that hit CPU-saturating queries 3×:
-    # back-to-back reps all land inside one such episode and the min
-    # estimator learns nothing, while passes ~a minute apart give every
-    # query temporally independent samples. Cached dedup intermediates
-    # stay registered across passes (that IS the steady state the timed
-    # reps measure) and are released once at the end.
-    timings: dict[str, float] = {}
+    # Min per query over INTERLEAVED whole-suite passes (temporally
+    # independent samples — BENCHNOTES documents multi-second ambient
+    # episodes that hit back-to-back reps all at once), with the round-5
+    # lesson baked into the recording protocol itself: a pass that STARTED
+    # under ambient load (pre-pass idle-machine sample: busy ≥ 5% or
+    # steal ≥ 2% while Spark is between passes, i.e. load that is NOT us)
+    # is marked noisy and earns a replacement pass, bounded at 5 total.
+    # Per-query mins are taken over the QUIET passes when any exist, so a
+    # co-tenant episode inflates the recorded line only if it spans every
+    # pass — and then the per-pass host samples in the JSON prove it.
+    # Cached dedup intermediates stay registered across passes (that IS
+    # the steady state the timed reps measure), released once at the end.
+    MIN_PASSES, MAX_PASSES = 3, 5
+    BUSY_GATE, STEAL_GATE = 5.0, 2.0
+    passes: list[dict] = []
     snap0 = _cpu_snap()
-    for _pass in range(3):
+    while len(passes) < MAX_PASSES:
+        pre = _ambient_sample()
+        pa = _cpu_snap()
+        t: dict[str, float] = {}
         for name, fn in run.items():
             t0 = time.time()
             fn(spark, SF_DIR).count()
-            dt = time.time() - t0
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            t[name] = time.time() - t0
+        during = _cpu_pcts(pa, _cpu_snap())
+        quiet = pre is None or (
+            pre["busy_pct"] < BUSY_GATE and pre["steal_pct"] < STEAL_GATE
+        )
+        passes.append(
+            {"pre": pre, "during": during, "quiet": quiet, "timings": t}
+        )
+        n_quiet = sum(1 for p in passes if p["quiet"])
+        if len(passes) >= MIN_PASSES and (
+            n_quiet >= MIN_PASSES or len(passes) - n_quiet >= MIN_PASSES
+        ):
+            # enough quiet samples — or the host is persistently busy and
+            # more passes would just re-measure the same co-tenant episode
+            break
     host = _cpu_pcts(snap0, _cpu_snap())
-    timings = {n: round(v, 3) for n, v in timings.items()}
     release_intermediates()
+    qualifying = [p for p in passes if p["quiet"]] or passes
+    timings = {
+        n: round(min(p["timings"][n] for p in qualifying), 3) for n in run
+    }
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_wall_sec",
@@ -127,6 +159,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n_passes": len(passes),
+        "n_quiet_passes": sum(1 for p in passes if p["quiet"]),
+        # full per-pass conditions so a reader can audit the estimator:
+        # pre = ambient (Spark idle) sample that gated the pass,
+        # during = whole-pass sample (includes our own load)
+        "passes": [
+            {"pre": p["pre"], "during": p["during"], "quiet": p["quiet"]}
+            for p in passes
+        ],
     }
     if host is not None:
         # ambient context for cross-round comparison: steal_pct > ~2
