@@ -659,3 +659,79 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select(query_key, "corpus_id", "approx_dist", "rank")
     )
+
+
+# ------------------------------------------------- embedding generation
+def hash_projection_encoder(dim: int = 32):
+    """Default deterministic document encoder: the feature-hashing trick
+    (token → md5 bucket, ± sign from a hash digit — Weinberger et al.'s
+    hashing trick, the standard no-model text vectorizer). Returns a
+    callable ``list[str] -> list[list[float]]`` so a real model (a
+    sentence-transformer behind a batch endpoint) drops in with no plan
+    change — the same injectable-callable seam as ``enrich.gateway``.
+
+    Bucket values are small integers (exact in double), so downstream
+    cosine math is bit-deterministic across engines and partitionings —
+    the property the DuckDB oracle relies on."""
+    import hashlib
+    import re
+
+    def encode(texts: list[str]) -> list[list[float]]:
+        out = []
+        for text in texts:
+            v = [0.0] * dim
+            for t in re.split(r"\s+", (text or "").strip()):
+                if not t:
+                    continue
+                h = hashlib.md5(t.encode("utf-8")).hexdigest()
+                b = int(h[:12], 16) % dim
+                v[b] += 1.0 if int(h[12], 16) % 2 == 0 else -1.0
+            out.append(v)
+        return out
+
+    return encode
+
+
+def encode_documents(
+    df: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    encoder=None,
+) -> DataFrame:
+    """Embedding-generation stage: documents → vectors via ONE
+    Arrow-batched ``mapInPandas`` crossing (the only Python boundary —
+    encoding is genuinely external work), completing the corpus → vectors
+    → ANN pipeline end-to-end. Output schema matches the ``embeddings``
+    table shape (key + ``array<double>``), so every ANN operator above
+    consumes it directly.
+
+    At 100 TB: narrow (no shuffle) — each partition encodes its own rows
+    and the text bytes never move; batch size is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    enc = encoder if encoder is not None else hash_projection_encoder(dim)
+    src = df.select(
+        F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "embedding": enc(list(pdf["text"])),
+                }
+            )
+
+    return src.mapInPandas(run, schema)

@@ -3,11 +3,20 @@ columns with typed metadata structs, processed by Arrow-batched Pandas UDFs
 (``mapInPandas``).
 
 The Spark-side contract is real and tested — schema, partition sizing, UDF
-signature, batch shape. The codec itself is STUBBED: this container has no
-image/audio libraries, so ``decode_image_meta`` computes deterministic
-metadata (byte length, md5, a fake width/height derived from the payload)
-and the real decoder slot raises ``NotImplementedError``. Swapping in
-Pillow/torchaudio changes ~5 lines inside the UDF and nothing in the plan.
+signature, batch shape. Compressed-image/video codecs are STUBBED (this
+container has no image/audio libraries): ``decode_image_meta`` computes
+deterministic metadata (byte length, md5, a fake width/height derived from
+the payload) and ``real_decode``/``real_resize`` raise
+``NotImplementedError``. Swapping in Pillow/torchaudio changes ~5 lines
+inside the UDF and nothing in the plan.
+
+WAV audio, however, needs no third-party codec: ``real_audio_features``
+GENUINELY decodes 16-bit PCM RIFF/WAVE payloads with stdlib ``wave`` and
+computes duration / RMS / peak from the actual samples. The fixtures in
+``wav_fixture_clips`` are hand-packed (raw ``struct`` RIFF chunks — a
+different implementation than the ``wave``-module reader that decodes
+them) with expected features computed directly from the sample arrays, so
+the decode path is cross-checked against an independent reference.
 
 Batch sizing note for 100 TB: media rows are fat — keep
 ``spark.sql.files.maxPartitionBytes`` at 128 MB and let mapInPandas stream
@@ -177,6 +186,151 @@ def audio_features(
             )
 
     return media_df.mapInPandas(feats, AUDIO_META_SCHEMA)
+
+
+# ------------------------------------------------------- real WAV decode
+REAL_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def _pack_wav(sample_rate: int, n_channels: int, samples: list[int]) -> bytes:
+    """Hand-pack interleaved 16-bit PCM samples into a RIFF/WAVE payload
+    (raw ``struct``, deliberately NOT the ``wave`` module — the fixture
+    writer and the operator's reader must be independent implementations
+    for the decode test to mean anything)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate,
+        byte_rate, n_channels * 2, 16,
+    )
+    data_chunk = struct.pack("<4sI", b"data", len(data)) + data
+    riff_len = 4 + len(fmt) + len(data_chunk)
+    return struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE") + fmt + data_chunk
+
+
+def wav_fixture_clips(n_clips: int = 12) -> list[dict]:
+    """Deterministic WAV fixtures: integer triangle waves at varied
+    sample rates / channel counts / amplitudes. Each dict carries the
+    payload bytes AND expected features computed straight from the
+    sample list (pure integer math — independent of any WAV parser), so
+    both the tests and the DuckDB oracle can assert the decode exactly."""
+    import hashlib as _hl
+    import math
+
+    clips = []
+    for cid in range(n_clips):
+        sr = (8000, 16000, 22050, 44100)[cid % 4]
+        n_ch = 1 + cid % 2
+        n_frames = 400 + 37 * cid
+        amp = 1000 + 700 * cid
+        period = 50 + 3 * cid
+        mono = [
+            amp * (2 * min(i % period, period - i % period) - period // 2)
+            // period
+            for i in range(n_frames)
+        ]
+        if n_ch == 1:
+            samples = mono
+        else:  # second channel phase-shifted, interleaved
+            shifted = mono[7:] + mono[:7]
+            samples = [s for pair in zip(mono, shifted) for s in pair]
+        payload = _pack_wav(sr, n_ch, samples)
+        clips.append(
+            {
+                "clip_id": cid,
+                "payload": payload,
+                "n_bytes": len(payload),
+                "content_md5": _hl.md5(payload).hexdigest(),
+                "sample_rate": sr,
+                "n_channels": n_ch,
+                "n_frames": n_frames,
+                "duration_ms": n_frames * 1000 // sr,
+                "rms": math.isqrt(
+                    sum(s * s for s in samples) // len(samples)
+                ),
+                "peak": max(abs(s) for s in samples),
+            }
+        )
+    return clips
+
+
+def real_audio_decode(payload: bytes) -> dict:
+    """GENUINE WAV decode via stdlib ``wave`` — the formerly-stubbed
+    real-codec slot for audio. 16-bit PCM only; other sample widths (and
+    compressed containers) still need an external codec and raise."""
+    import array
+    import io
+    import math
+    import sys
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        n_frames = w.getnframes()
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                "only 16-bit PCM WAV is decodable without external codecs"
+            )
+        raw = w.readframes(n_frames)
+    samples = array.array("h")
+    samples.frombytes(raw)
+    if sys.byteorder == "big":  # WAV data is little-endian
+        samples.byteswap()
+    n = len(samples)
+    return {
+        "sample_rate": sr,
+        "n_channels": n_ch,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sr,
+        "rms": math.isqrt(sum(s * s for s in samples) // n) if n else 0,
+        "peak": max(abs(s) for s in samples) if n else 0,
+    }
+
+
+def real_audio_features(
+    df: DataFrame, key_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """mapInPandas REAL audio feature extraction: decodes each WAV blob
+    with ``real_audio_decode`` and derives duration/RMS/peak from the
+    actual samples — the genuinely-decoding counterpart of
+    ``audio_features``. Same Arrow-batched plumbing, same 100 TB shape
+    (narrow, no shuffle; media bytes never leave their partition)."""
+    media_df = df.select(
+        F.col(key_col).alias("doc_id"), F.col(media_col).alias("media")
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(p)
+                d = real_audio_decode(payload)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": len(payload),
+                        "content_md5": hashlib.md5(payload).hexdigest(),
+                        **d,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(feats, REAL_AUDIO_SCHEMA)
 
 
 def decode_image_meta(df: DataFrame, key_col: str = "doc_id") -> DataFrame:

@@ -341,6 +341,27 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, k=5, num_subspaces=8, num_codes=16, dim=64)
 
 
+def q_ann_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → vectors → ANN end-to-end: documents are ENCODED into
+    embeddings by the deterministic hash-projection encoder
+    (operators/annsearch.py:encode_documents — one Arrow-batched
+    mapInPandas, the injectable-callable seam a real model plugs into),
+    then brute-force cosine top-5 runs on the generated vectors. The
+    reference has no embedding path at all; this is the curation
+    pipeline's missing first stage. Driver-visible via the ``encode``
+    mode of ``ann_suite``."""
+    from ..operators.annsearch import encode_documents
+    from ..session import ship_package
+
+    ship_package(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    enc = encode_documents(docs, dim=32)
+    queries = enc.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(enc, queries, k=5, key_col="doc_id", query_key="query_id")
+
+
 def q_text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style segment-level dedup
     (operators/textops.py:paragraph_dedup): 10-word segments appearing in
@@ -557,6 +578,7 @@ QUERIES = {
     "ann_rh_lsh_topk": q_ann_rh_lsh_topk,
     "ann_rh_multiprobe_topk": q_ann_rh_multiprobe_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_encode_topk": q_ann_encode_topk,
     "multimodal_frames": q_multimodal_frames,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_heavy_hitters": q_text_heavy_hitters,
@@ -920,6 +942,49 @@ ORACLES: dict[str, str] = {
           FROM approx)
         SELECT query_id, corpus_id, approx_dist, CAST(rn AS INT) AS "rank"
         FROM ranked WHERE rn <= 5
+    """,
+    # mirrors annsearch.py:hash_projection_encoder + cosine_topk: sparse
+    # (doc, bucket) ±1 sums — exact integers, so dot/norm math is IEEE-
+    # deterministic across engines — then the standard rounded-cosine rank
+    "ann_encode_topk": r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+          FROM documents),
+        feat AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(t), 1, 12)) AS BIGINT) % 32 AS b,
+                 CASE WHEN CAST(('0x' || substring(md5(t), 13, 1)) AS BIGINT)
+                           % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM tok WHERE t <> ''),
+        vec AS (
+          SELECT doc_id, b, sum(s) AS val FROM feat GROUP BY 1, 2),
+        nrm AS (
+          SELECT d.doc_id,
+                 coalesce(sqrt(CAST(sum(val * val) AS DOUBLE)), 0) AS n
+          FROM documents d LEFT JOIN vec USING (doc_id) GROUP BY 1),
+        dots AS (
+          SELECT q.doc_id AS query_id, c.doc_id AS corpus_id,
+                 CAST(sum(q.val * c.val) AS DOUBLE) AS dp
+          FROM vec q JOIN vec c ON q.b = c.b
+          WHERE q.doc_id < 5 AND c.doc_id <> q.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT qn.doc_id AS query_id, cn.doc_id AS corpus_id,
+                 CASE WHEN qn.n > 0 AND cn.n > 0
+                      THEN round(coalesce(d.dp, 0) / (qn.n * cn.n), 6)
+                      ELSE 0.0 END AS cosine_sim
+          FROM (SELECT * FROM nrm WHERE doc_id < 5) qn
+          CROSS JOIN nrm cn
+          LEFT JOIN dots d
+            ON d.query_id = qn.doc_id AND d.corpus_id = cn.doc_id
+          WHERE cn.doc_id <> qn.doc_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, corpus_id ASC) AS "rank"
+          FROM pairs)
+        SELECT query_id, corpus_id, cosine_sim, "rank"
+        FROM ranked WHERE "rank" <= 5
     """,
     "multimodal_frames": """
         WITH base AS (

@@ -622,7 +622,16 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_dist").alias("cosine_sim"),
         "rank",
     )
-    return out.unionByName(pq)
+    # encode: corpus → hash-projection vectors → cosine top-k, the full
+    # embedding-GENERATION path (documents in, neighbors out)
+    enc = pipeline.q_ann_encode_topk(spark, sf_dir).select(
+        F.lit("encode").alias("variant"),
+        "query_id",
+        "corpus_id",
+        "cosine_sim",
+        "rank",
+    )
+    return out.unionByName(pq).unionByName(enc)
 
 
 # --------------------------------------------------------- enrichment suites
@@ -700,7 +709,48 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_rate").alias("m1"),
         F.col("duration_ms").alias("m2"),
     )
-    return dec.unionByName(fr).unionByName(rs).unionByName(au)
+    # real_audio: GENUINE WAV decode (stdlib wave) over hand-packed PCM
+    # fixtures — duration/RMS/peak come from the actual samples, and the
+    # oracle pins them to expectations computed from the raw sample
+    # arrays by an independent reference (operators/multimodal.py:
+    # wav_fixture_clips)
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import real_audio_features, wav_fixture_clips
+
+    clips = wav_fixture_clips()
+    fixture = spark.createDataFrame(
+        [(c["clip_id"], bytearray(c["payload"])) for c in clips],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    ra_feats = real_audio_features(fixture)
+    ra = ra_feats.select(
+        F.lit("real_audio").alias("mode"),
+        "doc_id",
+        F.col("n_frames").alias("seq"),
+        F.col("content_md5").alias("digest"),
+        "n_bytes",
+        F.col("sample_rate").alias("m1"),
+        F.col("duration_ms").alias("m2"),
+    )
+    ral = ra_feats.select(
+        F.lit("real_audio_level").alias("mode"),
+        "doc_id",
+        F.col("n_channels").alias("seq"),
+        _null("string").alias("digest"),
+        "n_bytes",
+        F.col("rms").alias("m1"),
+        F.col("peak").alias("m2"),
+    )
+    return (
+        dec.unionByName(fr).unionByName(rs).unionByName(au)
+        .unionByName(ra).unionByName(ral)
+    )
 
 
 # ---------------------------------------------------------- connector suites
@@ -842,6 +892,34 @@ def _tagged(sql: str, cols: str) -> str:
 _R = relational.ORACLES
 _P = pipeline.ORACLES
 _E = enrichment.ORACLES
+
+
+def _wav_expected_sql() -> str:
+    """Inline VALUES relation of the WAV fixtures' EXPECTED features —
+    computed from the raw sample arrays (pure integer math), independent
+    of the ``wave``-module decode the Spark side performs, so a hash
+    match here certifies a real decode."""
+    from ..operators.multimodal import wav_fixture_clips
+
+    rows = []
+    for c in wav_fixture_clips():
+        rows.append(
+            f"('real_audio', {c['clip_id']}, {c['n_frames']}, "
+            f"'{c['content_md5']}', {c['n_bytes']}, "
+            f"{c['sample_rate']}, {c['duration_ms']})"
+        )
+        rows.append(
+            f"('real_audio_level', {c['clip_id']}, {c['n_channels']}, "
+            f"NULL, {c['n_bytes']}, {c['rms']}, {c['peak']})"
+        )
+    return (
+        "SELECT mode, CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(seq AS BIGINT) AS seq, CAST(digest AS VARCHAR) AS digest, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, CAST(m1 AS BIGINT) AS m1, "
+        "CAST(m2 AS BIGINT) AS m2 FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(mode, doc_id, seq, digest, n_bytes, m1, m2)"
+    )
 _K = persistence.ORACLES
 _C = connector.ORACLES
 
@@ -1186,6 +1264,11 @@ ORACLES: dict[str, str] = {
     + _tagged(
         _P["ann_pq_topk"],
         "'pq' AS variant, query_id, corpus_id, approx_dist AS cosine_sim, \"rank\"",
+    )
+    + " UNION ALL "
+    + _tagged(
+        _P["ann_encode_topk"],
+        "'encode' AS variant, query_id, corpus_id, cosine_sim, \"rank\"",
     ),
     "u2_geocode_suite": (
         _tagged(
@@ -1226,7 +1309,9 @@ ORACLES: dict[str, str] = {
                CAST(16000 AS BIGINT) AS m1,
                CAST(strlen(text) AS BIGINT) * 1000 // 16000 AS m2
         FROM documents
+        UNION ALL
         """
+        + _wav_expected_sql()
     ),
     "s_rest_suite": (
         _tagged(

@@ -211,3 +211,55 @@ def test_ivfpq_equals_pq_restricted_to_probed_lists(spark):
         .select("query_id", "corpus_id", "approx_dist", F.col("rk").alias("rank"))
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, want.collect()))
+
+
+def test_encode_documents_neighbors_recall(spark):
+    """The hash-projection encoder must place token-overlapping documents
+    as each other's nearest neighbors: for every doc, the top-1 cosine
+    neighbor over encoded vectors comes from its own paraphrase group."""
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        cosine_topk,
+        encode_documents,
+    )
+
+    groups = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "spark executes distributed dataframe plans with catalyst",
+        2: "minhash signatures bucket similar shingled documents",
+    }
+    rows = []
+    for g, base in groups.items():
+        toks = base.split()
+        rows.append((g * 10, base))
+        rows.append((g * 10 + 1, " ".join(toks[:-1] + ["indeed"])))
+        rows.append((g * 10 + 2, " ".join(["well"] + toks[1:])))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    enc = encode_documents(df, dim=32)
+    queries = enc.selectExpr("doc_id AS query_id", "embedding")
+    top1 = (
+        cosine_topk(enc, queries, k=1, key_col="doc_id", query_key="query_id")
+        .collect()
+    )
+    assert len(top1) == len(rows)
+    for r in top1:
+        assert r["query_id"] // 10 == r["corpus_id"] // 10, (
+            r["query_id"], r["corpus_id"],
+        )
+
+
+def test_encode_documents_custom_encoder_injectable(spark):
+    """A swapped-in encoder callable flows through the same plumbing —
+    the seam a real embedding model plugs into."""
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        encode_documents,
+    )
+
+    def toy(texts):
+        return [[float(len(t)), 1.0] for t in texts]
+
+    df = spark.createDataFrame([(1, "abc"), (2, "hello")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in encode_documents(df, encoder=toy).collect()
+    }
+    assert got == {1: [3.0, 1.0], 2: [5.0, 1.0]}
