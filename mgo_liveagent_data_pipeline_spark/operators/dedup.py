@@ -803,3 +803,82 @@ def embedding_near_dup(
             "cosine_sim",
         )
     )
+
+
+def dedup_apply(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    key_col: str = "doc_id",
+    quality_col: str | None = None,
+    merged_col: str = "n_merged",
+) -> DataFrame:
+    """The canonicalization APPLY step: turn duplicate-cluster evidence
+    into a rewritten corpus — keep ONE survivor per cluster plus every
+    singleton, the content-identity lift of the reference's
+    keep-one-row-per-key MERGE
+    (core/extract/helpers/extractor_bq_helpers.py:159-169).
+
+    ``clusters`` is ``connected_components`` output
+    (node, cluster_id, cluster_size). Survivor choice: the cluster's
+    minimum key by default (= ``cluster_id`` itself, since CC labels are
+    component minima — no extra aggregation needed), or the
+    ``quality_col`` argmax (ties → lowest key) when a quality score says
+    which copy to keep. Survivors carry ``merged_col`` = cluster size;
+    singletons get 1.
+
+    At 100 TB: one co-hashed LEFT join of corpus×clusters on the key
+    (clusters is keys-only — no payload), plus, in quality mode, one
+    narrow (cluster_id, score, key) aggregation. The corpus payload is
+    never shuffled twice; feed the result straight into
+    ``partitioned_upsert`` to rewrite only the buckets that lost rows."""
+    cl = clusters.select(
+        F.col("node").alias(key_col), "cluster_id", "cluster_size"
+    )
+    joined = corpus.join(cl, key_col, "left")
+    if quality_col is None:
+        winners = joined.where(
+            F.col("cluster_id").isNull()
+            | (F.col(key_col) == F.col("cluster_id"))
+        )
+    else:
+        best = (
+            joined.where(F.col("cluster_id").isNotNull())
+            .groupBy("cluster_id")
+            .agg(
+                F.max_by(
+                    F.col(key_col),
+                    F.struct(F.col(quality_col), -F.col(key_col)),
+                ).alias("__winner")
+            )
+        )
+        winners = joined.join(best, "cluster_id", "left").where(
+            F.col("cluster_id").isNull()
+            | (F.col(key_col) == F.col("__winner"))
+        )
+    out = winners.withColumn(
+        merged_col, F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long")
+    )
+    drop = ["cluster_id", "cluster_size"]
+    if quality_col is not None:
+        drop.append("__winner")
+    return out.drop(*drop)
+
+
+def exact_star_edges(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate edge list in STAR form: one (group-min key, key)
+    edge per non-minimal copy of a content digest — linear in duplicates,
+    never the quadratic all-pairs within a group. Feeds
+    ``connected_components`` (each digest group becomes one component
+    rooted at its min key) and thence ``dedup_apply``."""
+    from pyspark.sql.window import Window
+
+    digest = F.md5(F.col(text_col))
+    rooted = df.select(
+        F.col(key_col),
+        F.min(key_col).over(Window.partitionBy(digest)).alias("__root"),
+    )
+    return rooted.where(F.col(key_col) != F.col("__root")).select(
+        F.col("__root").alias("id_a"), F.col(key_col).alias("id_b")
+    )

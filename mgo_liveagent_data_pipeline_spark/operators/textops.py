@@ -515,24 +515,59 @@ URL_PATTERN = r"https?://[^\s]+"
 AUTHORITY_PATTERN = r"https?://([^/?#\s]+)"
 HOST_IN_AUTHORITY_PATTERN = r"^(?:[^@]*@)?([^:]+)"
 REG_DOMAIN_PATTERN = r"([^.]+\.[^.]+)$"
+REG_DOMAIN3_PATTERN = r"([^.]+\.[^.]+\.[^.]+)$"
+
+# Trimmed public-suffix list (publicsuffix.org) — the multi-label suffixes
+# under which registrable domains sit one level deeper than the bare-TLD
+# rule assumes. A production build ships the full ~9k-entry list the same
+# way; the plan below is size-independent (broadcast dim join).
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "org.nz", "net.nz", "ac.nz", "govt.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "co.za", "org.za", "web.za", "gov.za",
+    "com.mx", "org.mx", "gob.mx",
+    "com.ar", "com.tr", "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.sg", "edu.sg", "gov.sg",
+    "com.my", "com.hk", "com.tw", "org.tw",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+)
+
+
+def psl_dim(spark, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES) -> DataFrame:
+    """The public-suffix list as a broadcast dimension relation — join it
+    into ``extract_urls``/``domain_stats`` to fix ``co.uk``-class
+    registered-domain rollups. Tiny (≤ ~9k rows even in full form), so
+    always broadcast."""
+    return spark.createDataFrame(
+        [(s,) for s in suffixes], ["public_suffix"]
+    )
 
 
 def extract_urls(
     df: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document URL extraction + domain normalization — the first
     step of every web-corpus curation pass (domain blocklists, per-site
     caps, provenance stats). One ``regexp_extract_all`` + explode per
     row, then pure string expressions: host = the authority component
-    with userinfo/port stripped, lowercased, leading ``www.`` removed;
-    registered_domain = the
-    last two labels (the public-suffix-list-free approximation — a
-    production build swaps in the PSL as a broadcast dim without
-    changing the plan). Returns (``key_col``, url, host,
-    registered_domain); no shuffle — curation filters semi-join this at
-    scan speed."""
+    with userinfo/port stripped, lowercased, leading ``www.`` removed.
+
+    registered_domain: with ``psl`` (a ``psl_dim`` public-suffix-list
+    relation, broadcast-left-joined on the host's last two labels) a
+    host under a multi-label suffix keeps THREE labels —
+    ``shop.acme.co.uk`` → ``acme.co.uk`` — otherwise the last two
+    labels apply (correct for plain TLDs). Without ``psl`` the bare
+    two-label approximation is used. Returns (``key_col``, url, host,
+    registered_domain); the only join is against the broadcast PSL —
+    curation filters semi-join this at scan speed."""
     urls = df.select(
         F.col(key_col),
         F.explode(
@@ -542,13 +577,25 @@ def extract_urls(
     authority = F.lower(F.regexp_extract(F.col("url"), AUTHORITY_PATTERN, 1))
     host_raw = F.regexp_extract(authority, HOST_IN_AUTHORITY_PATTERN, 1)
     host = F.regexp_replace(host_raw, r"^www\.", "")
-    return urls.select(
+    base = urls.select(
         F.col(key_col),
         "url",
         host.alias("host"),
-        F.regexp_extract(host, REG_DOMAIN_PATTERN, 1).alias(
-            "registered_domain"
-        ),
+        F.regexp_extract(host, REG_DOMAIN_PATTERN, 1).alias("__last2"),
+    )
+    if psl is None:
+        return base.withColumnRenamed("__last2", "registered_domain")
+    joined = base.join(
+        F.broadcast(psl),
+        base["__last2"] == psl["public_suffix"],
+        "left",
+    )
+    reg = F.when(
+        F.col("public_suffix").isNotNull(),
+        F.regexp_extract(F.col("host"), REG_DOMAIN3_PATTERN, 1),
+    ).otherwise(F.col("__last2"))
+    return joined.select(
+        F.col(key_col), "url", "host", reg.alias("registered_domain")
     )
 
 
@@ -556,12 +603,14 @@ def domain_stats(
     df: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """Per-registered-domain corpus stats over ``extract_urls``: URL
     occurrences and distinct documents citing the domain. One hash
     aggregation on the domain key — the relation a per-site cap or
-    blocklist join consumes (broadcast-sized: |domains| ≪ |urls|)."""
-    u = extract_urls(df, text_col, key_col)
+    blocklist join consumes (broadcast-sized: |domains| ≪ |urls|).
+    Pass ``psl`` (see ``psl_dim``) for public-suffix-aware rollups."""
+    u = extract_urls(df, text_col, key_col, psl=psl)
     return u.groupBy("registered_domain").agg(
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct(key_col).alias("n_docs"),

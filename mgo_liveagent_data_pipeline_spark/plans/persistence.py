@@ -88,7 +88,8 @@ def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return agg(merged, "flat").unionByName(agg(pmerged, "partitioned")) \
         .unionByName(q_k_scd2_upsert(spark, sf_dir)).unionByName(cdc) \
-        .unionByName(agg(ttravel, "ttravel"))
+        .unionByName(agg(ttravel, "ttravel")) \
+        .unionByName(q_k_scd2_cdc(spark, sf_dir))
 
 
 def q_k_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,6 +210,66 @@ def q_k_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_scd2_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed → SCD2 history composition (sinks/writers.py:
+    scd2_apply_cdc): the T1 dimension is seeded from an all-insert feed;
+    the T2 feed carries status-change updates for keys ≡0 (mod 20) and
+    delete tombstones for keys ≡0 (mod 50) — keys divisible by both get
+    U (seq 1) then D (seq 2), and the tombstone must win the latest-wins
+    collapse. Updates close + reopen intervals; tombstones CLOSE the open
+    interval with no replacement row (the dimension's record of an
+    upstream hard delete). Driver-visible via the ``scd2cdc`` mode of
+    ``k_materialized_upsert``."""
+    from ..sinks.writers import scd2_apply_cdc
+
+    base_dir = tempfile.mkdtemp(prefix="mgo_scd2cdc_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    init = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(1).alias("seq"), F.lit("I").alias("op"),
+    )
+    scd2_apply_cdc(
+        spark, init, base_dir, "odc", "o_orderkey", "seq", "op",
+        _SCD2_T1, num_buckets=16,
+    )
+    u = orders.where(k % 20 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(1).alias("seq"), F.lit("U").alias("op"),
+    )
+    d = orders.where(k % 50 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(2).alias("seq"), F.lit("D").alias("op"),
+    )
+    scd2_apply_cdc(
+        spark, u.unionByName(d), base_dir, "odc", "o_orderkey", "seq",
+        "op", _SCD2_T2,
+    )
+    back = read_partitioned(spark, base_dir, "odc")
+    status = F.concat_ws(
+        "/",
+        F.concat(
+            F.col("o_orderstatus"), F.lit("@"),
+            F.date_format("valid_from", "yyyy-MM-dd"),
+        ),
+        F.coalesce(F.date_format("valid_to", "yyyy-MM-dd"), F.lit("open")),
+    )
+    return (
+        back.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.lit("scd2cdc").alias("mode"), "status", "n", "total_value")
+    )
+
+
 def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5+K6+K2 under one tagged row:
 
@@ -240,9 +301,77 @@ def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("batch_id").cast("long").alias("n"),
         F.col("n_regionkey").cast("double").alias("val"),
     )
-    return hist.unionByName(q_k_datepart_sink(spark, sf_dir)).unionByName(
-        q_k_zorder_sink(spark, sf_dir)
+    return (
+        hist.unionByName(q_k_datepart_sink(spark, sf_dir))
+        .unionByName(q_k_zorder_sink(spark, sf_dir))
+        .unionByName(q_k_compact_sink(spark, sf_dir))
+        .unionByName(q_k_pointread_sink(spark, sf_dir))
     )
+
+
+def q_k_compact_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip (sinks/writers.py:compact): six
+    single-file appends → over the ``max_files=4`` threshold → compact
+    rewrites the table into 2 files under the writer lease — and the
+    read-back rows are byte-for-byte the same aggregate as before. The
+    ``_files`` row pins the file counts (6 appends → 2 after compaction),
+    so the oracle certifies the rewrite actually happened, not just that
+    data survived. Driver-visible via the ``compact`` mode of
+    ``k5_history_sink``."""
+    from ..sinks.writers import append, compact, table_path
+
+    base_dir = tempfile.mkdtemp(prefix="mgo_compact_")
+    nation = load_table(spark, sf_dir, "nation")
+    for rk in range(5):  # 5 region slices + one full replay = 6 files
+        append(
+            nation.where(F.col("n_regionkey") == rk).repartition(1),
+            base_dir, "nation_c",
+        )
+    append(nation.repartition(1), base_dir, "nation_c")
+    n_after = compact(spark, base_dir, "nation_c", max_files=4, target_files=2)
+    back = spark.read.parquet(table_path(base_dir, "nation_c"))
+    rows = back.groupBy(
+        F.col("n_regionkey").cast("string").alias("k1")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_nationkey").cast("double").alias("val"),
+    ).select(F.lit("compact").alias("mode"), "k1", "n", "val")
+    files = spark.range(1).select(
+        F.lit("compact").alias("mode"),
+        F.lit("_files").alias("k1"),
+        F.lit(n_after).cast("long").alias("n"),
+        F.lit(6.0).alias("val"),
+    )
+    return rows.unionByName(files)
+
+
+def q_k_pointread_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pruned point lookup round trip (sinks/writers.py:
+    read_partitioned_for_keys): orders published through the bucketed
+    partitioned MERGE, then probed for the keys ≡ 0 (mod 97) — the read
+    touches only the min(k, n) buckets those keys hash to (bucket-count
+    asserted by tests/test_sinks.py) and must return exactly the probe
+    rows. Driver-visible via the ``pointread`` mode of
+    ``k5_history_sink``."""
+    from ..sinks.writers import partitioned_upsert, read_partitioned_for_keys
+
+    base_dir = tempfile.mkdtemp(prefix="mgo_pointread_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    partitioned_upsert(
+        spark, orders, base_dir, "orders_b", "o_orderkey", num_buckets=16
+    )
+    probe = orders.where(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    got = read_partitioned_for_keys(
+        spark, base_dir, "orders_b", probe, "o_orderkey"
+    )
+    return got.groupBy(F.col("o_orderstatus").alias("k1")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
+        .cast("double")
+        .alias("val"),
+    ).select(F.lit("pointread").alias("mode"), "k1", "n", "val")
 
 
 def q_k_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +522,9 @@ QUERIES = {
     "k5_history_sink": q_k5_history_sink,
     "k_datepart_sink": q_k_datepart_sink,
     "k_zorder_sink": q_k_zorder_sink,
+    "k_compact_sink": q_k_compact_sink,
+    "k_scd2_cdc": q_k_scd2_cdc,
+    "k_pointread_sink": q_k_pointread_sink,
     "stream_tumbling_6h": q_stream_tumbling_6h,
     "stream_append_6h": q_stream_append_6h,
     "stream_session_windows": q_stream_session_windows,
@@ -431,8 +563,30 @@ _CDC_SQL = """
         FROM applied GROUP BY s
 """
 
+# CDC→SCD2 composition: U winners (mod 20, not deleted) close+reopen,
+# D winners (mod 50; beats the mod-100 keys' U at lower seq) close only
+_SCD2CDC_SQL = """
+        WITH t AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+          FROM orders),
+        r AS (
+          SELECT s || '@2024-01-01/2024-06-01' AS status, p
+          FROM t WHERE k % 20 = 0 OR k % 50 = 0
+          UNION ALL
+          SELECT s || '@2024-01-01/open', p
+          FROM t WHERE NOT (k % 20 = 0 OR k % 50 = 0)
+          UNION ALL
+          SELECT 'X@2024-06-01/open', p
+          FROM t WHERE k % 20 = 0 AND k % 50 <> 0)
+        SELECT 'scd2cdc' AS mode, status, count(*) AS n,
+               CAST(round(sum(CAST(p AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS total_value
+        FROM r GROUP BY status
+"""
+
 ORACLES: dict[str, str] = {
     "k_cdc_apply": _CDC_SQL,
+    "k_scd2_cdc": _SCD2CDC_SQL,
     # same algebra as k4_upsert_merge — but computed through a real
     # write/merge/read round trip on the Spark side, once per layout
     # (flat whole-table merge, partitioned bucket-pruned merge)
@@ -490,6 +644,10 @@ ORACLES: dict[str, str] = {
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
                     AS DOUBLE) AS total_value
         FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT * FROM ("""
+    + _SCD2CDC_SQL
+    + """)
     """,
     # after batch 2: key%20==0 rows are closed at T2 with an 'X' successor;
     # every other key keeps its T1-open row (including the re-delivered
@@ -548,6 +706,36 @@ ORACLES: dict[str, str] = {
                count(*) AS n,
                CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS val
         FROM events GROUP BY CAST(ts AS DATE)
+        UNION ALL
+        SELECT 'compact' AS mode, CAST(n_regionkey AS VARCHAR) AS k1,
+               2 * count(*) AS n,
+               CAST(2 * sum(n_nationkey) AS DOUBLE) AS val
+        FROM nation GROUP BY n_regionkey
+        UNION ALL
+        SELECT 'compact', '_files', CAST(2 AS BIGINT), 6.0
+        UNION ALL
+        SELECT 'pointread' AS mode, o_orderstatus AS k1, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS val
+        FROM orders WHERE o_orderkey % 97 = 0 GROUP BY o_orderstatus
+    """,
+    # six 1-file appends (5 region slices + full replay) compacted to 2
+    # files; per-region aggregates double-counted by the replay, and the
+    # _files row pins (files_after=2, files_before=6)
+    "k_compact_sink": """
+        SELECT 'compact' AS mode, CAST(n_regionkey AS VARCHAR) AS k1,
+               2 * count(*) AS n,
+               CAST(2 * sum(n_nationkey) AS DOUBLE) AS val
+        FROM nation GROUP BY n_regionkey
+        UNION ALL
+        SELECT 'compact', '_files', CAST(2 AS BIGINT), 6.0
+    """,
+    # the manifest-pruned probe returns exactly the mod-97 keys' rows
+    "k_pointread_sink": """
+        SELECT 'pointread' AS mode, o_orderstatus AS k1, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS val
+        FROM orders WHERE o_orderkey % 97 = 0 GROUP BY o_orderstatus
     """,
     # the replayed min-day partition carries doubled values exactly once
     "k_datepart_sink": """

@@ -362,6 +362,35 @@ def q_ann_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(enc, queries, k=5, key_col="doc_id", query_key="query_id")
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup canonicalization pipeline, pairs → clusters → rewritten
+    corpus: exact-duplicate star edges (operators/dedup.py:
+    exact_star_edges) → connected components → keep-one-per-cluster
+    (operators/dedup.py:dedup_apply) → corpus REWRITE through the
+    bucketed partitioned MERGE (sinks/writers.py:partitioned_upsert) and
+    read back from the manifest. The returned relation is computed from
+    the round-tripped table, so the oracle certifies the write too:
+    survivors are exactly one min-key doc per content digest, with
+    ``n_merged`` = copies collapsed. Driver-visible via the ``apply``
+    mode of ``dedup_exact_suite``."""
+    import tempfile
+
+    from ..operators.dedup import connected_components, dedup_apply, exact_star_edges
+    from ..sinks.writers import partitioned_upsert, read_partitioned
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clusters = connected_components(exact_star_edges(docs))
+    kept = dedup_apply(docs, clusters, "doc_id")
+    base_dir = tempfile.mkdtemp(prefix="mgo_dedup_apply_")
+    partitioned_upsert(spark, kept, base_dir, "corpus", "doc_id", num_buckets=16)
+    back = read_partitioned(spark, base_dir, "corpus")
+    return back.select(
+        F.md5(F.col("text")).alias("content_hash"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_merged"),
+    )
+
+
 def q_text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style segment-level dedup
     (operators/textops.py:paragraph_dedup): 10-word segments appearing in
@@ -447,14 +476,17 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL extraction + domain rollup (operators/textops.py:extract_urls
     / domain_stats) over deterministic key-derived web text — the
-    synthetic documents carry no URLs, so the fixture appends two per
+    synthetic documents carry no URLs, so the fixture appends three per
     doc (one ``https://www.``-prefixed with query string, one bare
-    ``http://`` with a port-free host) built from doc_id; both engines
-    build the identical string, so the oracle checks extraction, host
+    ``http://`` with a port-free host, one under a ``co.uk``/``com.ph``
+    multi-label public suffix) built from doc_id; both engines build the
+    identical string, so the oracle checks extraction, host
     normalization (lowercase, www-strip, path/query cut) and the
-    registered-domain rollup itself. Driver-visible via the ``url``
-    mode of ``text_corpus_stats``."""
-    from ..operators.textops import domain_stats
+    PSL-aware registered-domain rollup (operators/textops.py:psl_dim —
+    ``shopN.acmeM.co.uk`` must roll up to ``acmeM.co.uk``, not
+    ``co.uk``). Driver-visible via the ``url`` mode of
+    ``text_corpus_stats``."""
+    from ..operators.textops import domain_stats, psl_dim
 
     docs = load_table(spark, sf_dir, "documents")
     dk = F.col("doc_id")
@@ -462,13 +494,20 @@ def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "https://www.Sub%d.site%d.com/p/%d?ref=x", dk % 5, dk % 17, dk
     )
     u2 = F.format_string("http://cdn%d.example.org/asset/%d", dk % 3, dk)
+    u3 = F.when(
+        dk % 2 == 0,
+        F.format_string("http://shop%d.acme%d.co.uk/b/%d", dk % 4, dk % 7, dk),
+    ).otherwise(
+        F.format_string("https://portal%d.metro%d.com.ph/c/%d", dk % 4, dk % 7, dk)
+    )
     fixture = docs.select(
         dk,
         F.concat_ws(
-            " ", F.col("text"), F.lit("see"), u1, F.lit("and"), u2
+            " ", F.col("text"), F.lit("see"), u1, F.lit("and"), u2,
+            F.lit("or"), u3,
         ).alias("web_text"),
     )
-    return domain_stats(fixture, "web_text", "doc_id")
+    return domain_stats(fixture, "web_text", "doc_id", psl=psl_dim(spark))
 
 
 def q_text_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,6 +600,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_apply": q_dedup_apply,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_near": q_dedup_simhash_near,
@@ -598,6 +638,57 @@ QUERIES = {
 
 
 # shared SQL fragments -------------------------------------------------------
+
+
+def _url_domains_sql() -> str:
+    """Mirror of extract_urls/domain_stats with the PSL dim: the same
+    trimmed public-suffix tuple is inlined as an IN list, so a host
+    whose last two labels are a public suffix rolls up to three."""
+    from ..operators.textops import PUBLIC_SUFFIXES
+
+    in_list = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES)
+    return r"""
+        WITH t AS (
+          SELECT doc_id,
+                 concat_ws(' ', text, 'see',
+                   printf('https://www.Sub%d.site%d.com/p/%d?ref=x',
+                          doc_id % 5, doc_id % 17, doc_id),
+                   'and',
+                   printf('http://cdn%d.example.org/asset/%d',
+                          doc_id % 3, doc_id),
+                   'or',
+                   CASE WHEN doc_id % 2 = 0
+                        THEN printf('http://shop%d.acme%d.co.uk/b/%d',
+                                    doc_id % 4, doc_id % 7, doc_id)
+                        ELSE printf('https://portal%d.metro%d.com.ph/c/%d',
+                                    doc_id % 4, doc_id % 7, doc_id) END
+                 ) AS web_text
+          FROM documents),
+        u AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(web_text, 'https?://[^\s]+'))
+                   AS url
+          FROM t),
+        h AS (
+          SELECT doc_id, url,
+                 regexp_replace(
+                   regexp_extract(
+                     lower(regexp_extract(url, 'https?://([^/?#\s]+)', 1)),
+                     '^(?:[^@]*@)?([^:]+)', 1),
+                   '^www\.', '') AS host
+          FROM u)
+        SELECT CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                         IN (""" + in_list + r""")
+                    THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+                    ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END
+                 AS registered_domain,
+               count(*) AS n_urls,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM h GROUP BY 1
+    """
+
+
+_URL_DOMAINS_SQL = _url_domains_sql()
 
 # distinct word 3-shingles of a document (tokens on \s+, space-joined runs)
 _SHINGLES = r"""
@@ -1001,6 +1092,14 @@ ORACLES: dict[str, str] = {
         SELECT md5(text) AS content_hash,
                CAST(min(doc_id) AS BIGINT) AS keep_id,
                count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    # the rewritten corpus keeps exactly the min-key doc per digest with
+    # n_merged = copies collapsed — #clusters + #singletons rows total
+    "dedup_apply": """
+        SELECT md5(text) AS content_hash,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               count(*) AS n_merged
         FROM documents GROUP BY md5(text)
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
@@ -1531,36 +1630,7 @@ ORACLES: dict[str, str] = {
     """,
     # same key-derived URL fixture as q_text_url_domains; extraction /
     # host normalization / registered-domain mirror extract_urls
-    "text_url_domains": r"""
-        WITH t AS (
-          SELECT doc_id,
-                 concat_ws(' ', text, 'see',
-                   printf('https://www.Sub%d.site%d.com/p/%d?ref=x',
-                          doc_id % 5, doc_id % 17, doc_id),
-                   'and',
-                   printf('http://cdn%d.example.org/asset/%d',
-                          doc_id % 3, doc_id)
-                 ) AS web_text
-          FROM documents),
-        u AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(web_text, 'https?://[^\s]+'))
-                   AS url
-          FROM t),
-        h AS (
-          SELECT doc_id, url,
-                 regexp_replace(
-                   regexp_extract(
-                     lower(regexp_extract(url, 'https?://([^/?#\s]+)', 1)),
-                     '^(?:[^@]*@)?([^:]+)', 1),
-                   '^www\.', '') AS host
-          FROM u)
-        SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1)
-                 AS registered_domain,
-               count(*) AS n_urls,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-        FROM h GROUP BY 1
-    """,
+    "text_url_domains": _URL_DOMAINS_SQL,
     # deterministic md5(key)-ordered quota, mirroring group_sample_k
     "text_group_sample": """
         WITH r AS (

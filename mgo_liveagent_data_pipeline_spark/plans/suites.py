@@ -562,7 +562,15 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("key_id"),
         (F.col("n_segments") * 100 + F.col("n_dropped")).alias("n"),
     )
-    return doc.unionByName(para)
+    # apply: pairs → CC clusters → keep-one-per-cluster → partitioned-
+    # MERGE corpus rewrite, read back (the canonicalization APPLY step)
+    ap = pipeline.q_dedup_apply(spark, sf_dir).select(
+        F.lit("apply").alias("mode"),
+        F.col("content_hash").alias("h"),
+        F.col("keep_id").alias("key_id"),
+        F.col("n_merged").alias("n"),
+    )
+    return doc.unionByName(para).unionByName(ap)
 
 
 def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1228,6 +1236,12 @@ ORACLES: dict[str, str] = {
             _P["text_paragraph_dedup"],
             "'para' AS mode, dedup_hash AS h, key AS key_id, "
             "n_segments * 100 + n_dropped AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["dedup_apply"],
+            "'apply' AS mode, content_hash AS h, keep_id AS key_id, "
+            "n_merged AS n",
         )
     ),
     "dedup_simhash_suite": (

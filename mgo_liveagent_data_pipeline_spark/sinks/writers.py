@@ -914,6 +914,70 @@ def scd2_as_of(df: DataFrame, as_of_ts: str) -> DataFrame:
     )
 
 
+def scd2_apply_cdc(
+    spark: SparkSession,
+    changes: DataFrame,
+    base_dir: str,
+    name: str,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    effective_ts: str,
+    num_buckets: int = 64,
+    keep: int = 2,
+    shuffle_partitions: int | None = None,
+    range_width: int | None = None,
+) -> str:
+    """The standard lakehouse feed→history composition: a CDC change feed
+    collapsed latest-wins (``cdc_latest``) drives the bucketed SCD2
+    dimension — insert/update winners merge through
+    ``partitioned_scd2_upsert`` (changed keys close + re-open intervals),
+    and 'D'-tombstone winners CLOSE the key's open interval at
+    ``effective_ts`` with no replacement row (the key's history survives;
+    only its currency ends — how a dimension records an upstream hard
+    delete).
+
+    The two winner sets are disjoint (one winner per key), so the two
+    bucket-pruned merges commute; each touches only the buckets holding
+    its keys. Tombstones must carry the payload columns (nullable is
+    fine) so the feed has one schema."""
+    latest = cdc_latest(changes, [key], seq_col, op_col)
+    ups = latest.where(
+        F.col(op_col).isNull() | (F.col(op_col) != "D")
+    ).drop(op_col)
+    dels = latest.where(F.col(op_col) == "D").drop(op_col)
+    partitioned_scd2_upsert(
+        spark, ups, base_dir, name, key, effective_ts,
+        num_buckets=num_buckets, keep=keep,
+        shuffle_partitions=shuffle_partitions, range_width=range_width,
+    )
+    ts = F.to_timestamp(F.lit(effective_ts))
+
+    def close(target: DataFrame | None, src: DataFrame) -> DataFrame:
+        if target is None:
+            # tombstones for keys this table never held: nothing to close
+            return scd2_init(src, effective_ts).limit(0)
+        cur = target.where(F.col("is_current"))
+        keys = F.broadcast(src.select(key))
+        hit = (
+            cur.join(keys, on=key, how="left_semi")
+            .withColumn("valid_to", ts)
+            .withColumn("is_current", F.lit(False))
+        )
+        kept = cur.join(keys, on=key, how="left_anti")
+        return (
+            target.where(~F.col("is_current"))
+            .unionByName(kept)
+            .unionByName(hit)
+        )
+
+    return _partitioned_merge(
+        spark, dels, base_dir, name, key, close,
+        num_buckets=num_buckets, keep=keep,
+        shuffle_partitions=shuffle_partitions, range_width=range_width,
+    )
+
+
 # --------------------------------------------------------------------------
 # Date-partitioned fact sinks — the K2/K5 layout for 100 TB append tables.
 #
@@ -1153,6 +1217,32 @@ def prepare_and_load(
     return append(df, base_dir, name)
 
 
+def cdc_latest(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+) -> DataFrame:
+    """Latest-wins collapse of a change feed: ONE max_by aggregation to
+    |changed keys| rows (map-side partial combine), keeping the winning
+    row's payload and ``op_col``. Shared by ``apply_cdc`` (snapshot
+    replication) and ``scd2_apply_cdc`` (dimension-history feed)."""
+    payload = [
+        c for c in changes.columns
+        if c not in (*key_cols, seq_col, op_col)
+    ]
+    return (
+        changes.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload], F.col(op_col)),
+                F.struct(F.col(seq_col), F.col(op_col)),
+            ).alias("__last")
+        )
+        .select(*key_cols, "__last.*")
+    )
+
+
 def apply_cdc(
     target: DataFrame,
     changes: DataFrame,
@@ -1178,20 +1268,7 @@ def apply_cdc(
     target on the key. The target is read once and never re-sorted;
     pair with ``partitioned_upsert``'s bucket layout to rewrite only the
     buckets containing changed keys."""
-    payload = [
-        c for c in changes.columns
-        if c not in (*key_cols, seq_col, op_col)
-    ]
-    latest = (
-        changes.groupBy(*key_cols)
-        .agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in payload], F.col(op_col)),
-                F.struct(F.col(seq_col), F.col(op_col)),
-            ).alias("__last")
-        )
-        .select(*key_cols, "__last.*")
-    )
+    latest = cdc_latest(changes, key_cols, seq_col, op_col)
     survivors = latest.where(
         F.col(op_col).isNull() | (F.col(op_col) != "D")
     ).drop(op_col)

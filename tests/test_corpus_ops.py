@@ -920,3 +920,34 @@ def test_hashed_linear_score_plan_broadcasts_model(spark):
     # the model join must be broadcast (no corpus shuffle before the
     # per-doc aggregation)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_extract_urls_psl_registered_domains(spark):
+    """With the public-suffix dim, multi-label-suffix hosts keep three
+    labels; plain TLD hosts keep two; without it the two-label
+    approximation applies everywhere."""
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        extract_urls,
+        psl_dim,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a http://shop.acme.co.uk/x b"),
+            (2, "c https://www.portal.metro.com.ph/y d"),
+            (3, "e http://cdn.example.org/z f"),
+        ],
+        ["doc_id", "text"],
+    )
+    with_psl = {
+        r["doc_id"]: r["registered_domain"]
+        for r in extract_urls(df, psl=psl_dim(spark)).collect()
+    }
+    assert with_psl == {
+        1: "acme.co.uk", 2: "metro.com.ph", 3: "example.org",
+    }
+    without = {
+        r["doc_id"]: r["registered_domain"]
+        for r in extract_urls(df).collect()
+    }
+    assert without == {1: "co.uk", 2: "com.ph", 3: "example.org"}

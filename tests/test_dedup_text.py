@@ -547,3 +547,38 @@ def test_real_audio_decode_rejects_non_pcm16():
         w.writeframes(struct.pack("<4B", 1, 2, 3, 4))
     with pytest.raises(NotImplementedError):
         real_audio_decode(buf.getvalue())
+
+
+def test_dedup_apply_min_key_and_quality_winner(spark):
+    """dedup_apply keeps exactly one survivor per cluster plus all
+    singletons; default rule picks the cluster-min key, quality mode
+    picks the score argmax (ties → lowest key)."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        dedup_apply,
+        exact_star_edges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", 0.2),
+            (2, "same text", 0.9),
+            (3, "same text", 0.9),
+            (4, "unique a", 0.5),
+            (5, "other dup", 0.1),
+            (6, "other dup", 0.1),
+        ],
+        ["doc_id", "text", "quality"],
+    )
+    clusters = connected_components(exact_star_edges(docs))
+
+    kept = dedup_apply(docs, clusters, "doc_id")
+    got = {r["doc_id"]: r["n_merged"] for r in kept.collect()}
+    # 2 clusters + 1 singleton = 3 survivors
+    assert got == {1: 3, 4: 1, 5: 2}
+
+    kept_q = dedup_apply(docs, clusters, "doc_id", quality_col="quality")
+    got_q = {r["doc_id"]: r["n_merged"] for r in kept_q.collect()}
+    # cluster {1,2,3}: max quality 0.9 tie between 2 and 3 → lowest key 2
+    # cluster {5,6}: tie at 0.1 → lowest key 5
+    assert got_q == {2: 3, 4: 1, 5: 2}

@@ -964,3 +964,47 @@ def test_apply_cdc_null_op_is_upsert_not_silent_delete(spark):
     out = {r["k"]: (r["s"], r["p"])
            for r in apply_cdc(target, changes, ["k"], "seq", "op").collect()}
     assert out == {5: ("new", 55.0)}
+
+
+def test_scd2_apply_cdc_tombstone_closes_interval(spark, tmp_path):
+    """CDC→SCD2 composition: update winners close+reopen, a delete
+    tombstone closes the open interval with no replacement row, and a
+    key with U then D applies only the higher-seq tombstone."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+        scd2_apply_cdc,
+    )
+
+    base = str(tmp_path)
+    init = spark.createDataFrame(
+        [(1, "a", 1, "I"), (2, "b", 1, "I"), (3, "c", 1, "I")],
+        ["k", "v", "seq", "op"],
+    )
+    scd2_apply_cdc(
+        spark, init, base, "dim", "k", "seq", "op",
+        "2024-01-01 00:00:00", num_buckets=4,
+    )
+    feed = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"),   # plain update: close + reopen
+            (2, "b2", 1, "U"),   # update then delete: D wins
+            (2, "b", 2, "D"),
+            (3, "c", 2, "D"),    # plain delete: close only
+        ],
+        ["k", "v", "seq", "op"],
+    )
+    scd2_apply_cdc(
+        spark, feed, base, "dim", "k", "seq", "op", "2024-06-01 00:00:00"
+    )
+    rows = read_partitioned(spark, base, "dim").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(
+            (r["v"], r["is_current"], r["valid_to"] is None)
+        )
+    # key 1: closed 'a' + current 'a2'
+    assert sorted(by_key[1]) == [("a", False, False), ("a2", True, True)]
+    # key 2: only the closed 'b' row — the U never applied
+    assert by_key[2] == [("b", False, False)]
+    # key 3: closed, no current
+    assert by_key[3] == [("c", False, False)]
