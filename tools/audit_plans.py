@@ -31,6 +31,18 @@ SKIP = {
 }
 
 
+def _executed_exchange_count(plan: str) -> int:
+    """Exchange count of the EXECUTED (cache-aware) shape. The formatted
+    explain's per-node DETAIL sections ("(id) NodeName") enumerate only
+    the top-level plan's nodes — the inlined build dumps of materialized
+    ``InMemoryRelation`` caches (whose exchanges execution never
+    re-runs) are simple-string dumps with no detail headers — so
+    counting Exchange detail headers IS the executed shuffle count,
+    immune to the recursive cache-dump inflation the raw tree count
+    suffers."""
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+
+
 def main() -> None:
     only = set(sys.argv[1:])
     from mgo_liveagent_data_pipeline_spark.plans.registry import ALL_QUERIES as QUERIES
@@ -49,7 +61,11 @@ def main() -> None:
         " (unions are narrow). Plans are explained with the operators'"
         " scoped caches released, so exch/bhj/smj describe the raw"
         " recompute shape — execution reuses cached stages and runs"
-        " fewer exchanges than printed for the dedup family."
+        " fewer exchanges than printed for the dedup family. Lines with"
+        " raw exch>4 ALSO print exec_exch= — the cache-aware executed"
+        " shape (caches materialized, InMemoryRelation subtrees"
+        " excluded); MANY-SHUFFLES flags fire on THAT count, so they"
+        " mark real plans, not audit artifacts."
     )
     for name, fn in QUERIES.items():
         if only and name not in only:
@@ -82,13 +98,34 @@ def main() -> None:
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         widths = [len(s.split(",")) if s else 0 for s in schemas]
+        exec_note = ""
+        n_flag = n_exchange
+        if n_exchange > 4:
+            # the raw recompute shape of a multi-member union re-counts
+            # every cached stage per reference; re-explain with the
+            # operators' caches MATERIALIZED and count only exchanges
+            # outside InMemoryRelation subtrees — the shape execution
+            # actually runs — so MANY-SHUFFLES flags real plans, not
+            # audit artifacts
+            try:
+                df2 = fn(spark, SF_DIR)
+                df2.count()
+                buf2 = io.StringIO()
+                with redirect_stdout(buf2):
+                    df2.explain("formatted")
+                n_exec = _executed_exchange_count(buf2.getvalue())
+                release_intermediates()
+                exec_note = f"exec_exch={n_exec} "
+                n_flag = n_exec
+            except Exception:  # pragma: no cover - audit best-effort
+                release_intermediates()
         flags = []
         if any(w > 8 for w in widths):
             flags.append(f"WIDE-SCAN({max(widths)} cols)")
-        if n_exchange > 4:
-            flags.append(f"MANY-SHUFFLES({n_exchange})")
+        if n_flag > 4:
+            flags.append(f"MANY-SHUFFLES({n_flag})")
         print(
-            f"{name:28s} exch={n_exchange} bhj={n_bhj} smj={n_smj} "
+            f"{name:28s} exch={n_exchange} {exec_note}bhj={n_bhj} smj={n_smj} "
             f"scan_widths={widths} pushed={[p for p in pushed if p][:2]} "
             f"{' '.join(flags)}"
         )
