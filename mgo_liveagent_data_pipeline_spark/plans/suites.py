@@ -755,9 +755,44 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rms").alias("m1"),
         F.col("peak").alias("m2"),
     )
+    # real_image: GENUINE uncompressed-BMP decode (stdlib struct) over
+    # hand-packed pixel fixtures — dims and channel means from actual
+    # pixels, pinned by independently-computed expected values
+    from ..operators.multimodal import bmp_fixture_images, real_image_features
+
+    imgs = bmp_fixture_images()
+    ifixture = spark.createDataFrame(
+        [(c["img_id"], bytearray(c["payload"])) for c in imgs],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    ri_feats = real_image_features(ifixture)
+    ri = ri_feats.select(
+        F.lit("real_image").alias("mode"),
+        "doc_id",
+        F.col("n_pixels").alias("seq"),
+        F.col("content_md5").alias("digest"),
+        "n_bytes",
+        F.col("width").alias("m1"),
+        F.col("height").alias("m2"),
+    )
+    rirgb = ri_feats.select(
+        F.lit("real_image_rgb").alias("mode"),
+        "doc_id",
+        F.col("n_pixels").alias("seq"),
+        _null("string").alias("digest"),
+        "n_bytes",
+        F.col("mean_rgb").alias("m1"),
+        F.col("n_pixels").alias("m2"),
+    )
     return (
         dec.unionByName(fr).unionByName(rs).unionByName(au)
         .unionByName(ra).unionByName(ral)
+        .unionByName(ri).unionByName(rirgb)
     )
 
 
@@ -909,6 +944,8 @@ def _wav_expected_sql() -> str:
     match here certifies a real decode."""
     from ..operators.multimodal import wav_fixture_clips
 
+    from ..operators.multimodal import bmp_fixture_images
+
     rows = []
     for c in wav_fixture_clips():
         rows.append(
@@ -919,6 +956,16 @@ def _wav_expected_sql() -> str:
         rows.append(
             f"('real_audio_level', {c['clip_id']}, {c['n_channels']}, "
             f"NULL, {c['n_bytes']}, {c['rms']}, {c['peak']})"
+        )
+    for c in bmp_fixture_images():
+        rows.append(
+            f"('real_image', {c['img_id']}, {c['n_pixels']}, "
+            f"'{c['content_md5']}', {c['n_bytes']}, "
+            f"{c['width']}, {c['height']})"
+        )
+        rows.append(
+            f"('real_image_rgb', {c['img_id']}, {c['n_pixels']}, "
+            f"NULL, {c['n_bytes']}, {c['mean_rgb']}, {c['n_pixels']})"
         )
     return (
         "SELECT mode, CAST(doc_id AS BIGINT) AS doc_id, "

@@ -582,3 +582,47 @@ def test_dedup_apply_min_key_and_quality_winner(spark):
     # cluster {1,2,3}: max quality 0.9 tie between 2 and 3 → lowest key 2
     # cluster {5,6}: tie at 0.1 → lowest key 5
     assert got_q == {2: 3, 4: 1, 5: 2}
+
+
+def test_real_image_decode_matches_independent_reference(spark):
+    """The struct-parsed BMP decode reproduces the fixtures' expected
+    dims/means, computed from the raw pixel arrays (writer and reader
+    independent; odd widths exercise row padding)."""
+    from pyspark.sql import types as T
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        bmp_fixture_images,
+        real_image_features,
+    )
+
+    imgs = bmp_fixture_images()
+    df = spark.createDataFrame(
+        [(c["img_id"], bytearray(c["payload"])) for c in imgs],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    got = {r["doc_id"]: r.asDict() for r in real_image_features(df).collect()}
+    assert len(got) == len(imgs)
+    for c in imgs:
+        g = got[c["img_id"]]
+        for k in ("n_bytes", "content_md5", "width", "height", "n_pixels",
+                  "mean_rgb"):
+            assert g[k] == c[k], (c["img_id"], k, g[k], c[k])
+
+
+def test_real_decode_dispatches_bmp_and_rejects_compressed():
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        bmp_fixture_images,
+        real_decode,
+    )
+
+    c = bmp_fixture_images(1)[0]
+    assert real_decode(c["payload"]) == (c["width"], c["height"])
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x89PNG\r\n\x1a\nfakedata")

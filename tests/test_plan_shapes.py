@@ -97,11 +97,11 @@ def test_cosine_norms_hoisted_out_of_pair_projection(spark):
 
 def test_multimodal_suite_is_arrow_batched_python(spark):
     s = plan(spark, "multimodal_suite")
-    # decode + resize + audio + real-WAV audio (referenced by both its
-    # feature and level branches) are mapInPandas stages; frames stay
-    # Catalyst
+    # decode + resize + audio + real-WAV audio + real-BMP image (the two
+    # real stages are each referenced by two branches) are mapInPandas
+    # stages; frames stay Catalyst
     # (formatted explain names each node twice: tree line + detail header)
-    assert s.count("MapInPandas") == 10
+    assert s.count("MapInPandas") == 14
     assert "BatchEvalPython" not in s  # no row-at-a-time Python anywhere
 
 

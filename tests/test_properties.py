@@ -362,3 +362,46 @@ def test_mixture_sample_matches_python_reference(spark, rows, budget):
         if bucket < rate * 16**8:
             expect.append(i)
     assert got == sorted(expect)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # key
+            st.integers(min_value=1, max_value=9),   # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(min_value=0, max_value=99),  # payload value
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    )
+)
+def test_apply_cdc_matches_python_reference(spark, feed):
+    """apply_cdc equals a single-threaded replay: per key, the change
+    with the highest (seq, op) wins; a winning D removes the key,
+    anything else upserts the row onto the snapshot."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import apply_cdc
+
+    target_rows = [(k, -1) for k in (1, 2)]
+    target = spark.createDataFrame(target_rows, ["k", "v"])
+    changes = spark.createDataFrame(feed, ["k", "seq", "op", "v"]).select(
+        "k", "v", "seq", "op"
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(target, changes, ["k"], "seq", "op").collect()
+    }
+
+    expect = dict(target_rows)
+    winners: dict[int, tuple] = {}
+    for k, seq, op, v in feed:
+        if k not in winners or (seq, op) > winners[k][:2]:
+            winners[k] = (seq, op, v)
+    for k, (_seq, op, v) in winners.items():
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+    assert got == expect

@@ -1008,3 +1008,37 @@ def test_scd2_apply_cdc_tombstone_closes_interval(spark, tmp_path):
     assert by_key[2] == [("b", False, False)]
     # key 3: closed, no current
     assert by_key[3] == [("c", False, False)]
+
+
+def test_scd2_apply_cdc_reinsert_after_delete(spark, tmp_path):
+    """A key deleted by a tombstone and re-inserted by a later feed gets
+    a NEW open interval after the closed one — the full dimension
+    lifecycle (born → deleted → reborn) in three feeds."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+        scd2_apply_cdc,
+    )
+
+    base = str(tmp_path)
+    t = ["2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00"]
+    feeds = [
+        [(1, "a", 1, "I")],
+        [(1, "a", 1, "D")],
+        [(1, "a3", 1, "I")],
+    ]
+    for ts, feed in zip(t, feeds):
+        scd2_apply_cdc(
+            spark,
+            spark.createDataFrame(feed, ["k", "v", "seq", "op"]),
+            base, "dim", "k", "seq", "op", ts, num_buckets=2,
+        )
+    rows = sorted(
+        (r["v"], r["is_current"],
+         r["valid_from"].strftime("%Y-%m-%d"),
+         r["valid_to"].strftime("%Y-%m-%d") if r["valid_to"] else None)
+        for r in read_partitioned(spark, base, "dim").collect()
+    )
+    assert rows == [
+        ("a", False, "2024-01-01", "2024-02-01"),   # closed by tombstone
+        ("a3", True, "2024-03-01", None),            # reborn, open
+    ]

@@ -131,14 +131,35 @@ def main() -> None:
         )
 
     def cc(df):
+        # CC over the LSH pair generator — the documented scale path.
+        # The first 64× attempt ran CC over blocked-Jaccard pairs with
+        # the default 10k block cap and FOUND the cap's cliff: at 64×
+        # every (lang, source) block sits just UNDER the cap (~8k docs),
+        # so Σ|block|² legitimately explodes ~4096× (≈1.3e9 candidate
+        # pairs) and the run died spilling >79 GB of shuffle. That is
+        # the operator's documented contract working as designed —
+        # coarse-metadata blocking is for small-block corpora; LSH
+        # buckets (content-derived, size-capped) are the web-scale
+        # route — now measured, not just asserted. cc_blocked below
+        # keeps a blocked-Jaccard case with a cap that ENGAGES at 64×,
+        # with the drop accounting printed.
+        pairs = minhash_lsh_dedup(df)
+        return connected_components(pairs.select("id_a", "id_b"))
+
+    def cc_blocked(df):
         pairs = ngram_jaccard_pairs(
             df, "text", "doc_id", block_cols=("lang", "source"),
-            shingle_k=1, threshold=0.5,
+            shingle_k=1, threshold=0.5, max_block_size=1000,
         )
         return connected_components(pairs.select("id_a", "id_b"))
 
     results = {}
-    for name, fn in {"minhash_lsh": minhash, "incremental": incr, "cc_cluster": cc}.items():
+    for name, fn in {
+        "minhash_lsh": minhash,
+        "incremental": incr,
+        "cc_cluster": cc,
+        "cc_blocked_capped": cc_blocked,
+    }.items():
         fn(docs_1x).count()  # warm the code path
         release_intermediates()
         t0 = time.time()
@@ -158,12 +179,15 @@ def main() -> None:
             "ratio": round(ratio, 1),
             "ratio_per_unit": round(ratio / factor, 3),
         }
+        # incremental flush so a died-mid-run session still leaves data
+        print(json.dumps({name: results[name]}), file=sys.stderr)
 
     drops = {
-        "lsh_1x": lsh_drop_stats(docs_1x),
-        f"lsh_{factor}x": lsh_drop_stats(docs_nx),
-        "block_1x": block_drop_stats(docs_1x),
-        f"block_{factor}x": block_drop_stats(docs_nx),
+        "lsh_cap1000_1x": lsh_drop_stats(docs_1x),
+        f"lsh_cap1000_{factor}x": lsh_drop_stats(docs_nx),
+        "block_cap1000_1x": block_drop_stats(docs_1x, cap=1000),
+        f"block_cap1000_{factor}x": block_drop_stats(docs_nx, cap=1000),
+        f"block_cap10000_{factor}x": block_drop_stats(docs_nx, cap=10_000),
     }
     print(json.dumps({"factor": factor, "cases": results, "cap_drops": drops}))
     import shutil
