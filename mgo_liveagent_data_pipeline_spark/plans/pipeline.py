@@ -164,11 +164,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup within label blocks (IVF posting lists).
-    Threshold 0.3 ≈ this corpus's p99 within-block similarity (max 0.47 —
-    a 0.9 threshold returns zero rows and checks nothing)."""
+    """Embedding-cosine near-dup, both vector provenances under one
+    tagged row:
+
+    * ``emb`` — the prebuilt ``embeddings`` table within IVF label
+      blocks. Threshold 0.3 ≈ this corpus's p99 within-block similarity
+      (max 0.47 — a 0.9 threshold returns zero rows and checks nothing).
+    * ``encoded`` — corpus-only near-dup with NO embeddings table:
+      documents → hash-projection vectors (annsearch.encode_documents)
+      → random-hyperplane sign-bit blocks (annsearch.rh_signature, the
+      LSH that groups similar vectors) → within-block cosine ≥ 0.8.
+      The full curation composition: near-identical docs land in the
+      same sign block and score ~1.0."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, "embedding", "vec_id", "label", threshold=0.3)
+    e = embedding_near_dup(
+        emb, "embedding", "vec_id", "label", threshold=0.3
+    ).select(F.lit("emb").alias("mode"), "id_a", "id_b", "cosine_sim")
+
+    from ..operators.annsearch import encode_documents, rh_planes, rh_signature
+    from ..session import ship_package
+
+    ship_package(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    enc = encode_documents(docs, dim=32)
+    blocked = enc.withColumn(
+        "label", rh_signature(F.col("embedding"), rh_planes(6, 32))
+    )
+    n = embedding_near_dup(
+        blocked, "embedding", "doc_id", "label", threshold=0.8
+    ).select(F.lit("encoded").alias("mode"), "id_a", "id_b", "cosine_sim")
+    return e.unionByName(n)
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1233,6 +1258,7 @@ ORACLES: dict[str, str] = {
         FROM t
     """,
     "dedup_embedding": f"""
+        SELECT 'emb' AS mode, id_a, id_b, cosine_sim FROM (
         WITH base AS (
           SELECT vec_id AS key, label AS block,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1243,7 +1269,60 @@ ORACLES: dict[str, str] = {
                round({_COSINE.format(a="a.v", b="b.v")}, 6) AS cosine_sim
         FROM base a JOIN base b ON a.block = b.block
         WHERE a.key < b.key
-          AND round({_COSINE.format(a="a.v", b="b.v")}, 6) >= 0.3
+          AND round({_COSINE.format(a="a.v", b="b.v")}, 6) >= 0.3)
+        UNION ALL
+        SELECT 'encoded' AS mode, id_a, id_b, cosine_sim FROM (
+        -- mirror of encode_documents + rh_signature sign blocks +
+        -- embedding_near_dup: sparse ±1 bucket sums are exact integers,
+        -- so dot/norm/sign math is engine-independent
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+          FROM documents),
+        feat AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(t), 1, 12)) AS BIGINT) % 32 AS b,
+                 CASE WHEN CAST(('0x' || substring(md5(t), 13, 1)) AS BIGINT)
+                           % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM tok WHERE t <> ''),
+        vec AS (
+          SELECT doc_id, b, sum(s) AS val FROM feat GROUP BY 1, 2),
+        nrm AS (
+          SELECT d.doc_id,
+                 coalesce(sqrt(CAST(sum(val * val) AS DOUBLE)), 0) AS n
+          FROM documents d LEFT JOIN vec USING (doc_id) GROUP BY 1),
+        planes AS (
+          SELECT CAST(t1.range AS BIGINT) AS p, CAST(t2.range AS BIGINT) AS d,
+                 CASE WHEN CAST(('0x' || substring(md5(
+                        CAST(t1.range AS VARCHAR) || ':'
+                        || CAST(t2.range AS VARCHAR)), 1, 1)) AS BIGINT)
+                      % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM range(6) t1 CROSS JOIN range(32) t2),
+        sigbits AS (
+          SELECT v.doc_id, pl.p,
+                 CASE WHEN sum(pl.s * v.val) > 0 THEN '1' ELSE '0' END AS bit
+          FROM vec v JOIN planes pl ON pl.d = v.b
+          GROUP BY v.doc_id, pl.p),
+        sig AS (
+          SELECT d.doc_id,
+                 coalesce(string_agg(bit, '' ORDER BY p), '000000') AS block
+          FROM documents d LEFT JOIN sigbits sb ON sb.doc_id = d.doc_id
+          GROUP BY d.doc_id),
+        dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(sum(a.val * b.val) AS DOUBLE) AS dp
+          FROM vec a JOIN vec b ON a.b = b.b AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               round(d.dp / (xn.n * yn.n), 6) AS cosine_sim
+        FROM sig x
+        JOIN sig y ON x.block = y.block AND x.doc_id < y.doc_id
+        JOIN dots d ON d.id_a = x.doc_id AND d.id_b = y.doc_id
+        JOIN nrm xn ON xn.doc_id = x.doc_id
+        JOIN nrm yn ON yn.doc_id = y.doc_id
+        WHERE xn.n > 0 AND yn.n > 0
+          AND round(d.dp / (xn.n * yn.n), 6) >= 0.8)
     """,
     # collision print ∪ winnowing print (k=5 char grams, window w=4,
     # leftmost-min; hash = first 12 md5 hex chars as BIGINT — mirrors
