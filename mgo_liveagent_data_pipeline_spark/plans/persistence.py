@@ -306,6 +306,7 @@ def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_k_zorder_sink(spark, sf_dir))
         .unionByName(q_k_compact_sink(spark, sf_dir))
         .unionByName(q_k_pointread_sink(spark, sf_dir))
+        .unionByName(q_k_rangeread_sink(spark, sf_dir))
     )
 
 
@@ -372,6 +373,35 @@ def q_k_pointread_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("val"),
     ).select(F.lit("pointread").alias("mode"), "k1", "n", "val")
+
+
+def q_k_rangeread_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bucketed key-range scan round trip (sinks/writers.py:
+    read_partitioned_range): orders published through the partitioned
+    MERGE with ``range_width`` buckets (the monotone-key layout), then a
+    BETWEEN scan reads only the O(range/width) buckets covering
+    [1000, 4999] — pure bucket arithmetic, no data pass — and must
+    return exactly the keys in range. Driver-visible via the
+    ``rangeread`` mode of ``k5_history_sink``."""
+    from ..sinks.writers import partitioned_upsert, read_partitioned_range
+
+    base_dir = tempfile.mkdtemp(prefix="mgo_rangeread_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    partitioned_upsert(
+        spark, orders, base_dir, "orders_r", "o_orderkey",
+        num_buckets=16, range_width=2000,
+    )
+    got = read_partitioned_range(
+        spark, base_dir, "orders_r", "o_orderkey", 1000, 4999
+    )
+    return got.groupBy(F.col("o_orderstatus").alias("k1")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast(MONEY)), 2)
+        .cast("double")
+        .alias("val"),
+    ).select(F.lit("rangeread").alias("mode"), "k1", "n", "val")
 
 
 def q_k_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,6 +555,7 @@ QUERIES = {
     "k_compact_sink": q_k_compact_sink,
     "k_scd2_cdc": q_k_scd2_cdc,
     "k_pointread_sink": q_k_pointread_sink,
+    "k_rangeread_sink": q_k_rangeread_sink,
     "stream_tumbling_6h": q_stream_tumbling_6h,
     "stream_append_6h": q_stream_append_6h,
     "stream_session_windows": q_stream_session_windows,
@@ -718,6 +749,12 @@ ORACLES: dict[str, str] = {
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
                     AS DOUBLE) AS val
         FROM orders WHERE o_orderkey % 97 = 0 GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'rangeread' AS mode, o_orderstatus AS k1, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS val
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 4999
+        GROUP BY o_orderstatus
     """,
     # six 1-file appends (5 region slices + full replay) compacted to 2
     # files; per-region aggregates double-counted by the replay, and the
@@ -729,6 +766,14 @@ ORACLES: dict[str, str] = {
         FROM nation GROUP BY n_regionkey
         UNION ALL
         SELECT 'compact', '_files', CAST(2 AS BIGINT), 6.0
+    """,
+    # the range-bucket BETWEEN scan returns exactly the in-range keys
+    "k_rangeread_sink": """
+        SELECT 'rangeread' AS mode, o_orderstatus AS k1, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS val
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 4999
+        GROUP BY o_orderstatus
     """,
     # the manifest-pruned probe returns exactly the mod-97 keys' rows
     "k_pointread_sink": """

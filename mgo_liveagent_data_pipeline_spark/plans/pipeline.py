@@ -175,7 +175,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
       → random-hyperplane sign-bit blocks (annsearch.rh_signature, the
       LSH that groups similar vectors) → within-block cosine ≥ 0.8.
       The full curation composition: near-identical docs land in the
-      same sign block and score ~1.0."""
+      same sign block and score ~1.0. At 100 TB the plane count sets
+      block granularity — pick bits ≈ log2(corpus / target_block_size)
+      (6 bits = 64 blocks fits this fixture; a 10^10-doc corpus wants
+      ~20+ bits) and the 100k block cap backstops degenerate blocks,
+      the same sizing rule as every other pair generator here."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = embedding_near_dup(
         emb, "embedding", "vec_id", "label", threshold=0.3
