@@ -788,6 +788,11 @@ def embedding_near_dup(
         base = base.withColumn("__bn", bn).where(
             F.col("__bn") <= F.lit(max_block_size)
         ).drop("__bn")
+    # both self-join branches consume base: persist so an expensive
+    # upstream (e.g. the mapInPandas document encoder) runs once, not
+    # once per branch (released via release_intermediates, the house
+    # rule for doubly-consumed intermediates)
+    base = _scoped_persist(base)
     a, b = base.alias("a"), base.alias("b")
     sim = F.round(
         cosine_prenorm(F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")), 6

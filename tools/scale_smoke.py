@@ -366,6 +366,48 @@ def main() -> None:
         cb = pq_codebooks(df, 8, 16, 64)
         return pq_encode(df, cb, 8, 64)
 
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        encode_documents,
+        rh_planes,
+        rh_signature,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        dedup_apply,
+        embedding_near_dup,
+        exact_star_edges,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+    )
+
+    def dedup_apply_case(df):
+        # full canonicalization: star edges → CC → keep-one → partitioned
+        # MERGE rewrite → read back (the dedup "apply" composition)
+        docs = df.select("doc_id", "text")
+        clusters = connected_components(exact_star_edges(docs))
+        kept = dedup_apply(docs, clusters, "doc_id")
+        base = tempfile.mkdtemp(prefix="da_", dir=big)
+        partitioned_upsert(spark, kept, base, "c", "doc_id", num_buckets=16)
+        return read_partitioned(spark, base, "c")
+
+    n_docs_1x = docs_1x.count()
+
+    def enc_near_dup(df):
+        # sign-block bits follow the documented sizing rule
+        # (bits ≈ 6 + log2(corpus growth)) so block sizes stay ~constant
+        # as the corpus grows — the knob a production deployment turns
+        import math
+
+        n = df.count()
+        bits = 6 + max(0, round(math.log2(max(n, 1) / n_docs_1x)))
+        enc = encode_documents(df, dim=32)
+        blocked = enc.withColumn(
+            "label", rh_signature(F.col("embedding"), rh_planes(bits, 32))
+        )
+        return embedding_near_dup(
+            blocked, "embedding", "doc_id", "label", threshold=0.8
+        )
+
     cases = {
         "a1_agg": (a1, li_1x, li_nx),
         "zorder_write": (zw, or_1x, or_nx),
@@ -399,6 +441,8 @@ def main() -> None:
         "cdc_apply": (cdc, or_1x, or_nx),
         "mixture_sample": (mix, docs_1x, docs_nx),
         "qmodel_score": (qmodel, docs_1x, docs_nx),
+        "dedup_apply_rewrite": (dedup_apply_case, docs_1x, docs_nx),
+        "encoded_near_dup": (enc_near_dup, docs_1x, docs_nx),
     }
 
     # ---- fixed-delta merge cases: the partition-pruned MERGE claim is
@@ -450,11 +494,42 @@ def main() -> None:
         )
         return time.time() - t0
 
+    def scd2_cdc_delta(df, base):
+        # CDC feed → SCD2 composition with a FIXED-SIZE feed (10 U + a
+        # few D tombstones): both bucket-pruned merges should cost the
+        # same against an N× bigger dimension (ratio ≈ 1)
+        from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+            scd2_apply_cdc,
+        )
+
+        t3 = df.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        init = t3.select("*", F.lit(1).alias("seq"), F.lit("I").alias("op"))
+        scd2_apply_cdc(
+            spark, init, base, "t", "o_orderkey", "seq", "op",
+            "2024-01-01 00:00:00", num_buckets=64,
+        )
+        d3 = delta.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        feed = d3.select(
+            "o_orderkey", F.lit("X").alias("o_orderstatus"), "o_totalprice",
+            F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        ).unionByName(
+            d3.where(F.col("o_orderkey") % 2 == 0).select(
+                "*", F.lit(2).alias("seq"), F.lit("D").alias("op")
+            )
+        )
+        t0 = time.time()
+        scd2_apply_cdc(
+            spark, feed, base, "t", "o_orderkey", "seq", "op",
+            "2024-06-01 00:00:00",
+        )
+        return time.time() - t0
+
     merge_cases = {
         "flat_merge_fixed_delta": flat_delta,
         "pmerge_10key_delta": pmerge_delta,
         "pmerge_range_tail_delta": pmerge_range_tail,
         "scd2_pmerge_10key_delta": scd2_pmerge_delta,
+        "scd2_cdc_fixed_feed": scd2_cdc_delta,
     }
 
     results = {}
@@ -464,6 +539,7 @@ def main() -> None:
     pmerge_delta(or_1x, os.path.join(_wb, "p"))
     pmerge_range_tail(or_1x, os.path.join(_wb, "r"))
     scd2_pmerge_delta(or_1x, os.path.join(_wb, "s"))
+    scd2_cdc_delta(or_1x, os.path.join(_wb, "c"))
     shutil.rmtree(_wb, ignore_errors=True)
     for name, fn in merge_cases.items():
         t_small = fn(or_1x, tempfile.mkdtemp(prefix="m1_", dir=big))
