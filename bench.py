@@ -18,6 +18,7 @@ from mgo_liveagent_data_pipeline_spark.operators.dedup import (
     release_intermediates,
 )
 from mgo_liveagent_data_pipeline_spark.plans.registry import ALL_QUERIES as QUERIES
+from mgo_liveagent_data_pipeline_spark.scratch import purge_scratch
 from mgo_liveagent_data_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -133,11 +134,31 @@ def main() -> None:
             fn(spark, SF_DIR).count()
             t[name] = time.time() - t0
         during = _cpu_pcts(pa, _cpu_snap())
-        quiet = pre is None or (
-            pre["busy_pct"] < BUSY_GATE and pre["steal_pct"] < STEAL_GATE
+        # gate on BOTH sides of the pass: a co-tenant episode that starts
+        # mid-pass is invisible to the pre-pass sample but shows in the
+        # post-pass ambient sample (Spark is idle again), and its timings
+        # must not land in the "quiet" min. Steal is checked on the
+        # during-pass sample too — steal is never us, whatever the phase.
+        post = _ambient_sample()
+
+        def _calm(s: dict | None) -> bool:
+            return s is None or (
+                s["busy_pct"] < BUSY_GATE and s["steal_pct"] < STEAL_GATE
+            )
+
+        quiet = (
+            _calm(pre)
+            and _calm(post)
+            and (during is None or during["steal_pct"] < STEAL_GATE)
         )
         passes.append(
-            {"pre": pre, "during": during, "quiet": quiet, "timings": t}
+            {
+                "pre": pre,
+                "during": during,
+                "post": post,
+                "quiet": quiet,
+                "timings": t,
+            }
         )
         n_quiet = sum(1 for p in passes if p["quiet"])
         if len(passes) >= MIN_PASSES and (
@@ -148,6 +169,7 @@ def main() -> None:
             break
     host = _cpu_pcts(snap0, _cpu_snap())
     release_intermediates()
+    purge_scratch()
     qualifying = [p for p in passes if p["quiet"]] or passes
     timings = {
         n: round(min(p["timings"][n] for p in qualifying), 3) for n in run
@@ -165,7 +187,12 @@ def main() -> None:
         # pre = ambient (Spark idle) sample that gated the pass,
         # during = whole-pass sample (includes our own load)
         "passes": [
-            {"pre": p["pre"], "during": p["during"], "quiet": p["quiet"]}
+            {
+                "pre": p["pre"],
+                "during": p["during"],
+                "post": p["post"],
+                "quiet": p["quiet"],
+            }
             for p in passes
         ],
     }

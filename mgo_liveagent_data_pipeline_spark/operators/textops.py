@@ -590,9 +590,13 @@ def extract_urls(
         base["__last2"] == psl["public_suffix"],
         "left",
     )
+    # a host that IS a bare public suffix (no registrable label) has no
+    # third label — the 3-label extract returns '' — so fall back to the
+    # two-label form rather than bucketing such hosts under empty string
+    extract3 = F.regexp_extract(F.col("host"), REG_DOMAIN3_PATTERN, 1)
     reg = F.when(
-        F.col("public_suffix").isNotNull(),
-        F.regexp_extract(F.col("host"), REG_DOMAIN3_PATTERN, 1),
+        F.col("public_suffix").isNotNull() & (extract3 != F.lit("")),
+        extract3,
     ).otherwise(F.col("__last2"))
     return joined.select(
         F.col(key_col), "url", "host", reg.alias("registered_domain")

@@ -12,6 +12,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..scratch import scratch_dir
 from ..sources.rest import HAS_DATASOURCE_API, LiveAgentDataSource
 
 _PAGES = [
@@ -137,7 +138,7 @@ def q_s8_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     as headered CSV, read it back with an explicit schema (no inference
     job), proving the quote/header/type round trip."""
     nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
-    out_dir = tempfile.mkdtemp(prefix="mgo_csv_")
+    out_dir = scratch_dir("mgo_csv_")
     path = os.path.join(out_dir, "nation_csv")
     nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
     return (
@@ -156,7 +157,7 @@ def q_s9_gazetteer_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import cached_gazetteer
 
     nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
-    gdir = tempfile.mkdtemp(prefix="mgo_gaz_")
+    gdir = scratch_dir("mgo_gaz_")
     path = os.path.join(gdir, "gaz.parquet")
     nation.select(
         F.col("n_nationkey").alias("gaz_id"),

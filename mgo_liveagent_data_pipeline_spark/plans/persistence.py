@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..sinks.writers import (
     history_append,
     overwrite,
@@ -52,7 +53,7 @@ def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     The flat and partitioned halves share one merge-algebra oracle, so a
     hash match proves the partition-pruned write path produces the
     identical table state."""
-    base_dir = tempfile.mkdtemp(prefix="mgo_sink_")
+    base_dir = scratch_dir("mgo_sink_")
     orders = load_table(spark, sf_dir, "orders")
     overwrite(orders, base_dir, "orders_t")
     source = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
@@ -156,7 +157,7 @@ def q_k_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-in-time view must reproduce the T1 state exactly. The
     reference keeps only load-time history (extractor_bq_helpers.py:
     83-108); SCD2 is its point-in-time strengthening."""
-    base_dir = tempfile.mkdtemp(prefix="mgo_scd2_")
+    base_dir = scratch_dir("mgo_scd2_")
     orders = load_table(spark, sf_dir, "orders")
     src = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
         "o_orderstatus",
@@ -222,7 +223,7 @@ def q_k_scd2_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``k_materialized_upsert``."""
     from ..sinks.writers import scd2_apply_cdc
 
-    base_dir = tempfile.mkdtemp(prefix="mgo_scd2cdc_")
+    base_dir = scratch_dir("mgo_scd2cdc_")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -283,7 +284,7 @@ def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
       (twice — idempotent), read back and aggregated per day
       (sinks/writers.py:replace_partitions; untouched-partition file
       immutability is asserted by ``tests/test_sinks.py``)."""
-    base_dir = tempfile.mkdtemp(prefix="mgo_hist_")
+    base_dir = scratch_dir("mgo_hist_")
     nation = load_table(spark, sf_dir, "nation")
     b1 = nation.where(F.col("n_regionkey") <= 2).withColumn(
         "batch_id", F.lit(1)
@@ -321,7 +322,7 @@ def q_k_compact_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``k5_history_sink``."""
     from ..sinks.writers import append, compact, table_path
 
-    base_dir = tempfile.mkdtemp(prefix="mgo_compact_")
+    base_dir = scratch_dir("mgo_compact_")
     nation = load_table(spark, sf_dir, "nation")
     for rk in range(5):  # 5 region slices + one full replay = 6 files
         append(
@@ -356,7 +357,7 @@ def q_k_pointread_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``k5_history_sink``."""
     from ..sinks.writers import partitioned_upsert, read_partitioned_for_keys
 
-    base_dir = tempfile.mkdtemp(prefix="mgo_pointread_")
+    base_dir = scratch_dir("mgo_pointread_")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -385,7 +386,7 @@ def q_k_rangeread_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rangeread`` mode of ``k5_history_sink``."""
     from ..sinks.writers import partitioned_upsert, read_partitioned_range
 
-    base_dir = tempfile.mkdtemp(prefix="mgo_rangeread_")
+    base_dir = scratch_dir("mgo_rangeread_")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -410,7 +411,7 @@ def q_k_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction is quantified from the parquet footers by
     ``tests/test_sinks.py`` — then read back and aggregated per day (the
     layout must not change the rows)."""
-    base_dir = tempfile.mkdtemp(prefix="mgo_zorder_")
+    base_dir = scratch_dir("mgo_zorder_")
     events = load_table(spark, sf_dir, "events")
     ev = events.withColumn("d", F.date_format("ts", "yyyy-MM-dd")).select(
         "event_id", "user_id", "value", "d"
@@ -436,7 +437,7 @@ def q_k_datepart_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces exactly that day's partition (run twice — idempotent). The
     min-day pick is a one-scalar driver collect, the same metadata-sized
     step as ``partitioned_upsert``'s affected-bucket listing."""
-    base_dir = tempfile.mkdtemp(prefix="mgo_datepart_")
+    base_dir = scratch_dir("mgo_datepart_")
     events = load_table(spark, sf_dir, "events")
     ev = events.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
     # cluster rows by day before the write so each day lands as one file
@@ -508,7 +509,7 @@ def q_stream_upsert_6h(
     into a parquet table, read back — exactly-once incremental MERGE."""
     from ..streaming.windows import stream_upsert_6h
 
-    base_dir = tempfile.mkdtemp(prefix="mgo_stream_sink_")
+    base_dir = scratch_dir("mgo_stream_sink_")
     path = stream_upsert_6h(
         spark, sf_dir, base_dir, n_state_partitions=n_state_partitions
     )
@@ -525,7 +526,7 @@ def q_stream_merge_partitioned(
     from ..sinks.writers import read_partitioned
     from ..streaming.windows import stream_merge_partitioned
 
-    base_dir = tempfile.mkdtemp(prefix="mgo_stream_psink_")
+    base_dir = scratch_dir("mgo_stream_psink_")
     stream_merge_partitioned(
         spark, sf_dir, base_dir, sink_name="events_6h_p",
         n_state_partitions=n_state_partitions,

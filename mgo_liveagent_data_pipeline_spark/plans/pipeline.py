@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.annsearch import cosine_topk, ivf_topk
+from ..scratch import scratch_dir
 from ..operators.dedup import (
     embedding_near_dup,
     exact_dedup,
@@ -410,7 +411,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     clusters = connected_components(exact_star_edges(docs))
     kept = dedup_apply(docs, clusters, "doc_id")
-    base_dir = tempfile.mkdtemp(prefix="mgo_dedup_apply_")
+    base_dir = scratch_dir("mgo_dedup_apply_")
     partitioned_upsert(spark, kept, base_dir, "corpus", "doc_id", num_buckets=16)
     back = read_partitioned(spark, base_dir, "corpus")
     return back.select(
@@ -708,6 +709,8 @@ def _url_domains_sql() -> str:
           FROM u)
         SELECT CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
                          IN (""" + in_list + r""")
+                     AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+                         <> ''
                     THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
                     ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END
                  AS registered_domain,

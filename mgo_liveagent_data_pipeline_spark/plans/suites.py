@@ -667,6 +667,14 @@ def q_u2_geocode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tp.unionByName(fb)
 
 
+# Number of q_multimodal_suite union branches whose subtree crosses Python
+# via one Arrow-batched MapInPandas node (uncached stages referenced by two
+# branches count twice — the plan prints a node per reference). Update this
+# alongside the unionByName chain when adding a mode; tests/
+# test_plan_shapes.py derives its expected MapInPandas count from it.
+MULTIMODAL_PYTHON_BRANCHES = 7  # decode, resize, audio, ra, ral, ri, rirgb
+
+
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over the binary media column, all four stages
     the brief names: mapInPandas metadata decode, Catalyst frame sampling,

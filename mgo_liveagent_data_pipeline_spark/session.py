@@ -80,6 +80,10 @@ def ship_package(spark: SparkSession) -> None:
     pkg_name = os.path.basename(pkg_dir)
     fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="mgo_pipeline_pkg_")
     os.close(fd)
+    # the zip is read by addPyFile (workers fetch a copy); reclaim it at exit
+    import atexit
+
+    atexit.register(lambda p=zpath: os.path.exists(p) and os.remove(p))
     with zipfile.ZipFile(zpath, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for f in files:

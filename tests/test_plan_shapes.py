@@ -96,12 +96,21 @@ def test_cosine_norms_hoisted_out_of_pair_projection(spark):
 
 
 def test_multimodal_suite_is_arrow_batched_python(spark):
+    import re
+
+    from mgo_liveagent_data_pipeline_spark.plans.suites import (
+        MULTIMODAL_PYTHON_BRANCHES,
+    )
+
     s = plan(spark, "multimodal_suite")
-    # decode + resize + audio + real-WAV audio + real-BMP image (the two
-    # real stages are each referenced by two branches) are mapInPandas
-    # stages; frames stay Catalyst
-    # (formatted explain names each node twice: tree line + detail header)
-    assert s.count("MapInPandas") == 14
+    # every Python-crossing branch is exactly ONE Arrow-batched MapInPandas
+    # node; the expected branch count lives next to the suite's union chain
+    # so adding a mode fails here with a named constant, not a magic total
+    heads = re.findall(r"^\(\d+\) MapInPandas", s, re.M)
+    assert len(heads) == MULTIMODAL_PYTHON_BRANCHES
+    # formatted explain prints each node twice (tree line + detail header):
+    # a mismatch means a branch smuggled in a second Python stage
+    assert s.count("MapInPandas") == 2 * len(heads)
     assert "BatchEvalPython" not in s  # no row-at-a-time Python anywhere
 
 

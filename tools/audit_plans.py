@@ -118,6 +118,9 @@ def main() -> None:
                 exec_note = f"exec_exch={n_exec} "
                 n_flag = n_exec
             except Exception:  # pragma: no cover - audit best-effort
+                # surface the failure instead of silently flagging the
+                # inflated raw count as if it were the executed shape
+                exec_note = "exec_exch=ERR "
                 release_intermediates()
         flags = []
         if any(w > 8 for w in widths):

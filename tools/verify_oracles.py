@@ -85,6 +85,7 @@ def main():
     from mgo_liveagent_data_pipeline_spark.operators.dedup import (
         release_intermediates,
     )
+    from mgo_liveagent_data_pipeline_spark.scratch import purge_scratch
 
     n_pass = n_fail = n_noracle = 0
     for name, fn in QUERIES.items():
@@ -96,6 +97,9 @@ def main():
             cols = sorted(sdf.columns)
             srows = [tuple(r[c] for c in cols) for r in sdf.collect()]
             release_intermediates()
+            # sink queries materialize scratch tables; the result is fully
+            # collected above, so reclaim the disk before the next query
+            purge_scratch()
         except Exception as e:
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
