@@ -993,6 +993,7 @@ def paragraph_dedup(
     key_col: str = "doc_id",
     seg_words: int = 10,
     min_docs: int = 2,
+    emit_text: bool = False,
 ) -> DataFrame:
     """CCNet-style paragraph-level dedup: drop every text segment that
     appears in ≥ ``min_docs`` distinct documents, keeping the rest of each
@@ -1016,7 +1017,11 @@ def paragraph_dedup(
 
     Returns (key, n_segments, n_dropped, dedup_hash) where dedup_hash is
     md5 of the space-rejoined surviving text — compact enough to
-    hash-compare against the oracle without shipping full texts.
+    hash-compare against the oracle without shipping full texts. With
+    ``emit_text`` the surviving text itself is added as ``text`` (the
+    REWRITE a composed curation pipeline feeds to its next stage; a doc
+    whose every segment was boilerplate comes back as the empty string —
+    callers filter those).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
 
@@ -1062,11 +1067,14 @@ def paragraph_dedup(
         ),
         " ",
     )
-    return flagged.groupBy("key").agg(
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("n_segments"),
         F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
         F.md5(kept_text).alias("dedup_hash"),
-    )
+    ]
+    if emit_text:
+        aggs.append(kept_text.alias("text"))
+    return flagged.groupBy("key").agg(*aggs)
 
 
 def decontaminate(

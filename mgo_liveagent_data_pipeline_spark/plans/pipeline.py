@@ -466,6 +466,177 @@ def q_text_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# composed curation pipeline: mixture weights over ten sources (the other
+# ten get weight 0 → dropped) and a token budget small enough that the
+# heavy sources downsample (<1.0 rates) while light ones keep everything
+CURATION_MIX_WEIGHTS = {
+    "src0": 0.20, "src1": 0.15, "src2": 0.15, "src3": 0.10, "src4": 0.10,
+    "src5": 0.08, "src6": 0.07, "src7": 0.06, "src8": 0.05, "src9": 0.04,
+}
+CURATION_MIX_BUDGET = 6000
+CURATION_SHARD_TOKENS = 1000
+CURATION_SEG_WORDS = 10
+CURATION_MIN_SEG_DOCS = 2
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED LLM-data curation pipeline — every stage the
+    operators exist for, chained over one corpus with a per-stage ledger:
+
+      1. ``gate``     — Gopher-style quality filter
+                        (operators/textops.py:quality_filter)
+      2. ``para``     — CCNet segment dedup, REWRITING each doc to its
+                        surviving text (operators/textops.py:
+                        paragraph_dedup emit_text; all-boilerplate docs
+                        drop out)
+      3. ``neardup``  — MinHash-LSH pairs → connected components →
+                        keep-one-per-cluster over the REWRITTEN text
+                        (operators/dedup.py:minhash_lsh_dedup /
+                        connected_components / dedup_apply)
+      4. ``decontam`` — drop survivors sharing any 5-gram with the
+                        held-out doc_id %% 23 == 0 eval split
+                        (operators/textops.py:decontaminate)
+      5. ``mixture``  — resample toward CURATION_MIX_WEIGHTS within a
+                        CURATION_MIX_BUDGET token budget
+                        (operators/textops.py:mixture_sample)
+      6. ``shard``    — pack the curated corpus into ~1000-token shards
+                        (operators/textops.py:pack_shards)
+
+    Returns the ledger: (stage_no, stage, rows_in, rows_out,
+    tokens_out), tokens counted on each stage's OUTPUT text (the
+    whitespace-token count the operators themselves publish). This is
+    the composition the per-operator rows can't test — schema drift and
+    double-materialization bugs live between stages (round 6's
+    encoder-ran-twice bug was exactly that), so every intermediate
+    corpus is scoped-persisted and consumed by exactly one downstream
+    stage plus its ledger aggregate. Reference counterpart: the composed
+    route api/routes/tickets.py:15-41 → core/extract/Extractor.py:56-176
+    (fetch → clean → enrich → load as ONE pipeline, not operator calls).
+    Driver-visible via the ``curation`` mode of ``dedup_exact_suite``.
+
+    At 100 TB: stages 1-2 are scan-speed projections/one segment agg;
+    stage 3 shuffles only (band_key, key); stages 4-5 broadcast tiny
+    eval/rate relations; stage 6 is the two-phase prefix sum. The ledger
+    rows are 1-row aggregates over persisted intermediates — the only
+    driver-side data is the 6-row ledger itself."""
+    from ..operators.dedup import (
+        _scoped_persist,
+        connected_components,
+        dedup_apply,
+        minhash_lsh_dedup,
+    )
+    from ..operators.textops import (
+        decontaminate,
+        mixture_sample,
+        pack_shards,
+        paragraph_dedup,
+        quality_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    ev = docs.where(F.col("doc_id") % DECONTAM_MODULUS == 0).select(
+        "doc_id", "text"
+    )
+    train = docs.where(F.col("doc_id") % DECONTAM_MODULUS != 0)
+
+    # stage 1 — quality gate. qf carries (doc_id, n_tokens, keep): both
+    # the ledger aggregates and the kept-key semi-join read it, so the
+    # rule expressions evaluate once.
+    qf = _scoped_persist(quality_filter(train))
+    c1 = _scoped_persist(
+        train.join(qf.where("keep").select("doc_id"), "doc_id", "left_semi")
+    )
+
+    # stage 2 — paragraph dedup, rewritten text forward; recount tokens
+    # on the REWRITTEN text once and carry the count (__lt) through
+    # stages 3-4 so no later stage re-tokenizes for the ledger
+    para = paragraph_dedup(
+        c1, "text", "doc_id", CURATION_SEG_WORDS, CURATION_MIN_SEG_DOCS,
+        emit_text=True,
+    )
+    ntok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    c2 = _scoped_persist(
+        para.where(F.col("text") != "")
+        .select(F.col("key").alias("doc_id"), "text")
+        .join(c1.select("doc_id", "source"), "doc_id")
+        .withColumn("__lt", ntok)
+    )
+
+    # stage 3 — near-dup canonicalization on the rewritten corpus
+    pairs = minhash_lsh_dedup(
+        c2, "text", "doc_id", NUM_HASHES, BANDS, SHINGLE_K,
+        LSH_THRESHOLD, LSH_MAX_BUCKET,
+    )
+    clusters = connected_components(pairs.select("id_a", "id_b"))
+    c3 = _scoped_persist(dedup_apply(c2, clusters, "doc_id"))
+
+    # stage 4 — benchmark decontamination against the ORIGINAL eval text
+    hits = decontaminate(c3, ev, "text", "doc_id", DECONTAM_NGRAM_K).select(
+        F.col("key").alias("doc_id")
+    )
+    c4 = _scoped_persist(c3.join(hits, "doc_id", "left_anti"))
+
+    # stage 5 — domain-mixture resample by source
+    c5 = _scoped_persist(
+        mixture_sample(
+            c4, "source", CURATION_MIX_WEIGHTS, CURATION_MIX_BUDGET,
+            "text", "doc_id",
+        )
+    )
+
+    # stage 6 — shard packing (two-phase prefix sum)
+    packed = pack_shards(
+        c5, "text", "doc_id",
+        shard_tokens=CURATION_SHARD_TOKENS, block_size=100,
+    )
+
+    def stats(df: DataFrame, tok_col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum(tok_col), F.lit(0)).cast("long").alias("tok"),
+        )
+
+    s_in = stats(qf, "n_tokens")
+    s1 = stats(qf.where("keep"), "n_tokens")
+    s2 = stats(c2, "__lt")
+    s3 = stats(c3, "__lt")
+    s4 = stats(c4, "__lt")
+    s5 = stats(c5, "__lt")
+    s6 = packed.agg(
+        F.countDistinct("shard_id").cast("long").alias("n"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tok"),
+    )
+    stages = [
+        ("gate", s_in, s1), ("para", s1, s2), ("neardup", s2, s3),
+        ("decontam", s3, s4), ("mixture", s4, s5), ("shard", s5, s6),
+    ]
+    ledger = None
+    for i, (name, prev, cur) in enumerate(stages, start=1):
+        # two 1-row aggregates — the crossJoin is a trivial pairing
+        row = (
+            prev.select(F.col("n").alias("rows_in"))
+            .crossJoin(
+                cur.select(
+                    F.col("n").alias("rows_out"),
+                    F.col("tok").alias("tokens_out"),
+                )
+            )
+            .select(
+                F.lit(i).cast("long").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                "rows_in",
+                "rows_out",
+                "tokens_out",
+            )
+        )
+        ledger = row if ledger is None else ledger.unionByName(row)
+    return ledger
+
+
 def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy-hitter tokens
     (operators/aggregations.py:cms_heavy_hitters): one sketch pass
@@ -664,6 +835,7 @@ QUERIES = {
     "text_paragraph_dedup": q_text_paragraph_dedup,
     "text_decontaminate": q_text_decontaminate,
     "text_shard_pack": q_text_shard_pack,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 
@@ -1018,6 +1190,257 @@ _CLUSTERS_SQL = f"""
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
     FROM comp
 """
+
+def _curation_sql() -> str:
+    """DuckDB twin of q_curation_pipeline — the FULL six-stage chain in
+    one statement, each stage mirroring its operator's member oracle
+    expression-for-expression, emitting the same 6-row ledger. The value
+    of this oracle is exactly the composition: a stage consuming the
+    wrong intermediate, double-applying a filter, or recounting tokens
+    on the wrong text shows up as a ledger mismatch even when every
+    member oracle stays green."""
+    rows = NUM_HASHES // BANDS
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {_A} + {i} * {_B}))"
+        for i in range(NUM_HASHES)
+    )
+    bands = ", ".join(
+        "'"
+        + str(b)
+        + "|' || "
+        + " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        for b in range(BANDS)
+    )
+    # per-source token target computed in PYTHON exactly as mixture_sample
+    # builds its literal (float(budget) * (w / total_w)) — recomputing the
+    # product in SQL could differ by one ulp and flip a boundary accept
+    total_w = sum(CURATION_MIX_WEIGHTS.values())
+    w_case = " ".join(
+        f"WHEN '{k}' THEN {float(CURATION_MIX_BUDGET) * (v / total_w)!r}"
+        for k, v in sorted(CURATION_MIX_WEIGHTS.items())
+    )
+    in_list = ", ".join(f"'{k}'" for k in sorted(CURATION_MIX_WEIGHTS))
+    jac = _JACCARD.format(a="sh_a", b="sh_b")
+    sw = CURATION_SEG_WORDS
+    dk = DECONTAM_NGRAM_K - 1
+    grams5 = (
+        "list_distinct(list_transform("
+        f"range(1, greatest(length(tk) - {dk}, 1) + 1),"
+        f" i -> array_to_string(tk[CAST(i AS INT):CAST(i + {dk} AS INT)], ' ')))"
+    )
+    return f"""
+        WITH RECURSIVE
+        tr AS MATERIALIZED (
+          SELECT doc_id, text, source FROM documents
+          WHERE doc_id % {DECONTAM_MODULUS} <> 0),
+        -- stage 1: quality gate (mirror of text_quality_filter)
+        qt AS (
+          SELECT doc_id,
+                 text IS NULL AS is_null,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS tk,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   AS DOUBLE) AS punct,
+                 CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                   AS DOUBLE) AS upper_c
+          FROM tr),
+        qs AS (
+          SELECT doc_id, is_null, tk, n_chars,
+                 CAST(length(tk) AS BIGINT) AS n_tok,
+                 CAST(length(tk) AS DOUBLE) AS n_tok_d,
+                 CASE WHEN length(tk) >= 3
+                      THEN list_transform(range(1, length(tk) - 1),
+                             i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [] END AS sh,
+                 punct, upper_c
+          FROM qt),
+        qr AS (
+          SELECT doc_id, is_null, n_tok,
+                 CASE WHEN n_tok > 0
+                      THEN round(CAST(list_sum(list_transform(tk,
+                             x -> length(x))) AS DOUBLE) / n_tok_d, 6)
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN n_chars > 0 THEN round(punct / n_chars, 6)
+                      ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_chars > 0 THEN round(upper_c / n_chars, 6)
+                      ELSE 0.0 END AS upper_ratio,
+                 CASE WHEN n_tok > 0
+                      THEN round((n_tok - length(list_distinct(tk)))
+                                 / n_tok_d, 6)
+                      ELSE 0.0 END AS dup_tok,
+                 CASE WHEN length(sh) > 0
+                      THEN round(CAST(length(sh) - length(list_distinct(sh))
+                                 AS DOUBLE) / CAST(length(sh) AS DOUBLE), 6)
+                      ELSE 0.0 END AS dup_sh,
+                 CASE WHEN n_tok > 0
+                      THEN round(CAST(length(list_filter(tk, x -> lower(x) IN
+                             ('the','a','and','of','to','in','is','it')))
+                             AS DOUBLE) / n_tok_d, 6)
+                      ELSE 0.0 END AS stop_ratio
+          FROM qs),
+        qd AS (
+          SELECT doc_id, n_tok,
+                 CASE WHEN is_null THEN 'null_text' ELSE
+                 concat_ws(',',
+                   CASE WHEN n_tok < 30 THEN 'too_short' END,
+                   CASE WHEN n_tok > 100000 THEN 'too_long' END,
+                   CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                        THEN 'word_len' END,
+                   CASE WHEN punct_ratio > 0.2 THEN 'punct' END,
+                   CASE WHEN upper_ratio > 0.3 THEN 'upper' END,
+                   CASE WHEN dup_tok > 0.65 THEN 'rep_token' END,
+                   CASE WHEN dup_sh > 0.35 THEN 'rep_shingle' END,
+                   CASE WHEN stop_ratio < 0.01 THEN 'stopword' END
+                 ) END AS reasons
+          FROM qr),
+        c1 AS MATERIALIZED (
+          SELECT t.doc_id, t.text, t.source, q.n_tok AS nt
+          FROM tr t JOIN qd q USING (doc_id) WHERE q.reasons = ''),
+        -- stage 2: paragraph dedup, rewritten text (text_paragraph_dedup)
+        pt AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+          FROM c1),
+        sp AS (
+          SELECT doc_id, tk,
+                 unnest(range(0, greatest(
+                   CAST(ceil(length(tk) / {sw}.0) AS INT), 1))) AS pos
+          FROM pt),
+        segd AS (
+          SELECT doc_id, CAST(pos AS INT) AS pos,
+                 array_to_string(tk[CAST(pos * {sw} + 1 AS INT):
+                                    CAST(pos * {sw} + {sw} AS INT)], ' ') AS seg
+          FROM sp),
+        dup AS (
+          SELECT md5(seg) AS h FROM segd
+          GROUP BY md5(seg) HAVING count(DISTINCT doc_id) >= 2),
+        fl AS (
+          SELECT s.doc_id, s.pos, s.seg, (d.h IS NOT NULL) AS is_dup
+          FROM segd s LEFT JOIN dup d ON md5(s.seg) = d.h),
+        c2t AS (
+          SELECT doc_id,
+                 string_agg(CASE WHEN NOT is_dup THEN seg END,
+                            ' ' ORDER BY pos) AS text
+          FROM fl GROUP BY doc_id),
+        c2x AS MATERIALIZED (
+          SELECT t.doc_id, t.text, c.source,
+                 CAST(length(list_filter(
+                   string_split_regex(trim(t.text), '\\s+'),
+                   x -> x <> '')) AS BIGINT) AS nt
+          FROM c2t t JOIN c1 c USING (doc_id)
+          WHERE t.text IS NOT NULL AND t.text <> ''),
+        -- stage 3: MinHash-LSH pairs over the REWRITTEN text (mirror of
+        -- dedup_minhash_lsh), CC label walk, keep-one-per-cluster
+        shingled AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 1}, 1) + 1),
+                   i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{SHINGLE_K - 1}], ' ')
+                 )) AS sh
+          FROM c2x),
+        sigs AS (
+          SELECT doc_id, sh, [{mins}] AS sig FROM shingled),
+        banded0 AS (
+          SELECT doc_id AS key, unnest([{bands}]) AS band_key FROM sigs),
+        banded AS (
+          SELECT key, band_key FROM banded0
+          QUALIFY count(*) OVER (PARTITION BY band_key) <= {LSH_MAX_BUCKET}),
+        mcand AS (
+          SELECT DISTINCT a.key AS id_a, b.key AS id_b
+          FROM banded a JOIN banded b USING (band_key)
+          WHERE a.key < b.key),
+        mpairs AS (
+          SELECT id_a, id_b
+          FROM (SELECT c.id_a, c.id_b, sa.sh AS sh_a, sb.sh AS sh_b
+                FROM mcand c
+                JOIN sigs sa ON sa.doc_id = c.id_a
+                JOIN sigs sb ON sb.doc_id = c.id_b)
+          WHERE round({jac}, 6) >= {LSH_THRESHOLD}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM mpairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM mpairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+        c3 AS MATERIALIZED (
+          SELECT c.doc_id, c.text, c.source, c.nt
+          FROM c2x c LEFT JOIN comp ON comp.node = c.doc_id
+          WHERE comp.node IS NULL OR c.doc_id = comp.cluster_id),
+        -- stage 4: decontaminate vs the ORIGINAL eval split (5-grams)
+        evg AS (
+          SELECT DISTINCT md5(g) AS h FROM (
+            SELECT unnest({grams5}) AS g
+            FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk
+                  FROM documents WHERE doc_id % {DECONTAM_MODULUS} = 0))),
+        c3g AS (
+          SELECT doc_id, md5(g) AS h FROM (
+            SELECT doc_id, unnest({grams5}) AS g
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS tk
+                  FROM c3))),
+        hits AS (SELECT DISTINCT c3g.doc_id FROM c3g JOIN evg USING (h)),
+        c4 AS MATERIALIZED (
+          SELECT * FROM c3
+          WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+        -- stage 5: mixture resample by source (mirror of mixture_sample)
+        cur5 AS (SELECT source, CAST(sum(nt) AS BIGINT) AS c
+                 FROM c4 GROUP BY source),
+        r5 AS (
+          SELECT source,
+                 CASE WHEN c > 0
+                      THEN least(1.0,
+                        (CASE source {w_case} END) / CAST(c AS DOUBLE))
+                      ELSE 1.0 END AS accept_rate
+          FROM cur5 WHERE source IN ({in_list})),
+        c5 AS MATERIALIZED (
+          SELECT c4.doc_id, c4.text, c4.nt
+          FROM c4 JOIN r5 USING (source)
+          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) < accept_rate * 4294967296.0),
+        -- stage 6: shard packing (mirror of text_shard_pack)
+        p6 AS (
+          SELECT CAST(doc_id AS BIGINT) AS key,
+                 CAST(length(string_split_regex(trim(text), '\\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM c5),
+        packed AS MATERIALIZED (
+          SELECT key, n_tokens,
+                 CAST(floor((sum(n_tokens) OVER (ORDER BY key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens) / {CURATION_SHARD_TOKENS}.0) AS BIGINT)
+                   AS shard_id
+          FROM p6)
+        SELECT CAST(1 AS BIGINT) AS stage_no, 'gate' AS stage,
+               (SELECT count(*) FROM tr) AS rows_in,
+               (SELECT count(*) FROM c1) AS rows_out,
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c1)
+                 AS tokens_out
+        UNION ALL
+        SELECT 2, 'para', (SELECT count(*) FROM c1),
+               (SELECT count(*) FROM c2x),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c2x)
+        UNION ALL
+        SELECT 3, 'neardup', (SELECT count(*) FROM c2x),
+               (SELECT count(*) FROM c3),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c3)
+        UNION ALL
+        SELECT 4, 'decontam', (SELECT count(*) FROM c3),
+               (SELECT count(*) FROM c4),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c4)
+        UNION ALL
+        SELECT 5, 'mixture', (SELECT count(*) FROM c4),
+               (SELECT count(*) FROM c5),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c5)
+        UNION ALL
+        SELECT 6, 'shard', (SELECT count(*) FROM c5),
+               (SELECT count(DISTINCT shard_id) FROM packed),
+               (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+                FROM packed)
+    """
+
 
 ORACLES: dict[str, str] = {
     "ann_rh_lsh_topk": _rh_lsh_oracle(),
@@ -1717,6 +2140,8 @@ ORACLES: dict[str, str] = {
     # same key-derived URL fixture as q_text_url_domains; extraction /
     # host normalization / registered-domain mirror extract_urls
     "text_url_domains": _URL_DOMAINS_SQL,
+    # the composed six-stage curation chain's per-stage ledger
+    "curation_pipeline": _curation_sql(),
     # deterministic md5(key)-ordered quota, mirroring group_sample_k
     "text_group_sample": """
         WITH r AS (

@@ -570,7 +570,22 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").alias("key_id"),
         F.col("n_merged").alias("n"),
     )
-    return doc.unionByName(para).unionByName(ap)
+    # curation: the COMPOSED six-stage pipeline's per-stage ledger
+    # (pipeline.q_curation_pipeline) — all three counts packed into h so
+    # one branch (one evaluation of the chain) hash-checks the full row
+    cu = pipeline.q_curation_pipeline(spark, sf_dir).select(
+        F.lit("curation").alias("mode"),
+        F.concat_ws(
+            "|",
+            F.col("stage"),
+            F.col("rows_in").cast("string"),
+            F.col("rows_out").cast("string"),
+            F.col("tokens_out").cast("string"),
+        ).alias("h"),
+        F.col("stage_no").alias("key_id"),
+        F.col("rows_out").alias("n"),
+    )
+    return doc.unionByName(para).unionByName(ap).unionByName(cu)
 
 
 def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,6 +1312,12 @@ ORACLES: dict[str, str] = {
             _P["dedup_apply"],
             "'apply' AS mode, content_hash AS h, keep_id AS key_id, "
             "n_merged AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["curation_pipeline"],
+            "'curation' AS mode, stage || '|' || rows_in || '|' || rows_out"
+            " || '|' || tokens_out AS h, stage_no AS key_id, rows_out AS n",
         )
     ),
     "dedup_simhash_suite": (

@@ -1,0 +1,56 @@
+"""Composed curation pipeline: the six-stage chain's ledger invariants
+plus the paragraph-dedup text-rewrite contract it rides on.
+
+The per-operator oracles can't see composition bugs (a stage consuming
+the wrong intermediate, a filter applied twice, tokens recounted on the
+wrong text) — these tests pin the cross-stage invariants the ledger must
+satisfy on ANY corpus, complementing the value-exact DuckDB twin in
+plans/pipeline.py:_curation_sql.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_paragraph_dedup_emit_text_matches_hash(spark):
+    """The emitted rewrite IS the preimage of dedup_hash — the contract
+    that lets the composed pipeline feed stage 2's output onward while
+    the standalone member keeps hash-comparing."""
+    from mgo_liveagent_data_pipeline_spark.operators.textops import paragraph_dedup
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = paragraph_dedup(docs, "text", "doc_id", 10, 2, emit_text=True)
+    bad = out.where(F.md5("text") != F.col("dedup_hash")).count()
+    assert bad == 0
+    # without emit_text the schema is unchanged (no accidental widening)
+    base = paragraph_dedup(docs, "text", "doc_id", 10, 2)
+    assert base.columns == ["key", "n_segments", "n_dropped", "dedup_hash"]
+
+
+def test_curation_ledger_invariants(spark):
+    from mgo_liveagent_data_pipeline_spark.plans.pipeline import (
+        q_curation_pipeline,
+    )
+
+    rows = {r["stage"]: r for r in q_curation_pipeline(spark, SF_DIR).collect()}
+    order = ["gate", "para", "neardup", "decontam", "mixture", "shard"]
+    assert [s for s in sorted(rows.values(), key=lambda r: r["stage_no"])] == [
+        rows[s] for s in order
+    ]
+    # stage n's rows_in is stage n-1's rows_out (one relation flows through)
+    for prev, cur in zip(order, order[1:]):
+        assert rows[cur]["rows_in"] == rows[prev]["rows_out"], (prev, cur)
+    # every filtering stage can only shrink the corpus
+    for s in ("gate", "neardup", "decontam", "mixture"):
+        assert rows[s]["rows_out"] <= rows[s]["rows_in"], s
+    # paragraph dedup can only remove tokens; later drops only remove more
+    assert rows["para"]["tokens_out"] <= rows["gate"]["tokens_out"]
+    assert rows["neardup"]["tokens_out"] <= rows["para"]["tokens_out"]
+    assert rows["decontam"]["tokens_out"] <= rows["neardup"]["tokens_out"]
+    assert rows["mixture"]["tokens_out"] <= rows["decontam"]["tokens_out"]
+    # shard stage packs exactly the mixture survivors
+    assert rows["shard"]["rows_in"] == rows["mixture"]["rows_out"]
+    assert rows["shard"]["rows_out"] >= 1 or rows["mixture"]["rows_out"] == 0
