@@ -18,6 +18,8 @@ hash-matches bit-for-bit at any parallelism.
 """
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -534,6 +536,67 @@ def simhash_near_dup(
     )
 
 
+def derive_block_cap(
+    sizes: list[int], max_pairs_budget: int
+) -> tuple[int, int, int]:
+    """Turn a pair budget into a block-size cap — the codification of the
+    64× blocked-Jaccard cliff (DESIGN.md: blocks sitting just under a
+    fixed 10k cap ran Σ|block|² ≈ 512M pairs and spilled >79 GB; a fixed
+    cap bounds the PER-BLOCK cost, never the TOTAL).
+
+    ``sizes`` is the measured block-size distribution (one entry per
+    block). Returns ``(cap, kept_pairs, refused_pairs)`` where ``cap`` is
+    the LARGEST block size such that keeping every block of size ≤ cap
+    stays within ``max_pairs_budget`` candidate pairs (Σ n·(n−1)/2 over
+    kept blocks). Blocks above the cap are refused whole — the same
+    all-or-nothing rule as the fixed ``max_block_size`` contract and its
+    oracle QUALIFY mirror, so the derived cap slots into the identical
+    plan. Greedy-from-smallest is optimal for this rule: pairs-per-block
+    grows monotonically with size, so any cap admitting a larger size
+    class admits all smaller ones too.
+
+    Pure and deterministic (sorted fold over a size histogram) — callers
+    collect the O(#blocks) size relation, never data rows."""
+    if max_pairs_budget < 0:
+        raise ValueError("max_pairs_budget must be >= 0")
+    hist: dict[int, int] = {}
+    for n in sizes:
+        hist[n] = hist.get(n, 0) + 1
+    total = sum(n * (n - 1) // 2 * c for n, c in hist.items())
+    cap = 0
+    kept = 0
+    for n in sorted(hist):
+        add = n * (n - 1) // 2 * hist[n]
+        if kept + add > max_pairs_budget:
+            break
+        kept += add
+        cap = n
+    return cap, kept, total - kept
+
+
+def _budgeted_cap(
+    block_sizes: DataFrame, max_pairs_budget: int, op: str
+) -> int:
+    """Collect the block-size histogram (metadata-scale: one row per
+    DISTINCT size) and derive the cap; logs what the budget refused so a
+    silent truncation can't read as full coverage."""
+    hist = block_sizes.groupBy(F.col("bn")).agg(
+        F.count(F.lit(1)).alias("nb")
+    ).collect()
+    sizes: list[int] = []
+    for r in hist:
+        sizes.extend([r["bn"]] * r["nb"])
+    cap, kept, refused = derive_block_cap(sizes, max_pairs_budget)
+    if refused > 0:
+        logging.getLogger(__name__).warning(
+            "%s: pair budget %d -> block cap %d; keeping %d candidate "
+            "pairs, REFUSING %d pairs in oversized blocks (route such "
+            "corpora through minhash_lsh_dedup)",
+            op, max_pairs_budget, cap, kept, refused,
+        )
+    return cap
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -542,6 +605,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 2,
     threshold: float = 0.5,
     max_block_size: int | None = 10_000,
+    max_pairs_budget: int | None = None,
 ) -> DataFrame:
     """Blocked n-gram Jaccard dedup: only pairs sharing a block key are
     scored (classic blocking — keeps the join from going quadratic; blocks
@@ -553,6 +617,14 @@ def ngram_jaccard_pairs(
     LSH mega-bucket cap); route such corpora through ``minhash_lsh_dedup``
     whose buckets don't depend on coarse metadata.
 
+    ``max_pairs_budget`` bounds the TOTAL candidate-pair count, which a
+    fixed per-block cap cannot (the 64× smoke's cliff: 100 blocks each
+    just under a 10k cap ran Σ|block|² ≈ 512M pairs and spilled >79 GB).
+    One O(#blocks) size aggregate is collected, ``derive_block_cap``
+    turns the measured distribution into the largest cap whose kept
+    blocks stay within budget, and the refused-pair count is logged —
+    the effective cap is ``min(max_block_size, derived)``.
+
     Plan shape: the in-block self-join carries only (block_cols, key) —
     narrow rows, like the LSH band join — then shingle arrays are computed
     once per candidate key behind a semi-join prune and re-attached to the
@@ -561,10 +633,20 @@ def ngram_jaccard_pairs(
     from pyspark.sql.window import Window
 
     base = df.select(F.col(key_col).alias("key"), *block_cols)
-    if max_block_size is not None:
+    cap = max_block_size
+    if max_pairs_budget is not None:
+        # one extra aggregate over the block columns only — parquet
+        # column pruning makes this a metadata-width scan, the standard
+        # statistics pre-pass; no text column is ever read for it
+        sizes = base.groupBy(*block_cols).agg(
+            F.count(F.lit(1)).alias("bn")
+        ).select("bn")
+        derived = _budgeted_cap(sizes, max_pairs_budget, "ngram_jaccard_pairs")
+        cap = derived if cap is None else min(cap, derived)
+    if cap is not None:
         bn = F.count(F.lit(1)).over(Window.partitionBy(*block_cols))
         base = base.withColumn("__bn", bn).where(
-            F.col("__bn") <= F.lit(max_block_size)
+            F.col("__bn") <= F.lit(cap)
         ).drop("__bn")
     base = _scoped_persist(base)
     a, b = base.alias("a"), base.alias("b")
@@ -768,12 +850,16 @@ def embedding_near_dup(
     block_col: str = "label",
     threshold: float = 0.9,
     max_block_size: int | None = 100_000,
+    max_pairs_budget: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup within blocks (IVF-style: compare only
     within the same coarse cluster — at 100 TB the block is the posting
     list, so the pair count is Σ|block|² not n²). ``max_block_size``
     skips degenerate posting lists (same contract as the LSH bucket cap);
-    re-cluster with more centroids instead of scoring a quadratic list."""
+    re-cluster with more centroids instead of scoring a quadratic list.
+    ``max_pairs_budget`` bounds the TOTAL pair count by deriving the cap
+    from the measured block-size distribution (see ``derive_block_cap``;
+    effective cap = min of both), logging what the budget refused."""
     from pyspark.sql.window import Window
 
     from ..functions.similarity import cosine_prenorm, norm2
@@ -783,10 +869,23 @@ def embedding_near_dup(
         F.col(block_col).alias("block"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),
     ).withColumn("nv", norm2(F.col("v")))  # once per vector, not per pair
-    if max_block_size is not None:
+    cap = max_block_size
+    if max_pairs_budget is not None:
+        # persist BEFORE the sizes collect: the upstream may be a
+        # mapInPandas encoder, and the histogram action would otherwise
+        # run it once for the sizes and again for the join (the round-6
+        # double-encode bug class) — the collect materializes the cache
+        # that the cap filter and both self-join branches then read
+        base = _scoped_persist(base)
+        sizes = base.groupBy("block").agg(
+            F.count(F.lit(1)).alias("bn")
+        ).select("bn")
+        derived = _budgeted_cap(sizes, max_pairs_budget, "embedding_near_dup")
+        cap = derived if cap is None else min(cap, derived)
+    if cap is not None:
         bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
         base = base.withColumn("__bn", bn).where(
-            F.col("__bn") <= F.lit(max_block_size)
+            F.col("__bn") <= F.lit(cap)
         ).drop("__bn")
     # both self-join branches consume base: persist so an expensive
     # upstream (e.g. the mapInPandas document encoder) runs once, not

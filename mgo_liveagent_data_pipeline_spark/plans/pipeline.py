@@ -634,7 +634,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         ledger = row if ledger is None else ledger.unionByName(row)
-    return ledger
+    # Observability round trip: the ledger is APPENDED to a K5 history
+    # table and read back — the run log the reference writes per
+    # extraction (core/extract/ExtractionLogger.py:134-176), unified with
+    # this engine's history-sink machinery. The returned relation is the
+    # round-tripped table, so the oracle certifies the ledger write too.
+    from ..sinks.writers import history_append, table_path
+    from ..scratch import scratch_dir
+
+    base_dir = scratch_dir("mgo_curation_ledger_")
+    history_append(spark, ledger, base_dir, "curation_run")
+    return spark.read.parquet(
+        table_path(base_dir, "curation_run_history")
+    ).select("stage_no", "stage", "rows_in", "rows_out", "tokens_out")
 
 
 def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

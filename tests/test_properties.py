@@ -405,3 +405,65 @@ def test_apply_cdc_matches_python_reference(spark, feed):
         else:
             expect[k] = v
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# pair-budget block cap: Σ n·(n−1)/2 over kept blocks must stay within the
+# budget on ANY size distribution, and the cap must be maximal (greedy-from-
+# smallest is optimal under the all-or-nothing block rule)
+@given(
+    st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=200),
+    st.integers(min_value=0, max_value=10_000_000),
+)
+@settings(deadline=None, max_examples=200)
+def test_derive_block_cap_respects_budget_and_is_maximal(sizes, budget):
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import derive_block_cap
+
+    cap, kept, refused = derive_block_cap(sizes, budget)
+    pairs = lambda n: n * (n - 1) // 2  # noqa: E731
+    kept_check = sum(pairs(n) for n in sizes if n <= cap)
+    total = sum(pairs(n) for n in sizes)
+    assert kept == kept_check
+    assert kept <= budget
+    assert refused == total - kept
+    # maximality: admitting the next-larger observed size class must bust
+    bigger = sorted({n for n in sizes if n > cap})
+    if bigger:
+        nxt = bigger[0]
+        assert sum(pairs(n) for n in sizes if n <= nxt) > budget
+
+
+def test_ngram_pairs_budget_caps_adversarial_blocks(spark):
+    """Adversarial distribution (the 64× cliff shape): a few boilerplate
+    mega-blocks beside many small ones — the derived cap must keep the
+    small blocks and refuse the quadratic ones, and the emitted candidate
+    set must respect the budget."""
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_intermediates,
+    )
+
+    # blocks: 2 blocks of 60 docs (1770 pairs each), 20 blocks of 4 docs
+    # (6 pairs each); budget 200 -> cap must land at 4
+    rows = []
+    k = 0
+    for b in range(2):
+        for _ in range(60):
+            rows.append((k, f"doc {k} alpha beta gamma", "en", f"big{b}"))
+            k += 1
+    for b in range(20):
+        for _ in range(4):
+            rows.append((k, f"doc {k} alpha beta gamma", "en", f"small{b}"))
+            k += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = ngram_jaccard_pairs(
+        df, "text", "doc_id", ("lang", "source"),
+        shingle_k=2, threshold=0.0, max_block_size=None,
+        max_pairs_budget=200,
+    )
+    got = out.select("id_a", "id_b").distinct().count()
+    release_intermediates()
+    # every kept pair comes from the 20 small blocks: 20 * C(4,2) = 120
+    assert got == 120
