@@ -456,11 +456,10 @@ def real_image_decode(payload: bytes) -> dict:
     }
 
 
-def real_image_features(
-    df: DataFrame, key_col: str = "doc_id", media_col: str = "media"
-) -> DataFrame:
-    """mapInPandas REAL image feature extraction over BMP payloads —
-    same Arrow-batched plumbing as ``real_audio_features``."""
+def _image_features(df: DataFrame, key_col: str, media_col: str, decode) -> DataFrame:
+    """Shared mapInPandas plumbing for the real image codecs (BMP, PNG):
+    only the per-payload ``decode`` differs; the Arrow-batched stage,
+    schema, and narrow no-shuffle 100 TB shape are identical."""
     media_df = df.select(
         F.col(key_col).alias("doc_id"), F.col(media_col).alias("media")
     )
@@ -470,7 +469,7 @@ def real_image_features(
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["media"]):
                 payload = bytes(p)
-                d = real_image_decode(payload)
+                d = decode(payload)
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -482,6 +481,210 @@ def real_image_features(
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(feats, REAL_IMAGE_SCHEMA)
+
+
+def real_image_features(
+    df: DataFrame, key_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """mapInPandas REAL image feature extraction over BMP payloads —
+    same Arrow-batched plumbing as ``real_audio_features``."""
+    return _image_features(df, key_col, media_col, real_image_decode)
+
+
+# ------------------------------------------------------- real PNG decode
+def _pack_png(
+    width: int, height: int, rows: list[list[tuple[int, int, int]]]
+) -> bytes:
+    """Hand-pack an 8-bit truecolor non-interlaced PNG: per-scanline
+    filter bytes CYCLING through all five filter types (None/Sub/Up/
+    Average/Paeth) so the reader's defiltering is genuinely exercised,
+    zlib-compressed IDAT, CRC-carrying chunks — raw ``struct``/``zlib``,
+    independent of the reader for the same cross-implementation reason
+    as ``_pack_wav``/``_pack_bmp``."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    bpp = 3
+    raw = bytearray()
+    prior = bytes(width * bpp)  # filters reference the RAW prior scanline
+    for y, row in enumerate(rows):
+        line = bytes(v for px in row for v in px)
+        ft = y % 5
+        filt = bytearray()
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            x = line[i]
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = (x - a) & 0xFF
+            elif ft == 2:
+                v = (x - up) & 0xFF
+            elif ft == 3:
+                v = (x - (a + up) // 2) & 0xFF
+            else:  # Paeth
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                v = (x - pred) & 0xFF
+            filt.append(v)
+        raw.append(ft)
+        raw += filt
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_fixture_images(n_images: int = 8) -> list[dict]:
+    """Deterministic PNG fixtures (distinct gradient constants from the
+    BMP set; heights ≥ 5 so every filter type 0-4 appears in each image)
+    with expected features computed straight from the pixel arrays —
+    independent of the decoder, so an oracle match certifies the decode."""
+    import hashlib as _hl
+
+    out = []
+    for iid in range(n_images):
+        w = 6 + iid
+        h = 5 + iid % 3  # 5..7 rows — the packer cycles filters 0..4
+        rows = [
+            [
+                (
+                    (iid * 41 + x * 17 + y * 3) % 256,
+                    (iid * 59 + x * 7 + y * 23) % 256,
+                    (iid * 31 + x * 5 + y * 11) % 256,
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        payload = _pack_png(w, h, rows)
+        flat = [p for row in rows for p in row]
+        n = len(flat)
+        mr = sum(p[0] for p in flat) // n
+        mg = sum(p[1] for p in flat) // n
+        mb = sum(p[2] for p in flat) // n
+        out.append(
+            {
+                "img_id": iid,
+                "payload": payload,
+                "n_bytes": len(payload),
+                "content_md5": _hl.md5(payload).hexdigest(),
+                "width": w,
+                "height": h,
+                "n_pixels": n,
+                "mean_rgb": mr * 65536 + mg * 256 + mb,
+            }
+        )
+    return out
+
+
+def real_png_decode(payload: bytes) -> dict:
+    """GENUINE PNG decode with stdlib ``struct`` + ``zlib``: chunk walk
+    with CRC verification, IDAT inflate, and full five-filter scanline
+    defiltering (None/Sub/Up/Average/Paeth per the PNG spec §9), then
+    per-channel means from the actual pixels. 8-bit truecolor
+    non-interlaced only; palette/alpha/16-bit/Adam7 still raise, and
+    JPEG/MP3 genuinely need external codecs."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG payload")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            width, height, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG is decodable "
+                    "without external codecs"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline data length mismatch")
+    prior = bytes(stride)  # defiltering references the DECODED prior row
+    sr = sg = sb = 0
+    off = 0
+    for _y in range(height):
+        ft = raw[off]
+        off += 1
+        line = bytearray(raw[off : off + stride])
+        off += stride
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = (line[i] + a) & 0xFF
+            elif ft == 2:
+                v = (line[i] + up) & 0xFF
+            elif ft == 3:
+                v = (line[i] + (a + up) // 2) & 0xFF
+            elif ft == 4:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                v = (line[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            line[i] = v
+        for x in range(0, stride, bpp):
+            sr += line[x]
+            sg += line[x + 1]
+            sb += line[x + 2]
+        prior = bytes(line)
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": n,
+        "mean_rgb": (sr // n) * 65536 + (sg // n) * 256 + (sb // n),
+    }
+
+
+def real_png_features(
+    df: DataFrame, key_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """mapInPandas REAL image feature extraction over PNG payloads —
+    inflate + defilter per blob, same Arrow-batched plumbing and schema
+    as the BMP path."""
+    return _image_features(df, key_col, media_col, real_png_decode)
 
 
 def decode_image_meta(df: DataFrame, key_col: str = "doc_id") -> DataFrame:

@@ -687,7 +687,7 @@ def q_u2_geocode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # branches count twice — the plan prints a node per reference). Update this
 # alongside the unionByName chain when adding a mode; tests/
 # test_plan_shapes.py derives its expected MapInPandas count from it.
-MULTIMODAL_PYTHON_BRANCHES = 7  # decode, resize, audio, ra, ral, ri, rirgb
+MULTIMODAL_PYTHON_BRANCHES = 9  # decode resize audio ra ral ri rirgb rp rprgb
 
 
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,10 +812,45 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_rgb").alias("m1"),
         F.col("n_pixels").alias("m2"),
     )
+    # real_png: GENUINE PNG decode (stdlib zlib inflate + five-filter
+    # scanline defiltering, CRC-verified chunk walk) over hand-packed
+    # fixtures whose expected features come straight from the pixel arrays
+    from ..operators.multimodal import png_fixture_images, real_png_features
+
+    pngs = png_fixture_images()
+    pfixture = spark.createDataFrame(
+        [(c["img_id"], bytearray(c["payload"])) for c in pngs],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    rp_feats = real_png_features(pfixture)
+    rp = rp_feats.select(
+        F.lit("real_png").alias("mode"),
+        "doc_id",
+        F.col("n_pixels").alias("seq"),
+        F.col("content_md5").alias("digest"),
+        "n_bytes",
+        F.col("width").alias("m1"),
+        F.col("height").alias("m2"),
+    )
+    rprgb = rp_feats.select(
+        F.lit("real_png_rgb").alias("mode"),
+        "doc_id",
+        F.col("n_pixels").alias("seq"),
+        _null("string").alias("digest"),
+        "n_bytes",
+        F.col("mean_rgb").alias("m1"),
+        F.col("n_pixels").alias("m2"),
+    )
     return (
         dec.unionByName(fr).unionByName(rs).unionByName(au)
         .unionByName(ra).unionByName(ral)
         .unionByName(ri).unionByName(rirgb)
+        .unionByName(rp).unionByName(rprgb)
     )
 
 
@@ -988,6 +1023,18 @@ def _wav_expected_sql() -> str:
         )
         rows.append(
             f"('real_image_rgb', {c['img_id']}, {c['n_pixels']}, "
+            f"NULL, {c['n_bytes']}, {c['mean_rgb']}, {c['n_pixels']})"
+        )
+    from ..operators.multimodal import png_fixture_images
+
+    for c in png_fixture_images():
+        rows.append(
+            f"('real_png', {c['img_id']}, {c['n_pixels']}, "
+            f"'{c['content_md5']}', {c['n_bytes']}, "
+            f"{c['width']}, {c['height']})"
+        )
+        rows.append(
+            f"('real_png_rgb', {c['img_id']}, {c['n_pixels']}, "
             f"NULL, {c['n_bytes']}, {c['mean_rgb']}, {c['n_pixels']})"
         )
     return (

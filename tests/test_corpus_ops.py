@@ -951,3 +951,44 @@ def test_extract_urls_psl_registered_domains(spark):
         for r in extract_urls(df).collect()
     }
     assert without == {1: "co.uk", 2: "com.ph", 3: "example.org"}
+
+
+def test_png_pack_decode_round_trip_and_guards():
+    """The PNG codec decodes its fixture payloads back to the
+    pixel-array-derived expectations (all five filter types exercised —
+    heights ≥5 with the packer cycling 0..4), and refuses what it cannot
+    genuinely decode (bad magic, unsupported color type, torn CRC)."""
+    import struct
+
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        _pack_png,
+        png_fixture_images,
+        real_png_decode,
+    )
+
+    for c in png_fixture_images():
+        d = real_png_decode(c["payload"])
+        assert (d["width"], d["height"]) == (c["width"], c["height"])
+        assert d["n_pixels"] == c["n_pixels"]
+        assert d["mean_rgb"] == c["mean_rgb"]
+    with pytest.raises(NotImplementedError):
+        real_png_decode(b"BM not a png")
+    # grayscale (color type 0) must refuse, not mis-decode
+    gray = bytearray(_pack_png(2, 2, [[(1, 1, 1)] * 2] * 2))
+    # IHDR data starts at 8 (sig) + 8 (len+type); color type is byte 9 of IHDR
+    ihdr_off = 16
+    gray[ihdr_off + 9] = 0
+    # fix the CRC so the guard hit is the color type, not the checksum
+    import zlib
+
+    crc = zlib.crc32(bytes(gray[12:16]) + bytes(gray[16 : 16 + 13])) & 0xFFFFFFFF
+    gray[16 + 13 : 16 + 17] = struct.pack(">I", crc)
+    with pytest.raises(NotImplementedError):
+        real_png_decode(bytes(gray))
+    # torn payload: flip one IDAT byte -> CRC mismatch must raise
+    torn = bytearray(png_fixture_images()[0]["payload"])
+    torn[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        real_png_decode(bytes(torn))
