@@ -29,6 +29,7 @@ from ..sinks.writers import (
 )
 from ..sources.tables import load_table
 from ..streaming.windows import session_windows, stream_tumbling_6h
+from .pipeline import ORACLES as _pipeline_oracles
 from .relational import MONEY
 
 
@@ -534,6 +535,25 @@ def q_stream_merge_partitioned(
     return read_partitioned(spark, base_dir, "events_6h_p")
 
 
+def q_stream_incremental_dedup(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
+    """§2.8 + incremental dedup composed: the documents corpus ingested
+    as micro-batches, each deduped against the corpus-so-far through
+    ``operators.dedup.incremental_minhash_dedup`` inside foreachBatch and
+    MERGEd into corpus + pairs tables (streaming/windows.py:
+    stream_incremental_dedup). The drained pair set equals the
+    FULL-corpus minhash_lsh_dedup pairs whatever the batch split, so the
+    batch LSH oracle checks the streaming run."""
+    from ..streaming.windows import stream_incremental_dedup
+
+    base_dir = scratch_dir("mgo_stream_incdedup_")
+    pairs_path, _corpus = stream_incremental_dedup(
+        spark, sf_dir, base_dir, n_state_partitions=n_state_partitions
+    )
+    return spark.read.parquet(pairs_path).select("id_a", "id_b", "jaccard_sim")
+
+
 def q_stream_join_30m(
     spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 2
 ) -> DataFrame:
@@ -563,6 +583,7 @@ QUERIES = {
     "stream_upsert_6h": q_stream_upsert_6h,
     "stream_dedup_6h": q_stream_dedup_6h,
     "stream_merge_partitioned": q_stream_merge_partitioned,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
     "stream_join_30m": q_stream_join_30m,
 }
 
@@ -617,6 +638,10 @@ _SCD2CDC_SQL = """
 """
 
 ORACLES: dict[str, str] = {
+    # the drained streaming incremental-dedup pair table equals the
+    # full-corpus batch LSH pair set (see stream_incremental_dedup) —
+    # reuse the minhash member oracle verbatim
+    "stream_incremental_dedup": _pipeline_oracles["dedup_minhash_lsh"],
     "k_cdc_apply": _CDC_SQL,
     "k_scd2_cdc": _SCD2CDC_SQL,
     # same algebra as k4_upsert_merge — but computed through a real

@@ -942,9 +942,14 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("dedup", persistence.q_stream_dedup_6h),
         ("merge_part", persistence.q_stream_merge_partitioned),
     )
-    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 1) as ex:
+    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 2) as ex:
         join_fut = ex.submit(
             persistence.q_stream_join_30m, spark, sf_dir, None
+        )
+        # incdedup: streaming incremental near-dup MERGE over the
+        # documents corpus (batch N deduped vs batches 1..N−1)
+        incdedup_fut = ex.submit(
+            persistence.q_stream_incremental_dedup, spark, sf_dir, None
         )
         done = list(
             ex.map(
@@ -952,6 +957,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         join_df = join_fut.result()
+        incdedup_df = incdedup_fut.result()
     parts = [
         df.select(
             F.lit(tag).alias("mode"),
@@ -979,10 +985,24 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").alias("n_events"),
         F.col("total_quote_value").alias("total_value"),
     )
+    incdedup_part = incdedup_df.select(
+        F.lit("incdedup").alias("mode"),
+        F.concat_ws(
+            "|", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        ).alias("grp"),
+        _null("timestamp").alias("window_start"),
+        _null("timestamp").alias("window_end"),
+        F.col("id_b").alias("n_events"),
+        F.col("jaccard_sim").alias("total_value"),
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.unionByName(sess).unionByName(join_part)
+    return (
+        out.unionByName(sess)
+        .unionByName(join_part)
+        .unionByName(incdedup_part)
+    )
 
 
 # ------------------------------------------------------------------ oracles
@@ -1507,6 +1527,15 @@ ORACLES: dict[str, str] = {
             "CAST(NULL AS TIMESTAMP) AS window_start, "
             "CAST(NULL AS TIMESTAMP) AS window_end, "
             "n_pairs AS n_events, total_quote_value AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _K["stream_incremental_dedup"],
+            "'incdedup' AS mode, "
+            "CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR) AS grp, "
+            "CAST(NULL AS TIMESTAMP) AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "id_b AS n_events, jaccard_sim AS total_value",
         )
     ),
 }

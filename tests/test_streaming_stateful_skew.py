@@ -261,3 +261,109 @@ def test_stream_merge_restart_exactly_once(spark, tmp_path):
     assert merged_batches.count(1) == 2, merged_batches
     assert len(rows) == 30  # no lost rows
     assert len({r["event_id"] for r in rows}) == 30  # no duplicates
+
+
+def test_stream_incremental_dedup_restart_exactly_once(spark, tmp_path):
+    """Streaming incremental near-dup dedup under the worst-case crash
+    window: batch 1's pair/corpus MERGEs applied but its offset not
+    committed, then resume. The replayed batch re-derives the SAME pairs
+    against a corpus that already contains its own docs (the operator's
+    re-ingest supersede rule), both MERGEs are idempotent, and the
+    drained pair table equals the full-corpus batch LSH result — the
+    composition of two already-proven pieces demonstrated end to end."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_dedup,
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        ensure_table,
+        table_path,
+        upsert,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog near the river"
+    variant = base_text + " tonight"  # one appended word: J = 10/11
+    docs = {
+        0: [(i, f"unique doc {i} " + " ".join(f"w{i}{j}" for j in range(10)))
+            for i in range(4)] + [(5, base_text)],
+        1: [(10, variant), (11, "twin text alpha beta gamma delta epsilon"),
+            (12, "twin text alpha beta gamma delta epsilon")],
+        2: [(20, base_text), (21, "another unique tail " + "z " * 10)],
+    }
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    for b, rows in docs.items():
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            str(src / f"batch_{b}.parquet")
+        )
+    base = str(tmp_path / "dedup_tbl")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    corpus_path = ensure_table(
+        spark, base, "corpus", spark.createDataFrame([], "doc_id long, text string")
+    )
+    ensure_table(
+        spark, base, "pairs",
+        spark.createDataFrame([], "pk string, id_a long, id_b long, jaccard_sim double"),
+    )
+    schema = spark.read.parquet(str(src / "batch_0.parquet")).schema
+    crash = {"armed": True}
+    merged_batches = []
+
+    def merge_batch(batch_df, batch_id):
+        delta = batch_df.select("doc_id", "text")
+        corpus = spark.read.parquet(corpus_path)
+        pairs = incremental_minhash_dedup(corpus, delta, "text", "doc_id")
+        out = pairs.select(
+            F.concat_ws("|", F.col("id_a").cast("string"),
+                        F.col("id_b").cast("string")).alias("pk"),
+            "id_a", "id_b", "jaccard_sim",
+        )
+        upsert(spark, out, base, "pairs", "pk")
+        upsert(spark, delta, base, "corpus", "doc_id")
+        merged_batches.append(batch_id)
+        if batch_id == 1 and crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after merges, before commit")
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+
+    assert merged_batches.count(1) == 2, merged_batches  # replay happened
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in spark.read.parquet(table_path(base, "pairs")).collect()
+    }
+    full = spark.createDataFrame(
+        [r for rows in docs.values() for r in rows], ["doc_id", "text"]
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_lsh_dedup(full, "text", "doc_id").collect()
+    }
+    release_intermediates()
+    assert got == want
+    # the planted cross-batch and within-batch dups were all caught
+    assert (5, 10) in got and (11, 12) in got and (5, 20) in got
+    # corpus table holds every doc exactly once despite the replay
+    corpus_rows = spark.read.parquet(corpus_path).collect()
+    assert len(corpus_rows) == sum(len(v) for v in docs.values())
+    assert len({r["doc_id"] for r in corpus_rows}) == len(corpus_rows)
