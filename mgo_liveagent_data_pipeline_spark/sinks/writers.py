@@ -1128,6 +1128,7 @@ def compact(
     name: str,
     max_files: int = 64,
     target_files: int = 8,
+    lease_ttl: float = _LEASE_TTL_S,
 ) -> int:
     """Small-file compaction for the append sinks: ``append`` /
     ``history_append`` add one file set per batch forever (~1.5k files/year
@@ -1140,6 +1141,14 @@ def compact(
     append/compact transaction isolation; that is Delta's job in the
     documented production cutover).
 
+    ``lease_ttl`` MUST match the TTL every other writer of this table
+    uses: staleness is judged by each CONTENDER's ttl, so a compactor
+    holding the lock with a long TTL (heartbeat every ttl/4) looks stale
+    to an appender configured with a short one, gets its live lease
+    broken mid-rewrite, and the append lands in a directory the swap then
+    clobbers — a lost batch (the contention test reproduces exactly this
+    with mismatched TTLs).
+
     Returns the number of part files after the call (unchanged if the
     table was already under the threshold).
     """
@@ -1151,7 +1160,7 @@ def compact(
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
 
-    with table_lease(base_dir, name):
+    with table_lease(base_dir, name, ttl=lease_ttl):
         n = _n_parts()
         if n <= max_files:
             return n

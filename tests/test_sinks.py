@@ -1042,3 +1042,94 @@ def test_scd2_apply_cdc_reinsert_after_delete(spark, tmp_path):
         ("a", False, "2024-01-01", "2024-02-01"),   # closed by tombstone
         ("a3", True, "2024-03-01", None),            # reborn, open
     ]
+
+
+def test_compaction_lease_contention_kill_replay(spark, tmp_path):
+    """N appenders and a compactor contend for one table lease while a
+    KILLED writer's stale lock sits on the table (heartbeat stopped, lock
+    left behind — the crash the TTL exists for). Requirements proven:
+    exactly one winner per lease epoch (no two held intervals overlap,
+    including across the stale break), the killed writer's batch is
+    re-run by its restart and lands exactly once, and no batch is lost
+    through the concurrent compaction rewrites."""
+    import threading
+    import time
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        WriterLease,
+        append,
+        compact,
+        ensure_table,
+        table_lease,
+        table_path,
+    )
+
+    base = str(tmp_path)
+    name = "facts"
+    ensure_table(
+        spark, base, name, spark.createDataFrame([], "k long, writer long")
+    )
+
+    # the doomed writer: takes the lease, then "dies" — heartbeat stopped,
+    # lock file abandoned BEFORE its batch write (worst case: lease held,
+    # nothing written, restart must replay the whole batch)
+    dead = table_lease(base, name, ttl=0.4)
+    dead.__enter__()
+    dead._stop.set()
+    dead._hb.join(timeout=1.0)
+
+    held: list[tuple[float, float, int]] = []
+    held_lock = threading.Lock()
+    errors: list[Exception] = []
+
+    def appender(writer_id: int) -> None:
+        try:
+            df = spark.createDataFrame(
+                [(writer_id * 100 + j, writer_id) for j in range(5)],
+                ["k", "writer"],
+            )
+            with table_lease(base, name, ttl=0.4):
+                t0 = time.monotonic()
+                append(df, base, name)
+                t1 = time.monotonic()
+            with held_lock:
+                held.append((t0, t1, writer_id))
+        except Exception as e:  # surfaced below — a thread must not die silently
+            errors.append(e)
+
+    def compactor() -> None:
+        try:
+            for _ in range(3):
+                # lease_ttl must match the appenders' TTL: staleness is
+                # judged by each contender's own ttl, so a mismatched
+                # long-TTL compactor (heartbeat every ttl/4) looks stale
+                # to 0.4s-TTL appenders and loses its live lease mid-swap
+                compact(
+                    spark, base, name, max_files=2, target_files=1,
+                    lease_ttl=0.4,
+                )
+                time.sleep(0.05)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(4)]
+    threads.append(threading.Thread(target=compactor))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    # kill-replay: the dead writer's restart re-runs its batch (id 9)
+    appender(9)
+    assert not errors, errors
+
+    # the stale lock was genuinely broken and never resurrected
+    assert not dead.owns()
+    # exactly one winner per lease epoch: held intervals never overlap
+    spans = sorted(held)
+    for (a0, a1, wa), (b0, b1, wb) in zip(spans, spans[1:]):
+        assert a1 <= b0, f"lease held concurrently by {wa} and {wb}"
+    # no lost batches, no duplicated replay, through compaction rewrites
+    rows = spark.read.parquet(table_path(base, name)).collect()
+    want = {(i * 100 + j, i) for i in (0, 1, 2, 3, 9) for j in range(5)}
+    assert {(r["k"], r["writer"]) for r in rows} == want
+    assert len(rows) == len(want)
