@@ -443,7 +443,19 @@ def main() -> None:
         "qmodel_score": (qmodel, docs_1x, docs_nx),
         "dedup_apply_rewrite": (dedup_apply_case, docs_1x, docs_nx),
         "encoded_near_dup": (enc_near_dup, docs_1x, docs_nx),
+        "curation_pipeline": (None, docs_1x, docs_nx),  # fn bound below
     }
+
+    from mgo_liveagent_data_pipeline_spark.plans.pipeline import (
+        q_curation_pipeline,
+    )
+
+    def curation_case(df):
+        # the composed 6-stage pipeline is path-driven (it re-reads the
+        # documents table and its eval split); route by corpus identity
+        return q_curation_pipeline(spark, SF_DIR if df is docs_1x else big)
+
+    cases["curation_pipeline"] = (curation_case, docs_1x, docs_nx)
 
     # ---- fixed-delta merge cases: the partition-pruned MERGE claim is
     # that a SAME-SIZED delta costs the same against an N× bigger table
@@ -532,14 +544,20 @@ def main() -> None:
         "scd2_cdc_fixed_feed": scd2_cdc_delta,
     }
 
+    only = set(sys.argv[2:])
+    if only:
+        cases = {k: v for k, v in cases.items() if k in only}
+        merge_cases = {k: v for k, v in merge_cases.items() if k in only}
+
     results = {}
     # warm the whole merge code path once, outside timing
     _wb = tempfile.mkdtemp(prefix="warm_", dir=big)
-    flat_delta(or_1x, _wb)
-    pmerge_delta(or_1x, os.path.join(_wb, "p"))
-    pmerge_range_tail(or_1x, os.path.join(_wb, "r"))
-    scd2_pmerge_delta(or_1x, os.path.join(_wb, "s"))
-    scd2_cdc_delta(or_1x, os.path.join(_wb, "c"))
+    if merge_cases:
+        flat_delta(or_1x, _wb)
+        pmerge_delta(or_1x, os.path.join(_wb, "p"))
+        pmerge_range_tail(or_1x, os.path.join(_wb, "r"))
+        scd2_pmerge_delta(or_1x, os.path.join(_wb, "s"))
+        scd2_cdc_delta(or_1x, os.path.join(_wb, "c"))
     shutil.rmtree(_wb, ignore_errors=True)
     for name, fn in merge_cases.items():
         t_small = fn(or_1x, tempfile.mkdtemp(prefix="m1_", dir=big))
