@@ -907,7 +907,11 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant through ``partitioned_upsert``), the watermarked
     stream-stream join (``join`` mode — trades⋈quotes within a
     30-minute event-time band, streaming/windows.py:stream_join_30m),
-    and 30-minute-gap session windows.
+    30-minute-gap session windows, and the streaming incremental
+    near-dup MERGE (``incdedup`` — documents ingested as micro-batches,
+    each deduped against the corpus-so-far,
+    streaming/windows.py:stream_incremental_dedup; its drained pair set
+    equals the batch LSH result, which is its oracle).
 
     The AvailableNow streaming members run CONCURRENTLY via a thread pool: each is
     an independent run-to-completion AvailableNow query, so their fixed
