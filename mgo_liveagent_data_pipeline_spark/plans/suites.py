@@ -687,7 +687,7 @@ def q_u2_geocode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # branches count twice — the plan prints a node per reference). Update this
 # alongside the unionByName chain when adding a mode; tests/
 # test_plan_shapes.py derives its expected MapInPandas count from it.
-MULTIMODAL_PYTHON_BRANCHES = 9  # decode resize audio ra ral ri rirgb rp rprgb
+MULTIMODAL_PYTHON_BRANCHES = 11  # decode resize audio ra ral ri rirgb rp rprgb rj rjrgb
 
 
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,11 +846,46 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_rgb").alias("m1"),
         F.col("n_pixels").alias("m2"),
     )
+    # real_jpeg: GENUINE baseline JPEG decode (canonical Huffman entropy
+    # decode + dequant + full IDCT + YCbCr→RGB) over hand-packed fixtures
+    # built exact-by-construction (block-constant DC-only components)
+    from ..operators.multimodal import jpeg_fixture_images, real_jpeg_features
+
+    jpgs = jpeg_fixture_images()
+    jfixture = spark.createDataFrame(
+        [(c["img_id"], bytearray(c["payload"])) for c in jpgs],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    rj_feats = real_jpeg_features(jfixture)
+    rj = rj_feats.select(
+        F.lit("real_jpeg").alias("mode"),
+        "doc_id",
+        F.col("n_pixels").alias("seq"),
+        F.col("content_md5").alias("digest"),
+        "n_bytes",
+        F.col("width").alias("m1"),
+        F.col("height").alias("m2"),
+    )
+    rjrgb = rj_feats.select(
+        F.lit("real_jpeg_rgb").alias("mode"),
+        "doc_id",
+        F.col("n_pixels").alias("seq"),
+        _null("string").alias("digest"),
+        "n_bytes",
+        F.col("mean_rgb").alias("m1"),
+        F.col("n_pixels").alias("m2"),
+    )
     return (
         dec.unionByName(fr).unionByName(rs).unionByName(au)
         .unionByName(ra).unionByName(ral)
         .unionByName(ri).unionByName(rirgb)
         .unionByName(rp).unionByName(rprgb)
+        .unionByName(rj).unionByName(rjrgb)
     )
 
 
@@ -1049,7 +1084,7 @@ def _wav_expected_sql() -> str:
             f"('real_image_rgb', {c['img_id']}, {c['n_pixels']}, "
             f"NULL, {c['n_bytes']}, {c['mean_rgb']}, {c['n_pixels']})"
         )
-    from ..operators.multimodal import png_fixture_images
+    from ..operators.multimodal import jpeg_fixture_images, png_fixture_images
 
     for c in png_fixture_images():
         rows.append(
@@ -1059,6 +1094,16 @@ def _wav_expected_sql() -> str:
         )
         rows.append(
             f"('real_png_rgb', {c['img_id']}, {c['n_pixels']}, "
+            f"NULL, {c['n_bytes']}, {c['mean_rgb']}, {c['n_pixels']})"
+        )
+    for c in jpeg_fixture_images():
+        rows.append(
+            f"('real_jpeg', {c['img_id']}, {c['n_pixels']}, "
+            f"'{c['content_md5']}', {c['n_bytes']}, "
+            f"{c['width']}, {c['height']})"
+        )
+        rows.append(
+            f"('real_jpeg_rgb', {c['img_id']}, {c['n_pixels']}, "
             f"NULL, {c['n_bytes']}, {c['mean_rgb']}, {c['n_pixels']})"
         )
     return (

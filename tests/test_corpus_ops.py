@@ -992,3 +992,112 @@ def test_png_pack_decode_round_trip_and_guards():
     torn[40] ^= 0xFF
     with pytest.raises(ValueError):
         real_png_decode(bytes(torn))
+
+
+def test_jpeg_fixture_round_trip_and_guards():
+    """Baseline JPEG codec: fixtures decode back to the component-value-
+    derived expectations (exact by construction — block-constant values
+    whose DC quantizes without remainder), and out-of-scope streams
+    refuse rather than mis-decode."""
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        jpeg_fixture_images,
+        real_jpeg_decode,
+    )
+
+    for c in jpeg_fixture_images():
+        d = real_jpeg_decode(c["payload"])
+        assert (d["width"], d["height"]) == (c["width"], c["height"])
+        assert d["n_pixels"] == c["n_pixels"]
+        assert d["mean_rgb"] == c["mean_rgb"]
+    with pytest.raises(NotImplementedError):
+        real_jpeg_decode(b"\x89PNG not a jpeg")
+    # progressive (SOF2) must refuse: flip the frame marker in a fixture
+    prog = bytearray(jpeg_fixture_images()[0]["payload"])
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        real_jpeg_decode(bytes(prog))
+
+
+def test_jpeg_zigzag_matches_spec_prefix():
+    """The DC-only fixtures never exercise the zigzag map, so pin it
+    against the T.81 scan order directly (first 16 positions)."""
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+    )
+
+    assert _JPEG_ZIGZAG[:16] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    ]
+    assert len(_JPEG_ZIGZAG) == 64 and len(set(_JPEG_ZIGZAG)) == 64
+
+
+def test_jpeg_ac_coefficient_stream_matches_direct_idct():
+    """Hand-craft a single-block grayscale stream carrying one AC
+    coefficient (run 0 / size 1 at zigzag index 1) and check the decoded
+    mean against a direct evaluation of the T.81 IDCT formula written
+    here — exercising the AC run-length decode, the zigzag placement,
+    dequantization, and the 2-D IDCT on a path no fixture reaches."""
+    import math
+    import struct
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JpegBitWriter,
+        _jpeg_huff_codes,
+        real_jpeg_decode,
+    )
+
+    ac_bits = [0, 2] + [0] * 14  # '00' -> EOB, '01' -> (run 0, size 1)
+    ac_vals = [0x00, 0x01]
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([16] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x10, ac_bits, ac_vals),
+    ):
+        payload = bytes([cls]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(ac_bits, ac_vals)
+    w = _JpegBitWriter()
+    code, ln = dc_codes[2]  # DC diff +2 (category 2)
+    w.put(code, ln)
+    w.put(2, 2)
+    code, ln = ac_codes[0x01]  # one AC coef, size 1, value +1
+    w.put(code, ln)
+    w.put(1, 1)
+    code, ln = ac_codes[0x00]  # EOB
+    w.put(code, ln)
+    w.flush()
+    out += w.buf + b"\xff\xd9"
+
+    got = real_jpeg_decode(bytes(out))
+    # direct IDCT: F[v][u] natural order, DC=2*16, AC at (v=0, u=1)=1*16
+    F = [[0.0] * 8 for _ in range(8)]
+    F[0][0] = 32.0
+    F[0][1] = 16.0
+    c = [1 / math.sqrt(2)] + [1.0] * 7
+    total = 0
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                for u in range(8):
+                    acc += (
+                        c[u] * c[v] * F[v][u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            val = int(round(acc / 4 + 128))
+            total += max(0, min(255, val))
+    mean = total // 64
+    assert got["mean_rgb"] == mean * 65536 + mean * 256 + mean
+    assert (got["width"], got["height"]) == (8, 8)
