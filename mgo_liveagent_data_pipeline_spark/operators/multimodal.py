@@ -761,27 +761,37 @@ class _JpegBitWriter:
             self.put(1, 1)
 
 
-def _pack_jpeg(block_vals: list[list[list[int]]] | list[list[tuple[int, int, int]]]) -> bytes:
+def _pack_jpeg(
+    block_vals: list[list[list[int]]] | list[list[tuple[int, int, int]]],
+    subsample_420: bool = False,
+) -> bytes:
     """Hand-pack a baseline JFIF stream from BLOCK-CONSTANT component
     values: ``block_vals[by][bx]`` is either a (Y, Cb, Cr) triple or a
-    single grayscale value per 8×8 block; every value must sit an EVEN
+    single grayscale value per cell; every value must sit an EVEN
     offset from 128 so its DC coefficient (8·(v−128)) quantizes exactly
-    by the uniform step 16 and the round trip is lossless. Raw struct +
+    by the uniform step 16 and the round trip is lossless. A cell is one
+    8×8 block (4:4:4 / grayscale), or — with ``subsample_420`` — one
+    16×16 MACROBLOCK (Y sampled 2×2: four identical Y blocks + one Cb +
+    one Cr per MCU, the dominant real-world layout). Raw struct +
     hand-rolled Huffman/bit writer — independent of the reader."""
     import struct
 
     by_n = len(block_vals)
     bx_n = len(block_vals[0])
     gray = not isinstance(block_vals[0][0], (tuple, list))
+    if gray and subsample_420:
+        raise ValueError("4:2:0 needs three components")
     n_comp = 1 if gray else 3
-    h, w = by_n * 8, bx_n * 8
+    cell = 16 if subsample_420 else 8
+    h, w = by_n * cell, bx_n * cell
+    y_samp = 0x22 if subsample_420 else 0x11
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT: Pq=0/Tq=0, uniform table (zigzag order is uniform too)
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([_JPEG_QSTEP] * 64)
     # SOF0
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for cid in range(1, n_comp + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)  # 4:4:4, quant table 0
+        sof += struct.pack(">BBB", cid, y_samp if cid == 1 else 0x11, 0)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: DC class 0 id 0, AC class 1 id 0
     for cls, bits, vals in (
@@ -800,23 +810,34 @@ def _pack_jpeg(block_vals: list[list[list[int]]] | list[list[tuple[int, int, int
     ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     wtr = _JpegBitWriter()
     pred = [0] * n_comp
+
+    def put_block(comp: int, v: int) -> None:
+        if (v - 128) % 2:
+            raise ValueError("block value must be an even offset from 128")
+        dcq = (v - 128) // 2  # round(8·(v−128) / 16), exact
+        diff = dcq - pred[comp]
+        pred[comp] = dcq
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        wtr.put(code, ln)
+        if s:
+            wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, ln = ac_codes[0x00]  # EOB: all AC are zero
+        wtr.put(code, ln)
+
     for by in range(by_n):
         for bx in range(bx_n):
-            cell = block_vals[by][bx]
-            vals3 = (cell,) if gray else tuple(cell)
-            for comp, v in enumerate(vals3):
-                if (v - 128) % 2:
-                    raise ValueError("block value must be an even offset from 128")
-                dcq = (v - 128) // 2  # round(8·(v−128) / 16), exact
-                diff = dcq - pred[comp]
-                pred[comp] = dcq
-                s = abs(diff).bit_length()
-                code, ln = dc_codes[s]
-                wtr.put(code, ln)
-                if s:
-                    wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                code, ln = ac_codes[0x00]  # EOB: all AC are zero
-                wtr.put(code, ln)
+            c = block_vals[by][bx]
+            if gray:
+                put_block(0, c)
+            elif subsample_420:
+                for _ in range(4):  # four identical Y blocks per MCU
+                    put_block(0, c[0])
+                put_block(1, c[1])
+                put_block(2, c[2])
+            else:
+                for comp, v in enumerate(c):
+                    put_block(comp, v)
     wtr.flush()
     out += wtr.buf
     out += b"\xff\xd9"  # EOI
@@ -842,10 +863,12 @@ def real_jpeg_decode(payload: bytes) -> dict:
     """GENUINE baseline JPEG decode with stdlib ``struct``/``math``:
     marker walk, DQT/DHT parsing with canonical Huffman reconstruction,
     entropy decode (byte-unstuffed, DC prediction + AC run-length/EOB),
-    dequantization, full 2-D IDCT, level shift, YCbCr→RGB. Baseline
-    (SOF0) 8-bit with 1×1 sampling only; progressive (SOF2), subsampled,
-    restart-interval, and arithmetic-coded streams raise — they are out
-    of scope, not silently mis-decoded."""
+    dequantization, full 2-D IDCT, level shift, chroma upsampling,
+    YCbCr→RGB. Baseline (SOF0) 8-bit with sampling factors up to 2×2 —
+    covers 4:4:4, 4:2:2, and the dominant 4:2:0 layout (interleaved
+    MCUs, nearest-neighbor chroma upsampling); progressive (SOF2),
+    restart-interval, and arithmetic-coded streams raise — out of scope,
+    not silently mis-decoded."""
     import math
     import struct
 
@@ -885,9 +908,9 @@ def real_jpeg_decode(payload: bytes) -> dict:
                 raise NotImplementedError("only 8-bit precision supported")
             for i in range(nf):
                 cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                if samp != 0x11:
+                if (samp >> 4) not in (1, 2) or (samp & 15) not in (1, 2):
                     raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 only)"
+                        "sampling factors above 2x2 unsupported"
                     )
                 comps.append((cid, samp, tq))
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -968,59 +991,75 @@ def real_jpeg_decode(payload: bytes) -> dict:
     ]
     c_u = [1 / math.sqrt(2)] + [1.0] * 7
     td_ta = {cid: (td, ta) for cid, td, ta in scan_comps}
-    bx_n = (width + 7) // 8
-    by_n = (height + 7) // 8
+    samp_hv = [((samp >> 4), (samp & 15)) for _cid, samp, _tq in comps]
+    hmax = max(sh for sh, _sv in samp_hv)
+    vmax = max(sv for _sh, sv in samp_hv)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        [[0] * (bx_n * 8) for _ in range(by_n * 8)] for _ in comps
+        [[0] * (mcux * 8 * sh) for _ in range(mcuy * 8 * sv)]
+        for sh, sv in samp_hv
     ]
     pred = [0] * len(comps)
-    for by in range(by_n):
-        for bx in range(bx_n):
-            for ci, (cid, _samp, tq) in enumerate(comps):
-                td, ta = td_ta[cid]
-                q = qtables[tq]
-                coefs = [0] * 64
-                s = read_huff(huffs[(0, td)])
-                pred[ci] += extend(read_bits(s), s)
-                coefs[0] = pred[ci] * q[0]
-                k = 1
-                while k < 64:
-                    rs = read_huff(huffs[(1, ta)])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    s = rs & 15
-                    coefs[k] = extend(read_bits(s), s) * q[k]
-                    k += 1
-                nz = [
-                    (_JPEG_ZIGZAG[i][0], _JPEG_ZIGZAG[i][1], coefs[i])
-                    for i in range(64)
-                    if coefs[i]
-                ]
-                for y in range(8):
-                    row = planes[ci][by * 8 + y]
-                    for x in range(8):
-                        acc = 0.0
-                        for v, u, fv in nz:
-                            acc += (
-                                c_u[u] * c_u[v] * fv
-                                * cos_t[x][u] * cos_t[y][v]
-                            )
-                        val = int(round(acc / 4 + 128))
-                        row[bx * 8 + x] = 0 if val < 0 else 255 if val > 255 else val
+
+    def decode_block(ci: int, row0: int, col0: int) -> None:
+        cid, _samp, tq = comps[ci]
+        td, ta = td_ta[cid]
+        q = qtables[tq]
+        coefs = [0] * 64
+        s = read_huff(huffs[(0, td)])
+        pred[ci] += extend(read_bits(s), s)
+        coefs[0] = pred[ci] * q[0]
+        k = 1
+        while k < 64:
+            rs = read_huff(huffs[(1, ta)])
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            s = rs & 15
+            coefs[k] = extend(read_bits(s), s) * q[k]
+            k += 1
+        nz = [
+            (_JPEG_ZIGZAG[i][0], _JPEG_ZIGZAG[i][1], coefs[i])
+            for i in range(64)
+            if coefs[i]
+        ]
+        plane = planes[ci]
+        for y in range(8):
+            row = plane[row0 + y]
+            for x in range(8):
+                acc = 0.0
+                for v, u, fv in nz:
+                    acc += c_u[u] * c_u[v] * fv * cos_t[x][u] * cos_t[y][v]
+                val = int(round(acc / 4 + 128))
+                row[col0 + x] = 0 if val < 0 else 255 if val > 255 else val
+
+    # interleaved MCU scan: each component contributes its h×v block grid
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp_hv):
+                for vb in range(sv):
+                    for hb in range(sh):
+                        decode_block(
+                            ci, (my * sv + vb) * 8, (mx * sh + hb) * 8
+                        )
     sr = sg = sb = 0
     for y in range(height):
         for x in range(width):
             if len(comps) == 1:
                 r = g = b = planes[0][y][x]
             else:
+                # nearest-neighbor upsample: component sample for pixel
+                # (x, y) sits at (x·sh/hmax, y·sv/vmax) in its plane
+                def comp_at(ci: int) -> int:
+                    sh, sv = samp_hv[ci]
+                    return planes[ci][y * sv // vmax][x * sh // hmax]
+
                 r, g, b = _ycc_to_rgb(
-                    float(planes[0][y][x]),
-                    float(planes[1][y][x]),
-                    float(planes[2][y][x]),
+                    float(comp_at(0)), float(comp_at(1)), float(comp_at(2))
                 )
             sr += r
             sg += g
@@ -1034,12 +1073,14 @@ def real_jpeg_decode(payload: bytes) -> dict:
     }
 
 
-def jpeg_fixture_images(n_images: int = 6) -> list[dict]:
-    """Deterministic baseline-JPEG fixtures: 8×8-aligned block-constant
-    (Y, Cb, Cr) grids (plus one grayscale image) whose values sit even
-    offsets from 128 — the one family for which the lossy pipeline is
-    EXACT (DC quantizes without remainder, all AC vanish), so expected
-    features derive from the chosen component values, independent of the
+def jpeg_fixture_images(n_images: int = 8) -> list[dict]:
+    """Deterministic baseline-JPEG fixtures: block-constant (Y, Cb, Cr)
+    grids — five 4:4:4 images, one grayscale, and two 4:2:0 subsampled
+    images (16×16 macroblock cells, four Y blocks + Cb + Cr per MCU) —
+    whose values sit even offsets from 128, the one family for which the
+    lossy pipeline is EXACT (DC quantizes without remainder, all AC
+    vanish, constant chroma upsamples exactly), so expected features
+    derive from the chosen component values, independent of the
     Huffman/DCT machinery under test."""
     import hashlib as _hl
 
@@ -1047,7 +1088,8 @@ def jpeg_fixture_images(n_images: int = 6) -> list[dict]:
     for iid in range(n_images):
         bx_n = 2 + iid % 3
         by_n = 1 + iid % 2
-        gray = iid == n_images - 1
+        gray = iid == 5
+        sub420 = iid >= 6
         grid = []
         for by in range(by_n):
             row = []
@@ -1057,7 +1099,8 @@ def jpeg_fixture_images(n_images: int = 6) -> list[dict]:
                 cr = 128 + 2 * ((iid * 13 + bx * 7 + by * 9) % 19 - 9)
                 row.append(y if gray else (y, cb, cr))
             grid.append(row)
-        payload = _pack_jpeg(grid)
+        payload = _pack_jpeg(grid, subsample_420=sub420)
+        px_per_cell = 256 if sub420 else 64
         sr = sg = sb = 0
         for row in grid:
             for cell in row:
@@ -1067,18 +1110,19 @@ def jpeg_fixture_images(n_images: int = 6) -> list[dict]:
                     r, g, b = _ycc_to_rgb(
                         float(cell[0]), float(cell[1]), float(cell[2])
                     )
-                sr += r * 64
-                sg += g * 64
-                sb += b * 64
-        n = bx_n * by_n * 64
+                sr += r * px_per_cell
+                sg += g * px_per_cell
+                sb += b * px_per_cell
+        n = bx_n * by_n * px_per_cell
+        side = 16 if sub420 else 8
         out.append(
             {
                 "img_id": iid,
                 "payload": payload,
                 "n_bytes": len(payload),
                 "content_md5": _hl.md5(payload).hexdigest(),
-                "width": bx_n * 8,
-                "height": by_n * 8,
+                "width": bx_n * side,
+                "height": by_n * side,
                 "n_pixels": n,
                 "mean_rgb": (sr // n) * 65536 + (sg // n) * 256 + (sb // n),
             }

@@ -1101,3 +1101,72 @@ def test_jpeg_ac_coefficient_stream_matches_direct_idct():
     mean = total // 64
     assert got["mean_rgb"] == mean * 65536 + mean * 256 + mean
     assert (got["width"], got["height"]) == (8, 8)
+
+
+def test_jpeg_420_mcu_block_placement():
+    """Hand-craft a single-MCU 4:2:0 stream whose FOUR Y blocks carry
+    different values (the packer's fixtures use identical Y blocks, so
+    they cannot catch a wrong block-to-quadrant mapping): per-quadrant
+    means pin the interleaved MCU ordering (Y left→right, top→bottom,
+    then Cb, Cr) and the 2×2 chroma upsample."""
+    import struct
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JpegBitWriter,
+        _jpeg_huff_codes,
+        real_jpeg_decode,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([16] * 64)
+    # 12×10 inside one 16×16 MCU: the crop gives each Y quadrant a
+    # DISTINCT pixel weight (64/32/16/8), so any block-to-quadrant
+    # permutation shifts the mean — a 16×16 frame could not detect one
+    sof = struct.pack(">BHHB", 8, 10, 12, 3)
+    sof += struct.pack(">BBB", 1, 0x22, 0)  # Y 2x2
+    sof += struct.pack(">BBB", 2, 0x11, 0)
+    sof += struct.pack(">BBB", 3, 0x11, 0)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        payload = bytes([cls]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    dc = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    ys = [132, 140, 150, 160]  # TL, TR, BL, BR quadrant values
+    pred = 0
+    for y in ys:
+        dcq = (y - 128) // 2
+        diff = dcq - pred
+        pred = dcq
+        s = abs(diff).bit_length()
+        code, ln = dc[s]
+        w.put(code, ln)
+        if s:
+            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, ln = ac[0x00]
+        w.put(code, ln)
+    for _ in range(2):  # Cb, Cr at 128 (DC diff 0 from fresh predictors)
+        code, ln = dc[0]
+        w.put(code, ln)
+        code, ln = ac[0x00]
+        w.put(code, ln)
+    w.flush()
+    out += w.buf + b"\xff\xd9"
+
+    got = real_jpeg_decode(bytes(out))
+    assert (got["width"], got["height"]) == (12, 10)
+    # neutral chroma -> r=g=b=y per pixel; quadrant pixel counts inside
+    # the 12×10 crop: TL 8×8, TR 8 rows × 4 cols, BL 2×8, BR 2×4
+    sr = 64 * ys[0] + 32 * ys[1] + 16 * ys[2] + 8 * ys[3]
+    mean = sr // 120
+    assert got["mean_rgb"] == mean * 65536 + mean * 256 + mean
