@@ -635,20 +635,34 @@ def ngram_jaccard_pairs(
     base = df.select(F.col(key_col).alias("key"), *block_cols)
     cap = max_block_size
     if max_pairs_budget is not None:
-        # one extra aggregate over the block columns only — parquet
-        # column pruning makes this a metadata-width scan, the standard
-        # statistics pre-pass; no text column is ever read for it
-        sizes = base.groupBy(*block_cols).agg(
-            F.count(F.lit(1)).alias("bn")
-        ).select("bn")
-        derived = _budgeted_cap(sizes, max_pairs_budget, "ngram_jaccard_pairs")
+        # persist the narrow (key, block) relation BEFORE the histogram
+        # collect: a computed upstream (rewritten text, a join output)
+        # would otherwise run once for the sizes and again for the join
+        # — the double-run class the round-6 encoder bug belonged to.
+        # The cap then applies as a broadcast semi-join against the tiny
+        # kept-block list (no second persist, no per-branch re-shuffle).
+        base = _scoped_persist(base)
+        block_sizes = _scoped_persist(
+            base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("bn"))
+        )
+        derived = _budgeted_cap(
+            block_sizes.select("bn"), max_pairs_budget, "ngram_jaccard_pairs"
+        )
         cap = derived if cap is None else min(cap, derived)
-    if cap is not None:
-        bn = F.count(F.lit(1)).over(Window.partitionBy(*block_cols))
-        base = base.withColumn("__bn", bn).where(
-            F.col("__bn") <= F.lit(cap)
-        ).drop("__bn")
-    base = _scoped_persist(base)
+        base = base.join(
+            F.broadcast(
+                block_sizes.where(F.col("bn") <= cap).select(*block_cols)
+            ),
+            on=list(block_cols),
+            how="left_semi",
+        )
+    else:
+        if cap is not None:
+            bn = F.count(F.lit(1)).over(Window.partitionBy(*block_cols))
+            base = base.withColumn("__bn", bn).where(
+                F.col("__bn") <= F.lit(cap)
+            ).drop("__bn")
+        base = _scoped_persist(base)
     a, b = base.alias("a"), base.alias("b")
     # each doc owns exactly one base row, so in-block pairs are unique
     cand = (
@@ -874,24 +888,33 @@ def embedding_near_dup(
         # persist BEFORE the sizes collect: the upstream may be a
         # mapInPandas encoder, and the histogram action would otherwise
         # run it once for the sizes and again for the join (the round-6
-        # double-encode bug class) — the collect materializes the cache
-        # that the cap filter and both self-join branches then read
+        # double-encode bug class). The cap applies as a broadcast
+        # semi-join against the tiny kept-block list — ONE cached copy of
+        # the vector payload, not a pre-cap and a post-cap copy
         base = _scoped_persist(base)
-        sizes = base.groupBy("block").agg(
-            F.count(F.lit(1)).alias("bn")
-        ).select("bn")
-        derived = _budgeted_cap(sizes, max_pairs_budget, "embedding_near_dup")
+        block_sizes = _scoped_persist(
+            base.groupBy("block").agg(F.count(F.lit(1)).alias("bn"))
+        )
+        derived = _budgeted_cap(
+            block_sizes.select("bn"), max_pairs_budget, "embedding_near_dup"
+        )
         cap = derived if cap is None else min(cap, derived)
-    if cap is not None:
-        bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
-        base = base.withColumn("__bn", bn).where(
-            F.col("__bn") <= F.lit(cap)
-        ).drop("__bn")
-    # both self-join branches consume base: persist so an expensive
-    # upstream (e.g. the mapInPandas document encoder) runs once, not
-    # once per branch (released via release_intermediates, the house
-    # rule for doubly-consumed intermediates)
-    base = _scoped_persist(base)
+        base = base.join(
+            F.broadcast(block_sizes.where(F.col("bn") <= cap).select("block")),
+            on="block",
+            how="left_semi",
+        )
+    else:
+        if cap is not None:
+            bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
+            base = base.withColumn("__bn", bn).where(
+                F.col("__bn") <= F.lit(cap)
+            ).drop("__bn")
+        # both self-join branches consume base: persist so an expensive
+        # upstream (e.g. the mapInPandas document encoder) runs once, not
+        # once per branch (released via release_intermediates, the house
+        # rule for doubly-consumed intermediates)
+        base = _scoped_persist(base)
     a, b = base.alias("a"), base.alias("b")
     sim = F.round(
         cosine_prenorm(F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")), 6

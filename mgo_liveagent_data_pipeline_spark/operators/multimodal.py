@@ -898,7 +898,10 @@ def real_jpeg_decode(payload: bytes) -> dict:
                     raise NotImplementedError("16-bit quant tables unsupported")
                 qtables[tq] = list(seg[off + 1 : off + 65])
                 off += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker in (
+            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):  # every non-SOF0 frame type incl. arithmetic/differential
             raise NotImplementedError(
                 "only baseline sequential JPEG (SOF0) is decodable here"
             )

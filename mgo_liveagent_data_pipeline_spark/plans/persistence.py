@@ -8,8 +8,6 @@ hash match proves write → read round-trip fidelity, not just plan algebra.
 """
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -403,8 +403,6 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors are exactly one min-key doc per content digest, with
     ``n_merged`` = copies collapsed. Driver-visible via the ``apply``
     mode of ``dedup_exact_suite``."""
-    import tempfile
-
     from ..operators.dedup import connected_components, dedup_apply, exact_star_edges
     from ..sinks.writers import partitioned_upsert, read_partitioned
 
@@ -640,7 +638,6 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this engine's history-sink machinery. The returned relation is the
     # round-tripped table, so the oracle certifies the ledger write too.
     from ..sinks.writers import history_append, table_path
-    from ..scratch import scratch_dir
 
     base_dir = scratch_dir("mgo_curation_ledger_")
     history_append(spark, ledger, base_dir, "curation_run")

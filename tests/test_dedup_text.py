@@ -614,15 +614,22 @@ def test_real_image_decode_matches_independent_reference(spark):
             assert g[k] == c[k], (c["img_id"], k, g[k], c[k])
 
 
-def test_real_decode_dispatches_bmp_and_rejects_compressed():
+def test_real_decode_dispatches_all_codecs_and_rejects_unknown():
     import pytest
 
     from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
         bmp_fixture_images,
+        jpeg_fixture_images,
+        png_fixture_images,
         real_decode,
     )
 
-    c = bmp_fixture_images(1)[0]
-    assert real_decode(c["payload"]) == (c["width"], c["height"])
+    for fixtures in (bmp_fixture_images, png_fixture_images, jpeg_fixture_images):
+        c = fixtures(1)[0]
+        assert real_decode(c["payload"]) == (c["width"], c["height"])
+    # unknown container magic (WebP) → the honest refusal
     with pytest.raises(NotImplementedError):
+        real_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # known magic but torn structure → corruption error, not a mis-decode
+    with pytest.raises(ValueError):
         real_decode(b"\x89PNG\r\n\x1a\nfakedata")

@@ -467,3 +467,31 @@ def test_ngram_pairs_budget_caps_adversarial_blocks(spark):
     release_intermediates()
     # every kept pair comes from the 20 small blocks: 20 * C(4,2) = 120
     assert got == 120
+
+
+def test_embedding_near_dup_budget_caps_blocks(spark):
+    """Budget path of embedding_near_dup: one mega posting list beside
+    small ones — the derived cap must refuse the quadratic list while
+    the small blocks still pair, and all pairs stay in-budget."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup,
+        release_intermediates,
+    )
+
+    rows = []
+    k = 0
+    for _ in range(30):  # one block of 30 vectors -> C(30,2)=435 pairs
+        rows.append((k, [1.0, 0.0, float(k % 3)], 100))
+        k += 1
+    for b in range(5):  # five blocks of 3 -> 3 pairs each
+        for _ in range(3):
+            rows.append((k, [0.0, 1.0, float(b)], b))
+            k += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = embedding_near_dup(
+        df, "embedding", "vec_id", "label", threshold=-1.0,
+        max_block_size=None, max_pairs_budget=100,
+    )
+    got = out.count()
+    release_intermediates()
+    assert got == 15  # 5 blocks * C(3,2); the 30-block refused

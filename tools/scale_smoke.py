@@ -380,6 +380,15 @@ def main() -> None:
         read_partitioned,
     )
 
+    from mgo_liveagent_data_pipeline_spark.plans.pipeline import (
+        q_curation_pipeline,
+    )
+
+    def curation_case(df):
+        # the composed 6-stage pipeline is path-driven (it re-reads the
+        # documents table and its eval split); route by corpus identity
+        return q_curation_pipeline(spark, SF_DIR if df is docs_1x else big)
+
     def dedup_apply_case(df):
         # full canonicalization: star edges → CC → keep-one → partitioned
         # MERGE rewrite → read back (the dedup "apply" composition)
@@ -443,19 +452,8 @@ def main() -> None:
         "qmodel_score": (qmodel, docs_1x, docs_nx),
         "dedup_apply_rewrite": (dedup_apply_case, docs_1x, docs_nx),
         "encoded_near_dup": (enc_near_dup, docs_1x, docs_nx),
-        "curation_pipeline": (None, docs_1x, docs_nx),  # fn bound below
+        "curation_pipeline": (curation_case, docs_1x, docs_nx),
     }
-
-    from mgo_liveagent_data_pipeline_spark.plans.pipeline import (
-        q_curation_pipeline,
-    )
-
-    def curation_case(df):
-        # the composed 6-stage pipeline is path-driven (it re-reads the
-        # documents table and its eval split); route by corpus identity
-        return q_curation_pipeline(spark, SF_DIR if df is docs_1x else big)
-
-    cases["curation_pipeline"] = (curation_case, docs_1x, docs_nx)
 
     # ---- fixed-delta merge cases: the partition-pruned MERGE claim is
     # that a SAME-SIZED delta costs the same against an N× bigger table
@@ -546,6 +544,12 @@ def main() -> None:
 
     only = set(sys.argv[2:])
     if only:
+        known = set(cases) | set(merge_cases)
+        unknown = only - known
+        if unknown:
+            raise SystemExit(
+                f"unknown case(s) {sorted(unknown)}; known: {sorted(known)}"
+            )
         cases = {k: v for k, v in cases.items() if k in only}
         merge_cases = {k: v for k, v in merge_cases.items() if k in only}
 
