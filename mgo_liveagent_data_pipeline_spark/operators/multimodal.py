@@ -8,9 +8,10 @@ signature, batch shape. GENUINE stdlib decoders exist for 16-bit PCM WAV
 truecolor PNG (``real_png_features`` — zlib inflate + five-filter
 defiltering), and baseline sequential JPEG (``real_jpeg_features`` —
 canonical Huffman entropy decode, dequantization, full 2-D IDCT,
-YCbCr→RGB). Still stubbed, because they genuinely need external codec
-libraries: MP3/AAC audio, video containers, progressive/subsampled JPEG,
-and interlaced/palette PNG — those slots raise ``NotImplementedError``
+YCbCr→RGB, 4:4:4/4:2:2/4:2:0 sampling, DRI/RSTn restart intervals).
+Still stubbed, because they genuinely need external codec libraries:
+MP3/AAC audio, video containers, progressive (SOF2) JPEG, and
+interlaced/palette PNG — those slots raise ``NotImplementedError``
 rather than mis-decode. Swapping in Pillow/torchaudio changes ~5 lines
 inside a UDF and nothing in the plan.
 
@@ -764,6 +765,7 @@ class _JpegBitWriter:
 def _pack_jpeg(
     block_vals: list[list[list[int]]] | list[list[tuple[int, int, int]]],
     subsample_420: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Hand-pack a baseline JFIF stream from BLOCK-CONSTANT component
     values: ``block_vals[by][bx]`` is either a (Y, Cb, Cr) triple or a
@@ -772,8 +774,12 @@ def _pack_jpeg(
     by the uniform step 16 and the round trip is lossless. A cell is one
     8×8 block (4:4:4 / grayscale), or — with ``subsample_420`` — one
     16×16 MACROBLOCK (Y sampled 2×2: four identical Y blocks + one Cb +
-    one Cr per MCU, the dominant real-world layout). Raw struct +
-    hand-rolled Huffman/bit writer — independent of the reader."""
+    one Cr per MCU, the dominant real-world layout). With
+    ``restart_interval`` a DRI segment is emitted and every interval MCUs
+    the entropy stream is byte-aligned, an RSTm marker (m cycling 0-7)
+    inserted, and DC predictors reset — the error-resilience layout
+    camera JPEGs ship. Raw struct + hand-rolled Huffman/bit writer —
+    independent of the reader."""
     import struct
 
     by_n = len(block_vals)
@@ -800,6 +806,8 @@ def _pack_jpeg(
     ):
         payload = bytes([cls]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([n_comp])
     for cid in range(1, n_comp + 1):
@@ -825,6 +833,9 @@ def _pack_jpeg(
         code, ln = ac_codes[0x00]  # EOB: all AC are zero
         wtr.put(code, ln)
 
+    n_mcu = 0
+    rst = 0
+    total_mcus = by_n * bx_n
     for by in range(by_n):
         for bx in range(bx_n):
             c = block_vals[by][bx]
@@ -838,6 +849,16 @@ def _pack_jpeg(
             else:
                 for comp, v in enumerate(c):
                     put_block(comp, v)
+            n_mcu += 1
+            if (
+                restart_interval
+                and n_mcu % restart_interval == 0
+                and n_mcu < total_mcus
+            ):
+                wtr.flush()  # byte-align, pad with 1-bits
+                wtr.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred[:] = [0] * n_comp
     wtr.flush()
     out += wtr.buf
     out += b"\xff\xd9"  # EOI
@@ -866,9 +887,10 @@ def real_jpeg_decode(payload: bytes) -> dict:
     dequantization, full 2-D IDCT, level shift, chroma upsampling,
     YCbCr→RGB. Baseline (SOF0) 8-bit with sampling factors up to 2×2 —
     covers 4:4:4, 4:2:2, and the dominant 4:2:0 layout (interleaved
-    MCUs, nearest-neighbor chroma upsampling); progressive (SOF2),
-    restart-interval, and arithmetic-coded streams raise — out of scope,
-    not silently mis-decoded."""
+    MCUs, nearest-neighbor chroma upsampling), plus DRI/RSTn restart
+    intervals (per-segment byte alignment + DC predictor reset);
+    progressive (SOF2) and arithmetic-coded streams raise — out of
+    scope, not silently mis-decoded."""
     import math
     import struct
 
@@ -879,8 +901,9 @@ def real_jpeg_decode(payload: bytes) -> dict:
     huffs: dict[tuple[int, int], dict] = {}
     comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
     width = height = 0
+    restart_interval = 0
     scan_comps: list[tuple[int, int, int]] = []  # (id, td, ta)
-    data = b""
+    segments: list[bytes] = []  # entropy data, split at RSTn markers
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -934,14 +957,15 @@ def real_jpeg_decode(payload: bytes) -> dict:
                     code <<= 1
                 huffs[(cls, tid)] = decode
                 off += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = seg[0]
             for i in range(ns):
                 cid, tds = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_comps.append((cid, tds >> 4, tds & 15))
-            # unstuff entropy bytes up to the next real marker
+            # unstuff entropy bytes up to the next real marker, splitting
+            # restart segments at RSTn (each resumes byte-aligned)
             body = bytearray()
             while pos + 1 < len(payload):
                 b = payload[pos]
@@ -952,20 +976,24 @@ def real_jpeg_decode(payload: bytes) -> dict:
                         pos += 2
                         continue
                     if 0xD0 <= nxt <= 0xD7:
-                        raise NotImplementedError("restart markers unsupported")
+                        segments.append(bytes(body))
+                        body = bytearray()
+                        pos += 2
+                        continue
                     break  # real marker (EOI) — scan ends
                 body.append(b)
                 pos += 1
-            data = bytes(body)
+            segments.append(bytes(body))
             break
-    if not comps or not data:
+    if not comps or not segments or not segments[0]:
         raise ValueError("JPEG missing SOF/scan data")
 
+    seg_i = 0
     bitpos = 0
 
     def read_bit() -> int:
         nonlocal bitpos
-        byte = data[bitpos >> 3]
+        byte = segments[seg_i][bitpos >> 3]
         bit = (byte >> (7 - (bitpos & 7))) & 1
         bitpos += 1
         return bit
@@ -1041,14 +1069,22 @@ def real_jpeg_decode(payload: bytes) -> dict:
                 row[col0 + x] = 0 if val < 0 else 255 if val > 255 else val
 
     # interleaved MCU scan: each component contributes its h×v block grid
+    n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # RST boundary: next entropy segment, byte-aligned, DC
+                # predictors reset (T.81 F.2.1.3.1)
+                seg_i += 1
+                bitpos = 0
+                pred[:] = [0] * len(comps)
             for ci, (sh, sv) in enumerate(samp_hv):
                 for vb in range(sv):
                     for hb in range(sh):
                         decode_block(
                             ci, (my * sv + vb) * 8, (mx * sh + hb) * 8
                         )
+            n_mcu += 1
     sr = sg = sb = 0
     for y in range(height):
         for x in range(width):
@@ -1076,15 +1112,16 @@ def real_jpeg_decode(payload: bytes) -> dict:
     }
 
 
-def jpeg_fixture_images(n_images: int = 8) -> list[dict]:
+def jpeg_fixture_images(n_images: int = 9) -> list[dict]:
     """Deterministic baseline-JPEG fixtures: block-constant (Y, Cb, Cr)
-    grids — five 4:4:4 images, one grayscale, and two 4:2:0 subsampled
-    images (16×16 macroblock cells, four Y blocks + Cb + Cr per MCU) —
-    whose values sit even offsets from 128, the one family for which the
-    lossy pipeline is EXACT (DC quantizes without remainder, all AC
-    vanish, constant chroma upsamples exactly), so expected features
-    derive from the chosen component values, independent of the
-    Huffman/DCT machinery under test."""
+    grids — five 4:4:4 images, one grayscale, two 4:2:0 subsampled
+    images (16×16 macroblock cells, four Y blocks + Cb + Cr per MCU),
+    and one with a DRI restart interval of 1 MCU (three RSTm markers, m cycling) — whose values sit
+    even offsets from 128, the one family for which the lossy pipeline
+    is EXACT (DC quantizes without remainder, all AC vanish, constant
+    chroma upsamples exactly), so expected features derive from the
+    chosen component values, independent of the Huffman/DCT machinery
+    under test."""
     import hashlib as _hl
 
     out = []
@@ -1092,7 +1129,8 @@ def jpeg_fixture_images(n_images: int = 8) -> list[dict]:
         bx_n = 2 + iid % 3
         by_n = 1 + iid % 2
         gray = iid == 5
-        sub420 = iid >= 6
+        sub420 = iid in (6, 7)
+        rst = 1 if iid == 8 else 0
         grid = []
         for by in range(by_n):
             row = []
@@ -1102,7 +1140,7 @@ def jpeg_fixture_images(n_images: int = 8) -> list[dict]:
                 cr = 128 + 2 * ((iid * 13 + bx * 7 + by * 9) % 19 - 9)
                 row.append(y if gray else (y, cb, cr))
             grid.append(row)
-        payload = _pack_jpeg(grid, subsample_420=sub420)
+        payload = _pack_jpeg(grid, subsample_420=sub420, restart_interval=rst)
         px_per_cell = 256 if sub420 else 64
         sr = sg = sb = 0
         for row in grid:
