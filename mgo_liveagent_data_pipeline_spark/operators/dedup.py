@@ -703,6 +703,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a near-dup
     pair list (the step after any pair generator — MinHash-LSH, blocked
@@ -734,6 +735,17 @@ def connected_components(
     default 20 covers any realistic near-dup graph; a partial labelling
     silently kept would make downstream keep-one-per-cluster retain
     duplicates).
+
+    Small-graph fast path: every upstream pair generator caps its output
+    (LSH bucket caps, block caps, pair budgets), and on a DEDUPED corpus
+    the surviving near-dup edge list is metadata-scale even at 100 TB —
+    so when the checkpointed edge count is ≤ ``driver_threshold`` the
+    components are solved with a driver-side union-find (exact, same
+    component-minimum labels, O(E·α)) instead of paying ~6 scheduled
+    jobs of fixed overhead per pointer-jumping round. The distributed
+    loop remains the path for adversarial graphs; pass
+    ``driver_threshold=None`` to force it. The gating count is an action
+    on the ALREADY-materialized checkpoint — no extra upstream work.
     """
     _require_numeric(pairs, (id_a, id_b), "connected_components")
     # Materialize the (possibly very expensive) upstream pair plan ONCE
@@ -745,6 +757,40 @@ def connected_components(
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     ).localCheckpoint(eager=True)
+    if driver_threshold is not None and e.count() <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in e.collect():
+            a, b = row["src"], row["dst"]
+            for n in (a, b):
+                if n not in parent:
+                    parent[n] = n
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so labels stay component minima
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        members: dict[int, list[int]] = {}
+        for n in parent:
+            members.setdefault(find(n), []).append(n)
+        rows = [
+            (n, root, len(ms))
+            for root, ms in members.items()
+            for n in ms
+        ]
+        return pairs.sparkSession.createDataFrame(
+            rows, "node long, cluster_id long, cluster_size long"
+        )
     edges = _scoped_persist(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

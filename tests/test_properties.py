@@ -228,12 +228,19 @@ def test_connected_components_matches_union_find(spark, edges):
     }
 
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    got = {
+    # BOTH paths: the driver union-find fast path (default threshold)
+    # and the distributed pointer-jumping loop (threshold disabled)
+    got_driver = {
         r["node"]: (r["cluster_id"], r["cluster_size"])
         for r in connected_components(df).collect()
     }
+    got_dist = {
+        r["node"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(df, driver_threshold=None).collect()
+    }
     release_intermediates()
-    assert got == expected
+    assert got_driver == expected
+    assert got_dist == expected
 
 
 @SETTINGS
