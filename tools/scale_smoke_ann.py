@@ -83,6 +83,7 @@ def main() -> None:
     from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
         cosine_topk,
         ivf_topk,
+        ivfpq_topk,
         pq_topk,
     )
     from mgo_liveagent_data_pipeline_spark.operators.dedup import (
@@ -144,6 +145,18 @@ def main() -> None:
             "sec": round(time.time() - t0, 2),
         }
         pq.unpersist()
+        # the composed index: IVF routing prunes rows, PQ codes prune
+        # bytes — probe count chosen from the plain-IVF sweep's knee
+        ipq_probes = 2 if posting["n_lists"] <= 16 else 8
+        t0 = time.time()
+        ipq = ivfpq_topk(corpus, q, k=K, n_probes=ipq_probes).persist()
+        ipq.count()
+        section["ivfpq"] = {
+            "n_probes": ipq_probes,
+            "recall": recall_at_k(ipq, exact),
+            "sec": round(time.time() - t0, 2),
+        }
+        ipq.unpersist()
         exact.unpersist()
         corpus.unpersist()
         release_intermediates()
