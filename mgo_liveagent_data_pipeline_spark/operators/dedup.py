@@ -754,10 +754,23 @@ def connected_components(
     # registered on the union materializes too late to help — and the 8×
     # scale smoke measured pair generation paid double (~54 s of LSH work
     # twice) before a single CC round ran.
-    e = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    ).localCheckpoint(eager=True)
-    if driver_threshold is not None and e.count() <= driver_threshold:
+    e = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
+        # a pair with a NULL endpoint is not duplicate evidence; dropped
+        # identically on both paths (the driver union-find would crash on
+        # None and the distributed loop would emit a garbage NULL node)
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    # gate-and-fetch in ONE job: take(threshold+1) both decides the path
+    # and delivers the edges the fast path needs
+    head = (
+        e.take(driver_threshold + 1) if driver_threshold is not None else None
+    )
+    if head is not None and len(head) <= driver_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -768,7 +781,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in e.collect():
+        for row in head:
             a, b = row["src"], row["dst"]
             for n in (a, b):
                 if n not in parent:

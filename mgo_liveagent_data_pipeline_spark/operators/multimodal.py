@@ -987,13 +987,23 @@ def real_jpeg_decode(payload: bytes) -> dict:
             break
     if not comps or not segments or not segments[0]:
         raise ValueError("JPEG missing SOF/scan data")
+    if len(segments) > 1 and restart_interval == 0:
+        raise ValueError(
+            "RST markers present but no DRI restart interval declared"
+        )
 
     seg_i = 0
     bitpos = 0
 
     def read_bit() -> int:
         nonlocal bitpos
-        byte = segments[seg_i][bitpos >> 3]
+        seg = segments[seg_i]
+        if (bitpos >> 3) >= len(seg):
+            raise ValueError(
+                "entropy data exhausted mid-MCU (truncated stream or "
+                "restart-interval mismatch)"
+            )
+        byte = seg[bitpos >> 3]
         bit = (byte >> (7 - (bitpos & 7))) & 1
         bitpos += 1
         return bit
@@ -1076,6 +1086,10 @@ def real_jpeg_decode(payload: bytes) -> dict:
                 # RST boundary: next entropy segment, byte-aligned, DC
                 # predictors reset (T.81 F.2.1.3.1)
                 seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError(
+                        "fewer RST segments than the DRI interval implies"
+                    )
                 bitpos = 0
                 pred[:] = [0] * len(comps)
             for ci, (sh, sv) in enumerate(samp_hv):

@@ -24,33 +24,63 @@ def _cc(spark, edges, **kw):
     return out
 
 
-def test_cc_chain_converges_to_min_label(spark):
+# every unit case runs BOTH paths: the default driver union-find AND the
+# distributed pointer-jumping loop (driver_threshold=None) — small edge
+# lists would otherwise silently stop covering the distributed code
+import pytest as _pytest
+
+_CC_PATHS = ({}, {"driver_threshold": None})
+
+
+@_pytest.mark.parametrize("cckw", _CC_PATHS)
+def test_cc_chain_converges_to_min_label(spark, cckw):
     # a 5-node path: transitive closure must label everything with node 1
-    out = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    out = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], **cckw)
     assert out == {n: (1, 5) for n in (1, 2, 3, 4, 5)}
 
 
-def test_cc_separate_components_and_sizes(spark):
-    out = _cc(spark, [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)])
+@_pytest.mark.parametrize("cckw", _CC_PATHS)
+def test_cc_separate_components_and_sizes(spark, cckw):
+    out = _cc(
+        spark, [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)], **cckw
+    )
     assert out[10] == (10, 3) and out[12] == (10, 3)
     assert out[20] == (20, 2) and out[21] == (20, 2)
     assert out[30] == (30, 2) and out[31] == (30, 2)
 
 
-def test_cc_edge_direction_irrelevant(spark):
+@_pytest.mark.parametrize("cckw", _CC_PATHS)
+def test_cc_edge_direction_irrelevant(spark, cckw):
     # edges given high->low must still propagate the minimum
-    out = _cc(spark, [(5, 4), (4, 3), (3, 2), (2, 1)])
+    out = _cc(spark, [(5, 4), (4, 3), (3, 2), (2, 1)], **cckw)
     assert set(v[0] for v in out.values()) == {1}
 
 
 def test_cc_parallelism_invariant(spark):
+    # force the DISTRIBUTED loop on both sides: the invariant under
+    # repartitioning is about the pointer-jumping rounds, which the
+    # driver fast path never runs (a fast-path comparison is vacuous)
     edges = [(i, i + 1) for i in range(1, 30)] + [(100, 101), (102, 101)]
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    a = sorted(map(tuple, connected_components(df).collect()))
+    a = sorted(map(tuple,
+                   connected_components(df, driver_threshold=None).collect()))
     release_intermediates()
-    b = sorted(map(tuple, connected_components(df.repartition(7)).collect()))
+    b = sorted(map(tuple,
+                   connected_components(df.repartition(7),
+                                        driver_threshold=None).collect()))
     release_intermediates()
     assert a == b
+
+
+def test_cc_null_endpoint_pairs_dropped_both_paths(spark):
+    # a NULL endpoint is not duplicate evidence: both paths drop the pair
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id_a long, id_b long"
+    )
+    for kw in _CC_PATHS:
+        got = {r["node"] for r in connected_components(df, **kw).collect()}
+        release_intermediates()
+        assert got == {1, 2}
 
 
 # --------------------------------------------------------- incremental dedup
@@ -1170,3 +1200,27 @@ def test_jpeg_420_mcu_block_placement():
     sr = 64 * ys[0] + 32 * ys[1] + 16 * ys[2] + 8 * ys[3]
     mean = sr // 120
     assert got["mean_rgb"] == mean * 65536 + mean * 256 + mean
+
+
+def test_jpeg_restart_structure_guards():
+    """Malformed restart structure fails with a TYPED error, not an
+    IndexError deep in the bit reader: RST markers without a DRI
+    declaration, and an entropy stream truncated mid-MCU."""
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        jpeg_fixture_images,
+        real_jpeg_decode,
+    )
+
+    rst_payload = jpeg_fixture_images()[8]["payload"]
+    # strip the 6-byte DRI segment (FFDD 0004 interval)
+    i = rst_payload.index(b"\xff\xdd")
+    no_dri = rst_payload[:i] + rst_payload[i + 6 :]
+    with pytest.raises(ValueError, match="no DRI"):
+        real_jpeg_decode(no_dri)
+    # truncate the scan: drop the last entropy bytes before EOI
+    plain = jpeg_fixture_images()[0]["payload"]
+    truncated = plain[:-6] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="exhausted|Huffman"):
+        real_jpeg_decode(truncated)
