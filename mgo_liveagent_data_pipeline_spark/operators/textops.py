@@ -397,6 +397,77 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float,
+    budget_tokens: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain balancing (the mT5/multilingual-LM
+    α-smoothing step): targets are DERIVED from the corpus's own token
+    shares — q_i ∝ p_i^α, target_i = budget·q_i — so low-resource
+    domains are boosted relative to their natural share (α < 1) without
+    anyone supplying per-domain weights. α = 1 reproduces proportional
+    sampling (every domain gets the same acceptance rate, test-pinned);
+    α = 0 targets a uniform mixture. Complements ``mixture_sample``,
+    whose targets are externally specified.
+
+    Acceptance is the same engine-independent md5(key)-bucket rule as
+    ``mixture_sample``/``stratified_hash_sample``; the rate is rounded
+    to 6 decimals before the comparison so both engines compare the same
+    number despite last-ulp ``pow``/sum differences.
+
+    Plan at 100 TB: one hash agg to |domains| rows, the α-power and the
+    share normalization over that tiny relation (a 1-row total
+    broadcast back), then a broadcast rate join and a narrow filter —
+    the corpus is scanned once, never shuffled."""
+    from .dedup import _scoped_persist
+
+    n_tokens = F.size(
+        F.filter(_tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    ).cast("long")
+    with_toks = _scoped_persist(df.withColumn("__nt", n_tokens))
+    cur = with_toks.groupBy(domain_col).agg(F.sum("__nt").alias("__cur"))
+    pa = F.when(
+        F.col("__cur") > 0,
+        F.pow(F.col("__cur").cast("double"), F.lit(float(alpha))),
+    ).otherwise(F.lit(0.0))
+    powed = cur.withColumn("__pa", pa)
+    tot = powed.agg(F.sum("__pa").alias("__tot"))
+    rates = (
+        powed.crossJoin(F.broadcast(tot))  # two metadata-scale relations
+        .select(
+            domain_col,
+            F.round(
+                F.when(
+                    (F.col("__cur") > 0) & (F.col("__tot") > 0),
+                    F.least(
+                        F.lit(1.0),
+                        (
+                            F.lit(float(budget_tokens))
+                            * F.col("__pa")
+                            / F.col("__tot")
+                        )
+                        / F.col("__cur").cast("double"),
+                    ),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("accept_rate"),
+        )
+    )
+    bucket = F.conv(
+        F.md5(F.col(key_col).cast("string")).substr(1, 8), 16, 10
+    ).cast("long")
+    scale = float(16**8)
+    return (
+        with_toks.join(F.broadcast(rates), domain_col)
+        .where(bucket < F.col("accept_rate") * F.lit(scale))
+        .withColumnRenamed("__nt", "n_tokens")
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     weights: DataFrame,

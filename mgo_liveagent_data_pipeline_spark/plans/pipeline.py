@@ -764,6 +764,34 @@ def q_text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_ALPHA = 0.5
+TEMP_BUDGET = 8000
+
+
+def q_text_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain balancing
+    (operators/textops.py:temperature_sample): α = 0.5 smoothing of the
+    per-language token shares within an 8000-token budget — low-resource
+    languages keep a larger fraction than proportional sampling would
+    give them, the standard multilingual pretraining mix. Summarized per
+    language. Driver-visible via the ``tsample`` mode of
+    ``text_corpus_stats``."""
+    from ..operators.textops import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_sample(
+        docs, "lang", TEMP_ALPHA, TEMP_BUDGET, "text", "doc_id"
+    )
+    return (
+        kept.groupBy("lang", "accept_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_kept"),
+        )
+        .select("lang", "n_docs", "n_tokens_kept", "accept_rate")
+    )
+
+
 def qmodel_weights(spark: SparkSession) -> DataFrame:
     """Deterministic stand-in for a trained linear model: integer
     milli-weights derived from a Knuth multiplicative mix of the bucket
@@ -840,6 +868,7 @@ QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_stratified_sample": q_text_stratified_sample,
     "text_mixture_sample": q_text_mixture_sample,
+    "text_temperature_sample": q_text_temperature_sample,
     "text_quality_model": q_text_quality_model,
     "text_paragraph_dedup": q_text_paragraph_dedup,
     "text_decontaminate": q_text_decontaminate,
@@ -1901,6 +1930,39 @@ ORACLES: dict[str, str] = {
                    / CAST(c AS DOUBLE)) AS accept_rate
           FROM cur
           WHERE lang IN ('de', 'en', 'zh')),
+        k AS (
+          SELECT d.lang, d.doc_id, d.nt, r.accept_rate
+          FROM d JOIN r USING (lang)
+          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) < accept_rate * 4294967296.0)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens_kept, accept_rate
+        FROM k GROUP BY lang, accept_rate
+    """,
+    # temperature sampling: rate_i = min(1, budget·c_i^α/Σc^α ÷ c_i),
+    # rounded to 6dp BEFORE the accept comparison in both engines (pow
+    # and the tiny cross-domain sum may differ in the last ulp)
+    "text_temperature_sample": r"""
+        WITH d AS (
+          SELECT lang, doc_id,
+                 length(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS nt
+          FROM documents),
+        cur AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS c
+                FROM d GROUP BY lang),
+        p AS (
+          SELECT lang, c,
+                 CASE WHEN c > 0 THEN pow(CAST(c AS DOUBLE), 0.5)
+                      ELSE 0.0 END AS pa
+          FROM cur),
+        t AS (SELECT sum(pa) AS tot FROM p),
+        r AS (
+          SELECT lang,
+                 round(CASE WHEN c > 0 AND tot > 0
+                            THEN least(1.0,
+                              (8000.0 * pa / tot) / CAST(c AS DOUBLE))
+                            ELSE 1.0 END, 6) AS accept_rate
+          FROM p, t),
         k AS (
           SELECT d.lang, d.doc_id, d.nt, r.accept_rate
           FROM d JOIN r USING (lang)

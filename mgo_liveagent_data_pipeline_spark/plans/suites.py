@@ -527,6 +527,13 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("metric"),
         F.col("n_tokens").alias("n"),
     )
+    tsample = pipeline.q_text_temperature_sample(spark, sf_dir).select(
+        F.lit("tsample").alias("mode"),
+        F.col("lang").alias("key_s"),
+        F.col("n_docs").alias("key_n"),
+        F.col("accept_rate").alias("metric"),
+        F.col("n_tokens_kept").alias("n"),
+    )
     return (
         tfidf.unionByName(sample)
         .unionByName(rep_tok)
@@ -541,6 +548,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(shard)
         .unionByName(mixture)
         .unionByName(qmodel)
+        .unionByName(tsample)
     )
 
 
@@ -1400,6 +1408,12 @@ ORACLES: dict[str, str] = {
             _P["text_quality_model"],
             "'qmodel' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
             "doc_id AS key_n, score AS metric, n_tokens AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_temperature_sample"],
+            "'tsample' AS mode, lang AS key_s, n_docs AS key_n, "
+            "accept_rate AS metric, n_tokens_kept AS n",
         )
     ),
     "f11_f12_schedule_safecast": """

@@ -1224,3 +1224,45 @@ def test_jpeg_restart_structure_guards():
     truncated = plain[:-6] + b"\xff\xd9"
     with pytest.raises(ValueError, match="exhausted|Huffman"):
         real_jpeg_decode(truncated)
+
+
+def test_temperature_sample_alpha_limits(spark):
+    """α = 1 ⇔ proportional sampling: every domain gets the SAME
+    acceptance rate min(1, budget/Σtokens); α = 0 targets a uniform
+    budget/n_domains per domain regardless of its natural share (small
+    domains keep everything, big ones downsample hardest)."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        temperature_sample,
+    )
+
+    rows = []
+    k = 0
+    for dom, n_docs, words in (("big", 40, 20), ("mid", 10, 20), ("small", 2, 20)):
+        for _ in range(n_docs):
+            rows.append((k, " ".join(f"w{k}x{j}" for j in range(words)), dom))
+            k += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text", "dom"])
+    total = 52 * 20
+
+    r1 = {
+        r["dom"]: r["accept_rate"]
+        for r in temperature_sample(df, "dom", 1.0, total // 2)
+        .select("dom", "accept_rate").distinct().collect()
+    }
+    release_intermediates()
+    assert len(set(r1.values())) == 1  # proportional: one shared rate
+    assert abs(next(iter(r1.values())) - 0.5) < 1e-6
+
+    r0 = {
+        r["dom"]: r["accept_rate"]
+        for r in temperature_sample(df, "dom", 0.0, total // 2)
+        .select("dom", "accept_rate").distinct().collect()
+    }
+    release_intermediates()
+    # uniform targets: budget/3 ≈ 173 tokens per domain -> the small
+    # domain (40 tokens) keeps all, the big one (800) keeps ~22%
+    assert r0["small"] == 1.0
+    assert r0["big"] < r0["mid"] < 1.0
