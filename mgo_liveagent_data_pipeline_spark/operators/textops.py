@@ -1198,6 +1198,57 @@ def decontaminate(
     )
 
 
+def fuzzy_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """NEAR-DUPLICATE benchmark decontamination: flag training documents
+    that are MinHash-LSH near-duplicates of any eval document. Exact
+    n-gram overlap (``decontaminate``) misses paraphrases and
+    reformatted eval items; frontier-lab decontamination reports pair
+    the exact check with exactly this fuzzy one.
+
+    Implemented as the delta-vs-corpus LSH (``operators.dedup.
+    incremental_minhash_dedup``) with the EVAL set as the delta — the
+    benchmark is tiny, so only its banding rows probe the training
+    index; no train×train pair is ever generated. Eval keys are mapped
+    to the negative range (−k−1) so the two key spaces cannot collide
+    (a shared id would otherwise trigger the operator's re-ingest rule
+    and silently drop the training doc from the index).
+
+    Returns one row per CONTAMINATED training doc:
+    (``key_col``, n_eval_matches, max_jaccard)."""
+    from .dedup import incremental_minhash_dedup
+
+    ev = eval_df.select(
+        (-F.col(key_col) - 1).alias(key_col), F.col(text_col)
+    )
+    pairs = incremental_minhash_dedup(
+        df.select(key_col, text_col), ev, text_col, key_col,
+        num_hashes, bands, shingle_k, threshold, max_bucket_size,
+    )
+    # eval ids are all negative, so in the (id_a < id_b) pair ordering a
+    # train×eval pair always has id_a = eval, id_b = train; delta_delta
+    # pairs are eval×eval and are not contamination evidence
+    return (
+        pairs.where(
+            (F.col("pair_type") == "delta_corpus") & (F.col("id_b") >= 0)
+        )
+        .groupBy(F.col("id_b").alias(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("jaccard_sim").alias("max_jaccard"),
+        )
+    )
+
+
 def pack_shards(
     df: DataFrame,
     text_col: str = "text",

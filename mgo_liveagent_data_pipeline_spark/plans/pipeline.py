@@ -448,6 +448,23 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, ev, "text", "doc_id", ngram_k=DECONTAM_NGRAM_K)
 
 
+def q_text_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP benchmark decontamination
+    (operators/textops.py:fuzzy_decontaminate): training docs that are
+    MinHash-LSH near-duplicates (J ≥ 0.4) of any doc_id %% 23 == 0 eval
+    doc — the paraphrase-robust companion of the exact n-gram check.
+    Driver-visible via the ``fdecontam`` mode of ``text_corpus_stats``."""
+    from ..operators.textops import fuzzy_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % DECONTAM_MODULUS == 0)
+    train = docs.where(F.col("doc_id") % DECONTAM_MODULUS != 0)
+    return fuzzy_decontaminate(
+        train, ev, "text", "doc_id",
+        NUM_HASHES, BANDS, SHINGLE_K, LSH_THRESHOLD, LSH_MAX_BUCKET,
+    )
+
+
 SHARD_TOKEN_BUDGET = 1000
 
 
@@ -872,6 +889,7 @@ QUERIES = {
     "text_quality_model": q_text_quality_model,
     "text_paragraph_dedup": q_text_paragraph_dedup,
     "text_decontaminate": q_text_decontaminate,
+    "text_fuzzy_decontaminate": q_text_fuzzy_decontaminate,
     "text_shard_pack": q_text_shard_pack,
     "curation_pipeline": q_curation_pipeline,
 }
@@ -998,6 +1016,63 @@ def _minhash_oracle() -> str:
                round({_JACCARD.format(a="sh_a", b="sh_b")}, 6) AS jaccard_sim
         FROM pairs
         WHERE {_JACCARD.format(a="sh_a", b="sh_b")} >= {LSH_THRESHOLD}
+    """
+
+
+def _fuzzy_decontam_oracle() -> str:
+    """Mirror of fuzzy_decontaminate: full-corpus LSH pairs over the
+    union of the train split and the NEGATIVE-keyed eval split (the
+    operator's delta-vs-corpus run equals that set restricted to pairs
+    involving a delta doc — eval keys are all negative, so a train×eval
+    pair always orders (eval, train)), grouped per train doc."""
+    rows = NUM_HASHES // BANDS
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {_A} + {i} * {_B}))"
+        for i in range(NUM_HASHES)
+    )
+    bands = ", ".join(
+        "'"
+        + str(b)
+        + "|' || "
+        + " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        for b in range(BANDS)
+    )
+    jac = _JACCARD.format(a="sh_a", b="sh_b")
+    km1 = SHINGLE_K - 1
+    return f"""
+        WITH src AS (
+          SELECT CASE WHEN doc_id % {DECONTAM_MODULUS} = 0
+                      THEN -doc_id - 1 ELSE doc_id END AS doc_id, text
+          FROM documents),
+        shingled AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {km1}, 1) + 1),
+                   i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{km1}], ' ')
+                 )) AS sh
+          FROM src),
+        sigs AS (SELECT doc_id, sh, [{mins}] AS sig FROM shingled),
+        banded0 AS (
+          SELECT doc_id AS key, unnest([{bands}]) AS band_key FROM sigs),
+        banded AS (
+          SELECT key, band_key FROM banded0
+          QUALIFY count(*) OVER (PARTITION BY band_key) <= {LSH_MAX_BUCKET}),
+        cand AS (
+          SELECT DISTINCT a.key AS id_a, b.key AS id_b
+          FROM banded a JOIN banded b USING (band_key)
+          WHERE a.key < b.key),
+        pairs AS (
+          SELECT id_a, id_b, round({jac}, 6) AS jaccard_sim
+          FROM (SELECT c.id_a, c.id_b, sa.sh AS sh_a, sb.sh AS sh_b
+                FROM cand c
+                JOIN sigs sa ON sa.doc_id = c.id_a
+                JOIN sigs sb ON sb.doc_id = c.id_b))
+        SELECT id_b AS doc_id,
+               count(*) AS n_eval_matches,
+               max(jaccard_sim) AS max_jaccard
+        FROM pairs
+        WHERE jaccard_sim >= {LSH_THRESHOLD} AND id_a < 0 AND id_b >= 0
+        GROUP BY id_b
     """
 
 
@@ -2213,6 +2288,8 @@ ORACLES: dict[str, str] = {
     "text_url_domains": _URL_DOMAINS_SQL,
     # the composed six-stage curation chain's per-stage ledger
     "curation_pipeline": _curation_sql(),
+    # near-dup decontamination = union LSH pairs restricted to train×eval
+    "text_fuzzy_decontaminate": _fuzzy_decontam_oracle(),
     # deterministic md5(key)-ordered quota, mirroring group_sample_k
     "text_group_sample": """
         WITH r AS (

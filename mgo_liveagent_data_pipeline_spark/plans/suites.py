@@ -534,6 +534,13 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("accept_rate").alias("metric"),
         F.col("n_tokens_kept").alias("n"),
     )
+    fdecon = pipeline.q_text_fuzzy_decontaminate(spark, sf_dir).select(
+        F.lit("fdecontam").alias("mode"),
+        _null("string").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        F.col("max_jaccard").alias("metric"),
+        F.col("n_eval_matches").alias("n"),
+    )
     return (
         tfidf.unionByName(sample)
         .unionByName(rep_tok)
@@ -549,6 +556,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mixture)
         .unionByName(qmodel)
         .unionByName(tsample)
+        .unionByName(fdecon)
     )
 
 
@@ -1414,6 +1422,12 @@ ORACLES: dict[str, str] = {
             _P["text_temperature_sample"],
             "'tsample' AS mode, lang AS key_s, n_docs AS key_n, "
             "accept_rate AS metric, n_tokens_kept AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_fuzzy_decontaminate"],
+            "'fdecontam' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
+            "doc_id AS key_n, max_jaccard AS metric, n_eval_matches AS n",
         )
     ),
     "f11_f12_schedule_safecast": """

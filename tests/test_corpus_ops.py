@@ -1266,3 +1266,34 @@ def test_temperature_sample_alpha_limits(spark):
     # domain (40 tokens) keeps all, the big one (800) keeps ~22%
     assert r0["small"] == 1.0
     assert r0["big"] < r0["mid"] < 1.0
+
+
+def test_fuzzy_decontaminate_catches_paraphrase_exact_misses(spark):
+    """A near-verbatim eval leak (one word changed, shared n-grams broken
+    only locally) is caught by the fuzzy LSH check; an unrelated train
+    doc is not; and key overlap between train and eval spaces is safe
+    (eval keys are negative-mapped internally)."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        fuzzy_decontaminate,
+    )
+
+    ev_text = "the quick brown fox jumps over the lazy dog tonight again"
+    train = spark.createDataFrame(
+        [
+            (1, ev_text + " extra"),  # near-dup of the eval item
+            (2, "completely unrelated training text about other things"),
+        ],
+        ["doc_id", "text"],
+    )
+    # eval doc shares key 1 with a train doc — must NOT collide
+    ev = spark.createDataFrame([(1, ev_text)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_eval_matches"], r["max_jaccard"])
+        for r in fuzzy_decontaminate(train, ev).collect()
+    }
+    release_intermediates()
+    assert set(out) == {1}
+    assert out[1][0] == 1 and out[1][1] >= 0.4
