@@ -267,6 +267,37 @@ def text_metrics(
     )
 
 
+def _md5_bucket(key_col: str) -> Column:
+    """The shared deterministic accept bucket: first 8 hex digits of
+    md5(key) as a long in [0, 16^8) — reproducible across runs, engines
+    and partitionings (no RNG state). Rows survive a rate r iff
+    ``_md5_bucket(k) < r * _MD5_BUCKET_SCALE``."""
+    return F.conv(
+        F.md5(F.col(key_col).cast("string")).substr(1, 8), 16, 10
+    ).cast("long")
+
+
+_MD5_BUCKET_SCALE = float(16**8)
+
+
+def _rate_accept(
+    with_toks: DataFrame, rates: DataFrame, domain_col: str, key_col: str
+) -> DataFrame:
+    """Shared tail of the rate-based resamplers: broadcast the tiny
+    per-domain ``accept_rate`` relation back onto the corpus, apply the
+    md5-bucket accept, and publish the per-doc token count. The inner
+    join drops domains absent from ``rates`` — each caller documents
+    which domains those are."""
+    return (
+        with_toks.join(F.broadcast(rates), domain_col)
+        .where(
+            _md5_bucket(key_col)
+            < F.col("accept_rate") * F.lit(_MD5_BUCKET_SCALE)
+        )
+        .withColumnRenamed("__nt", "n_tokens")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,
@@ -284,14 +315,10 @@ def stratified_hash_sample(
     ``rates`` maps stratum value → keep fraction in [0, 1];
     unlisted strata keep ``default_rate``.
     """
-    bucket = F.conv(F.md5(F.col(key_col).cast("string")).substr(1, 8), 16, 10).cast(
-        "long"
-    )
-    scale = 16**8
     rate = F.lit(float(default_rate))
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
-    return df.where(bucket < (rate * F.lit(float(scale))))
+    return df.where(_md5_bucket(key_col) < (rate * F.lit(_MD5_BUCKET_SCALE)))
 
 
 def group_sample_k(
@@ -386,15 +413,7 @@ def mixture_sample(
             )).otherwise(F.lit(1.0)).alias("accept_rate"),
         )
     )
-    bucket = F.conv(
-        F.md5(F.col(key_col).cast("string")).substr(1, 8), 16, 10
-    ).cast("long")
-    scale = float(16**8)
-    return (
-        with_toks.join(F.broadcast(rates), domain_col)
-        .where(bucket < F.col("accept_rate") * F.lit(scale))
-        .withColumnRenamed("__nt", "n_tokens")
-    )
+    return _rate_accept(with_toks, rates, domain_col, key_col)
 
 
 def temperature_sample(
@@ -412,7 +431,10 @@ def temperature_sample(
     anyone supplying per-domain weights. α = 1 reproduces proportional
     sampling (every domain gets the same acceptance rate, test-pinned);
     α = 0 targets a uniform mixture. Complements ``mixture_sample``,
-    whose targets are externally specified.
+    whose targets are externally specified. Rows with a NULL domain are
+    DROPPED — excluded from the share computation too, so their tokens
+    never inflate the normalization total (clean your domain column
+    first if NULLs should participate).
 
     Acceptance is the same engine-independent md5(key)-bucket rule as
     ``mixture_sample``/``stratified_hash_sample``; the rate is rounded
@@ -428,44 +450,43 @@ def temperature_sample(
     n_tokens = F.size(
         F.filter(_tokens(F.col(text_col)), lambda x: x != F.lit(""))
     ).cast("long")
+    from pyspark.sql.window import Window
+
     with_toks = _scoped_persist(df.withColumn("__nt", n_tokens))
-    cur = with_toks.groupBy(domain_col).agg(F.sum("__nt").alias("__cur"))
+    cur = (
+        with_toks.where(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.sum("__nt").alias("__cur"))
+    )
     pa = F.when(
         F.col("__cur") > 0,
         F.pow(F.col("__cur").cast("double"), F.lit(float(alpha))),
     ).otherwise(F.lit(0.0))
-    powed = cur.withColumn("__pa", pa)
-    tot = powed.agg(F.sum("__pa").alias("__tot"))
-    rates = (
-        powed.crossJoin(F.broadcast(tot))  # two metadata-scale relations
-        .select(
-            domain_col,
-            F.round(
-                F.when(
-                    (F.col("__cur") > 0) & (F.col("__tot") > 0),
-                    F.least(
-                        F.lit(1.0),
-                        (
-                            F.lit(float(budget_tokens))
-                            * F.col("__pa")
-                            / F.col("__tot")
-                        )
-                        / F.col("__cur").cast("double"),
-                    ),
-                ).otherwise(F.lit(1.0)),
-                6,
-            ).alias("accept_rate"),
-        )
+    # the normalization total as a global window over the |domains|-row
+    # aggregate: ONE aggregation pass over the corpus, not a second agg
+    # feeding a crossJoin (the tiny single-partition window is free)
+    powed = cur.withColumn("__pa", pa).withColumn(
+        "__tot", F.sum("__pa").over(Window.partitionBy())
     )
-    bucket = F.conv(
-        F.md5(F.col(key_col).cast("string")).substr(1, 8), 16, 10
-    ).cast("long")
-    scale = float(16**8)
-    return (
-        with_toks.join(F.broadcast(rates), domain_col)
-        .where(bucket < F.col("accept_rate") * F.lit(scale))
-        .withColumnRenamed("__nt", "n_tokens")
+    rates = powed.select(
+        domain_col,
+        F.round(
+            F.when(
+                (F.col("__cur") > 0) & (F.col("__tot") > 0),
+                F.least(
+                    F.lit(1.0),
+                    (
+                        F.lit(float(budget_tokens))
+                        * F.col("__pa")
+                        / F.col("__tot")
+                    )
+                    / F.col("__cur").cast("double"),
+                ),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("accept_rate"),
     )
+    return _rate_accept(with_toks, rates, domain_col, key_col)
 
 
 def hashed_linear_score(
@@ -1221,17 +1242,35 @@ def fuzzy_decontaminate(
     index; no train×train pair is ever generated. Eval keys are mapped
     to the negative range (−k−1) so the two key spaces cannot collide
     (a shared id would otherwise trigger the operator's re-ingest rule
-    and silently drop the training doc from the index).
+    and silently drop the training doc from the index). Both key
+    columns must be numeric AND nonnegative — a negative input id would
+    break the disjointness the mapping provides, so it fails the job
+    (``raise_error``) instead of silently mis-attributing hits.
 
     Returns one row per CONTAMINATED training doc:
     (``key_col``, n_eval_matches, max_jaccard)."""
-    from .dedup import incremental_minhash_dedup
+    from .dedup import _require_numeric, incremental_minhash_dedup
 
+    _require_numeric(df, (key_col,), "fuzzy_decontaminate")
+    _require_numeric(eval_df, (key_col,), "fuzzy_decontaminate (eval)")
+
+    def _nonneg(side: str) -> Column:
+        return F.when(F.col(key_col) >= 0, F.col(key_col)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"fuzzy_decontaminate: {side} {key_col} must be "
+                    "nonnegative (the eval negative-key mapping requires "
+                    "disjoint key spaces)"
+                )
+            )
+        )
+
+    train = df.select(_nonneg("train").alias(key_col), F.col(text_col))
     ev = eval_df.select(
-        (-F.col(key_col) - 1).alias(key_col), F.col(text_col)
+        (-_nonneg("eval") - 1).alias(key_col), F.col(text_col)
     )
     pairs = incremental_minhash_dedup(
-        df.select(key_col, text_col), ev, text_col, key_col,
+        train, ev, text_col, key_col,
         num_hashes, bands, shingle_k, threshold, max_bucket_size,
     )
     # eval ids are all negative, so in the (id_a < id_b) pair ordering a

@@ -1297,3 +1297,26 @@ def test_fuzzy_decontaminate_catches_paraphrase_exact_misses(spark):
     release_intermediates()
     assert set(out) == {1}
     assert out[1][0] == 1 and out[1][1] >= 0.4
+
+
+def test_fuzzy_decontaminate_rejects_negative_keys(spark):
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        fuzzy_decontaminate,
+    )
+
+    txt = "the quick brown fox jumps over the lazy dog tonight again"
+    train = spark.createDataFrame([(-3, txt)], ["doc_id", "text"])
+    ev = spark.createDataFrame([(1, txt)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="nonnegative"):
+        fuzzy_decontaminate(train, ev).collect()
+    release_intermediates()
+    train2 = spark.createDataFrame([(3, txt)], ["doc_id", "text"])
+    ev2 = spark.createDataFrame([(-1, txt)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="nonnegative"):
+        fuzzy_decontaminate(train2, ev2).collect()
+    release_intermediates()
