@@ -545,6 +545,276 @@ def hashed_linear_score(
     )
 
 
+def _clean_tokens(text_col: str) -> Column:
+    """Lowercased whitespace tokens with empties removed — the shared
+    pre-tokenization of the LM scorers (perplexity, DSIR)."""
+    return F.filter(
+        _tokens(F.lower(F.col(text_col))), lambda x: x != F.lit("")
+    )
+
+
+def lm_perplexity_score(
+    df: DataFrame,
+    ref_df: DataFrame,
+    n_buckets: int = 2048,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    head_nll: float = 6.0,
+    tail_nll: float = 7.0,
+) -> DataFrame:
+    """CCNet-style LM perplexity scoring (Wenzek et al. 2019: filter a
+    crawl by the perplexity of a language model trained on a clean
+    reference corpus, then bucket head/middle/tail). The reference used
+    a KenLM 5-gram model; here the model is a hashed add-one-smoothed
+    BIGRAM LM trained on ``ref_df`` with Spark itself — the operator
+    contract (reference corpus in, per-doc perplexity + bucket out) is
+    the same, and a real KenLM scorer would slot in as one mapInPandas.
+
+    Tokens hash into ``n_buckets`` via first-8-hex-of-md5 (stable across
+    engines); the model is
+    ``p(w2|w1) = (B(w1,w2) + 1) / (U(w1) + V)`` with ``U`` the context
+    occurrence count and ``V = n_buckets``. Each bigram contributes an
+    INTEGER milli-nat cost ``round(-1000·ln p)`` so the per-doc sum is
+    order-independent and bit-exact at any parallelism (the ``ln`` itself
+    is libm-dependent by ≤1 ulp ≈ 1e-13 relative — flipping a rounded
+    integer milli-nat needs the true value within 1e-10 of a half, so the
+    quantization absorbs it; same argument as the 6-dp rounds in
+    ``temperature_sample``). ``avg_nll`` is one exact integer/integer
+    double division at the end; docs with <2 tokens score NULL and bucket
+    ``unscored``. Buckets: ``head`` (avg_nll < head_nll — most
+    reference-like), ``middle``, ``tail`` (> tail_nll). CCNet derives the
+    two thresholds as corpus perplexity percentiles; they're explicit
+    parameters here so the cut is auditable (a percentile variant is one
+    tiny extra agg over the |docs|-row score relation).
+
+    Plan at 100 TB: the model is built from the REFERENCE corpus (small,
+    curated — Wikipedia-sized, not crawl-sized) with two map-side-combined
+    hash aggs bounded by observed-bigram cardinality ≤ min(|ref bigrams|,
+    V²); both model relations broadcast. The scored corpus is scanned
+    once: narrow bigram explode → two broadcast left joins → ONE
+    groupBy(key) with map-side combine. No corpus shuffle anywhere.
+    """
+    v = float(n_buckets)
+
+    def bucket(c: Column) -> Column:
+        return (
+            F.conv(F.md5(c).substr(1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        )
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        toks = _clean_tokens(text_col)
+        n = F.size(toks)
+        pairs = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return frame.select(
+            F.col(key_col), F.explode_outer(pairs).alias("__bg")
+        ).select(
+            key_col,
+            bucket(F.col("__bg.w1")).alias("__h1"),
+            bucket(F.col("__bg.w2")).alias("__h2"),
+        )
+
+    from .dedup import _scoped_persist
+
+    # consumed twice (model rows + context totals) — persist the tiny
+    # ≤min(|ref bigrams|, V²)-row aggregate so the reference corpus is
+    # tokenized once (released via dedup.release_intermediates)
+    rb = _scoped_persist(
+        bigrams(ref_df)
+        .where(F.col("__h1").isNotNull())
+        .groupBy("__h1", "__h2")
+        .agg(F.count(F.lit(1)).alias("__b"))
+    )
+    ctx = rb.groupBy("__h1").agg(F.sum("__b").alias("__u"))
+    model = rb.join(ctx, "__h1").select(
+        "__h1",
+        "__h2",
+        F.round(
+            F.lit(-1000.0)
+            * F.log(
+                (F.col("__b") + 1).cast("double")
+                / (F.col("__u") + F.lit(n_buckets)).cast("double")
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("__m"),
+    )
+    # seen context, unseen continuation: p = 1 / (U + V)
+    ctx_unseen = ctx.select(
+        "__h1",
+        F.round(
+            F.lit(-1000.0)
+            * F.log(
+                F.lit(1.0) / (F.col("__u") + F.lit(n_buckets)).cast("double")
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("__mu"),
+    )
+    # unseen context: p = 1 / V — same round(·ln) pipeline as the model
+    # rows so both engines quantize the constant identically
+    oov = F.round(F.lit(1000.0) * F.log(F.lit(v)), 0).cast("long")
+    scored = (
+        bigrams(df)
+        .join(F.broadcast(model), ["__h1", "__h2"], "left")
+        .join(F.broadcast(ctx_unseen), ["__h1"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.count("__h1").alias("n_bigrams"),
+            F.sum(
+                F.when(
+                    F.col("__h1").isNotNull(),
+                    F.coalesce(F.col("__m"), F.col("__mu"), oov),
+                )
+            ).alias("__milli"),
+        )
+    )
+    avg_nll = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("__milli").cast("double")
+        / (F.col("n_bigrams") * 1000).cast("double"),
+    )
+    return scored.select(
+        key_col,
+        F.col("n_bigrams").cast("long"),
+        avg_nll.alias("avg_nll"),
+        F.when(avg_nll.isNull(), F.lit("unscored"))
+        .when(avg_nll < F.lit(float(head_nll)), F.lit("head"))
+        .when(avg_nll > F.lit(float(tail_nll)), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("ppl_bucket"),
+    )
+
+
+def dsir_importance_weight(
+    df: DataFrame,
+    target_df: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by the log likelihood ratio between a TARGET-domain distribution and
+    the RAW-corpus distribution, both estimated as add-one-smoothed
+    bag-of-hashed-n-gram models (unigrams + bigrams hashed into
+    ``n_buckets``, the paper's feature space). High-weight docs look like
+    the target; DSIR then Gumbel-resamples by weight — composable here
+    with the deterministic samplers (rank by weight, feed
+    ``group_sample_k`` / a threshold filter).
+
+    Per-bucket log ratio ``λ[b] = round(1000·(ln p̂_target[b] −
+    ln p̂_raw[b]))`` is an INTEGER milli-nat (order-independent exact
+    per-doc sums; the 1e-3-nat quantization absorbs ≤1-ulp libm ``ln``
+    differences, see ``lm_perplexity_score``). Output per doc:
+    ``n_feats``, exact ``milli_weight`` (Σλ, the paper's unnormalized
+    log ratio), and ``avg_log_ratio`` (one exact integer/integer double
+    division — length-normalized for cross-length comparison). Docs with
+    no tokens weight NULL.
+
+    Plan at 100 TB: both models come out of ONE map-side-combined hash
+    agg bounded at ``n_buckets`` rows (feature rows are tagged with
+    their corpus of origin and unioned — narrow), totals via a free
+    single-partition window over that tiny aggregate; the λ table
+    (≤ V rows) broadcasts onto the scored corpus: narrow unigram+bigram
+    explode → broadcast left join → ONE groupBy(key). The corpus is
+    scanned once per model it participates in (raw model + scoring) and
+    never shuffled."""
+
+    def feats(frame: DataFrame) -> DataFrame:
+        toks = _clean_tokens(text_col)
+        n = F.size(toks)
+        bi = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return frame.select(
+            F.col(key_col), F.explode_outer(F.concat(toks, bi)).alias("__f")
+        ).select(
+            key_col,
+            (
+                F.conv(F.md5(F.col("__f")).substr(1, 8), 16, 10).cast("long")
+                % F.lit(n_buckets)
+            ).alias("__b"),
+        )
+
+    # both models in ONE aggregation: tag each feature row with its
+    # corpus of origin, union (narrow), and count per (bucket, side) —
+    # no bucket-table outer join (Spark can't broadcast a full outer,
+    # so the join shape would sort-merge two tiny relations), and the
+    # totals fall out of the same ≤V-row aggregate via a free
+    # single-partition window
+    tagged = feats(target_df).select(
+        "__b", F.lit(1).alias("__t"), F.lit(0).alias("__r")
+    ).unionByName(
+        feats(df).select("__b", F.lit(0).alias("__t"), F.lit(1).alias("__r"))
+    )
+    cnts = (
+        tagged.where(F.col("__b").isNotNull())
+        .groupBy("__b")
+        .agg(F.sum("__t").alias("__ct"), F.sum("__r").alias("__cr"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    lam = cnts.select(
+        "__b",
+        F.round(
+            F.lit(1000.0)
+            * (
+                F.log(
+                    (F.col("__ct") + 1).cast("double")
+                    / (F.sum("__ct").over(w) + F.lit(n_buckets)).cast("double")
+                )
+                - F.log(
+                    (F.col("__cr") + 1).cast("double")
+                    / (F.sum("__cr").over(w) + F.lit(n_buckets)).cast("double")
+                )
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("__lam"),
+    )
+    scored = (
+        feats(df)
+        .join(F.broadcast(lam), ["__b"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.count("__b").alias("n_feats"),
+            F.sum(
+                F.when(F.col("__b").isNotNull(), F.col("__lam"))
+            ).alias("milli_weight"),
+        )
+    )
+    return scored.select(
+        key_col,
+        F.col("n_feats").cast("long"),
+        F.col("milli_weight").cast("long"),
+        F.when(
+            F.col("n_feats") > 0,
+            F.col("milli_weight").cast("double")
+            / (F.col("n_feats") * 1000).cast("double"),
+        ).alias("avg_log_ratio"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

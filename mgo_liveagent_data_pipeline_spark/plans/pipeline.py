@@ -834,6 +834,47 @@ def q_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_BUCKETS = 2048
+LM_HEAD_NLL = 5.15
+LM_TAIL_NLL = 5.20
+DSIR_BUCKETS = 4096
+
+
+def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering
+    (operators/textops.py:lm_perplexity_score): a hashed bigram LM is
+    trained on the English subset (the "clean reference corpus") and
+    every document is scored + bucketed head/middle/tail. English docs
+    skew head — the reference-language preference the CCNet paper
+    filters by. Driver-visible via the ``ppl`` mode of
+    ``text_corpus_stats``."""
+    from ..operators.textops import lm_perplexity_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity_score(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        LM_BUCKETS,
+        head_nll=LM_HEAD_NLL,
+        tail_nll=LM_TAIL_NLL,
+    )
+
+
+def q_text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting
+    (operators/textops.py:dsir_importance_weight): every document scored
+    by the hashed-n-gram log likelihood ratio of the English target
+    distribution vs the whole-corpus raw distribution — English docs get
+    the highest weights, the selection signal DSIR resamples by.
+    Driver-visible via the ``dsir`` mode of ``text_corpus_stats``."""
+    from ..operators.textops import dsir_importance_weight
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weight(
+        docs, docs.where(F.col("lang") == "en"), DSIR_BUCKETS
+    )
+
+
 def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text retrieval (operators/textops.py:bm25_topk): top-15
     documents for the query ``hash join vector`` — rational-idf BM25 over
@@ -887,6 +928,8 @@ QUERIES = {
     "text_mixture_sample": q_text_mixture_sample,
     "text_temperature_sample": q_text_temperature_sample,
     "text_quality_model": q_text_quality_model,
+    "text_lm_perplexity": q_text_lm_perplexity,
+    "text_dsir_weight": q_text_dsir_weight,
     "text_paragraph_dedup": q_text_paragraph_dedup,
     "text_decontaminate": q_text_decontaminate,
     "text_fuzzy_decontaminate": q_text_fuzzy_decontaminate,
@@ -2070,6 +2113,103 @@ ORACLES: dict[str, str] = {
                     THEN CAST(s.ws AS DOUBLE) / CAST(s.n * 1000 AS DOUBLE)
                END AS score
         FROM toks t LEFT JOIN s USING (doc_id)
+    """,
+    # CCNet-style bigram-LM perplexity: integer milli-nat costs per
+    # bigram (round(-1000·ln p) — the 1e-3-nat quantization absorbs
+    # ≤1-ulp libm ln differences), exact integer sums per doc, one
+    # integer/integer double division at the end so the bucket
+    # comparisons see bit-identical avg_nll in both engines
+    "text_lm_perplexity": r"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        bg AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substring(md5(unnest(tk[1:len(tk)-1])), 1, 8))
+                      AS BIGINT) % 2048 AS h1,
+                 CAST(('0x' || substring(md5(unnest(tk[2:len(tk)])), 1, 8))
+                      AS BIGINT) % 2048 AS h2
+          FROM toks),
+        rb AS (SELECT h1, h2, count(*) AS b FROM bg
+               WHERE lang = 'en' GROUP BY h1, h2),
+        ctx AS (SELECT h1, sum(b) AS u FROM rb GROUP BY h1),
+        model AS (
+          SELECT rb.h1, rb.h2,
+                 CAST(round(-1000 * ln((b + 1.0) / (u + 2048.0)))
+                      AS BIGINT) AS m
+          FROM rb JOIN ctx USING (h1)),
+        ctxu AS (
+          SELECT h1,
+                 CAST(round(-1000 * ln(1.0 / (u + 2048.0))) AS BIGINT) AS mu
+          FROM ctx),
+        sc AS (
+          SELECT bg.doc_id, count(*) AS nb,
+                 sum(COALESCE(m, mu,
+                     CAST(round(1000 * ln(2048.0)) AS BIGINT))) AS milli
+          FROM bg
+          LEFT JOIN model USING (h1, h2)
+          LEFT JOIN ctxu USING (h1)
+          GROUP BY bg.doc_id),
+        o AS (
+          SELECT t.doc_id,
+                 CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+                 CASE WHEN sc.nb > 0
+                      THEN CAST(sc.milli AS DOUBLE)
+                           / CAST(sc.nb * 1000 AS DOUBLE)
+                 END AS avg_nll
+          FROM toks t LEFT JOIN sc USING (doc_id))
+        SELECT doc_id, n_bigrams, avg_nll,
+               CASE WHEN avg_nll IS NULL THEN 'unscored'
+                    WHEN avg_nll < 5.15 THEN 'head'
+                    WHEN avg_nll > 5.20 THEN 'tail'
+                    ELSE 'middle' END AS ppl_bucket
+        FROM o
+    """,
+    # DSIR importance weighting: per-bucket integer milli-nat log ratio
+    # λ = round(1000·(ln p̂_target − ln p̂_raw)) over hashed
+    # unigram+bigram features; exact integer per-doc sums
+    "text_dsir_weight": r"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        feats AS (
+          SELECT doc_id, lang, unnest(tk) AS f FROM toks
+          UNION ALL
+          SELECT doc_id, lang,
+                 unnest(tk[1:len(tk)-1]) || ' ' || unnest(tk[2:len(tk)]) AS f
+          FROM toks),
+        fb AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 4096 AS b
+          FROM feats),
+        tcount AS (SELECT b, count(*) AS ct FROM fb
+                   WHERE lang = 'en' GROUP BY b),
+        rcount AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+        tt AS (SELECT COALESCE(sum(ct), 0) AS tot_t FROM tcount),
+        tr AS (SELECT COALESCE(sum(cr), 0) AS tot_r FROM rcount),
+        lam AS (
+          SELECT COALESCE(tcount.b, rcount.b) AS b,
+                 CAST(round(1000 * (
+                     ln((COALESCE(ct, 0) + 1.0) / (tot_t + 4096.0))
+                   - ln((COALESCE(cr, 0) + 1.0) / (tot_r + 4096.0))))
+                      AS BIGINT) AS lam
+          FROM tcount FULL JOIN rcount ON tcount.b = rcount.b, tt, tr),
+        sc AS (
+          SELECT fb.doc_id, count(*) AS nf, sum(lam.lam) AS milli
+          FROM fb LEFT JOIN lam ON fb.b = lam.b
+          GROUP BY fb.doc_id)
+        SELECT t.doc_id,
+               CAST(COALESCE(sc.nf, 0) AS BIGINT) AS n_feats,
+               CAST(sc.milli AS BIGINT) AS milli_weight,
+               CASE WHEN sc.nf > 0
+                    THEN CAST(sc.milli AS DOUBLE)
+                         / CAST(sc.nf * 1000 AS DOUBLE)
+               END AS avg_log_ratio
+        FROM toks t LEFT JOIN sc USING (doc_id)
     """,
     "text_pii_scrub": r"""
         WITH t AS (

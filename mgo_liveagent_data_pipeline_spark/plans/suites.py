@@ -417,7 +417,15 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary of the domain-mixture resample toward a 50/25/25 de/en/zh
     token target, operators/textops.py:mixture_sample) and ``qmodel``
     rows (per-doc hashed-linear quality-model scores,
-    operators/textops.py:hashed_linear_score)."""
+    operators/textops.py:hashed_linear_score); since round 7,
+    ``tsample`` rows (α = 0.5 temperature-balanced resample,
+    operators/textops.py:temperature_sample), ``fdecontam`` rows
+    (LSH near-dup eval decontamination,
+    operators/textops.py:fuzzy_decontaminate), ``ppl`` rows
+    (CCNet-style bigram-LM perplexity buckets,
+    operators/textops.py:lm_perplexity_score) and ``dsir`` rows
+    (DSIR hashed-n-gram importance weights,
+    operators/textops.py:dsir_importance_weight)."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -541,6 +549,20 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_jaccard").alias("metric"),
         F.col("n_eval_matches").alias("n"),
     )
+    ppl = pipeline.q_text_lm_perplexity(spark, sf_dir).select(
+        F.lit("ppl").alias("mode"),
+        F.col("ppl_bucket").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        F.col("avg_nll").alias("metric"),
+        F.col("n_bigrams").alias("n"),
+    )
+    dsir = pipeline.q_text_dsir_weight(spark, sf_dir).select(
+        F.lit("dsir").alias("mode"),
+        F.col("milli_weight").cast("string").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        F.col("avg_log_ratio").alias("metric"),
+        F.col("n_feats").alias("n"),
+    )
     return (
         tfidf.unionByName(sample)
         .unionByName(rep_tok)
@@ -557,6 +579,8 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qmodel)
         .unionByName(tsample)
         .unionByName(fdecon)
+        .unionByName(ppl)
+        .unionByName(dsir)
     )
 
 
@@ -1428,6 +1452,18 @@ ORACLES: dict[str, str] = {
             _P["text_fuzzy_decontaminate"],
             "'fdecontam' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
             "doc_id AS key_n, max_jaccard AS metric, n_eval_matches AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_lm_perplexity"],
+            "'ppl' AS mode, ppl_bucket AS key_s, doc_id AS key_n, "
+            "avg_nll AS metric, n_bigrams AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_dsir_weight"],
+            "'dsir' AS mode, CAST(milli_weight AS VARCHAR) AS key_s, "
+            "doc_id AS key_n, avg_log_ratio AS metric, n_feats AS n",
         )
     ),
     "f11_f12_schedule_safecast": """

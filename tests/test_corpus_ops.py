@@ -1320,3 +1320,70 @@ def test_fuzzy_decontaminate_rejects_negative_keys(spark):
     with pytest.raises(Exception, match="nonnegative"):
         fuzzy_decontaminate(train2, ev2).collect()
     release_intermediates()
+
+
+def test_lm_perplexity_prefers_reference_like_text(spark):
+    """The CCNet contract: text drawn from the reference distribution
+    scores LOWER avg_nll (head) than out-of-distribution text (tail);
+    a <2-token doc is 'unscored' with NULL avg_nll."""
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        lm_perplexity_score,
+    )
+
+    ref_sent = "the cat sat on the mat and the dog sat on the rug"
+    ref = spark.createDataFrame(
+        [(100 + i, ref_sent) for i in range(5)], ["doc_id", "text"]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),       # in-distribution
+            (2, "zq xv bnm qwerty plok mzx"),    # OOV everywhere
+            (3, "solo"),                         # <2 tokens -> unscored
+        ],
+        ["doc_id", "text"],
+    )
+    # V = 64: small enough that add-one smoothing doesn't flatten the
+    # tiny fixture counts (p(seen) ≈ 6/84 vs p(unseen-context) = 1/64)
+    out = {
+        r["doc_id"]: r
+        for r in lm_perplexity_score(df, ref, 64, head_nll=3.5).collect()
+    }
+    assert out[1]["avg_nll"] < out[2]["avg_nll"]
+    assert out[1]["ppl_bucket"] == "head"
+    assert out[2]["ppl_bucket"] != "head"
+    assert out[3]["ppl_bucket"] == "unscored"
+    assert out[3]["avg_nll"] is None and out[3]["n_bigrams"] == 0
+    # case-folding: scoring is over lowercased tokens
+    up = spark.createDataFrame([(9, "THE CAT SAT ON THE MAT")],
+                               ["doc_id", "text"])
+    same = lm_perplexity_score(up, ref, 64, head_nll=3.5).collect()[0]
+    assert same["avg_nll"] == out[1]["avg_nll"]
+
+
+def test_dsir_weight_discriminates_target(spark):
+    """DSIR's selection signal: docs resembling the TARGET distribution
+    get higher log ratios than docs resembling only the raw corpus; the
+    weight is an exact integer milli-nat sum (milli_weight) with one
+    double division (avg_log_ratio)."""
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        dsir_importance_weight,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha beta gamma")]
+        + [(i, "noise filler junk padding text") for i in range(2, 8)],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(50 + i, "alpha beta alpha beta") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in dsir_importance_weight(raw, target, 256).collect()
+    }
+    assert out[1]["avg_log_ratio"] > out[2]["avg_log_ratio"]
+    # unigrams + bigrams: n tokens -> 2n-1 features
+    assert out[1]["n_feats"] == 5 + 4
+    assert out[1]["milli_weight"] == round(
+        out[1]["avg_log_ratio"] * out[1]["n_feats"] * 1000
+    )
