@@ -310,6 +310,25 @@ def main() -> None:
     def qmodel(df):
         return hashed_linear_score(df, qmodel_weights(spark), 4096)
 
+    def lm_ppl(df):
+        # model on the en subset, score everything — the driver-row shape
+        from mgo_liveagent_data_pipeline_spark.operators.textops import (
+            lm_perplexity_score,
+        )
+
+        return lm_perplexity_score(
+            df, df.where(F.col("lang") == "en"), 2048
+        ).groupBy("ppl_bucket").agg(F.count(F.lit(1)))
+
+    def dsir(df):
+        from mgo_liveagent_data_pipeline_spark.operators.textops import (
+            dsir_importance_weight,
+        )
+
+        return dsir_importance_weight(
+            df, df.where(F.col("lang") == "en"), 4096
+        )
+
     def urls(df):
         dk = F.col("doc_id")
         fixture = df.select(
@@ -450,6 +469,8 @@ def main() -> None:
         "cdc_apply": (cdc, or_1x, or_nx),
         "mixture_sample": (mix, docs_1x, docs_nx),
         "qmodel_score": (qmodel, docs_1x, docs_nx),
+        "lm_perplexity": (lm_ppl, docs_1x, docs_nx),
+        "dsir_weight": (dsir, docs_1x, docs_nx),
         "dedup_apply_rewrite": (dedup_apply_case, docs_1x, docs_nx),
         "encoded_near_dup": (enc_near_dup, docs_1x, docs_nx),
         "curation_pipeline": (curation_case, docs_1x, docs_nx),
