@@ -5,15 +5,18 @@ columns with typed metadata structs, processed by Arrow-batched Pandas UDFs
 The Spark-side contract is real and tested — schema, partition sizing, UDF
 signature, batch shape. GENUINE stdlib decoders exist for 16-bit PCM WAV
 (``real_audio_features``), 24-bit BMP (``real_image_features``), 8-bit
-truecolor PNG (``real_png_features`` — zlib inflate + five-filter
-defiltering), and baseline sequential JPEG (``real_jpeg_features`` —
-canonical Huffman entropy decode, dequantization, full 2-D IDCT,
-YCbCr→RGB, 4:4:4/4:2:2/4:2:0 sampling, DRI/RSTn restart intervals).
-Still stubbed, because they genuinely need external codec libraries:
-MP3/AAC audio, video containers, progressive (SOF2) JPEG, and
-interlaced/palette PNG — those slots raise ``NotImplementedError``
-rather than mis-decode. Swapping in Pillow/torchaudio changes ~5 lines
-inside a UDF and nothing in the plan.
+truecolor/grayscale/palette PNG (``real_png_features`` — zlib inflate +
+five-filter defiltering + PLTE resolution), single-frame GIF87a/89a
+(``real_gif_features`` — variable-width LZW decompression, extension
+skipping, global/local color tables), and baseline sequential JPEG
+(``real_jpeg_features`` — canonical Huffman entropy decode,
+dequantization, full 2-D IDCT, YCbCr→RGB, 4:4:4/4:2:2/4:2:0 sampling,
+DRI/RSTn restart intervals). Still stubbed, because they genuinely need
+external codec libraries: MP3/AAC audio, video containers, progressive
+(SOF2) JPEG, and interlaced PNG/GIF — those slots raise
+``NotImplementedError`` rather than mis-decode. Swapping in
+Pillow/torchaudio changes ~5 lines inside a UDF and nothing in the
+plan.
 
 WAV audio, however, needs no third-party codec: ``real_audio_features``
 GENUINELY decodes 16-bit PCM RIFF/WAVE payloads with stdlib ``wave`` and
@@ -50,21 +53,24 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 def real_decode(payload: bytes) -> tuple[int, int]:
-    """Format-dispatching real-codec slot: BMP, PNG, and baseline JPEG
-    are genuinely decodable here (``real_image_decode`` /
-    ``real_png_decode`` / ``real_jpeg_decode``); WebP/AVIF and other
-    formats still need Pillow/libvips."""
+    """Format-dispatching real-codec slot: BMP, PNG, GIF, and baseline
+    JPEG are genuinely decodable here (``real_image_decode`` /
+    ``real_png_decode`` / ``real_gif_decode`` / ``real_jpeg_decode``);
+    WebP/AVIF and other formats still need Pillow/libvips."""
     if payload[:2] == b"BM":
         d = real_image_decode(payload)
         return (d["width"], d["height"])
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         d = real_png_decode(payload)
         return (d["width"], d["height"])
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        d = real_gif_decode(payload)
+        return (d["width"], d["height"])
     if payload[:2] == b"\xff\xd8":
         d = real_jpeg_decode(payload)
         return (d["width"], d["height"])
     raise NotImplementedError(
-        "only BMP/PNG/baseline-JPEG decode without external codecs; "
+        "only BMP/PNG/GIF/baseline-JPEG decode without external codecs; "
         "decode_image_meta uses the deterministic fake instead"
     )
 
@@ -505,14 +511,20 @@ def real_image_features(
 
 # ------------------------------------------------------- real PNG decode
 def _pack_png(
-    width: int, height: int, rows: list[list[tuple[int, int, int]]]
+    width: int,
+    height: int,
+    rows: list,
+    ctype: int = 2,
+    palette: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
-    """Hand-pack an 8-bit truecolor non-interlaced PNG: per-scanline
-    filter bytes CYCLING through all five filter types (None/Sub/Up/
-    Average/Paeth) so the reader's defiltering is genuinely exercised,
-    zlib-compressed IDAT, CRC-carrying chunks — raw ``struct``/``zlib``,
-    independent of the reader for the same cross-implementation reason
-    as ``_pack_wav``/``_pack_bmp``."""
+    """Hand-pack an 8-bit non-interlaced PNG: per-scanline filter bytes
+    CYCLING through all five filter types (None/Sub/Up/Average/Paeth) so
+    the reader's defiltering is genuinely exercised, zlib-compressed
+    IDAT, CRC-carrying chunks — raw ``struct``/``zlib``, independent of
+    the reader for the same cross-implementation reason as
+    ``_pack_wav``/``_pack_bmp``. ``ctype`` 2 (truecolor, rows of RGB
+    triples), 0 (grayscale, rows of ints) or 3 (palette — rows of
+    indices into ``palette``, which becomes the PLTE chunk)."""
     import struct
     import zlib
 
@@ -524,11 +536,14 @@ def _pack_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    bpp = 3
+    bpp = 3 if ctype == 2 else 1
     raw = bytearray()
     prior = bytes(width * bpp)  # filters reference the RAW prior scanline
     for y, row in enumerate(rows):
-        line = bytes(v for px in row for v in px)
+        if ctype == 2:
+            line = bytes(v for px in row for v in px)
+        else:
+            line = bytes(row)
         ft = y % 5
         filt = bytearray()
         for i in range(len(line)):
@@ -553,10 +568,16 @@ def _pack_png(
         raw.append(ft)
         raw += filt
         prior = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    plte = (
+        chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+        if ctype == 3
+        else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -566,8 +587,28 @@ def png_fixture_images(n_images: int = 8) -> list[dict]:
     """Deterministic PNG fixtures (distinct gradient constants from the
     BMP set; heights ≥ 5 so every filter type 0-4 appears in each image)
     with expected features computed straight from the pixel arrays —
-    independent of the decoder, so an oracle match certifies the decode."""
+    independent of the decoder, so an oracle match certifies the decode.
+    Three color types: truecolor (img_id 0+), grayscale (100+) and
+    palette (200+, indices through a deterministic PLTE) — the gray and
+    palette sets exercise the 1-byte-per-pixel defiltering stride and
+    the PLTE resolution path."""
     import hashlib as _hl
+
+    def entry(iid, payload, w, h, flat_rgb):
+        n = len(flat_rgb)
+        mr = sum(p[0] for p in flat_rgb) // n
+        mg = sum(p[1] for p in flat_rgb) // n
+        mb = sum(p[2] for p in flat_rgb) // n
+        return {
+            "img_id": iid,
+            "payload": payload,
+            "n_bytes": len(payload),
+            "content_md5": _hl.md5(payload).hexdigest(),
+            "width": w,
+            "height": h,
+            "n_pixels": n,
+            "mean_rgb": mr * 65536 + mg * 256 + mb,
+        }
 
     out = []
     for iid in range(n_images):
@@ -584,23 +625,43 @@ def png_fixture_images(n_images: int = 8) -> list[dict]:
             ]
             for y in range(h)
         ]
-        payload = _pack_png(w, h, rows)
-        flat = [p for row in rows for p in row]
-        n = len(flat)
-        mr = sum(p[0] for p in flat) // n
-        mg = sum(p[1] for p in flat) // n
-        mb = sum(p[2] for p in flat) // n
         out.append(
-            {
-                "img_id": iid,
-                "payload": payload,
-                "n_bytes": len(payload),
-                "content_md5": _hl.md5(payload).hexdigest(),
-                "width": w,
-                "height": h,
-                "n_pixels": n,
-                "mean_rgb": mr * 65536 + mg * 256 + mb,
-            }
+            entry(iid, _pack_png(w, h, rows), w, h,
+                  [p for row in rows for p in row])
+        )
+    for j in range(min(n_images, 4)):
+        w, h = 7 + j, 5 + j % 3
+        grows = [
+            [(j * 37 + x * 13 + y * 29) % 256 for x in range(w)]
+            for y in range(h)
+        ]
+        out.append(
+            entry(
+                100 + j,
+                _pack_png(w, h, grows, ctype=0),
+                w,
+                h,
+                [(v, v, v) for row in grows for v in row],
+            )
+        )
+    for j in range(min(n_images, 4)):
+        w, h = 6 + j, 6 + j % 2
+        pal = [
+            ((k * 53 + j) % 256, (k * 97 + 2 * j) % 256, (k * 29 + 3 * j) % 256)
+            for k in range(16)
+        ]
+        prows = [
+            [(j * 11 + x * 3 + y * 7) % 16 for x in range(w)]
+            for y in range(h)
+        ]
+        out.append(
+            entry(
+                200 + j,
+                _pack_png(w, h, prows, ctype=3, palette=pal),
+                w,
+                h,
+                [pal[i] for row in prows for i in row],
+            )
         )
     return out
 
@@ -609,16 +670,19 @@ def real_png_decode(payload: bytes) -> dict:
     """GENUINE PNG decode with stdlib ``struct`` + ``zlib``: chunk walk
     with CRC verification, IDAT inflate, and full five-filter scanline
     defiltering (None/Sub/Up/Average/Paeth per the PNG spec §9), then
-    per-channel means from the actual pixels. 8-bit truecolor
-    non-interlaced only; palette/alpha/16-bit/Adam7 still raise, and
-    JPEG/MP3 genuinely need external codecs."""
+    per-channel means from the actual pixels. 8-bit truecolor (color
+    type 2), grayscale (0 — channel means over the replicated gray
+    value) and palette (3 — indices resolved through the PLTE chunk)
+    non-interlaced; alpha/16-bit/Adam7 still raise, and JPEG/MP3
+    genuinely need external codecs."""
     import struct
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError("not a PNG payload")
     pos = 8
-    width = height = None
+    width = height = ctype = None
+    palette: list[tuple[int, int, int]] | None = None
     idat = bytearray()
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -631,11 +695,22 @@ def real_png_decode(payload: bytes) -> dict:
             width, height, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+            if (depth, comp, filt, inter) != (8, 0, 0, 0) or ctype not in (
+                0,
+                2,
+                3,
+            ):
                 raise NotImplementedError(
-                    "only 8-bit truecolor non-interlaced PNG is decodable "
-                    "without external codecs"
+                    "only 8-bit truecolor/grayscale/palette non-interlaced "
+                    "PNG is decodable without external codecs"
                 )
+        elif typ == b"PLTE":
+            if length % 3 != 0:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            palette = [
+                (data[i], data[i + 1], data[i + 2])
+                for i in range(0, length, 3)
+            ]
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -643,8 +718,10 @@ def real_png_decode(payload: bytes) -> dict:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if ctype == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    bpp = 3
+    bpp = 3 if ctype == 2 else 1
     stride = width * bpp
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG scanline data length mismatch")
@@ -676,10 +753,26 @@ def real_png_decode(payload: bytes) -> dict:
             else:
                 raise ValueError(f"unknown PNG filter type {ft}")
             line[i] = v
-        for x in range(0, stride, bpp):
-            sr += line[x]
-            sg += line[x + 1]
-            sb += line[x + 2]
+        if ctype == 2:
+            for x in range(0, stride, bpp):
+                sr += line[x]
+                sg += line[x + 1]
+                sb += line[x + 2]
+        elif ctype == 0:
+            for x in range(stride):
+                v = line[x]
+                sr += v
+                sg += v
+                sb += v
+        else:  # palette indices resolved through PLTE
+            for x in range(stride):
+                idx = line[x]
+                if idx >= len(palette):
+                    raise ValueError("PNG palette index out of range")
+                r, g, b = palette[idx]
+                sr += r
+                sg += g
+                sb += b
         prior = bytes(line)
     n = width * height
     return {
@@ -697,6 +790,282 @@ def real_png_features(
     inflate + defilter per blob, same Arrow-batched plumbing and schema
     as the BMP path."""
     return _image_features(df, key_col, media_col, real_png_decode)
+
+
+# ------------------------------------------------------- real GIF decode
+# GIF87a/89a (CompuServe spec): header + logical screen descriptor,
+# global/local color tables, extension-block skipping, and genuine
+# variable-width LZW decompression of the image data. Non-interlaced
+# single-frame only; interlaced images raise.
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compression (variable code width, LSB-first bit
+    packing, CLEAR/EOI codes) — the FIXTURE side, an independent
+    implementation from the reader's decompressor. Width grows when
+    ``next_code`` passes the current code space **offset by one emit**
+    relative to the decoder (the decoder materializes each table entry
+    one code later than the encoder does, so the encoder bumps at
+    ``next_code == 2^width + 1``)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return (
+            {bytes([i]): i for i in range(clear)},
+            clear + 2,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    out: list[tuple[int, int]] = [(clear, width)]
+    w = b""
+    for ch in indices:
+        wb = w + bytes([ch])
+        if wb in table:
+            w = wb
+            continue
+        out.append((table[w], width))
+        table[wb] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4095:  # reset before the 12-bit space fills
+            out.append((clear, width))
+            table, next_code, width = fresh()
+        w = bytes([ch])
+    if w:
+        out.append((table[w], width))
+    out.append((eoi, width))
+    acc = nbits = 0
+    buf = bytearray()
+    for code, cw in out:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _pack_gif(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    index_rows: list[list[int]],
+    with_gce: bool = False,
+    local_palette: bool = False,
+) -> bytes:
+    """Hand-pack a single-frame GIF89a: logical screen descriptor with a
+    global color table (or a per-image LOCAL one when ``local_palette``),
+    an optional Graphic Control Extension (exercises the reader's
+    extension skipping), the image descriptor, and genuinely
+    LZW-compressed pixel data in ≤255-byte sub-blocks."""
+    import struct
+
+    bits = max(2, (len(palette) - 1).bit_length())
+    pal = palette + [(0, 0, 0)] * ((1 << bits) - len(palette))
+    pal_bytes = b"".join(bytes(c) for c in pal)
+    out = bytearray(b"GIF89a")
+    gct_flag = 0 if local_palette else 0x80
+    out += struct.pack("<HHBBB", width, height,
+                       gct_flag | (bits - 1), 0, 0)
+    if not local_palette:
+        out += pal_bytes
+    if with_gce:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: 4-byte block + 0
+        out += b"\x21\xfe\x05hello\x00"  # comment extension, 5-byte block
+    lct_flag = 0x80 if local_palette else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
+                                 lct_flag | ((bits - 1) if local_palette else 0))
+    if local_palette:
+        out += pal_bytes
+    min_code = max(2, bits)
+    out.append(min_code)
+    data = _gif_lzw_encode(
+        bytes(i for row in index_rows for i in row), min_code
+    )
+    for off in range(0, len(data), 255):
+        blk = data[off : off + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_fixture_images(n_images: int = 6) -> list[dict]:
+    """Deterministic GIF fixtures: 16-color deterministic palettes,
+    index gradients wide enough that the LZW code width genuinely grows
+    past its initial size; one fixture carries extension blocks and one
+    a LOCAL color table, so both reader paths are exercised. Expected
+    features come straight from the palette-resolved pixel arrays."""
+    import hashlib as _hl
+
+    out = []
+    for iid in range(n_images):
+        w, h = 10 + 2 * iid, 7 + iid % 3
+        pal = [
+            ((k * 61 + iid * 5) % 256, (k * 83 + iid * 11) % 256,
+             (k * 17 + iid * 23) % 256)
+            for k in range(16)
+        ]
+        rows = [
+            [(iid * 7 + x * 5 + y * 3) % 16 for x in range(w)]
+            for y in range(h)
+        ]
+        payload = _pack_gif(
+            w, h, pal, rows,
+            with_gce=(iid % 3 == 1),
+            local_palette=(iid % 3 == 2),
+        )
+        flat = [pal[i] for row in rows for i in row]
+        n = len(flat)
+        mr = sum(p[0] for p in flat) // n
+        mg = sum(p[1] for p in flat) // n
+        mb = sum(p[2] for p in flat) // n
+        out.append(
+            {
+                "img_id": iid,
+                "payload": payload,
+                "n_bytes": len(payload),
+                "content_md5": _hl.md5(payload).hexdigest(),
+                "width": w,
+                "height": h,
+                "n_pixels": n,
+                "mean_rgb": mr * 65536 + mg * 256 + mb,
+            }
+        )
+    return out
+
+
+def real_gif_decode(payload: bytes) -> dict:
+    """GENUINE GIF decode with pure stdlib byte-walking: logical screen
+    descriptor, global/local color tables, extension-block skipping, and
+    a spec-standard variable-width LZW decompressor (CLEAR/EOI handling,
+    the KwKwK first-char case, width growth at table-size boundaries),
+    then channel means from the palette-resolved pixels. Non-interlaced
+    single-frame GIF87a/89a; interlaced streams raise."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    try:
+        sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = [
+                (payload[pos + 3 * i], payload[pos + 3 * i + 1],
+                 payload[pos + 3 * i + 2])
+                for i in range(n)
+            ]
+            pos += 3 * n
+        while payload[pos] == 0x21:  # extension blocks: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        if payload[pos] != 0x2C:
+            raise ValueError("GIF image descriptor not found")
+        _l, _t, width, height, ipacked = struct.unpack_from(
+            "<HHHHB", payload, pos + 1
+        )
+        pos += 10
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF is not decodable here")
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = [
+                (payload[pos + 3 * i], payload[pos + 3 * i + 1],
+                 payload[pos + 3 * i + 2])
+                for i in range(n)
+            ]
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF has neither global nor local color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+    except IndexError as e:
+        raise ValueError("truncated GIF stream") from e
+
+    clear = 1 << min_code
+    eoi = clear + 1
+    table: list[bytes] = []
+    width_bits = min_code + 1
+    acc = nbits = 0
+    dpos = 0
+    prev: bytes | None = None
+    pixels = bytearray()
+
+    def reset_table():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = reset_table()
+    while True:
+        while nbits < width_bits:
+            if dpos >= len(data):
+                raise ValueError("GIF LZW stream exhausted before EOI")
+            acc |= data[dpos] << nbits
+            dpos += 1
+            nbits += 8
+        code = acc & ((1 << width_bits) - 1)
+        acc >>= width_bits
+        nbits -= width_bits
+        if code == clear:
+            table = reset_table()
+            width_bits = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("GIF LZW code out of range")
+        pixels += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        prev = entry
+    if len(pixels) != width * height:
+        raise ValueError("GIF pixel count mismatch")
+    sr = sg = sb = 0
+    for idx in pixels:
+        if idx >= len(palette):
+            raise ValueError("GIF palette index out of range")
+        r, g, b = palette[idx]
+        sr += r
+        sg += g
+        sb += b
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": n,
+        "mean_rgb": (sr // n) * 65536 + (sg // n) * 256 + (sb // n),
+    }
+
+
+def real_gif_features(
+    df: DataFrame, key_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """mapInPandas REAL image feature extraction over GIF payloads —
+    LZW decompression per blob, same Arrow-batched plumbing and schema
+    as the BMP/PNG paths."""
+    return _image_features(df, key_col, media_col, real_gif_decode)
 
 
 # ------------------------------------------------------ real JPEG decode

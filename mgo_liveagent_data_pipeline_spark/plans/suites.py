@@ -727,7 +727,7 @@ def q_u2_geocode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # branches count twice — the plan prints a node per reference). Update this
 # alongside the unionByName chain when adding a mode; tests/
 # test_plan_shapes.py derives its expected MapInPandas count from it.
-MULTIMODAL_PYTHON_BRANCHES = 11  # decode resize audio ra ral ri rirgb rp rprgb rj rjrgb
+MULTIMODAL_PYTHON_BRANCHES = 13  # decode resize audio ra ral ri rirgb rp rprgb rj rjrgb rg rgrgb
 
 
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,12 +920,47 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_rgb").alias("m1"),
         F.col("n_pixels").alias("m2"),
     )
+    # real_gif: GENUINE single-frame GIF decode (variable-width LZW,
+    # extension skipping, global/local color tables) over hand-packed
+    # fixtures whose LZW data comes from an independent encoder
+    from ..operators.multimodal import gif_fixture_images, real_gif_features
+
+    gifs = gif_fixture_images()
+    gfixture = spark.createDataFrame(
+        [(c["img_id"], bytearray(c["payload"])) for c in gifs],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    rg_feats = real_gif_features(gfixture)
+    rg = rg_feats.select(
+        F.lit("real_gif").alias("mode"),
+        "doc_id",
+        F.col("n_pixels").alias("seq"),
+        F.col("content_md5").alias("digest"),
+        "n_bytes",
+        F.col("width").alias("m1"),
+        F.col("height").alias("m2"),
+    )
+    rgrgb = rg_feats.select(
+        F.lit("real_gif_rgb").alias("mode"),
+        "doc_id",
+        F.col("n_pixels").alias("seq"),
+        _null("string").alias("digest"),
+        "n_bytes",
+        F.col("mean_rgb").alias("m1"),
+        F.col("n_pixels").alias("m2"),
+    )
     return (
         dec.unionByName(fr).unionByName(rs).unionByName(au)
         .unionByName(ra).unionByName(ral)
         .unionByName(ri).unionByName(rirgb)
         .unionByName(rp).unionByName(rprgb)
         .unionByName(rj).unionByName(rjrgb)
+        .unionByName(rg).unionByName(rgrgb)
     )
 
 
@@ -1144,6 +1179,18 @@ def _wav_expected_sql() -> str:
         )
         rows.append(
             f"('real_jpeg_rgb', {c['img_id']}, {c['n_pixels']}, "
+            f"NULL, {c['n_bytes']}, {c['mean_rgb']}, {c['n_pixels']})"
+        )
+    from ..operators.multimodal import gif_fixture_images
+
+    for c in gif_fixture_images():
+        rows.append(
+            f"('real_gif', {c['img_id']}, {c['n_pixels']}, "
+            f"'{c['content_md5']}', {c['n_bytes']}, "
+            f"{c['width']}, {c['height']})"
+        )
+        rows.append(
+            f"('real_gif_rgb', {c['img_id']}, {c['n_pixels']}, "
             f"NULL, {c['n_bytes']}, {c['mean_rgb']}, {c['n_pixels']})"
         )
     return (

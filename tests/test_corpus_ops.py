@@ -1005,18 +1005,31 @@ def test_png_pack_decode_round_trip_and_guards():
         assert d["mean_rgb"] == c["mean_rgb"]
     with pytest.raises(NotImplementedError):
         real_png_decode(b"BM not a png")
-    # grayscale (color type 0) must refuse, not mis-decode
-    gray = bytearray(_pack_png(2, 2, [[(1, 1, 1)] * 2] * 2))
+    # RGBA (color type 6) must refuse, not mis-decode
+    rgba = bytearray(_pack_png(2, 2, [[(1, 1, 1)] * 2] * 2))
     # IHDR data starts at 8 (sig) + 8 (len+type); color type is byte 9 of IHDR
     ihdr_off = 16
-    gray[ihdr_off + 9] = 0
+    rgba[ihdr_off + 9] = 6
     # fix the CRC so the guard hit is the color type, not the checksum
     import zlib
 
-    crc = zlib.crc32(bytes(gray[12:16]) + bytes(gray[16 : 16 + 13])) & 0xFFFFFFFF
-    gray[16 + 13 : 16 + 17] = struct.pack(">I", crc)
+    crc = zlib.crc32(bytes(rgba[12:16]) + bytes(rgba[16 : 16 + 13])) & 0xFFFFFFFF
+    rgba[16 + 13 : 16 + 17] = struct.pack(">I", crc)
     with pytest.raises(NotImplementedError):
-        real_png_decode(bytes(gray))
+        real_png_decode(bytes(rgba))
+    # a palette image whose PLTE chunk is stripped must refuse
+    pal_payload = bytearray(
+        _pack_png(2, 2, [[0, 1], [1, 0]], ctype=3,
+                  palette=[(9, 9, 9), (200, 100, 50)])
+    )
+    # chunks: sig(8) IHDR(25) PLTE(12+6) IDAT ... — splice PLTE out
+    no_plte = bytes(pal_payload[:33]) + bytes(pal_payload[33 + 18:])
+    with pytest.raises(ValueError, match="PLTE"):
+        real_png_decode(no_plte)
+    # out-of-range palette index: 1-entry palette, index 1 used
+    bad_idx = _pack_png(2, 1, [[0, 1]], ctype=3, palette=[(1, 2, 3)])
+    with pytest.raises(ValueError, match="index"):
+        real_png_decode(bad_idx)
     # torn payload: flip one IDAT byte -> CRC mismatch must raise
     torn = bytearray(png_fixture_images()[0]["payload"])
     torn[40] ^= 0xFF
@@ -1387,3 +1400,53 @@ def test_dsir_weight_discriminates_target(spark):
     assert out[1]["milli_weight"] == round(
         out[1]["avg_log_ratio"] * out[1]["n_feats"] * 1000
     )
+
+
+def test_gif_fixture_round_trip_and_guards():
+    """The GIF codec decodes its fixture payloads back to the
+    palette-resolved expectations (LZW data from an INDEPENDENT encoder,
+    extension blocks and a local color table both exercised), and
+    refuses what it cannot genuinely decode."""
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        _pack_gif,
+        gif_fixture_images,
+        real_gif_decode,
+    )
+
+    for c in gif_fixture_images():
+        d = real_gif_decode(c["payload"])
+        assert (d["width"], d["height"]) == (c["width"], c["height"])
+        assert d["n_pixels"] == c["n_pixels"]
+        assert d["mean_rgb"] == c["mean_rgb"]
+    with pytest.raises(NotImplementedError):
+        real_gif_decode(b"\x89PNG not a gif")
+    base = _pack_gif(4, 3, [(1, 2, 3), (4, 5, 6)], [[0, 1] * 2] * 3)
+    # interlace flag set in the image descriptor must refuse
+    inter = bytearray(base)
+    # descriptor: 6 (sig) + 7 (LSD) + 6 (2-entry GCT padded to 4 -> 12) ...
+    idesc = inter.index(0x2C)
+    inter[idesc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        real_gif_decode(bytes(inter))
+    # truncated mid-sub-block -> structural error, not a mis-decode
+    with pytest.raises(ValueError):
+        real_gif_decode(base[:-8])
+    # LZW width growth + dictionary reset: an image large and varied
+    # enough that codes pass 4095 entries round-trips exactly
+    import random
+
+    rnd = random.Random(11)
+    w, h = 160, 90
+    pal = [(k, (k * 3) % 256, (k * 7) % 256) for k in range(256)]
+    rows = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+    flat = [pal[i] for r in rows for i in r]
+    n = len(flat)
+    exp = (
+        (sum(p[0] for p in flat) // n) * 65536
+        + (sum(p[1] for p in flat) // n) * 256
+        + sum(p[2] for p in flat) // n
+    )
+    d = real_gif_decode(_pack_gif(w, h, pal, rows))
+    assert (d["n_pixels"], d["mean_rgb"]) == (w * h, exp)

@@ -619,12 +619,14 @@ def test_real_decode_dispatches_all_codecs_and_rejects_unknown():
 
     from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
         bmp_fixture_images,
+        gif_fixture_images,
         jpeg_fixture_images,
         png_fixture_images,
         real_decode,
     )
 
-    for fixtures in (bmp_fixture_images, png_fixture_images, jpeg_fixture_images):
+    for fixtures in (bmp_fixture_images, png_fixture_images,
+                     jpeg_fixture_images, gif_fixture_images):
         c = fixtures(1)[0]
         assert real_decode(c["payload"]) == (c["width"], c["height"])
     # unknown container magic (WebP) → the honest refusal
