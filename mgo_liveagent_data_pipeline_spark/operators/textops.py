@@ -815,6 +815,47 @@ def dsir_importance_weight(
     )
 
 
+def dsir_gumbel_topk(
+    scored: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    key_col: str = "doc_id",
+    weight_col: str = "milli_weight",
+) -> DataFrame:
+    """DSIR's SELECTION step: sample k documents without replacement
+    with probability ∝ exp(weight / temperature) via the Gumbel-top-k
+    trick (add an independent Gumbel to each log weight, keep the k
+    largest — Xie et al. 2023 §2.3). The Gumbel is DETERMINISTIC and
+    engine-independent: ``u = (md5-bucket(key) + 0.5) / 2³²`` (the
+    shared md5 determinism trick, offset so u ∈ (0,1)), then
+    ``g = −ln(−ln u)`` quantized to integer milli-nats like every other
+    log in this family. Reproducible across runs, engines and
+    partitionings — a real RNG changes one line and breaks the oracle.
+
+    Plan at 100 TB: the perturbed key is a narrow projection and the
+    global top-k lowers to TakeOrderedAndProject (per-partition heaps,
+    one k-row reduce to the driver) — no full sort, no shuffle. The
+    k-row rank window afterwards is free."""
+    from pyspark.sql.window import Window
+
+    u = (_md5_bucket(key_col) + F.lit(0.5)) / F.lit(_MD5_BUCKET_SCALE)
+    g_milli = F.round(
+        F.lit(1000.0 * float(temperature)) * -F.log(-F.log(u)), 0
+    ).cast("long")
+    sel = (
+        scored.where(F.col(weight_col).isNotNull())
+        .withColumn("sel_milli", F.col(weight_col) + g_milli)
+        .orderBy(F.desc("sel_milli"), F.asc(key_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("sel_milli"), F.asc(key_col))
+    return sel.select(
+        key_col,
+        F.col(weight_col).cast("long"),
+        F.col("sel_milli").cast("long"),
+    ).withColumn("sel_rank", F.row_number().over(w).cast("long"))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

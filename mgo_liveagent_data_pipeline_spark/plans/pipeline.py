@@ -875,6 +875,25 @@ def q_text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_TOPK = 50
+
+
+def q_text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k selection
+    (operators/textops.py:dsir_gumbel_topk): the 50 documents kept by
+    perturbing each importance weight with a deterministic md5-derived
+    Gumbel and taking the largest — the paper's actual resampling step,
+    reproducible across engines. Driver-visible via the ``dsirsel``
+    mode of ``text_corpus_stats``."""
+    from ..operators.textops import dsir_gumbel_topk, dsir_importance_weight
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_importance_weight(
+        docs, docs.where(F.col("lang") == "en"), DSIR_BUCKETS
+    )
+    return dsir_gumbel_topk(scored, DSIR_TOPK)
+
+
 def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text retrieval (operators/textops.py:bm25_topk): top-15
     documents for the query ``hash join vector`` — rational-idf BM25 over
@@ -930,6 +949,7 @@ QUERIES = {
     "text_quality_model": q_text_quality_model,
     "text_lm_perplexity": q_text_lm_perplexity,
     "text_dsir_weight": q_text_dsir_weight,
+    "text_dsir_resample": q_text_dsir_resample,
     "text_paragraph_dedup": q_text_paragraph_dedup,
     "text_decontaminate": q_text_decontaminate,
     "text_fuzzy_decontaminate": q_text_fuzzy_decontaminate,
@@ -1598,6 +1618,51 @@ def _curation_sql() -> str:
     """
 
 
+# DSIR weighting SQL, shared by the text_dsir_weight oracle and the
+# resample oracle that wraps it
+_DSIR_SQL = r"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        feats AS (
+          SELECT doc_id, lang, unnest(tk) AS f FROM toks
+          UNION ALL
+          SELECT doc_id, lang,
+                 unnest(tk[1:len(tk)-1]) || ' ' || unnest(tk[2:len(tk)]) AS f
+          FROM toks),
+        fb AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 4096 AS b
+          FROM feats),
+        tcount AS (SELECT b, count(*) AS ct FROM fb
+                   WHERE lang = 'en' GROUP BY b),
+        rcount AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+        tt AS (SELECT COALESCE(sum(ct), 0) AS tot_t FROM tcount),
+        tr AS (SELECT COALESCE(sum(cr), 0) AS tot_r FROM rcount),
+        lam AS (
+          SELECT COALESCE(tcount.b, rcount.b) AS b,
+                 CAST(round(1000 * (
+                     ln((COALESCE(ct, 0) + 1.0) / (tot_t + 4096.0))
+                   - ln((COALESCE(cr, 0) + 1.0) / (tot_r + 4096.0))))
+                      AS BIGINT) AS lam
+          FROM tcount FULL JOIN rcount ON tcount.b = rcount.b, tt, tr),
+        sc AS (
+          SELECT fb.doc_id, count(*) AS nf, sum(lam.lam) AS milli
+          FROM fb LEFT JOIN lam ON fb.b = lam.b
+          GROUP BY fb.doc_id)
+        SELECT t.doc_id,
+               CAST(COALESCE(sc.nf, 0) AS BIGINT) AS n_feats,
+               CAST(sc.milli AS BIGINT) AS milli_weight,
+               CASE WHEN sc.nf > 0
+                    THEN CAST(sc.milli AS DOUBLE)
+                         / CAST(sc.nf * 1000 AS DOUBLE)
+               END AS avg_log_ratio
+        FROM toks t LEFT JOIN sc USING (doc_id)
+    """
+
+
 ORACLES: dict[str, str] = {
     "ann_rh_lsh_topk": _rh_lsh_oracle(),
     "ann_rh_multiprobe_topk": _rh_multiprobe_oracle(),
@@ -2170,47 +2235,28 @@ ORACLES: dict[str, str] = {
     # DSIR importance weighting: per-bucket integer milli-nat log ratio
     # λ = round(1000·(ln p̂_target − ln p̂_raw)) over hashed
     # unigram+bigram features; exact integer per-doc sums
-    "text_dsir_weight": r"""
-        WITH toks AS (
-          SELECT doc_id, lang,
-                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                             x -> x <> '') AS tk
-          FROM documents),
-        feats AS (
-          SELECT doc_id, lang, unnest(tk) AS f FROM toks
-          UNION ALL
-          SELECT doc_id, lang,
-                 unnest(tk[1:len(tk)-1]) || ' ' || unnest(tk[2:len(tk)]) AS f
-          FROM toks),
-        fb AS (
-          SELECT doc_id, lang,
-                 CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 4096 AS b
-          FROM feats),
-        tcount AS (SELECT b, count(*) AS ct FROM fb
-                   WHERE lang = 'en' GROUP BY b),
-        rcount AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
-        tt AS (SELECT COALESCE(sum(ct), 0) AS tot_t FROM tcount),
-        tr AS (SELECT COALESCE(sum(cr), 0) AS tot_r FROM rcount),
-        lam AS (
-          SELECT COALESCE(tcount.b, rcount.b) AS b,
-                 CAST(round(1000 * (
-                     ln((COALESCE(ct, 0) + 1.0) / (tot_t + 4096.0))
-                   - ln((COALESCE(cr, 0) + 1.0) / (tot_r + 4096.0))))
-                      AS BIGINT) AS lam
-          FROM tcount FULL JOIN rcount ON tcount.b = rcount.b, tt, tr),
-        sc AS (
-          SELECT fb.doc_id, count(*) AS nf, sum(lam.lam) AS milli
-          FROM fb LEFT JOIN lam ON fb.b = lam.b
-          GROUP BY fb.doc_id)
-        SELECT t.doc_id,
-               CAST(COALESCE(sc.nf, 0) AS BIGINT) AS n_feats,
-               CAST(sc.milli AS BIGINT) AS milli_weight,
-               CASE WHEN sc.nf > 0
-                    THEN CAST(sc.milli AS DOUBLE)
-                         / CAST(sc.nf * 1000 AS DOUBLE)
-               END AS avg_log_ratio
-        FROM toks t LEFT JOIN sc USING (doc_id)
-    """,
+    "text_dsir_weight": _DSIR_SQL,
+    # DSIR Gumbel-top-k selection: deterministic md5-uniform →
+    # −ln(−ln u) Gumbel in integer milli-nats added to the weight,
+    # top-50 without replacement
+    "text_dsir_resample": (
+        "WITH scored AS (" + _DSIR_SQL + r"""),
+        g AS (
+          SELECT doc_id, milli_weight,
+                 milli_weight + CAST(round(1000 * (-ln(-ln(
+                   (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8)) AS BIGINT) + 0.5)
+                   / 4294967296.0)))) AS BIGINT) AS sel_milli
+          FROM scored WHERE milli_weight IS NOT NULL),
+        r AS (
+          SELECT doc_id, milli_weight, sel_milli,
+                 CAST(row_number() OVER (
+                   ORDER BY sel_milli DESC, doc_id ASC) AS BIGINT)
+                   AS sel_rank
+          FROM g)
+        SELECT * FROM r WHERE sel_rank <= 50
+    """
+    ),
     "text_pii_scrub": r"""
         WITH t AS (
           SELECT c_custkey,

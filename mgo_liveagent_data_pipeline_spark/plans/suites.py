@@ -423,9 +423,11 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LSH near-dup eval decontamination,
     operators/textops.py:fuzzy_decontaminate), ``ppl`` rows
     (CCNet-style bigram-LM perplexity buckets,
-    operators/textops.py:lm_perplexity_score) and ``dsir`` rows
+    operators/textops.py:lm_perplexity_score), ``dsir`` rows
     (DSIR hashed-n-gram importance weights,
-    operators/textops.py:dsir_importance_weight)."""
+    operators/textops.py:dsir_importance_weight) and ``dsirsel`` rows
+    (the deterministic Gumbel-top-k resampling step,
+    operators/textops.py:dsir_gumbel_topk)."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -563,6 +565,13 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_log_ratio").alias("metric"),
         F.col("n_feats").alias("n"),
     )
+    dsirsel = pipeline.q_text_dsir_resample(spark, sf_dir).select(
+        F.lit("dsirsel").alias("mode"),
+        F.col("sel_milli").cast("string").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        _null("double").alias("metric"),
+        F.col("sel_rank").alias("n"),
+    )
     return (
         tfidf.unionByName(sample)
         .unionByName(rep_tok)
@@ -581,6 +590,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fdecon)
         .unionByName(ppl)
         .unionByName(dsir)
+        .unionByName(dsirsel)
     )
 
 
@@ -1511,6 +1521,13 @@ ORACLES: dict[str, str] = {
             _P["text_dsir_weight"],
             "'dsir' AS mode, CAST(milli_weight AS VARCHAR) AS key_s, "
             "doc_id AS key_n, avg_log_ratio AS metric, n_feats AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_dsir_resample"],
+            "'dsirsel' AS mode, CAST(sel_milli AS VARCHAR) AS key_s, "
+            "doc_id AS key_n, CAST(NULL AS DOUBLE) AS metric, "
+            "sel_rank AS n",
         )
     ),
     "f11_f12_schedule_safecast": """

@@ -1450,3 +1450,32 @@ def test_gif_fixture_round_trip_and_guards():
     )
     d = real_gif_decode(_pack_gif(w, h, pal, rows))
     assert (d["n_pixels"], d["mean_rgb"]) == (w * h, exp)
+
+
+def test_dsir_gumbel_topk_selection(spark):
+    """Gumbel-top-k selection: temperature 0 degenerates to exact top-k
+    by weight; k ≥ n ranks everything; the perturbation is a pure
+    function of the key, so two invocations agree row-for-row."""
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        dsir_gumbel_topk,
+    )
+
+    rows = [(i, 1000 * (10 - i)) for i in range(10)] + [(99, None)]
+    scored = spark.createDataFrame(rows, ["doc_id", "milli_weight"])
+
+    t0 = dsir_gumbel_topk(scored, 3, temperature=0.0).collect()
+    assert [r["doc_id"] for r in t0] == [0, 1, 2]
+    assert [r["sel_rank"] for r in t0] == [1, 2, 3]
+    assert all(r["sel_milli"] == r["milli_weight"] for r in t0)
+
+    full = dsir_gumbel_topk(scored, 100).collect()
+    assert len(full) == 10  # NULL-weight row excluded, everything ranked
+    again = dsir_gumbel_topk(scored, 100).collect()
+    assert full == again
+    # the Gumbel genuinely perturbs: with weights this close (1000 milli
+    # = 1 nat apart), at least one rank differs from pure weight order
+    close = spark.createDataFrame(
+        [(i, 100 - i) for i in range(20)], ["doc_id", "milli_weight"]
+    )
+    sel = dsir_gumbel_topk(close, 20).collect()
+    assert [r["doc_id"] for r in sel] != list(range(20))
