@@ -1000,7 +1000,6 @@ def real_gif_decode(payload: bytes) -> dict:
 
     clear = 1 << min_code
     eoi = clear + 1
-    table: list[bytes] = []
     width_bits = min_code + 1
     acc = nbits = 0
     dpos = 0

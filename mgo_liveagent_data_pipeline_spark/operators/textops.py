@@ -603,19 +603,26 @@ def lm_perplexity_score(
         )
 
     def bigrams(frame: DataFrame) -> DataFrame:
-        toks = _clean_tokens(text_col)
-        n = F.size(toks)
+        # tokenize into a REAL column first: element_at inside a
+        # transform lambda re-evaluates captured subtrees per element
+        # (the trap language_id documents), so indexing the split
+        # expression directly would re-tokenize O(T) times per doc
+        base = frame.select(
+            F.col(key_col), _clean_tokens(text_col).alias("__tk")
+        )
+        tk = F.col("__tk")
+        n = F.size(tk)
         pairs = F.when(
             n >= 2,
             F.transform(
                 F.sequence(F.lit(1), n - 1),
                 lambda i: F.struct(
-                    F.element_at(toks, i).alias("w1"),
-                    F.element_at(toks, i + 1).alias("w2"),
+                    F.element_at(tk, i).alias("w1"),
+                    F.element_at(tk, i + 1).alias("w2"),
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        return frame.select(
+        return base.select(
             F.col(key_col), F.explode_outer(pairs).alias("__bg")
         ).select(
             key_col,
@@ -733,19 +740,24 @@ def dsir_importance_weight(
     never shuffled."""
 
     def feats(frame: DataFrame) -> DataFrame:
-        toks = _clean_tokens(text_col)
-        n = F.size(toks)
+        # tokens as a real column first — see lm_perplexity_score's
+        # bigrams(): captured subtrees re-evaluate per transform element
+        base = frame.select(
+            F.col(key_col), _clean_tokens(text_col).alias("__tk")
+        )
+        tk = F.col("__tk")
+        n = F.size(tk)
         bi = F.when(
             n >= 2,
             F.transform(
                 F.sequence(F.lit(1), n - 1),
                 lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        return frame.select(
-            F.col(key_col), F.explode_outer(F.concat(toks, bi)).alias("__f")
+        return base.select(
+            F.col(key_col), F.explode_outer(F.concat(tk, bi)).alias("__f")
         ).select(
             key_col,
             (
