@@ -592,7 +592,9 @@ def lm_perplexity_score(
     hash aggs bounded by observed-bigram cardinality ≤ min(|ref bigrams|,
     V²); both model relations broadcast. The scored corpus is scanned
     once: narrow bigram explode → two broadcast left joins → ONE
-    groupBy(key) with map-side combine. No corpus shuffle anywhere.
+    groupBy(key) whose map-side combine collapses bigram rows to one
+    (key, count, milli-sum) row per doc per partition before the only
+    shuffle — document text never shuffles.
     """
     v = float(n_buckets)
 
@@ -735,9 +737,11 @@ def dsir_importance_weight(
     their corpus of origin and unioned — narrow), totals via a free
     single-partition window over that tiny aggregate; the λ table
     (≤ V rows) broadcasts onto the scored corpus: narrow unigram+bigram
-    explode → broadcast left join → ONE groupBy(key). The corpus is
-    scanned once per model it participates in (raw model + scoring) and
-    never shuffled."""
+    explode → broadcast left join → ONE groupBy(key) whose map-side
+    combine collapses feature rows to one (key, count, milli-sum) row
+    per doc per partition before the only shuffle. The corpus is scanned
+    once per model it participates in (raw model + scoring); document
+    text never shuffles."""
 
     def feats(frame: DataFrame) -> DataFrame:
         # tokens as a real column first — see lm_perplexity_score's
