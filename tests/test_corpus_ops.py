@@ -1479,3 +1479,35 @@ def test_dsir_gumbel_topk_selection(spark):
     )
     sel = dsir_gumbel_topk(close, 20).collect()
     assert [r["doc_id"] for r in sel] != list(range(20))
+
+
+def test_lm_scorers_partition_invariant(spark):
+    """The integer milli-nat design claim: per-doc sums are
+    order-independent, so scores are bit-identical at any parallelism.
+    Rerun both scorers on 1-partition and 13-partition layouts of the
+    same corpus and require row-for-row equality."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        dsir_importance_weight,
+        lm_perplexity_score,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 13 + j) % 37}" for j in range(30 + i % 7)),
+         "en" if i % 2 == 0 else "de")
+        for i in range(60)
+    ]
+    df1 = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).coalesce(1)
+    df13 = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).repartition(13)
+
+    def snap(df, fn):
+        out = sorted(
+            tuple(r) for r in fn(df, df.where("lang = 'en'"), 256).collect()
+        )
+        release_intermediates()
+        return out
+
+    assert snap(df1, lm_perplexity_score) == snap(df13, lm_perplexity_score)
+    assert snap(df1, dsir_importance_weight) == snap(df13, dsir_importance_weight)
