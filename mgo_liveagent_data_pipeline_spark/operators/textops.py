@@ -585,7 +585,11 @@ def lm_perplexity_score(
     reference-like), ``middle``, ``tail`` (> tail_nll). CCNet derives the
     two thresholds as corpus perplexity percentiles; they're explicit
     parameters here so the cut is auditable (a percentile variant is one
-    tiny extra agg over the |docs|-row score relation).
+    tiny extra agg over the |docs|-row score relation). Tokenization is
+    lowercased whitespace splitting; for CCNet's fuller normalization
+    (accent folding, digit bucketing) compose with the F2/F3 normalize
+    functions (functions/strings.py) on the text column first — the
+    operator scores whatever text it's given.
 
     Plan at 100 TB: the model is built from the REFERENCE corpus (small,
     curated — Wikipedia-sized, not crawl-sized) with two map-side-combined

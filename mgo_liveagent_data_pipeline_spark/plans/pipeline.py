@@ -517,6 +517,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       6. ``shard``    — pack the curated corpus into ~1000-token shards
                         (operators/textops.py:pack_shards)
 
+    The model-based scorers (operators/textops.py:lm_perplexity_score,
+    dsir_importance_weight + dsir_gumbel_topk) slot between stages 1
+    and 2 as additional gates in a production pass; they're kept out of
+    this chain so its oracle stays a pure composition of the rule-based
+    stages, and are oracle-checked as standalone members instead
+    (``ppl``/``dsir``/``dsirsel`` modes of text_corpus_stats).
+
     Returns the ledger: (stage_no, stage, rows_in, rows_out,
     tokens_out), tokens counted on each stage's OUTPUT text (the
     whitespace-token count the operators themselves publish). This is
