@@ -5,16 +5,17 @@ columns with typed metadata structs, processed by Arrow-batched Pandas UDFs
 The Spark-side contract is real and tested — schema, partition sizing, UDF
 signature, batch shape. GENUINE stdlib decoders exist for 16-bit PCM WAV
 (``real_audio_features``), 24-bit BMP (``real_image_features``), 8-bit
-truecolor/grayscale/palette PNG (``real_png_features`` — zlib inflate +
-five-filter defiltering + PLTE resolution), single-frame GIF87a/89a
-(``real_gif_features`` — variable-width LZW decompression, extension
-skipping, global/local color tables), and baseline sequential JPEG
-(``real_jpeg_features`` — canonical Huffman entropy decode,
-dequantization, full 2-D IDCT, YCbCr→RGB, 4:4:4/4:2:2/4:2:0 sampling,
-DRI/RSTn restart intervals). Still stubbed, because they genuinely need
-external codec libraries: MP3/AAC audio, video containers, progressive
-(SOF2) JPEG, and interlaced PNG/GIF — those slots raise
-``NotImplementedError`` rather than mis-decode. Swapping in
+truecolor/grayscale/palette PNG, sequential or Adam7 interlaced
+(``real_png_features`` — zlib inflate + per-pass five-filter
+defiltering + PLTE resolution), single-frame GIF87a/89a, plain or
+interlaced (``real_gif_features`` — variable-width LZW decompression,
+extension skipping, global/local color tables, 4-pass deinterlace), and
+baseline sequential JPEG (``real_jpeg_features`` — canonical Huffman
+entropy decode, dequantization, full 2-D IDCT, YCbCr→RGB,
+4:4:4/4:2:2/4:2:0 sampling, DRI/RSTn restart intervals). Still stubbed,
+because they genuinely need external codec libraries: MP3/AAC audio,
+video containers, progressive (SOF2) JPEG, and alpha/16-bit PNG — those
+slots raise ``NotImplementedError`` rather than mis-decode. Swapping in
 Pillow/torchaudio changes ~5 lines inside a UDF and nothing in the
 plan.
 
@@ -516,15 +517,18 @@ def _pack_png(
     rows: list,
     ctype: int = 2,
     palette: list[tuple[int, int, int]] | None = None,
+    interlace: bool = False,
 ) -> bytes:
-    """Hand-pack an 8-bit non-interlaced PNG: per-scanline filter bytes
-    CYCLING through all five filter types (None/Sub/Up/Average/Paeth) so
-    the reader's defiltering is genuinely exercised, zlib-compressed
-    IDAT, CRC-carrying chunks — raw ``struct``/``zlib``, independent of
-    the reader for the same cross-implementation reason as
+    """Hand-pack an 8-bit PNG: per-scanline filter bytes CYCLING through
+    all five filter types (None/Sub/Up/Average/Paeth) so the reader's
+    defiltering is genuinely exercised, zlib-compressed IDAT,
+    CRC-carrying chunks — raw ``struct``/``zlib``, independent of the
+    reader for the same cross-implementation reason as
     ``_pack_wav``/``_pack_bmp``. ``ctype`` 2 (truecolor, rows of RGB
     triples), 0 (grayscale, rows of ints) or 3 (palette — rows of
-    indices into ``palette``, which becomes the PLTE chunk)."""
+    indices into ``palette``, which becomes the PLTE chunk).
+    ``interlace`` emits the seven Adam7 per-pass sub-images, each
+    filtered against its own prior scanline."""
     import struct
     import zlib
 
@@ -537,38 +541,61 @@ def _pack_png(
         )
 
     bpp = 3 if ctype == 2 else 1
+    if ctype == 2:
+        byte_rows = [bytes(v for px in row for v in px) for row in rows]
+    else:
+        byte_rows = [bytes(row) for row in rows]
     raw = bytearray()
-    prior = bytes(width * bpp)  # filters reference the RAW prior scanline
-    for y, row in enumerate(rows):
-        if ctype == 2:
-            line = bytes(v for px in row for v in px)
-        else:
-            line = bytes(row)
-        ft = y % 5
-        filt = bytearray()
-        for i in range(len(line)):
-            a = line[i - bpp] if i >= bpp else 0
-            up = prior[i]
-            c = prior[i - bpp] if i >= bpp else 0
-            x = line[i]
-            if ft == 0:
-                v = x
-            elif ft == 1:
-                v = (x - a) & 0xFF
-            elif ft == 2:
-                v = (x - up) & 0xFF
-            elif ft == 3:
-                v = (x - (a + up) // 2) & 0xFF
-            else:  # Paeth
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                v = (x - pred) & 0xFF
-            filt.append(v)
-        raw.append(ft)
-        raw += filt
-        prior = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+
+    def filt_image(lines: list[bytes]) -> None:
+        # filters reference the RAW prior scanline OF THIS (sub-)image
+        if not lines:
+            return
+        prior = bytes(len(lines[0]))
+        for y, line in enumerate(lines):
+            ft = y % 5
+            filt = bytearray()
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                x = line[i]
+                if ft == 0:
+                    v = x
+                elif ft == 1:
+                    v = (x - a) & 0xFF
+                elif ft == 2:
+                    v = (x - up) & 0xFF
+                elif ft == 3:
+                    v = (x - (a + up) // 2) & 0xFF
+                else:  # Paeth
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else c)
+                    )
+                    v = (x - pred) & 0xFF
+                filt.append(v)
+            raw.append(ft)
+            raw.extend(filt)
+            prior = line
+
+    if interlace:
+        for xoff, yoff, xstep, ystep in _PNG_ADAM7:
+            sub = [
+                b"".join(
+                    byte_rows[y][x * bpp : (x + 1) * bpp]
+                    for x in range(xoff, width, xstep)
+                )
+                for y in range(yoff, height, ystep)
+            ]
+            filt_image([s for s in sub if s])
+    else:
+        filt_image(byte_rows)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, ctype, 0, 0, 1 if interlace else 0
+    )
     plte = (
         chunk(b"PLTE", b"".join(bytes(c) for c in palette))
         if ctype == 3
@@ -663,72 +690,53 @@ def png_fixture_images(n_images: int = 8) -> list[dict]:
                 [pal[i] for row in prows for i in row],
             )
         )
+    # Adam7 interlaced truecolor (odd geometries so several passes are
+    # partially or fully empty)
+    for j in range(min(n_images, 3)):
+        w, h = 9 + 4 * j, 10 + 3 * j
+        rows = [
+            [
+                (
+                    (j * 47 + x * 19 + y * 5) % 256,
+                    (j * 71 + x * 11 + y * 13) % 256,
+                    (j * 23 + x * 3 + y * 17) % 256,
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        out.append(
+            entry(
+                300 + j,
+                _pack_png(w, h, rows, interlace=True),
+                w,
+                h,
+                [p for row in rows for p in row],
+            )
+        )
     return out
 
 
-def real_png_decode(payload: bytes) -> dict:
-    """GENUINE PNG decode with stdlib ``struct`` + ``zlib``: chunk walk
-    with CRC verification, IDAT inflate, and full five-filter scanline
-    defiltering (None/Sub/Up/Average/Paeth per the PNG spec §9), then
-    per-channel means from the actual pixels. 8-bit truecolor (color
-    type 2), grayscale (0 — channel means over the replicated gray
-    value) and palette (3 — indices resolved through the PLTE chunk)
-    non-interlaced; alpha/16-bit/Adam7 still raise, and JPEG/MP3
-    genuinely need external codecs."""
-    import struct
-    import zlib
+# Adam7 interlace passes: (xoff, yoff, xstep, ystep) per PNG spec §8.2
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("not a PNG payload")
-    pos = 8
-    width = height = ctype = None
-    palette: list[tuple[int, int, int]] | None = None
-    idat = bytearray()
-    while pos + 12 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
-        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
-        if typ == b"IHDR":
-            width, height, depth, ctype, comp, filt, inter = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if (depth, comp, filt, inter) != (8, 0, 0, 0) or ctype not in (
-                0,
-                2,
-                3,
-            ):
-                raise NotImplementedError(
-                    "only 8-bit truecolor/grayscale/palette non-interlaced "
-                    "PNG is decodable without external codecs"
-                )
-        elif typ == b"PLTE":
-            if length % 3 != 0:
-                raise ValueError("PNG PLTE length not a multiple of 3")
-            palette = [
-                (data[i], data[i + 1], data[i + 2])
-                for i in range(0, length, 3)
-            ]
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-        pos += 12 + length
-    if width is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    if ctype == 3 and palette is None:
-        raise ValueError("palette PNG missing PLTE chunk")
-    raw = zlib.decompress(bytes(idat))
-    bpp = 3 if ctype == 2 else 1
+
+def _png_defilter(
+    raw: bytes, off: int, width: int, height: int, bpp: int
+) -> tuple[list[bytes], int]:
+    """Defilter one (sub-)image of scanlines starting at ``off``:
+    five-filter reconstruction per the PNG spec §9, prior-line state
+    scoped to this image (each Adam7 pass filters against its own
+    previous scanline). Returns the decoded lines and the new offset."""
     stride = width * bpp
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG scanline data length mismatch")
-    prior = bytes(stride)  # defiltering references the DECODED prior row
-    sr = sg = sb = 0
-    off = 0
+    prior = bytes(stride)
+    lines: list[bytes] = []
     for _y in range(height):
+        if off + 1 + stride > len(raw):
+            raise ValueError("PNG scanline data length mismatch")
         ft = raw[off]
         off += 1
         line = bytearray(raw[off : off + stride])
@@ -753,6 +761,99 @@ def real_png_decode(payload: bytes) -> dict:
             else:
                 raise ValueError(f"unknown PNG filter type {ft}")
             line[i] = v
+        prior = bytes(line)
+        lines.append(prior)
+    return lines, off
+
+
+def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
+    """GENUINE PNG decode with stdlib ``struct`` + ``zlib``: chunk walk
+    with CRC verification, IDAT inflate, and full five-filter scanline
+    defiltering (None/Sub/Up/Average/Paeth per the PNG spec §9) — for
+    BOTH pixel layouts: sequential and Adam7 interlaced (seven per-pass
+    sub-images defiltered independently and scattered back). 8-bit
+    truecolor (color type 2), grayscale (0 — channel means over the
+    replicated gray value) and palette (3 — indices resolved through
+    the PLTE chunk); alpha/16-bit still raise, and JPEG/MP3 genuinely
+    need external codecs. ``with_pixels`` additionally returns the
+    row-major channel bytes — means are permutation-invariant, so tests
+    use the exact layout to certify the Adam7 scatter."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG payload")
+    pos = 8
+    width = height = ctype = None
+    palette: list[tuple[int, int, int]] | None = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            width, height, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (
+                (depth, comp, filt) != (8, 0, 0)
+                or ctype not in (0, 2, 3)
+                or inter not in (0, 1)
+            ):
+                raise NotImplementedError(
+                    "only 8-bit truecolor/grayscale/palette PNG "
+                    "(sequential or Adam7) is decodable without "
+                    "external codecs"
+                )
+        elif typ == b"PLTE":
+            if length % 3 != 0:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            palette = [
+                (data[i], data[i + 1], data[i + 2])
+                for i in range(0, length, 3)
+            ]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if ctype == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3 if ctype == 2 else 1
+    stride = width * bpp
+    if inter == 0:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG scanline data length mismatch")
+        lines, off = _png_defilter(raw, 0, width, height, bpp)
+    else:  # Adam7: seven per-pass sub-images, each defiltered on its
+        # own prior scanline, scattered back onto the canvas
+        canvas = [bytearray(stride) for _ in range(height)]
+        off = 0
+        for xoff, yoff, xstep, ystep in _PNG_ADAM7:
+            wp = (width - xoff + xstep - 1) // xstep
+            hp = (height - yoff + ystep - 1) // ystep
+            if wp <= 0 or hp <= 0:
+                continue
+            plines, off = _png_defilter(raw, off, wp, hp, bpp)
+            for j, pline in enumerate(plines):
+                y = yoff + j * ystep
+                row = canvas[y]
+                for i in range(wp):
+                    x = xoff + i * xstep
+                    row[x * bpp : (x + 1) * bpp] = pline[
+                        i * bpp : (i + 1) * bpp
+                    ]
+        if off != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
+        lines = [bytes(r) for r in canvas]
+    sr = sg = sb = 0
+    for line in lines:
         if ctype == 2:
             for x in range(0, stride, bpp):
                 sr += line[x]
@@ -773,14 +874,16 @@ def real_png_decode(payload: bytes) -> dict:
                 sr += r
                 sg += g
                 sb += b
-        prior = bytes(line)
     n = width * height
-    return {
+    out_d = {
         "width": width,
         "height": height,
         "n_pixels": n,
         "mean_rgb": (sr // n) * 65536 + (sg // n) * 256 + (sb // n),
     }
+    if with_pixels:
+        out_d["pixels"] = b"".join(lines)
+    return out_d
 
 
 def real_png_features(
@@ -851,6 +954,18 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(buf)
 
 
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    """Row indices in GIF 4-pass interlace transmission order."""
+    return [
+        y
+        for start, step in _GIF_INTERLACE_PASSES
+        for y in range(start, height, step)
+    ]
+
+
 def _pack_gif(
     width: int,
     height: int,
@@ -858,12 +973,15 @@ def _pack_gif(
     index_rows: list[list[int]],
     with_gce: bool = False,
     local_palette: bool = False,
+    interlaced: bool = False,
 ) -> bytes:
     """Hand-pack a single-frame GIF89a: logical screen descriptor with a
     global color table (or a per-image LOCAL one when ``local_palette``),
     an optional Graphic Control Extension (exercises the reader's
     extension skipping), the image descriptor, and genuinely
-    LZW-compressed pixel data in ≤255-byte sub-blocks."""
+    LZW-compressed pixel data in ≤255-byte sub-blocks. ``interlaced``
+    writes the rows in 4-pass interlace transmission order and sets the
+    descriptor flag."""
     import struct
 
     bits = max(2, (len(palette) - 1).bit_length())
@@ -878,15 +996,20 @@ def _pack_gif(
     if with_gce:
         out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: 4-byte block + 0
         out += b"\x21\xfe\x05hello\x00"  # comment extension, 5-byte block
-    lct_flag = 0x80 if local_palette else 0
+    ipacked = (0x80 if local_palette else 0) | (0x40 if interlaced else 0)
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
-                                 lct_flag | ((bits - 1) if local_palette else 0))
+                                 ipacked | ((bits - 1) if local_palette else 0))
     if local_palette:
         out += pal_bytes
     min_code = max(2, bits)
     out.append(min_code)
+    rows = (
+        [index_rows[y] for y in _gif_interlace_order(height)]
+        if interlaced
+        else index_rows
+    )
     data = _gif_lzw_encode(
-        bytes(i for row in index_rows for i in row), min_code
+        bytes(i for row in rows for i in row), min_code
     )
     for off in range(0, len(data), 255):
         blk = data[off : off + 255]
@@ -899,9 +1022,10 @@ def _pack_gif(
 def gif_fixture_images(n_images: int = 6) -> list[dict]:
     """Deterministic GIF fixtures: 16-color deterministic palettes,
     index gradients wide enough that the LZW code width genuinely grows
-    past its initial size; one fixture carries extension blocks and one
-    a LOCAL color table, so both reader paths are exercised. Expected
-    features come straight from the palette-resolved pixel arrays."""
+    past its initial size; fixtures cycle through extension blocks, a
+    LOCAL color table, and (img_id 3+) 4-pass INTERLACED transmission,
+    so every reader path is exercised. Expected features come straight
+    from the palette-resolved pixel arrays."""
     import hashlib as _hl
 
     out = []
@@ -920,6 +1044,7 @@ def gif_fixture_images(n_images: int = 6) -> list[dict]:
             w, h, pal, rows,
             with_gce=(iid % 3 == 1),
             local_palette=(iid % 3 == 2),
+            interlaced=(iid % 3 == 0 and iid > 0),
         )
         flat = [pal[i] for row in rows for i in row]
         n = len(flat)
@@ -941,13 +1066,16 @@ def gif_fixture_images(n_images: int = 6) -> list[dict]:
     return out
 
 
-def real_gif_decode(payload: bytes) -> dict:
+def real_gif_decode(payload: bytes, with_pixels: bool = False) -> dict:
     """GENUINE GIF decode with pure stdlib byte-walking: logical screen
-    descriptor, global/local color tables, extension-block skipping, and
-    a spec-standard variable-width LZW decompressor (CLEAR/EOI handling,
+    descriptor, global/local color tables, extension-block skipping, a
+    spec-standard variable-width LZW decompressor (CLEAR/EOI handling,
     the KwKwK first-char case, width growth at table-size boundaries),
-    then channel means from the palette-resolved pixels. Non-interlaced
-    single-frame GIF87a/89a; interlaced streams raise."""
+    and 4-pass deinterlacing when the descriptor flags it, then channel
+    means from the palette-resolved pixels. Single-frame GIF87a/89a.
+    ``with_pixels`` additionally returns the row-major palette indices —
+    channel means are permutation-INVARIANT, so tests use the exact
+    pixel layout to certify deinterlacing."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -975,8 +1103,6 @@ def real_gif_decode(payload: bytes) -> dict:
             "<HHHHB", payload, pos + 1
         )
         pos += 10
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF is not decodable here")
         palette = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -1041,6 +1167,13 @@ def real_gif_decode(payload: bytes) -> dict:
         prev = entry
     if len(pixels) != width * height:
         raise ValueError("GIF pixel count mismatch")
+    if ipacked & 0x40:  # de-permute 4-pass interlace transmission order
+        ordered = bytearray(len(pixels))
+        for src, y in enumerate(_gif_interlace_order(height)):
+            ordered[y * width : (y + 1) * width] = pixels[
+                src * width : (src + 1) * width
+            ]
+        pixels = ordered
     sr = sg = sb = 0
     for idx in pixels:
         if idx >= len(palette):
@@ -1050,12 +1183,15 @@ def real_gif_decode(payload: bytes) -> dict:
         sg += g
         sb += b
     n = width * height
-    return {
+    out_d = {
         "width": width,
         "height": height,
         "n_pixels": n,
         "mean_rgb": (sr // n) * 65536 + (sg // n) * 256 + (sb // n),
     }
+    if with_pixels:
+        out_d["pixels"] = bytes(pixels)
+    return out_d
 
 
 def real_gif_features(

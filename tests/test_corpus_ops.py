@@ -1030,6 +1030,21 @@ def test_png_pack_decode_round_trip_and_guards():
     bad_idx = _pack_png(2, 1, [[0, 1]], ctype=3, palette=[(1, 2, 3)])
     with pytest.raises(ValueError, match="index"):
         real_png_decode(bad_idx)
+    # Adam7: means are permutation-invariant, so certify the per-pass
+    # scatter with the exact row-major channel bytes vs the sequential
+    # packing of the same image (odd size -> partially-empty passes)
+    w, h = 11, 7
+    rows = [
+        [((x * 17 + y) % 256, (x + y * 29) % 256, (x * 7 + y * 3) % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+    di = real_png_decode(_pack_png(w, h, rows, interlace=True),
+                         with_pixels=True)
+    ds = real_png_decode(_pack_png(w, h, rows), with_pixels=True)
+    assert di["pixels"] == ds["pixels"]
+    assert (di["width"], di["height"], di["mean_rgb"]) == (
+        ds["width"], ds["height"], ds["mean_rgb"])
     # torn payload: flip one IDAT byte -> CRC mismatch must raise
     torn = bytearray(png_fixture_images()[0]["payload"])
     torn[40] ^= 0xFF
@@ -1423,16 +1438,23 @@ def test_gif_fixture_round_trip_and_guards():
     with pytest.raises(NotImplementedError):
         real_gif_decode(b"\x89PNG not a gif")
     base = _pack_gif(4, 3, [(1, 2, 3), (4, 5, 6)], [[0, 1] * 2] * 3)
-    # interlace flag set in the image descriptor must refuse
-    inter = bytearray(base)
-    # descriptor: 6 (sig) + 7 (LSD) + 6 (2-entry GCT padded to 4 -> 12) ...
-    idesc = inter.index(0x2C)
-    inter[idesc + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        real_gif_decode(bytes(inter))
     # truncated mid-sub-block -> structural error, not a mis-decode
     with pytest.raises(ValueError):
         real_gif_decode(base[:-8])
+    # interlaced: means are permutation-invariant, so certify the
+    # DEINTERLACE with the exact row-major pixel layout — every row
+    # distinct across 9 rows (all four passes populated)
+    iw, ih = 5, 9
+    ipal = [(k, k, k) for k in range(16)]
+    irows = [[(y * 3 + x) % 16 for x in range(iw)] for y in range(ih)]
+    ip = _pack_gif(iw, ih, ipal, irows, interlaced=True)
+    d = real_gif_decode(ip, with_pixels=True)
+    assert d["pixels"] == bytes(i for row in irows for i in row)
+    # and the same image packed straight decodes to the same layout
+    straight = real_gif_decode(
+        _pack_gif(iw, ih, ipal, irows), with_pixels=True
+    )
+    assert straight["pixels"] == d["pixels"]
     # LZW width growth + dictionary reset: an image large and varied
     # enough that codes pass 4095 entries round-trips exactly
     import random
