@@ -528,7 +528,9 @@ def _pack_png(
     triples), 0 (grayscale, rows of ints) or 3 (palette — rows of
     indices into ``palette``, which becomes the PLTE chunk).
     ``interlace`` emits the seven Adam7 per-pass sub-images, each
-    filtered against its own prior scanline."""
+    filtered against its own prior scanline. Alpha variants: ctype 6
+    (truecolor+alpha, rows of RGBA 4-tuples) and 4 (grayscale+alpha,
+    rows of (gray, alpha) pairs)."""
     import struct
     import zlib
 
@@ -540,8 +542,8 @@ def _pack_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    bpp = 3 if ctype == 2 else 1
-    if ctype == 2:
+    bpp = _PNG_BPP[ctype]
+    if ctype in (2, 4, 6):
         byte_rows = [bytes(v for px in row for v in px) for row in rows]
     else:
         byte_rows = [bytes(row) for row in rows]
@@ -690,6 +692,47 @@ def png_fixture_images(n_images: int = 8) -> list[dict]:
                 [pal[i] for row in prows for i in row],
             )
         )
+    # alpha variants: RGBA (img_id 400+) and gray+alpha (500+); means
+    # are over the COLOR channels only (alpha excluded by contract)
+    for j in range(min(n_images, 2)):
+        w, h = 8 + j, 5 + j
+        arows = [
+            [
+                (
+                    (j * 29 + x * 13 + y * 7) % 256,
+                    (j * 43 + x * 3 + y * 19) % 256,
+                    (j * 67 + x * 23 + y * 11) % 256,
+                    (x * 31 + y * 37) % 256,
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        out.append(
+            entry(
+                400 + j,
+                _pack_png(w, h, arows, ctype=6),
+                w,
+                h,
+                [p[:3] for row in arows for p in row],
+            )
+        )
+    for j in range(min(n_images, 2)):
+        w, h = 7 + j, 6 + j
+        garows = [
+            [((j * 31 + x * 17 + y * 3) % 256, (x * 5 + y * 41) % 256)
+             for x in range(w)]
+            for y in range(h)
+        ]
+        out.append(
+            entry(
+                500 + j,
+                _pack_png(w, h, garows, ctype=4),
+                w,
+                h,
+                [(p[0], p[0], p[0]) for row in garows for p in row],
+            )
+        )
     # Adam7 interlaced truecolor (odd geometries so several passes are
     # partially or fully empty)
     for j in range(min(n_images, 3)):
@@ -716,6 +759,10 @@ def png_fixture_images(n_images: int = 8) -> list[dict]:
         )
     return out
 
+
+# bytes per pixel at depth 8, by color type (0 gray, 2 RGB, 3 palette
+# index, 4 gray+alpha, 6 RGBA)
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # Adam7 interlace passes: (xoff, yoff, xstep, ystep) per PNG spec §8.2
 _PNG_ADAM7 = (
@@ -771,10 +818,12 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
     with CRC verification, IDAT inflate, and full five-filter scanline
     defiltering (None/Sub/Up/Average/Paeth per the PNG spec §9) — for
     BOTH pixel layouts: sequential and Adam7 interlaced (seven per-pass
-    sub-images defiltered independently and scattered back). 8-bit
-    truecolor (color type 2), grayscale (0 — channel means over the
-    replicated gray value) and palette (3 — indices resolved through
-    the PLTE chunk); alpha/16-bit still raise, and JPEG/MP3 genuinely
+    sub-images defiltered independently and scattered back). All five
+    8-bit color types: truecolor (2), grayscale (0 — channel means over
+    the replicated gray value), palette (3 — indices resolved through
+    the PLTE chunk), and the alpha variants (6 RGBA / 4 gray+alpha —
+    alpha participates in defiltering strides but is excluded from the
+    channel means); 16-bit depth still raises, and JPEG/MP3 genuinely
     need external codecs. ``with_pixels`` additionally returns the
     row-major channel bytes — means are permutation-invariant, so tests
     use the exact layout to certify the Adam7 scatter."""
@@ -800,13 +849,13 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
             )
             if (
                 (depth, comp, filt) != (8, 0, 0)
-                or ctype not in (0, 2, 3)
+                or ctype not in (0, 2, 3, 4, 6)
                 or inter not in (0, 1)
             ):
                 raise NotImplementedError(
-                    "only 8-bit truecolor/grayscale/palette PNG "
-                    "(sequential or Adam7) is decodable without "
-                    "external codecs"
+                    "only 8-bit PNG (gray/truecolor/palette, with or "
+                    "without alpha, sequential or Adam7) is decodable "
+                    "without external codecs"
                 )
         elif typ == b"PLTE":
             if length % 3 != 0:
@@ -825,7 +874,7 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
     if ctype == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    bpp = 3 if ctype == 2 else 1
+    bpp = _PNG_BPP[ctype]
     stride = width * bpp
     if inter == 0:
         if len(raw) != (stride + 1) * height:
@@ -854,13 +903,13 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
         lines = [bytes(r) for r in canvas]
     sr = sg = sb = 0
     for line in lines:
-        if ctype == 2:
+        if ctype in (2, 6):  # RGB / RGBA — alpha excluded from means
             for x in range(0, stride, bpp):
                 sr += line[x]
                 sg += line[x + 1]
                 sb += line[x + 2]
-        elif ctype == 0:
-            for x in range(stride):
+        elif ctype in (0, 4):  # gray / gray+alpha
+            for x in range(0, stride, bpp):
                 v = line[x]
                 sr += v
                 sg += v

@@ -1005,18 +1005,35 @@ def test_png_pack_decode_round_trip_and_guards():
         assert d["mean_rgb"] == c["mean_rgb"]
     with pytest.raises(NotImplementedError):
         real_png_decode(b"BM not a png")
-    # RGBA (color type 6) must refuse, not mis-decode
-    rgba = bytearray(_pack_png(2, 2, [[(1, 1, 1)] * 2] * 2))
-    # IHDR data starts at 8 (sig) + 8 (len+type); color type is byte 9 of IHDR
+    # 16-bit depth must refuse, not mis-decode
+    deep = bytearray(_pack_png(2, 2, [[(1, 1, 1)] * 2] * 2))
+    # IHDR data starts at 8 (sig) + 8 (len+type); bit depth is byte 8 of IHDR
     ihdr_off = 16
-    rgba[ihdr_off + 9] = 6
-    # fix the CRC so the guard hit is the color type, not the checksum
+    deep[ihdr_off + 8] = 16
+    # fix the CRC so the guard hit is the depth, not the checksum
     import zlib
 
-    crc = zlib.crc32(bytes(rgba[12:16]) + bytes(rgba[16 : 16 + 13])) & 0xFFFFFFFF
-    rgba[16 + 13 : 16 + 17] = struct.pack(">I", crc)
+    crc = zlib.crc32(bytes(deep[12:16]) + bytes(deep[16 : 16 + 13])) & 0xFFFFFFFF
+    deep[16 + 13 : 16 + 17] = struct.pack(">I", crc)
     with pytest.raises(NotImplementedError):
-        real_png_decode(bytes(rgba))
+        real_png_decode(bytes(deep))
+    # alpha variants genuinely decode; alpha is excluded from the means
+    # but participates in the defiltering stride — compare against the
+    # same color data packed WITHOUT alpha
+    w, h = 6, 5
+    rgb = [[((x * 11 + y) % 256, (x + y * 13) % 256, (x * 5 + y * 9) % 256)
+            for x in range(w)] for y in range(h)]
+    rgba_rows = [[(*rgb[y][x], (x * 7 + y * 3) % 256) for x in range(w)]
+                 for y in range(h)]
+    ga_rows = [[(rgb[y][x][0], (x + y) % 256) for x in range(w)]
+               for y in range(h)]
+    gray_rows = [[rgb[y][x][0] for x in range(w)] for y in range(h)]
+    d_rgba = real_png_decode(_pack_png(w, h, rgba_rows, ctype=6))
+    d_rgb = real_png_decode(_pack_png(w, h, rgb))
+    assert d_rgba["mean_rgb"] == d_rgb["mean_rgb"]
+    d_ga = real_png_decode(_pack_png(w, h, ga_rows, ctype=4))
+    d_g = real_png_decode(_pack_png(w, h, gray_rows, ctype=0))
+    assert d_ga["mean_rgb"] == d_g["mean_rgb"]
     # a palette image whose PLTE chunk is stripped must refuse
     pal_payload = bytearray(
         _pack_png(2, 2, [[0, 1], [1, 0]], ctype=3,
