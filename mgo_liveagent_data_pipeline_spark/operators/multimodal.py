@@ -42,6 +42,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _codec_guard(fmt: str, *extra_excs: type):
+    """Normalize a byte-walking decoder's failure surface: arbitrary
+    corrupt input must raise ``ValueError`` (or the honest
+    ``NotImplementedError``), never a parser internal like
+    ``struct.error``/``IndexError``/``KeyError`` — at 100 TB these run
+    inside executors and downstream error routing keys on the type.
+    Found by fuzzing the fixtures with random byte flips/truncations/
+    insertions (tests/test_corpus_ops.py:test_codec_fuzz_failure_surface)."""
+    import struct
+    import zlib
+
+    caught = (
+        IndexError,
+        KeyError,
+        OverflowError,
+        struct.error,
+        zlib.error,
+    ) + extra_excs
+
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(payload, *a, **kw):
+            try:
+                return fn(payload, *a, **kw)
+            except (ValueError, NotImplementedError):
+                raise
+            except caught as e:
+                raise ValueError(f"corrupt {fmt} stream: {e}") from e
+
+        return wrapped
+
+    return deco
+
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -292,6 +328,7 @@ def wav_fixture_clips(n_clips: int = 12) -> list[dict]:
     return clips
 
 
+@_codec_guard("WAV", __import__("wave").Error, EOFError, RuntimeError)
 def real_audio_decode(payload: bytes) -> dict:
     """GENUINE WAV decode via stdlib ``wave`` — the formerly-stubbed
     real-codec slot for audio. 16-bit PCM only; other sample widths (and
@@ -437,6 +474,7 @@ def bmp_fixture_images(n_images: int = 8) -> list[dict]:
     return out
 
 
+@_codec_guard("BMP")
 def real_image_decode(payload: bytes) -> dict:
     """GENUINE uncompressed-BMP decode with stdlib ``struct``: parses the
     file + info headers, walks the bottom-up padded pixel rows, and
@@ -813,6 +851,7 @@ def _png_defilter(
     return lines, off
 
 
+@_codec_guard("PNG")
 def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
     """GENUINE PNG decode with stdlib ``struct`` + ``zlib``: chunk walk
     with CRC verification, IDAT inflate, and full five-filter scanline
@@ -1115,6 +1154,7 @@ def gif_fixture_images(n_images: int = 6) -> list[dict]:
     return out
 
 
+@_codec_guard("GIF")
 def real_gif_decode(payload: bytes, with_pixels: bool = False) -> dict:
     """GENUINE GIF decode with pure stdlib byte-walking: logical screen
     descriptor, global/local color tables, extension-block skipping, a
@@ -1433,6 +1473,7 @@ def _ycc_to_rgb(y: float, cb: float, cr: float) -> tuple[int, int, int]:
     )
 
 
+@_codec_guard("JPEG")
 def real_jpeg_decode(payload: bytes) -> dict:
     """GENUINE baseline JPEG decode with stdlib ``struct``/``math``:
     marker walk, DQT/DHT parsing with canonical Huffman reconstruction,

@@ -1550,3 +1550,51 @@ def test_lm_scorers_partition_invariant(spark):
 
     assert snap(df1, lm_perplexity_score) == snap(df13, lm_perplexity_score)
     assert snap(df1, dsir_importance_weight) == snap(df13, dsir_importance_weight)
+
+
+def test_codec_fuzz_failure_surface():
+    """Corrupt media bytes must fail CLEANLY: every decoder raises
+    ValueError or NotImplementedError on fuzzed input — never a parser
+    internal (struct.error, IndexError, KeyError, wave.Error...) that
+    executor-side error routing can't key on. 1000 seeded
+    flip/truncate/insert mutations per codec over the real fixtures."""
+    import random
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        bmp_fixture_images,
+        gif_fixture_images,
+        jpeg_fixture_images,
+        png_fixture_images,
+        real_audio_decode,
+        real_gif_decode,
+        real_image_decode,
+        real_jpeg_decode,
+        real_png_decode,
+        wav_fixture_clips,
+    )
+
+    rnd = random.Random(42)
+    cases = [
+        (real_png_decode, [c["payload"] for c in png_fixture_images()]),
+        (real_gif_decode, [c["payload"] for c in gif_fixture_images()]),
+        (real_jpeg_decode, [c["payload"] for c in jpeg_fixture_images()]),
+        (real_image_decode, [c["payload"] for c in bmp_fixture_images()]),
+        (real_audio_decode, [c["payload"] for c in wav_fixture_clips()]),
+    ]
+    for fn, payloads in cases:
+        for _trial in range(1000):
+            p = bytearray(rnd.choice(payloads))
+            for _ in range(rnd.randrange(1, 4)):
+                op = rnd.randrange(3)
+                if op == 0 and p:
+                    p[rnd.randrange(len(p))] = rnd.randrange(256)
+                elif op == 1 and len(p) > 4:
+                    del p[rnd.randrange(len(p)):]
+                else:
+                    p[rnd.randrange(len(p) + 1):0] = bytes(
+                        [rnd.randrange(256)]
+                    )
+            try:
+                fn(bytes(p))
+            except (ValueError, NotImplementedError):
+                pass  # the clean failure surface — or a lucky decode
