@@ -556,8 +556,9 @@ def _pack_png(
     ctype: int = 2,
     palette: list[tuple[int, int, int]] | None = None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Hand-pack an 8-bit PNG: per-scanline filter bytes CYCLING through
+    """Hand-pack an 8/16-bit PNG: per-scanline filter bytes CYCLING through
     all five filter types (None/Sub/Up/Average/Paeth) so the reader's
     defiltering is genuinely exercised, zlib-compressed IDAT,
     CRC-carrying chunks — raw ``struct``/``zlib``, independent of the
@@ -568,7 +569,8 @@ def _pack_png(
     ``interlace`` emits the seven Adam7 per-pass sub-images, each
     filtered against its own prior scanline. Alpha variants: ctype 6
     (truecolor+alpha, rows of RGBA 4-tuples) and 4 (grayscale+alpha,
-    rows of (gray, alpha) pairs)."""
+    rows of (gray, alpha) pairs). ``depth`` 16 packs every sample as a
+    big-endian pair (values 0..65535); palette stays 8-bit per spec."""
     import struct
     import zlib
 
@@ -580,11 +582,18 @@ def _pack_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    bpp = _PNG_BPP[ctype]
+    sw = depth // 8
+    bpp = _PNG_BPP[ctype] * sw
     if ctype in (2, 4, 6):
-        byte_rows = [bytes(v for px in row for v in px) for row in rows]
+        flat_rows = [[v for px in row for v in px] for row in rows]
     else:
-        byte_rows = [bytes(row) for row in rows]
+        flat_rows = [list(row) for row in rows]
+    if sw == 1:
+        byte_rows = [bytes(r) for r in flat_rows]
+    else:
+        byte_rows = [
+            b"".join(struct.pack(">H", v) for v in r) for r in flat_rows
+        ]
     raw = bytearray()
 
     def filt_image(lines: list[bytes]) -> None:
@@ -634,7 +643,7 @@ def _pack_png(
     else:
         filt_image(byte_rows)
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, ctype, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, ctype, 0, 0, 1 if interlace else 0
     )
     plte = (
         chunk(b"PLTE", b"".join(bytes(c) for c in palette))
@@ -771,6 +780,31 @@ def png_fixture_images(n_images: int = 8) -> list[dict]:
                 [(p[0], p[0], p[0]) for row in garows for p in row],
             )
         )
+    # 16-bit: big-endian sample pairs; the 8-bit-equivalent means use
+    # each sample's HIGH byte (standard 16→8 truncation)
+    for j in range(min(n_images, 2)):
+        w, h = 7 + j, 5 + j
+        drows = [
+            [
+                (
+                    (j * 5147 + x * 1717 + y * 301) % 65536,
+                    (j * 911 + x * 777 + y * 2311) % 65536,
+                    (j * 333 + x * 515 + y * 1111) % 65536,
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        out.append(
+            entry(
+                600 + j,
+                _pack_png(w, h, drows, depth=16),
+                w,
+                h,
+                [(p[0] >> 8, p[1] >> 8, p[2] >> 8)
+                 for row in drows for p in row],
+            )
+        )
     # Adam7 interlaced truecolor (odd geometries so several passes are
     # partially or fully empty)
     for j in range(min(n_images, 3)):
@@ -862,8 +896,10 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
     the replicated gray value), palette (3 — indices resolved through
     the PLTE chunk), and the alpha variants (6 RGBA / 4 gray+alpha —
     alpha participates in defiltering strides but is excluded from the
-    channel means); 16-bit depth still raises, and JPEG/MP3 genuinely
-    need external codecs. ``with_pixels`` additionally returns the
+    channel means), at depth 8 or 16 (big-endian samples; the means use
+    each sample's high byte, the standard 16→8 truncation); sub-byte
+    depths (1/2/4-bit) still raise, and JPEG/MP3 genuinely need
+    external codecs. ``with_pixels`` additionally returns the
     row-major channel bytes — means are permutation-invariant, so tests
     use the exact layout to certify the Adam7 scatter."""
     import struct
@@ -887,12 +923,14 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
                 ">IIBBBBB", data
             )
             if (
-                (depth, comp, filt) != (8, 0, 0)
+                (comp, filt) != (0, 0)
                 or ctype not in (0, 2, 3, 4, 6)
                 or inter not in (0, 1)
+                or depth not in (8, 16)
+                or (ctype == 3 and depth != 8)
             ):
                 raise NotImplementedError(
-                    "only 8-bit PNG (gray/truecolor/palette, with or "
+                    "only 8/16-bit PNG (gray/truecolor/palette, with or "
                     "without alpha, sequential or Adam7) is decodable "
                     "without external codecs"
                 )
@@ -913,7 +951,8 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
     if ctype == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    bpp = _PNG_BPP[ctype]
+    sw = depth // 8  # bytes per sample; filters still operate on BYTES
+    bpp = _PNG_BPP[ctype] * sw
     stride = width * bpp
     if inter == 0:
         if len(raw) != (stride + 1) * height:
@@ -942,11 +981,14 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
         lines = [bytes(r) for r in canvas]
     sr = sg = sb = 0
     for line in lines:
+        # big-endian samples: the byte at each sample's offset 0 is the
+        # high byte, i.e. the standard 16→8 truncation — so indexing at
+        # channel*sw reads the 8-bit value for BOTH depths
         if ctype in (2, 6):  # RGB / RGBA — alpha excluded from means
             for x in range(0, stride, bpp):
                 sr += line[x]
-                sg += line[x + 1]
-                sb += line[x + 2]
+                sg += line[x + sw]
+                sb += line[x + 2 * sw]
         elif ctype in (0, 4):  # gray / gray+alpha
             for x in range(0, stride, bpp):
                 v = line[x]

@@ -1005,11 +1005,11 @@ def test_png_pack_decode_round_trip_and_guards():
         assert d["mean_rgb"] == c["mean_rgb"]
     with pytest.raises(NotImplementedError):
         real_png_decode(b"BM not a png")
-    # 16-bit depth must refuse, not mis-decode
+    # sub-byte depth (4-bit) must refuse, not mis-decode
     deep = bytearray(_pack_png(2, 2, [[(1, 1, 1)] * 2] * 2))
     # IHDR data starts at 8 (sig) + 8 (len+type); bit depth is byte 8 of IHDR
     ihdr_off = 16
-    deep[ihdr_off + 8] = 16
+    deep[ihdr_off + 8] = 4
     # fix the CRC so the guard hit is the depth, not the checksum
     import zlib
 
@@ -1017,6 +1017,20 @@ def test_png_pack_decode_round_trip_and_guards():
     deep[16 + 13 : 16 + 17] = struct.pack(">I", crc)
     with pytest.raises(NotImplementedError):
         real_png_decode(bytes(deep))
+    # 16-bit decodes: means use each sample's HIGH byte, so a 16-bit
+    # packing of v<<8 matches the 8-bit packing of v exactly
+    w16, h16 = 5, 4
+    r8 = [[((x * 11 + y) % 256, (x + y * 13) % 256, (x * 5 + y * 9) % 256)
+           for x in range(w16)] for y in range(h16)]
+    r16 = [[(p[0] << 8, p[1] << 8, p[2] << 8) for p in row] for row in r8]
+    d16 = real_png_decode(_pack_png(w16, h16, r16, depth=16))
+    d8 = real_png_decode(_pack_png(w16, h16, r8))
+    assert d16["mean_rgb"] == d8["mean_rgb"]
+    # 16-bit palette is spec-invalid -> refuse
+    with pytest.raises(NotImplementedError):
+        real_png_decode(
+            _pack_png(2, 1, [[0, 0]], ctype=3, palette=[(1, 2, 3)], depth=16)
+        )
     # alpha variants genuinely decode; alpha is excluded from the means
     # but participates in the defiltering stride — compare against the
     # same color data packed WITHOUT alpha
