@@ -582,13 +582,23 @@ def _pack_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    sw = depth // 8
-    bpp = _PNG_BPP[ctype] * sw
+    sub = depth < 8
+    bpp = 1 if sub else _PNG_BPP[ctype] * (depth // 8)
     if ctype in (2, 4, 6):
         flat_rows = [[v for px in row for v in px] for row in rows]
     else:
         flat_rows = [list(row) for row in rows]
-    if sw == 1:
+    def bitpack(r: list[int]) -> bytes:
+        # MSB-first bit packing, scanlines padded to whole bytes
+        acc = bytearray((len(r) * depth + 7) // 8)
+        for i, v in enumerate(r):
+            bit = i * depth
+            acc[bit >> 3] |= v << (8 - depth - (bit & 7))
+        return bytes(acc)
+
+    if sub:
+        byte_rows = [bitpack(r) for r in flat_rows]
+    elif depth == 8:
         byte_rows = [bytes(r) for r in flat_rows]
     else:
         byte_rows = [
@@ -632,14 +642,22 @@ def _pack_png(
 
     if interlace:
         for xoff, yoff, xstep, ystep in _PNG_ADAM7:
-            sub = [
-                b"".join(
-                    byte_rows[y][x * bpp : (x + 1) * bpp]
-                    for x in range(xoff, width, xstep)
-                )
-                for y in range(yoff, height, ystep)
-            ]
-            filt_image([s for s in sub if s])
+            if sub:  # sample-level pass rows, re-bit-packed per pass
+                prows = [
+                    bitpack(
+                        [flat_rows[y][x] for x in range(xoff, width, xstep)]
+                    )
+                    for y in range(yoff, height, ystep)
+                ]
+            else:
+                prows = [
+                    b"".join(
+                        byte_rows[y][x * bpp : (x + 1) * bpp]
+                        for x in range(xoff, width, xstep)
+                    )
+                    for y in range(yoff, height, ystep)
+                ]
+            filt_image([s for s in prows if s])
     else:
         filt_image(byte_rows)
     ihdr = struct.pack(
@@ -805,6 +823,37 @@ def png_fixture_images(n_images: int = 8) -> list[dict]:
                  for row in drows for p in row],
             )
         )
+    # sub-byte depths (700+): 4-bit palette, 1-bit gray, and 2-bit gray
+    # packed Adam7 — bit-level scanline packing with the gray samples
+    # scaled ·255/(2^d−1) in the expectations (exact: 1,3,15 divide 255)
+    sub_pal = [(k * 53 % 256, k * 97 % 256, k * 29 % 256) for k in range(16)]
+    for j, (depth, ctype, inter) in enumerate(
+        ((4, 3, False), (1, 0, False), (2, 0, True))
+    ):
+        w, h = 11 + j, 6 + j
+        mx = 1 << depth
+        rows = [
+            [(j * 5 + x * 3 + y * 7 + 1) % mx for x in range(w)]
+            for y in range(h)
+        ]
+        if ctype == 0:
+            gs = 255 // (mx - 1)
+            flat = [(v * gs, v * gs, v * gs) for row in rows for v in row]
+        else:
+            flat = [sub_pal[v] for row in rows for v in row]
+        out.append(
+            entry(
+                700 + j,
+                _pack_png(
+                    w, h, rows, ctype=ctype,
+                    palette=sub_pal[:mx] if ctype == 3 else None,
+                    interlace=inter, depth=depth,
+                ),
+                w,
+                h,
+                flat,
+            )
+        )
     # Adam7 interlaced truecolor (odd geometries so several passes are
     # partially or fully empty)
     for j in range(min(n_images, 3)):
@@ -844,13 +893,15 @@ _PNG_ADAM7 = (
 
 
 def _png_defilter(
-    raw: bytes, off: int, width: int, height: int, bpp: int
+    raw: bytes, off: int, stride: int, height: int, bpp: int
 ) -> tuple[list[bytes], int]:
     """Defilter one (sub-)image of scanlines starting at ``off``:
     five-filter reconstruction per the PNG spec §9, prior-line state
     scoped to this image (each Adam7 pass filters against its own
-    previous scanline). Returns the decoded lines and the new offset."""
-    stride = width * bpp
+    previous scanline). ``stride`` is the scanline byte width (for
+    sub-byte depths that's ceil(width·depth/8), not width·bpp) and
+    ``bpp`` the filter delta distance (min 1 byte per spec §9.2).
+    Returns the decoded lines and the new offset."""
     prior = bytes(stride)
     lines: list[bytes] = []
     for _y in range(height):
@@ -896,10 +947,12 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
     the replicated gray value), palette (3 — indices resolved through
     the PLTE chunk), and the alpha variants (6 RGBA / 4 gray+alpha —
     alpha participates in defiltering strides but is excluded from the
-    channel means), at depth 8 or 16 (big-endian samples; the means use
-    each sample's high byte, the standard 16→8 truncation); sub-byte
-    depths (1/2/4-bit) still raise, and JPEG/MP3 genuinely need
-    external codecs. ``with_pixels`` additionally returns the
+    channel means), at EVERY legal bit depth: 8, 16 (big-endian
+    samples; means use each sample's high byte, the standard 16→8
+    truncation) and the sub-byte 1/2/4 (MSB-first bit-packed samples,
+    gray scaled ·255/(2^d−1) — exact, those factors divide 255). That
+    is the complete PNG §11.2.2 static matrix; only JPEG/MP3-class
+    formats genuinely need external codecs. ``with_pixels`` returns the
     row-major channel bytes — means are permutation-invariant, so tests
     use the exact layout to certify the Adam7 scatter."""
     import struct
@@ -922,17 +975,22 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
             width, height, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
+            legal = {  # PNG spec §11.2.2 depth/color-type combinations
+                0: (1, 2, 4, 8, 16),
+                2: (8, 16),
+                3: (1, 2, 4, 8),
+                4: (8, 16),
+                6: (8, 16),
+            }
             if (
                 (comp, filt) != (0, 0)
-                or ctype not in (0, 2, 3, 4, 6)
                 or inter not in (0, 1)
-                or depth not in (8, 16)
-                or (ctype == 3 and depth != 8)
+                or ctype not in legal
+                or depth not in legal[ctype]
             ):
                 raise NotImplementedError(
-                    "only 8/16-bit PNG (gray/truecolor/palette, with or "
-                    "without alpha, sequential or Adam7) is decodable "
-                    "without external codecs"
+                    "illegal or unsupported PNG depth/color-type/"
+                    "interlace combination"
                 )
         elif typ == b"PLTE":
             if length % 3 != 0:
@@ -951,47 +1009,69 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
     if ctype == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    sw = depth // 8  # bytes per sample; filters still operate on BYTES
-    bpp = _PNG_BPP[ctype] * sw
-    stride = width * bpp
+    sub = depth < 8  # 1/2/4-bit: single-channel (ctype 0/3), bit-packed
+    sw = max(1, depth // 8)  # bytes per sample once expanded
+    bpp = 1 if sub else _PNG_BPP[ctype] * sw  # filter delta, min 1 byte
+
+    def nbytes(npx: int) -> int:
+        return (npx * depth + 7) // 8 if sub else npx * bpp
+
+    def expand(line: bytes, npx: int) -> bytes:
+        # unpack MSB-first sub-byte samples to one byte each (spec §7.2)
+        mask = (1 << depth) - 1
+        out = bytearray(npx)
+        for i in range(npx):
+            bit = i * depth
+            out[i] = (line[bit >> 3] >> (8 - depth - (bit & 7))) & mask
+        return bytes(out)
+
+    pb = 1 if sub else bpp  # bytes per pixel AFTER expansion
     if inter == 0:
-        if len(raw) != (stride + 1) * height:
+        if len(raw) != (nbytes(width) + 1) * height:
             raise ValueError("PNG scanline data length mismatch")
-        lines, off = _png_defilter(raw, 0, width, height, bpp)
+        lines, off = _png_defilter(raw, 0, nbytes(width), height, bpp)
+        if sub:
+            lines = [expand(ln, width) for ln in lines]
     else:  # Adam7: seven per-pass sub-images, each defiltered on its
         # own prior scanline, scattered back onto the canvas
-        canvas = [bytearray(stride) for _ in range(height)]
+        canvas = [bytearray(width * pb) for _ in range(height)]
         off = 0
         for xoff, yoff, xstep, ystep in _PNG_ADAM7:
             wp = (width - xoff + xstep - 1) // xstep
             hp = (height - yoff + ystep - 1) // ystep
             if wp <= 0 or hp <= 0:
                 continue
-            plines, off = _png_defilter(raw, off, wp, hp, bpp)
+            plines, off = _png_defilter(raw, off, nbytes(wp), hp, bpp)
+            if sub:
+                plines = [expand(pl, wp) for pl in plines]
             for j, pline in enumerate(plines):
                 y = yoff + j * ystep
                 row = canvas[y]
                 for i in range(wp):
                     x = xoff + i * xstep
-                    row[x * bpp : (x + 1) * bpp] = pline[
-                        i * bpp : (i + 1) * bpp
+                    row[x * pb : (x + 1) * pb] = pline[
+                        i * pb : (i + 1) * pb
                     ]
         if off != len(raw):
             raise ValueError("PNG scanline data length mismatch")
         lines = [bytes(r) for r in canvas]
+    stride = width * pb
+    # sub-byte gray scales to 8-bit exactly: 2^d−1 divides 255 for
+    # d ∈ {1,2,4} (factors 255, 85, 17)
+    gray_scale = 255 // ((1 << depth) - 1) if (sub and ctype == 0) else 1
     sr = sg = sb = 0
     for line in lines:
         # big-endian samples: the byte at each sample's offset 0 is the
         # high byte, i.e. the standard 16→8 truncation — so indexing at
         # channel*sw reads the 8-bit value for BOTH depths
         if ctype in (2, 6):  # RGB / RGBA — alpha excluded from means
-            for x in range(0, stride, bpp):
+            for x in range(0, stride, pb):
                 sr += line[x]
                 sg += line[x + sw]
                 sb += line[x + 2 * sw]
         elif ctype in (0, 4):  # gray / gray+alpha
-            for x in range(0, stride, bpp):
-                v = line[x]
+            for x in range(0, stride, pb):
+                v = line[x] * gray_scale
                 sr += v
                 sg += v
                 sb += v

@@ -1031,6 +1031,23 @@ def test_png_pack_decode_round_trip_and_guards():
         real_png_decode(
             _pack_png(2, 1, [[0, 0]], ctype=3, palette=[(1, 2, 3)], depth=16)
         )
+    # sub-byte: 2-bit gray Adam7 round-trips pixel-exactly against the
+    # sequential packing, and the gray scale is exact (85 = 255/3)
+    w2, h2 = 9, 7
+    g2 = [[(x + y) % 4 for x in range(w2)] for y in range(h2)]
+    d2i = real_png_decode(
+        _pack_png(w2, h2, g2, ctype=0, interlace=True, depth=2),
+        with_pixels=True,
+    )
+    d2s = real_png_decode(
+        _pack_png(w2, h2, g2, ctype=0, depth=2), with_pixels=True
+    )
+    assert d2i["pixels"] == d2s["pixels"] == bytes(
+        v for row in g2 for v in row
+    )
+    flat2 = [v * 85 for row in g2 for v in row]
+    m = sum(flat2) // len(flat2)
+    assert d2s["mean_rgb"] == m * 65536 + m * 256 + m
     # alpha variants genuinely decode; alpha is excluded from the means
     # but participates in the defiltering stride — compare against the
     # same color data packed WITHOUT alpha
