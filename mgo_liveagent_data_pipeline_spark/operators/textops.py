@@ -876,6 +876,182 @@ def dsir_gumbel_topk(
     ).withColumn("sel_rank", F.row_number().over(w).cast("long"))
 
 
+# Toy BPE merge table derived from PUBLIC English frequency statistics
+# (the EN_BIGRAMS profile above plus the most common affixes), rank =
+# position. A production deployment loads its tokenizer's published
+# merges (GPT-2's vocab.bpe is public); the apply algorithm is identical.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("t", "i"), ("e", "s"), ("o", "f"), ("i", "s"),
+    ("i", "t"), ("a", "l"), ("a", "r"), ("in", "g"), ("e", "d"),
+)
+
+
+def bpe_apply_word(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Segment one word with trained BPE merges: repeatedly merge the
+    LEFTMOST occurrence of the LOWEST-RANK adjacent pair until no pair
+    is in the table — single-occurrence steps are equivalent to the
+    classic merge-all-occurrences formulation (after merging the
+    leftmost occurrence the same pair stays lowest-ranked until its
+    remaining occurrences are consumed) and mirror the oracle's
+    recursive CTE step exactly."""
+    seg = list(word)
+    while len(seg) >= 2:
+        best = None
+        for i in range(len(seg) - 1):
+            r = ranks.get((seg[i], seg[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, i)
+        if best is None:
+            break
+        i = best[1]
+        seg[i : i + 2] = [seg[i] + seg[i + 1]]
+    return seg
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """BPE tokenization over the corpus (Sennrich et al. 2016): apply a
+    trained merge table to every document and publish the real subword
+    token count beside the word count — the budget number every
+    training-data decision (mixtures, shard packing, contract pricing)
+    actually runs on, where ``token_counts`` only approximates.
+
+    The merge application is a genuinely iterative per-word algorithm,
+    so it crosses to Python ONCE via Arrow-batched mapInPandas (the same
+    boundary production tokenizers occupy) with per-batch word
+    memoization; the plan stays a narrow scan projection — no shuffle,
+    no collect. Words are lowercased whitespace tokens, merges are
+    word-internal (no end-of-word sentinel — that's a constructor flag
+    in real tokenizers, orthogonal to the plan shape)."""
+    import pandas as pd
+
+    from ..session import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = (
+        f"{key_col} long, n_words long, n_bpe_tokens long"
+    )
+
+    def run(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            keys, nw, nb = [], [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                words = (
+                    str(text).lower().split() if text is not None else []
+                )
+                total = 0
+                for w in words:
+                    n = memo.get(w)
+                    if n is None:
+                        n = len(bpe_apply_word(w, ranks))
+                        memo[w] = n
+                    total += n
+                keys.append(key)
+                nw.append(len(words))
+                nb.append(total)
+            yield pd.DataFrame(
+                {key_col: keys, "n_words": nw, "n_bpe_tokens": nb}
+            )
+
+    return df.select(key_col, text_col).mapInPandas(run, out_schema)
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> list[tuple[str, str, int]]:
+    """Learn a BPE merge table FROM the corpus (Sennrich et al. 2016,
+    algorithm 1) with Spark doing the counting: the corpus is scanned
+    ONCE into a (word, count) relation — bounded by the distinct-word
+    vocabulary, orders of magnitude smaller than the corpus — and each
+    merge round runs two tiny jobs over that persisted relation: a
+    weighted adjacent-pair count (explode + one hash agg) and a 1-row
+    argmax collect, then a narrow fold applies the winning merge to
+    every word's segmentation. Ties break deterministically
+    (count desc, pair lexicographic). Returns [(a, b, count), ...] in
+    merge order — the driver-side result IS the model, like the trained
+    weights every scorer here broadcasts.
+
+    At 100 TB: the corpus-wide work is the single word-count agg
+    (map-side combined); the loop never touches the corpus again. Real
+    tokenizer training samples the corpus first — compose with
+    ``stratified_hash_sample``."""
+    from .dedup import _scoped_persist, release_intermediates
+
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("word"))),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    words = _scoped_persist(
+        df.select(
+            F.explode(_clean_tokens(text_col)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", "cnt", chars.alias("s"))
+    )
+    merges: list[tuple[str, str, int]] = []
+    cur = words
+    for _round in range(num_merges):
+        pairs = cur.select(
+            "cnt",
+            F.explode(
+                F.when(
+                    F.size("s") >= 2,
+                    F.arrays_zip(
+                        F.slice(F.col("s"), 1, F.size("s") - 1).alias("a"),
+                        F.slice(F.col("s"), 2, F.size("s") - 1).alias("b"),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        ab = a + b
+        merged = F.aggregate(
+            F.col("s"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a)
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = _scoped_persist(cur.select("word", "cnt", merged.alias("s")))
+        nxt.count()  # materialize before unpersisting the parent
+        cur.unpersist()
+        cur = nxt
+    release_intermediates()
+    return merges
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

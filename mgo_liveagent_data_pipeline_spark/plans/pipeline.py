@@ -901,6 +901,22 @@ def q_text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_gumbel_topk(scored, DSIR_TOPK)
 
 
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization (operators/textops.py:bpe_encode): every
+    document segmented with the fixed public-statistics merge table
+    (textops.BPE_MERGES), publishing real subword counts beside word
+    counts. The oracle replays the identical leftmost-lowest-rank merge
+    loop as a DuckDB recursive CTE over the distinct-word vocabulary.
+    Driver-visible via the ``bpe`` mode of ``text_corpus_stats``;
+    the TRAINING loop (textops.bpe_train) is pinned in pytest to the
+    published Sennrich walk-through instead (iterative — not
+    SQL-expressible)."""
+    from ..operators.textops import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs)
+
+
 def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text retrieval (operators/textops.py:bm25_topk): top-15
     documents for the query ``hash join vector`` — rational-idf BM25 over
@@ -957,6 +973,7 @@ QUERIES = {
     "text_lm_perplexity": q_text_lm_perplexity,
     "text_dsir_weight": q_text_dsir_weight,
     "text_dsir_resample": q_text_dsir_resample,
+    "text_bpe_encode": q_text_bpe_encode,
     "text_paragraph_dedup": q_text_paragraph_dedup,
     "text_decontaminate": q_text_decontaminate,
     "text_fuzzy_decontaminate": q_text_fuzzy_decontaminate,
@@ -1625,6 +1642,61 @@ def _curation_sql() -> str:
     """
 
 
+def _bpe_sql() -> str:
+    """DuckDB twin of bpe_encode: the identical leftmost-lowest-rank
+    merge loop as a recursive CTE over the DISTINCT-word vocabulary
+    (each step merges one pair, terminating when no adjacent pair is in
+    the table — single-occurrence steps are equivalent to merge-all,
+    see textops.bpe_apply_word), with the merge table inlined as a CASE
+    from the same textops.BPE_MERGES constant the Spark side uses."""
+    from ..operators.textops import BPE_MERGES
+
+    case = " ".join(
+        f"WHEN s[i] = '{a}' AND s[i+1] = '{b}' THEN {r}"
+        for r, (a, b) in enumerate(BPE_MERGES, start=1)
+    )
+    ranks = (
+        f"list_transform(range(1, len(s)), i -> CASE {case} "
+        "ELSE 999999 END)"
+    )
+    return rf"""
+        WITH RECURSIVE
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        occ AS (SELECT doc_id, unnest(tk) AS word FROM toks),
+        w AS (SELECT DISTINCT word FROM occ),
+        seg AS (
+          SELECT word,
+                 list_transform(range(1, length(word) + 1),
+                                i -> word[i:i]) AS s
+          FROM w
+          UNION ALL
+          SELECT word, s[1:p - 1] || [s[p] || s[p + 1]] || s[p + 2:len(s)]
+          FROM (
+            SELECT word, s,
+                   list_position(r, list_min(r)) AS p,
+                   list_min(r) AS rmin
+            FROM (SELECT word, s, {ranks} AS r FROM seg) q
+            WHERE len(s) >= 2) q2
+          WHERE rmin < 999999),
+        fin AS (
+          SELECT word, len(s) AS nseg FROM seg
+          WHERE len(s) < 2
+             OR COALESCE(list_min({ranks}), 999999) = 999999),
+        sc AS (
+          SELECT occ.doc_id, count(*) AS nw, sum(f.nseg) AS nb
+          FROM occ JOIN fin f USING (word)
+          GROUP BY occ.doc_id)
+        SELECT t.doc_id,
+               CAST(COALESCE(sc.nw, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bpe_tokens
+        FROM toks t LEFT JOIN sc USING (doc_id)
+    """
+
+
 # DSIR weighting SQL, shared by the text_dsir_weight oracle and the
 # resample oracle that wraps it
 _DSIR_SQL = r"""
@@ -2243,6 +2315,9 @@ ORACLES: dict[str, str] = {
     # λ = round(1000·(ln p̂_target − ln p̂_raw)) over hashed
     # unigram+bigram features; exact integer per-doc sums
     "text_dsir_weight": _DSIR_SQL,
+    # BPE tokenization: the merge loop as a recursive CTE over the
+    # distinct-word vocabulary, merge table inlined from BPE_MERGES
+    "text_bpe_encode": _bpe_sql(),
     # DSIR Gumbel-top-k selection: deterministic md5-uniform →
     # −ln(−ln u) Gumbel in integer milli-nats added to the weight,
     # top-50 without replacement

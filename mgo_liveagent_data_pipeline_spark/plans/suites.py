@@ -425,9 +425,12 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CCNet-style bigram-LM perplexity buckets,
     operators/textops.py:lm_perplexity_score), ``dsir`` rows
     (DSIR hashed-n-gram importance weights,
-    operators/textops.py:dsir_importance_weight) and ``dsirsel`` rows
+    operators/textops.py:dsir_importance_weight), ``dsirsel`` rows
     (the deterministic Gumbel-top-k resampling step,
-    operators/textops.py:dsir_gumbel_topk)."""
+    operators/textops.py:dsir_gumbel_topk) and ``bpe`` rows (real
+    subword token counts from BPE merge application,
+    operators/textops.py:bpe_encode — the suite's one Arrow-batched
+    Python crossing, matching where production tokenizers live)."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -572,6 +575,13 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         F.col("sel_rank").alias("n"),
     )
+    bpe = pipeline.q_text_bpe_encode(spark, sf_dir).select(
+        F.lit("bpe").alias("mode"),
+        F.col("n_words").cast("string").alias("key_s"),
+        F.col("doc_id").alias("key_n"),
+        _null("double").alias("metric"),
+        F.col("n_bpe_tokens").alias("n"),
+    )
     return (
         tfidf.unionByName(sample)
         .unionByName(rep_tok)
@@ -591,6 +601,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ppl)
         .unionByName(dsir)
         .unionByName(dsirsel)
+        .unionByName(bpe)
     )
 
 
@@ -1528,6 +1539,13 @@ ORACLES: dict[str, str] = {
             "'dsirsel' AS mode, CAST(sel_milli AS VARCHAR) AS key_s, "
             "doc_id AS key_n, CAST(NULL AS DOUBLE) AS metric, "
             "sel_rank AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_bpe_encode"],
+            "'bpe' AS mode, CAST(n_words AS VARCHAR) AS key_s, "
+            "doc_id AS key_n, CAST(NULL AS DOUBLE) AS metric, "
+            "n_bpe_tokens AS n",
         )
     ),
     "f11_f12_schedule_safecast": """

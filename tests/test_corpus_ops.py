@@ -1629,3 +1629,42 @@ def test_codec_fuzz_failure_surface():
                 fn(bytes(p))
             except (ValueError, NotImplementedError):
                 pass  # the clean failure surface — or a lucky decode
+
+
+def test_bpe_train_matches_published_walkthrough(spark):
+    """bpe_train reproduces the Sennrich et al. 2016 walk-through on
+    the paper's corpus: (e,s) then (es,t) learned first (deterministic
+    lexicographic tie-break at count 9), and bpe_apply_word segments
+    with the learned table exactly."""
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        bpe_apply_word,
+        bpe_encode,
+        bpe_train,
+    )
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    merges = bpe_train(df, 4)
+    assert [(a, b) for a, b, _ in merges] == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")
+    ]
+    assert merges[0][2] == 9 and merges[1][2] == 9
+
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    assert bpe_apply_word("newest", ranks) == ["n", "e", "w", "est"]
+    assert bpe_apply_word("low", ranks) == ["low"]
+    assert bpe_apply_word("x", ranks) == ["x"]
+    # overlap semantics: leftmost-first, non-overlapping
+    assert bpe_apply_word("aaa", {("a", "a"): 0}) == ["aa", "a"]
+
+    # encode over the trained table: 5*1 + 2*3 + 6*4 + 3*4 = 47 subwords
+    out = bpe_encode(df, tuple((a, b) for a, b, _ in merges)).collect()
+    assert (out[0]["n_words"], out[0]["n_bpe_tokens"]) == (16, 47)
+    # empty / NULL text rows survive with zero counts
+    edge = spark.createDataFrame(
+        [(2, ""), (3, None)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in bpe_encode(edge).collect()}
+    assert rows[2]["n_bpe_tokens"] == 0 and rows[3]["n_words"] == 0
