@@ -329,6 +329,13 @@ def main() -> None:
             df, df.where(F.col("lang") == "en"), 4096
         )
 
+    def bpe(df):
+        from mgo_liveagent_data_pipeline_spark.operators.textops import (
+            bpe_encode,
+        )
+
+        return bpe_encode(df)
+
     def urls(df):
         dk = F.col("doc_id")
         fixture = df.select(
@@ -471,6 +478,7 @@ def main() -> None:
         "qmodel_score": (qmodel, docs_1x, docs_nx),
         "lm_perplexity": (lm_ppl, docs_1x, docs_nx),
         "dsir_weight": (dsir, docs_1x, docs_nx),
+        "bpe_encode": (bpe, docs_1x, docs_nx),
         "dedup_apply_rewrite": (dedup_apply_case, docs_1x, docs_nx),
         "encoded_near_dup": (enc_near_dup, docs_1x, docs_nx),
         "curation_pipeline": (curation_case, docs_1x, docs_nx),
