@@ -537,15 +537,18 @@ def simhash_near_dup(
 
 
 def derive_block_cap(
-    sizes: list[int], max_pairs_budget: int
+    sizes: "list[int] | list[tuple[int, int]]", max_pairs_budget: int
 ) -> tuple[int, int, int]:
     """Turn a pair budget into a block-size cap — the codification of the
     64× blocked-Jaccard cliff (DESIGN.md: blocks sitting just under a
     fixed 10k cap ran Σ|block|² ≈ 512M pairs and spilled >79 GB; a fixed
     cap bounds the PER-BLOCK cost, never the TOTAL).
 
-    ``sizes`` is the measured block-size distribution (one entry per
-    block). Returns ``(cap, kept_pairs, refused_pairs)`` where ``cap`` is
+    ``sizes`` is the measured block-size distribution — either one bare
+    int per block or ``(size, n_blocks)`` histogram pairs (so callers can
+    pass the collected O(#distinct sizes) aggregate without expanding it
+    to one entry per block). Returns ``(cap, kept_pairs, refused_pairs)``
+    where ``cap`` is
     the LARGEST block size such that keeping every block of size ≤ cap
     stays within ``max_pairs_budget`` candidate pairs (Σ n·(n−1)/2 over
     kept blocks). Blocks above the cap are refused whole — the same
@@ -560,8 +563,9 @@ def derive_block_cap(
     if max_pairs_budget < 0:
         raise ValueError("max_pairs_budget must be >= 0")
     hist: dict[int, int] = {}
-    for n in sizes:
-        hist[n] = hist.get(n, 0) + 1
+    for entry in sizes:
+        n, c = entry if isinstance(entry, tuple) else (entry, 1)
+        hist[n] = hist.get(n, 0) + c
     total = sum(n * (n - 1) // 2 * c for n, c in hist.items())
     cap = 0
     kept = 0
@@ -583,10 +587,9 @@ def _budgeted_cap(
     hist = block_sizes.groupBy(F.col("bn")).agg(
         F.count(F.lit(1)).alias("nb")
     ).collect()
-    sizes: list[int] = []
-    for r in hist:
-        sizes.extend([r["bn"]] * r["nb"])
-    cap, kept, refused = derive_block_cap(sizes, max_pairs_budget)
+    cap, kept, refused = derive_block_cap(
+        [(int(r["bn"]), int(r["nb"])) for r in hist], max_pairs_budget
+    )
     if refused > 0:
         logging.getLogger(__name__).warning(
             "%s: pair budget %d -> block cap %d; keeping %d candidate "

@@ -1314,6 +1314,13 @@ def real_gif_decode(payload: bytes, with_pixels: bool = False) -> dict:
             "<HHHHB", payload, pos + 1
         )
         pos += 10
+        # the channel means summarize the LOGICAL SCREEN; a frame that is
+        # offset or smaller than it composites onto a background this
+        # single-frame decoder doesn't model — refuse rather than misdecode
+        if _l != 0 or _t != 0 or width != sw or height != sh:
+            raise NotImplementedError(
+                "GIF frame offset/smaller than logical screen"
+            )
         palette = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -1332,6 +1339,19 @@ def real_gif_decode(payload: bytes, with_pixels: bool = False) -> dict:
             ln = payload[pos]
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        pos += 1  # past the frame's sub-block terminator
+        # drain trailing extensions, then REQUIRE the 0x3B trailer: an
+        # animated GIF's second image descriptor must refuse (frame 1
+        # alone would silently mis-summarize the animation)
+        while payload[pos] == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        if payload[pos] == 0x2C:
+            raise NotImplementedError("multi-frame (animated) GIF")
+        if payload[pos] != 0x3B:
+            raise ValueError("GIF trailer not found")
     except IndexError as e:
         raise ValueError("truncated GIF stream") from e
 
@@ -1703,6 +1723,13 @@ def real_jpeg_decode(payload: bytes) -> dict:
             break
     if not comps or not segments or not segments[0]:
         raise ValueError("JPEG missing SOF/scan data")
+    if len(scan_comps) != len(comps):
+        # a legal non-interleaved multi-scan baseline stream (SOS carries
+        # fewer components than SOF) — unsupported, not corrupt: refuse
+        # honestly instead of KeyError-ing into 'corrupt JPEG stream'
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline JPEG"
+        )
     if len(segments) > 1 and restart_interval == 0:
         raise ValueError(
             "RST markers present but no DRI restart interval declared"

@@ -2209,7 +2209,8 @@ ORACLES: dict[str, str] = {
           SELECT lang, doc_id,
                  length(list_filter(string_split_regex(trim(text), '\s+'),
                                     x -> x <> '')) AS nt
-          FROM documents),
+          FROM documents
+          WHERE lang IS NOT NULL),
         cur AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS c
                 FROM d GROUP BY lang),
         p AS (

@@ -438,6 +438,12 @@ def test_derive_block_cap_respects_budget_and_is_maximal(sizes, budget):
     if bigger:
         nxt = bigger[0]
         assert sum(pairs(n) for n in sizes if n <= nxt) > budget
+    # histogram form ((size, count) pairs) is the same fold — the shape
+    # _budgeted_cap passes straight from its collected aggregate
+    from collections import Counter
+
+    hist = sorted(Counter(sizes).items())
+    assert derive_block_cap(hist, budget) == (cap, kept, refused)
 
 
 def test_ngram_pairs_budget_caps_adversarial_blocks(spark):
