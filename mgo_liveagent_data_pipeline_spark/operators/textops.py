@@ -357,6 +357,7 @@ def mixture_sample(
     budget_tokens: int,
     text_col: str = "text",
     key_col: str = "doc_id",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Domain-mixture resampling: downsample each domain so the kept
     corpus approaches a TARGET token mixture (``weights``, normalized
@@ -378,13 +379,25 @@ def mixture_sample(
     filter fused into the scan projection. Returns the kept rows plus
     ``accept_rate`` and the per-doc ``n_tokens`` already computed for
     the totals (so callers don't re-tokenize to report budgets).
+
+    ``token_count_col`` swaps the budget unit: when given, per-doc
+    counts come from that column (e.g. ``bpe_encode``'s real subword
+    ``n_bpe_tokens``) instead of the whitespace tokenizer — training
+    budgets are contracted in tokenizer tokens, and whitespace counts
+    diverge from them severalfold (8× measured on the bench corpus), so
+    a whitespace-budgeted mixture systematically misallocates. The plan
+    is unchanged: the column rides the same scan, no extra pass.
     """
     from .dedup import _scoped_persist
 
     total_w = sum(weights.values())
-    n_tokens = F.size(
-        F.filter(_tokens(F.col(text_col)), lambda x: x != F.lit(""))
-    ).cast("long")
+    n_tokens = (
+        F.col(token_count_col).cast("long")
+        if token_count_col is not None
+        else F.size(
+            F.filter(_tokens(F.col(text_col)), lambda x: x != F.lit(""))
+        ).cast("long")
+    )
     # consumed twice (per-domain totals, then the accept filter) — persist
     # so the corpus is scanned and tokenized once (released via
     # dedup.release_intermediates, same as gap_fill_locf / bm25_topk)
@@ -917,6 +930,7 @@ def bpe_encode(
     merges: tuple[tuple[str, str], ...] = BPE_MERGES,
     text_col: str = "text",
     key_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """BPE tokenization over the corpus (Sennrich et al. 2016): apply a
     trained merge table to every document and publish the real subword
@@ -930,7 +944,12 @@ def bpe_encode(
     memoization; the plan stays a narrow scan projection — no shuffle,
     no collect. Words are lowercased whitespace tokens, merges are
     word-internal (no end-of-word sentinel — that's a constructor flag
-    in real tokenizers, orthogonal to the plan shape)."""
+    in real tokenizers, orthogonal to the plan shape).
+
+    ``carry_cols`` pass through the Python crossing verbatim (same Arrow
+    batch, no re-shuffle) — composed pipelines carry text/source/ledger
+    columns alongside the counts instead of joining them back on key,
+    which would shuffle the corpus a second time."""
     import pandas as pd
 
     from ..session import ship_package
@@ -938,8 +957,12 @@ def bpe_encode(
     spark = df.sparkSession
     ship_package(spark)
     ranks = {pair: i for i, pair in enumerate(merges)}
+    carry_ddl = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in df.select(*carry_cols).schema.fields
+    )
     out_schema = (
-        f"{key_col} long, n_words long, n_bpe_tokens long"
+        f"{key_col} long{carry_ddl}, n_words long, n_bpe_tokens long"
     )
 
     def run(batches):
@@ -960,11 +983,17 @@ def bpe_encode(
                 keys.append(key)
                 nw.append(len(words))
                 nb.append(total)
-            yield pd.DataFrame(
-                {key_col: keys, "n_words": nw, "n_bpe_tokens": nb}
-            )
+            out = {key_col: keys}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            out["n_words"] = nw
+            out["n_bpe_tokens"] = nb
+            yield pd.DataFrame(out)
 
-    return df.select(key_col, text_col).mapInPandas(run, out_schema)
+    cols = [key_col, text_col] + [
+        c for c in carry_cols if c not in (key_col, text_col)
+    ]
+    return df.select(*cols).mapInPandas(run, out_schema)
 
 
 def bpe_train(
@@ -1801,6 +1830,7 @@ def pack_shards(
     key_col: str = "doc_id",
     shard_tokens: int = 1000,
     block_size: int = 100,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Token-budget shard packing: assign documents (in deterministic
     ``key_col`` order) to consecutive training shards of ~``shard_tokens``
@@ -1820,12 +1850,22 @@ def pack_shards(
     only serial window then runs over 1e5 rows, not 1e10. Everything is
     deterministic (no sampling, no partition-id dependence).
 
+    ``token_count_col`` swaps the budget unit, same contract as
+    ``mixture_sample``: shards are sized in that column's counts (real
+    subword tokens from ``bpe_encode``) instead of whitespace tokens —
+    a "~1000-token shard" packed on whitespace counts is severalfold
+    over its contracted size in tokenizer tokens.
+
     Returns (key, n_tokens, shard_id).
     """
     from .dedup import _require_numeric
 
     _require_numeric(df, (key_col,), "pack_shards")
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    n_tokens = (
+        F.col(token_count_col).cast("long")
+        if token_count_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    )
     d = df.select(
         F.col(key_col).cast("long").alias("key"), n_tokens.alias("n_tokens")
     ).withColumn("block", (F.col("key") / F.lit(block_size)).cast("long"))

@@ -565,15 +565,28 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 1 — quality gate. qf carries (doc_id, n_tokens, keep): both
     # the ledger aggregates and the kept-key semi-join read it, so the
-    # rule expressions evaluate once.
+    # rule expressions evaluate once. The kept corpus additionally rides
+    # ONE bpe_encode crossing (text/source carried through the Arrow
+    # batch — no join back) so the ledger reports real subword counts
+    # (__bt) beside the whitespace counts budgets historically used.
+    from ..operators.textops import bpe_encode
+
     qf = _scoped_persist(quality_filter(train))
     c1 = _scoped_persist(
-        train.join(qf.where("keep").select("doc_id"), "doc_id", "left_semi")
+        bpe_encode(
+            train.join(
+                qf.where("keep").select("doc_id"), "doc_id", "left_semi"
+            ),
+            carry_cols=("text", "source"),
+        )
+        .withColumnRenamed("n_bpe_tokens", "__bt")
+        .drop("n_words")
     )
 
-    # stage 2 — paragraph dedup, rewritten text forward; recount tokens
-    # on the REWRITTEN text once and carry the count (__lt) through
-    # stages 3-4 so no later stage re-tokenizes for the ledger
+    # stage 2 — paragraph dedup, rewritten text forward; recount both
+    # units on the REWRITTEN text once (whitespace inline, subword via a
+    # second bpe_encode crossing) and carry (__lt, __bt) through stages
+    # 3-5 so no later stage re-tokenizes for the ledger
     para = paragraph_dedup(
         c1, "text", "doc_id", CURATION_SEG_WORDS, CURATION_MIN_SEG_DOCS,
         emit_text=True,
@@ -582,10 +595,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
     ).cast("long")
     c2 = _scoped_persist(
-        para.where(F.col("text") != "")
-        .select(F.col("key").alias("doc_id"), "text")
-        .join(c1.select("doc_id", "source"), "doc_id")
-        .withColumn("__lt", ntok)
+        bpe_encode(
+            para.where(F.col("text") != "")
+            .select(F.col("key").alias("doc_id"), "text")
+            .join(c1.select("doc_id", "source"), "doc_id")
+            .withColumn("__lt", ntok),
+            carry_cols=("text", "source", "__lt"),
+        )
+        .withColumnRenamed("n_bpe_tokens", "__bt")
+        .drop("n_words")
     )
 
     # stage 3 — near-dup canonicalization on the rewritten corpus
@@ -616,21 +634,30 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_tokens=CURATION_SHARD_TOKENS, block_size=100,
     )
 
-    def stats(df: DataFrame, tok_col: str) -> DataFrame:
+    def stats(df: DataFrame, tok_col: str, bpe_col: str) -> DataFrame:
         return df.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.coalesce(F.sum(tok_col), F.lit(0)).cast("long").alias("tok"),
+            F.coalesce(F.sum(bpe_col), F.lit(0)).cast("long").alias("bpe"),
         )
 
-    s_in = stats(qf, "n_tokens")
-    s1 = stats(qf.where("keep"), "n_tokens")
-    s2 = stats(c2, "__lt")
-    s3 = stats(c3, "__lt")
-    s4 = stats(c4, "__lt")
-    s5 = stats(c5, "__lt")
+    s_in = qf.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s1 = stats(
+        c1.withColumn("__lt", ntok), "__lt", "__bt"
+    )
+    s2 = stats(c2, "__lt", "__bt")
+    s3 = stats(c3, "__lt", "__bt")
+    s4 = stats(c4, "__lt", "__bt")
+    s5 = stats(c5, "__lt", "__bt")
+    # packing drops no documents, so the shard stage's token sums equal
+    # stage 5's — recomputed from packed/c5 as written (1-row aggs)
     s6 = packed.agg(
         F.countDistinct("shard_id").cast("long").alias("n"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tok"),
+    ).crossJoin(
+        c5.agg(
+            F.coalesce(F.sum("__bt"), F.lit(0)).cast("long").alias("bpe")
+        )
     )
     stages = [
         ("gate", s_in, s1), ("para", s1, s2), ("neardup", s2, s3),
@@ -645,6 +672,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cur.select(
                     F.col("n").alias("rows_out"),
                     F.col("tok").alias("tokens_out"),
+                    F.col("bpe").alias("bpe_tokens_out"),
                 )
             )
             .select(
@@ -653,6 +681,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rows_in",
                 "rows_out",
                 "tokens_out",
+                "bpe_tokens_out",
             )
         )
         ledger = row if ledger is None else ledger.unionByName(row)
@@ -667,7 +696,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     history_append(spark, ledger, base_dir, "curation_run")
     return spark.read.parquet(
         table_path(base_dir, "curation_run_history")
-    ).select("stage_no", "stage", "rows_in", "rows_out", "tokens_out")
+    ).select(
+        "stage_no", "stage", "rows_in", "rows_out", "tokens_out",
+        "bpe_tokens_out",
+    )
 
 
 def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1423,6 +1455,7 @@ def _curation_sql() -> str:
     jac = _JACCARD.format(a="sh_a", b="sh_b")
     sw = CURATION_SEG_WORDS
     dk = DECONTAM_NGRAM_K - 1
+    bpe_ctes = _bpe_seg_ctes("bv", "b")
     grams5 = (
         "list_distinct(list_transform("
         f"range(1, greatest(length(tk) - {dk}, 1) + 1),"
@@ -1497,6 +1530,19 @@ def _curation_sql() -> str:
         c1 AS MATERIALIZED (
           SELECT t.doc_id, t.text, t.source, q.n_tok AS nt
           FROM tr t JOIN qd q USING (doc_id) WHERE q.reasons = ''),
+        -- BPE subword counts (ledger bpe_tokens_out): segmentation over
+        -- c1's lowercased vocabulary — rewritten text (stage 2+) only
+        -- removes whole segments, so its words are a subset of c1's
+        occ1 AS MATERIALIZED (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(trim(lower(text)), '\\s+'),
+            x -> x <> '')) AS word
+          FROM c1),
+        bv AS (SELECT DISTINCT word FROM occ1),
+        {bpe_ctes},
+        bpe1 AS MATERIALIZED (
+          SELECT doc_id, sum(nseg) AS bt
+          FROM occ1 JOIN bfin USING (word) GROUP BY doc_id),
         -- stage 2: paragraph dedup, rewritten text (text_paragraph_dedup)
         pt AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
@@ -1529,6 +1575,13 @@ def _curation_sql() -> str:
                    x -> x <> '')) AS BIGINT) AS nt
           FROM c2t t JOIN c1 c USING (doc_id)
           WHERE t.text IS NOT NULL AND t.text <> ''),
+        bpe2 AS MATERIALIZED (
+          SELECT doc_id, sum(nseg) AS bt
+          FROM (SELECT doc_id, unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x <> '')) AS word
+                FROM c2x) o2
+          JOIN bfin USING (word) GROUP BY doc_id),
         -- stage 3: MinHash-LSH pairs over the REWRITTEN text (mirror of
         -- dedup_minhash_lsh), CC label walk, keep-one-per-cluster
         shingled AS (
@@ -1617,38 +1670,50 @@ def _curation_sql() -> str:
                (SELECT count(*) FROM tr) AS rows_in,
                (SELECT count(*) FROM c1) AS rows_out,
                (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c1)
-                 AS tokens_out
+                 AS tokens_out,
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe1)
+                 AS bpe_tokens_out
         UNION ALL
         SELECT 2, 'para', (SELECT count(*) FROM c1),
                (SELECT count(*) FROM c2x),
-               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c2x)
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c2x),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2)
         UNION ALL
         SELECT 3, 'neardup', (SELECT count(*) FROM c2x),
                (SELECT count(*) FROM c3),
-               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c3)
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c3),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2
+                WHERE doc_id IN (SELECT doc_id FROM c3))
         UNION ALL
         SELECT 4, 'decontam', (SELECT count(*) FROM c3),
                (SELECT count(*) FROM c4),
-               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c4)
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c4),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2
+                WHERE doc_id IN (SELECT doc_id FROM c4))
         UNION ALL
         SELECT 5, 'mixture', (SELECT count(*) FROM c4),
                (SELECT count(*) FROM c5),
-               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c5)
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c5),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2
+                WHERE doc_id IN (SELECT doc_id FROM c5))
         UNION ALL
         SELECT 6, 'shard', (SELECT count(*) FROM c5),
                (SELECT count(DISTINCT shard_id) FROM packed),
                (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
-                FROM packed)
+                FROM packed),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2
+                WHERE doc_id IN (SELECT doc_id FROM c5))
     """
 
 
-def _bpe_sql() -> str:
-    """DuckDB twin of bpe_encode: the identical leftmost-lowest-rank
-    merge loop as a recursive CTE over the DISTINCT-word vocabulary
-    (each step merges one pair, terminating when no adjacent pair is in
-    the table — single-occurrence steps are equivalent to merge-all,
-    see textops.bpe_apply_word), with the merge table inlined as a CASE
-    from the same textops.BPE_MERGES constant the Spark side uses."""
+def _bpe_seg_ctes(vocab_cte: str, prefix: str) -> str:
+    """CTE fragment replaying bpe_apply_word's leftmost-lowest-rank merge
+    loop as a recursive CTE over a vocabulary relation ``vocab_cte``
+    (one ``word`` column). Emits ``{prefix}seg`` (the merge states) and
+    ``{prefix}fin`` (terminal segmentations: word → nseg). The merge
+    table is inlined as a CASE from the same textops.BPE_MERGES constant
+    the Spark side uses; single-occurrence steps are equivalent to
+    merge-all, see textops.bpe_apply_word."""
     from ..operators.textops import BPE_MERGES
 
     case = " ".join(
@@ -1659,6 +1724,34 @@ def _bpe_sql() -> str:
         f"list_transform(range(1, len(s)), i -> CASE {case} "
         "ELSE 999999 END)"
     )
+    p = prefix
+    return f"""{p}seg AS (
+          SELECT word,
+                 list_transform(range(1, length(word) + 1),
+                                i -> word[i:i]) AS s
+          FROM {vocab_cte}
+          UNION ALL
+          SELECT word, s[1:p - 1] || [s[p] || s[p + 1]] || s[p + 2:len(s)]
+          FROM (
+            SELECT word, s,
+                   list_position(r, list_min(r)) AS p,
+                   list_min(r) AS rmin
+            FROM (SELECT word, s, {ranks} AS r FROM {p}seg) q
+            WHERE len(s) >= 2) q2
+          WHERE rmin < 999999),
+        {p}fin AS (
+          SELECT word, len(s) AS nseg FROM {p}seg
+          WHERE len(s) < 2
+             OR COALESCE(list_min({ranks}), 999999) = 999999)"""
+
+
+def _bpe_sql() -> str:
+    """DuckDB twin of bpe_encode: the identical leftmost-lowest-rank
+    merge loop as a recursive CTE over the DISTINCT-word vocabulary
+    (each step merges one pair, terminating when no adjacent pair is in
+    the table — single-occurrence steps are equivalent to merge-all,
+    see textops.bpe_apply_word), with the merge table inlined as a CASE
+    from the same textops.BPE_MERGES constant the Spark side uses."""
     return rf"""
         WITH RECURSIVE
         toks AS (
@@ -1668,24 +1761,7 @@ def _bpe_sql() -> str:
           FROM documents),
         occ AS (SELECT doc_id, unnest(tk) AS word FROM toks),
         w AS (SELECT DISTINCT word FROM occ),
-        seg AS (
-          SELECT word,
-                 list_transform(range(1, length(word) + 1),
-                                i -> word[i:i]) AS s
-          FROM w
-          UNION ALL
-          SELECT word, s[1:p - 1] || [s[p] || s[p + 1]] || s[p + 2:len(s)]
-          FROM (
-            SELECT word, s,
-                   list_position(r, list_min(r)) AS p,
-                   list_min(r) AS rmin
-            FROM (SELECT word, s, {ranks} AS r FROM seg) q
-            WHERE len(s) >= 2) q2
-          WHERE rmin < 999999),
-        fin AS (
-          SELECT word, len(s) AS nseg FROM seg
-          WHERE len(s) < 2
-             OR COALESCE(list_min({ranks}), 999999) = 999999),
+        {_bpe_seg_ctes("w", "")},
         sc AS (
           SELECT occ.doc_id, count(*) AS nw, sum(f.nseg) AS nb
           FROM occ JOIN fin f USING (word)

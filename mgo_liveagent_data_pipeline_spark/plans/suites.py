@@ -642,6 +642,7 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rows_in").cast("string"),
             F.col("rows_out").cast("string"),
             F.col("tokens_out").cast("string"),
+            F.col("bpe_tokens_out").cast("string"),
         ).alias("h"),
         F.col("stage_no").alias("key_id"),
         F.col("rows_out").alias("n"),
@@ -1579,7 +1580,8 @@ ORACLES: dict[str, str] = {
         + _tagged(
             _P["curation_pipeline"],
             "'curation' AS mode, stage || '|' || rows_in || '|' || rows_out"
-            " || '|' || tokens_out AS h, stage_no AS key_id, rows_out AS n",
+            " || '|' || tokens_out || '|' || bpe_tokens_out AS h, "
+            "stage_no AS key_id, rows_out AS n",
         )
     ),
     "dedup_simhash_suite": (
