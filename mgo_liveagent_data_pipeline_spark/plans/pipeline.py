@@ -371,6 +371,27 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, k=5, num_subspaces=8, num_codes=16, dim=64)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed top-5 (operators/annsearch.py:ivfpq_topk): 2-probe
+    IVF routing prunes WHICH rows are scored, PQ codes (8 subspaces × 16
+    codes) prune WHAT is read per row — the index shape a production ANN
+    deployment actually ships, and the one the 64× smoke showed holding
+    recall 0.72 where flat PQ collapses (DESIGN.md ANN section). Scores
+    are identical to ``pq_topk`` restricted to the probed posting lists
+    — routing changes candidate sets, never distances — which is exactly
+    how the DuckDB twin is written. Driver-visible via the ``ivfpq``
+    mode of ``ann_suite``."""
+    from ..operators.annsearch import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        emb, queries, k=5, num_subspaces=8, num_codes=16, dim=64, n_probes=2
+    )
+
+
 def q_ann_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus → vectors → ANN end-to-end: documents are ENCODED into
     embeddings by the deterministic hash-projection encoder
@@ -702,6 +723,254 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# scored curation: the model gates slot between the rule gate and the
+# dedup stages, and every budget runs on REAL subword counts. The BPE
+# budget constants are the whitespace ones scaled by the measured ~4×
+# whitespace→subword expansion on this corpus so stage selectivities
+# stay comparable between the two chains.
+CURATION_SCORED_DSIR_K = 200
+CURATION_SCORED_MIX_BUDGET = 24_000  # bpe tokens
+CURATION_SCORED_SHARD_TOKENS = 4_000  # bpe tokens
+
+
+def q_curation_scored_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCORED curation pipeline — q_curation_pipeline's six
+    rule-based stages with the model-based scorers composed INTO the
+    chain (the composition q_curation_pipeline's docstring promises and
+    keeps out of its own oracle), and every token budget running on real
+    BPE subword counts instead of whitespace words:
+
+      1. ``gate``      — Gopher-style quality filter
+      2. ``ppl``       — CCNet perplexity gate: hashed-bigram LM trained
+                         on the full-table English subset (same reference
+                         model as the standalone ``ppl`` member), docs
+                         bucketed ``tail`` are dropped
+                         (operators/textops.py:lm_perplexity_score)
+      3. ``dsirsel``   — DSIR selection: importance weights of the
+                         surviving corpus against the English target,
+                         Gumbel-top-k keeps CURATION_SCORED_DSIR_K docs
+                         (textops.py:dsir_importance_weight /
+                         dsir_gumbel_topk)
+      4. ``para``      — CCNet segment dedup, rewritten text forward
+      5. ``neardup``   — MinHash-LSH → CC → keep-one-per-cluster
+      6. ``decontam``  — exact 5-gram eval decontamination
+      7. ``fdecontam`` — fuzzy (MinHash-LSH) eval decontamination — the
+                         paraphrase-robust second pass
+                         (textops.py:fuzzy_decontaminate)
+      8. ``mixture``   — domain resample within a BPE-token budget
+                         (mixture_sample(token_count_col="__bt"))
+      9. ``shard``     — ~CURATION_SCORED_SHARD_TOKENS-subword shards
+                         (pack_shards(token_count_col="__bt"))
+
+    Ledger schema matches q_curation_pipeline (stage_no, stage, rows_in,
+    rows_out, tokens_out, bpe_tokens_out), appended to and read back
+    from its own K5 history table. Reference counterpart: the scored
+    enrichment route api/routes/conversations.py:9-15 →
+    core/extract/Extractor.py:254-327 (model scoring INSIDE the
+    pipeline, not beside it).
+
+    At 100 TB: the two model builds are bounded aggs over the reference
+    relation (≤V rows, broadcast back); the scorer stages add one narrow
+    bigram/feature explode + one key-only groupBy each; Gumbel-top-k
+    lowers to TakeOrderedAndProject; everything else is the proven
+    curation plan. Two bpe_encode crossings (original text, rewritten
+    text) carry the subword counts — the budgets then run on the number
+    training contracts are written in.
+
+    Plan-depth note: a nine-stage composition is past the point where
+    Catalyst's analysis cost stays linear — with persist-only scoping
+    the optimizer ground to a halt on the stage-7 plan (measured: the
+    fuzzy stage never finished planning at sf0.001; with cuts the whole
+    chain runs in seconds). c3/c4/c6 are therefore localCheckpoint()ed:
+    same materialization cost as the persist the chain already paid,
+    but the logical plan restarts from the materialized relation. The
+    cuts sit exactly where the data contract changes (post-model-gates,
+    post-rewrite, post-exact-decontam), so each downstream stage's plan
+    is its OWN algebra, not the whole pipeline's."""
+    from ..operators.dedup import (
+        _scoped_persist,
+        connected_components,
+        dedup_apply,
+        minhash_lsh_dedup,
+    )
+    from ..operators.textops import (
+        bpe_encode,
+        decontaminate,
+        dsir_gumbel_topk,
+        dsir_importance_weight,
+        fuzzy_decontaminate,
+        lm_perplexity_score,
+        mixture_sample,
+        pack_shards,
+        paragraph_dedup,
+        quality_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    ev = docs.where(F.col("doc_id") % DECONTAM_MODULUS == 0).select(
+        "doc_id", "text"
+    )
+    train = docs.where(F.col("doc_id") % DECONTAM_MODULUS != 0).select(
+        "doc_id", "text", "source"
+    )
+    # the clean reference corpus for BOTH scorers: the full-table English
+    # subset (identical to the standalone ppl/dsir members' reference)
+    en_ref = docs.where(F.col("lang") == "en").select("doc_id", "text")
+
+    ntok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+
+    # stage 1 — quality gate; kept corpus rides one bpe_encode crossing
+    # for (__bt), whitespace count (__lt) inline
+    qf = _scoped_persist(quality_filter(train))
+    c1 = _scoped_persist(
+        bpe_encode(
+            train.join(
+                qf.where("keep").select("doc_id"), "doc_id", "left_semi"
+            ),
+            carry_cols=("text", "source"),
+        )
+        .withColumnRenamed("n_bpe_tokens", "__bt")
+        .drop("n_words")
+        .withColumn("__lt", ntok)
+    )
+
+    # stage 2 — perplexity gate: drop the tail bucket
+    ppl = lm_perplexity_score(
+        c1, en_ref, LM_BUCKETS, head_nll=LM_HEAD_NLL, tail_nll=LM_TAIL_NLL
+    )
+    c2 = _scoped_persist(
+        c1.join(
+            ppl.where(F.col("ppl_bucket") != "tail").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+
+    # stage 3 — DSIR Gumbel-top-k selection: weights of THIS corpus
+    # (raw = c2) against the English target. localCheckpoint: first
+    # plan-depth cut (see docstring).
+    dsir = dsir_importance_weight(c2, en_ref, DSIR_BUCKETS)
+    c3 = c2.join(
+        dsir_gumbel_topk(dsir, CURATION_SCORED_DSIR_K).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint()
+
+    # stage 4 — paragraph dedup, rewritten text + recounted (__lt, __bt)
+    para = paragraph_dedup(
+        c3, "text", "doc_id", CURATION_SEG_WORDS, CURATION_MIN_SEG_DOCS,
+        emit_text=True,
+    )
+    c4 = (
+        bpe_encode(
+            para.where(F.col("text") != "")
+            .select(F.col("key").alias("doc_id"), "text")
+            .join(c3.select("doc_id", "source"), "doc_id")
+            .withColumn("__lt", ntok),
+            carry_cols=("text", "source", "__lt"),
+        )
+        .withColumnRenamed("n_bpe_tokens", "__bt")
+        .drop("n_words")
+        .localCheckpoint()
+    )
+
+    # stage 5 — near-dup canonicalization on the rewritten corpus
+    pairs = minhash_lsh_dedup(
+        c4, "text", "doc_id", NUM_HASHES, BANDS, SHINGLE_K,
+        LSH_THRESHOLD, LSH_MAX_BUCKET,
+    )
+    clusters = connected_components(pairs.select("id_a", "id_b"))
+    c5 = _scoped_persist(dedup_apply(c4, clusters, "doc_id"))
+
+    # stage 6 — exact n-gram decontamination vs the ORIGINAL eval text
+    xhits = decontaminate(c5, ev, "text", "doc_id", DECONTAM_NGRAM_K).select(
+        F.col("key").alias("doc_id")
+    )
+    c6 = c5.join(xhits, "doc_id", "left_anti").localCheckpoint()
+
+    # stage 7 — fuzzy (LSH) decontamination: near-duplicate eval matches
+    fhits = fuzzy_decontaminate(
+        c6, ev, "text", "doc_id",
+        NUM_HASHES, BANDS, SHINGLE_K, LSH_THRESHOLD, LSH_MAX_BUCKET,
+    ).select("doc_id")
+    c7 = _scoped_persist(c6.join(fhits, "doc_id", "left_anti"))
+
+    # stage 8 — mixture resample budgeted in SUBWORD tokens
+    c8 = _scoped_persist(
+        mixture_sample(
+            c7, "source", CURATION_MIX_WEIGHTS, CURATION_SCORED_MIX_BUDGET,
+            "text", "doc_id", token_count_col="__bt",
+        ).drop("n_tokens", "accept_rate")
+    )
+
+    # stage 9 — shard packing budgeted in SUBWORD tokens
+    packed = pack_shards(
+        c8, "text", "doc_id",
+        shard_tokens=CURATION_SCORED_SHARD_TOKENS, block_size=100,
+        token_count_col="__bt",
+    )
+
+    def stats(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("__lt"), F.lit(0)).cast("long").alias("tok"),
+            F.coalesce(F.sum("__bt"), F.lit(0)).cast("long").alias("bpe"),
+        )
+
+    s_in = qf.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s1, s2, s3, s4, s5, s6, s7, s8 = (
+        stats(c) for c in (c1, c2, c3, c4, c5, c6, c7, c8)
+    )
+    s9 = packed.agg(
+        F.countDistinct("shard_id").cast("long").alias("n"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("bpe"),
+    ).crossJoin(
+        c8.agg(
+            F.coalesce(F.sum("__lt"), F.lit(0)).cast("long").alias("tok")
+        )
+    )
+    stages = [
+        ("gate", s_in, s1), ("ppl", s1, s2), ("dsirsel", s2, s3),
+        ("para", s3, s4), ("neardup", s4, s5), ("decontam", s5, s6),
+        ("fdecontam", s6, s7), ("mixture", s7, s8), ("shard", s8, s9),
+    ]
+    ledger = None
+    for i, (name, prev, cur) in enumerate(stages, start=1):
+        row = (
+            prev.select(F.col("n").alias("rows_in"))
+            .crossJoin(
+                cur.select(
+                    F.col("n").alias("rows_out"),
+                    F.col("tok").alias("tokens_out"),
+                    F.col("bpe").alias("bpe_tokens_out"),
+                )
+            )
+            .select(
+                F.lit(i).cast("long").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                "rows_in",
+                "rows_out",
+                "tokens_out",
+                "bpe_tokens_out",
+            )
+        )
+        ledger = row if ledger is None else ledger.unionByName(row)
+    from ..sinks.writers import history_append, table_path
+
+    base_dir = scratch_dir("mgo_curation_scored_ledger_")
+    history_append(spark, ledger, base_dir, "curation_scored_run")
+    return spark.read.parquet(
+        table_path(base_dir, "curation_scored_run_history")
+    ).select(
+        "stage_no", "stage", "rows_in", "rows_out", "tokens_out",
+        "bpe_tokens_out",
+    )
+
+
 def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy-hitter tokens
     (operators/aggregations.py:cms_heavy_hitters): one sketch pass
@@ -988,6 +1257,7 @@ QUERIES = {
     "ann_rh_lsh_topk": q_ann_rh_lsh_topk,
     "ann_rh_multiprobe_topk": q_ann_rh_multiprobe_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_encode_topk": q_ann_encode_topk,
     "multimodal_frames": q_multimodal_frames,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
@@ -1011,6 +1281,7 @@ QUERIES = {
     "text_fuzzy_decontaminate": q_text_fuzzy_decontaminate,
     "text_shard_pack": q_text_shard_pack,
     "curation_pipeline": q_curation_pipeline,
+    "curation_scored_pipeline": q_curation_scored_pipeline,
 }
 
 
@@ -1706,6 +1977,445 @@ def _curation_sql() -> str:
     """
 
 
+def _curation_scored_sql() -> str:
+    """DuckDB twin of q_curation_scored_pipeline — the nine-stage SCORED
+    chain in one statement. Each stage mirrors its operator's member
+    oracle expression-for-expression (gate/para/LSH/decontam fragments
+    shared with _curation_sql; the ppl model, DSIR λ table, Gumbel
+    perturbation and fuzzy-LSH fragments shared with their standalone
+    member oracles), with the raw-side model relations re-pointed at the
+    chain's intermediates (DSIR's raw distribution is the ppl-surviving
+    corpus, not the full table) and the mixture/shard budgets computed
+    over BPE subword counts. The value is the COMPOSITION: a scorer
+    reading the wrong intermediate or a budget still summing whitespace
+    counts shows up as a ledger mismatch while every member oracle stays
+    green."""
+    rows = NUM_HASHES // BANDS
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {_A} + {i} * {_B}))"
+        for i in range(NUM_HASHES)
+    )
+    bands = ", ".join(
+        "'"
+        + str(b)
+        + "|' || "
+        + " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        for b in range(BANDS)
+    )
+    total_w = sum(CURATION_MIX_WEIGHTS.values())
+    w_case = " ".join(
+        f"WHEN '{k}' THEN "
+        f"{float(CURATION_SCORED_MIX_BUDGET) * (v / total_w)!r}"
+        for k, v in sorted(CURATION_MIX_WEIGHTS.items())
+    )
+    in_list = ", ".join(f"'{k}'" for k in sorted(CURATION_MIX_WEIGHTS))
+    jac = _JACCARD.format(a="sh_a", b="sh_b")
+    sw = CURATION_SEG_WORDS
+    dk = DECONTAM_NGRAM_K - 1
+    km1 = SHINGLE_K - 1
+    bpe_ctes = _bpe_seg_ctes("bv", "b")
+    grams5 = (
+        "list_distinct(list_transform("
+        f"range(1, greatest(length(tk) - {dk}, 1) + 1),"
+        f" i -> array_to_string(tk[CAST(i AS INT):CAST(i + {dk} AS INT)], ' ')))"
+    )
+    shingle_expr = (
+        "list_distinct(list_transform("
+        f"range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {km1}, 1) + 1),"
+        f" i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{km1}], ' ')))"
+    )
+    return f"""
+        WITH RECURSIVE
+        tr AS MATERIALIZED (
+          SELECT doc_id, text, source FROM documents
+          WHERE doc_id % {DECONTAM_MODULUS} <> 0),
+        -- stage 1: quality gate (shared fragment with _curation_sql)
+        qt AS (
+          SELECT doc_id,
+                 text IS NULL AS is_null,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS tk,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   AS DOUBLE) AS punct,
+                 CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                   AS DOUBLE) AS upper_c
+          FROM tr),
+        qs AS (
+          SELECT doc_id, is_null, tk, n_chars,
+                 CAST(length(tk) AS BIGINT) AS n_tok,
+                 CAST(length(tk) AS DOUBLE) AS n_tok_d,
+                 CASE WHEN length(tk) >= 3
+                      THEN list_transform(range(1, length(tk) - 1),
+                             i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [] END AS sh,
+                 punct, upper_c
+          FROM qt),
+        qr AS (
+          SELECT doc_id, is_null, n_tok,
+                 CASE WHEN n_tok > 0
+                      THEN round(CAST(list_sum(list_transform(tk,
+                             x -> length(x))) AS DOUBLE) / n_tok_d, 6)
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN n_chars > 0 THEN round(punct / n_chars, 6)
+                      ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_chars > 0 THEN round(upper_c / n_chars, 6)
+                      ELSE 0.0 END AS upper_ratio,
+                 CASE WHEN n_tok > 0
+                      THEN round((n_tok - length(list_distinct(tk)))
+                                 / n_tok_d, 6)
+                      ELSE 0.0 END AS dup_tok,
+                 CASE WHEN length(sh) > 0
+                      THEN round(CAST(length(sh) - length(list_distinct(sh))
+                                 AS DOUBLE) / CAST(length(sh) AS DOUBLE), 6)
+                      ELSE 0.0 END AS dup_sh,
+                 CASE WHEN n_tok > 0
+                      THEN round(CAST(length(list_filter(tk, x -> lower(x) IN
+                             ('the','a','and','of','to','in','is','it')))
+                             AS DOUBLE) / n_tok_d, 6)
+                      ELSE 0.0 END AS stop_ratio
+          FROM qs),
+        qd AS (
+          SELECT doc_id, n_tok,
+                 CASE WHEN is_null THEN 'null_text' ELSE
+                 concat_ws(',',
+                   CASE WHEN n_tok < 30 THEN 'too_short' END,
+                   CASE WHEN n_tok > 100000 THEN 'too_long' END,
+                   CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                        THEN 'word_len' END,
+                   CASE WHEN punct_ratio > 0.2 THEN 'punct' END,
+                   CASE WHEN upper_ratio > 0.3 THEN 'upper' END,
+                   CASE WHEN dup_tok > 0.65 THEN 'rep_token' END,
+                   CASE WHEN dup_sh > 0.35 THEN 'rep_shingle' END,
+                   CASE WHEN stop_ratio < 0.01 THEN 'stopword' END
+                 ) END AS reasons
+          FROM qr),
+        c1 AS MATERIALIZED (
+          SELECT t.doc_id, t.text, t.source, q.n_tok AS nt
+          FROM tr t JOIN qd q USING (doc_id) WHERE q.reasons = ''),
+        -- BPE subword counts over c1's lowercased vocabulary (covers the
+        -- rewritten text too: stage 4 only removes whole segments)
+        occ1 AS MATERIALIZED (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(trim(lower(text)), '\\s+'),
+            x -> x <> '')) AS word
+          FROM c1),
+        bv AS (SELECT DISTINCT word FROM occ1),
+        {bpe_ctes},
+        bpe1 AS MATERIALIZED (
+          SELECT doc_id, sum(nseg) AS bt
+          FROM occ1 JOIN bfin USING (word) GROUP BY doc_id),
+        -- stage 2: CCNet perplexity gate — hashed-bigram LM trained on
+        -- the FULL-table English subset (the standalone ppl member's
+        -- reference model), c1 docs scored, tail bucket dropped
+        etoks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents WHERE lang = 'en'),
+        ebg AS (
+          SELECT CAST(('0x' || substring(md5(unnest(tk[1:len(tk)-1])), 1, 8))
+                      AS BIGINT) % {LM_BUCKETS} AS h1,
+                 CAST(('0x' || substring(md5(unnest(tk[2:len(tk)])), 1, 8))
+                      AS BIGINT) % {LM_BUCKETS} AS h2
+          FROM etoks),
+        prb AS (SELECT h1, h2, count(*) AS b FROM ebg GROUP BY h1, h2),
+        pctx AS (SELECT h1, sum(b) AS u FROM prb GROUP BY h1),
+        pmodel AS (
+          SELECT prb.h1, prb.h2,
+                 CAST(round(-1000 * ln((b + 1.0) / (u + {LM_BUCKETS}.0)))
+                      AS BIGINT) AS m
+          FROM prb JOIN pctx USING (h1)),
+        pctxu AS (
+          SELECT h1,
+                 CAST(round(-1000 * ln(1.0 / (u + {LM_BUCKETS}.0)))
+                      AS BIGINT) AS mu
+          FROM pctx),
+        c1bg AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(unnest(tk[1:len(tk)-1])), 1, 8))
+                      AS BIGINT) % {LM_BUCKETS} AS h1,
+                 CAST(('0x' || substring(md5(unnest(tk[2:len(tk)])), 1, 8))
+                      AS BIGINT) % {LM_BUCKETS} AS h2
+          FROM (SELECT doc_id,
+                       list_filter(
+                         string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk
+                FROM c1)),
+        psc AS (
+          SELECT c1bg.doc_id, count(*) AS nb,
+                 sum(COALESCE(m, mu,
+                     CAST(round(1000 * ln({LM_BUCKETS}.0)) AS BIGINT)))
+                   AS milli
+          FROM c1bg
+          LEFT JOIN pmodel USING (h1, h2)
+          LEFT JOIN pctxu USING (h1)
+          GROUP BY c1bg.doc_id),
+        c2 AS MATERIALIZED (
+          SELECT c1.* FROM c1 LEFT JOIN psc USING (doc_id)
+          WHERE psc.nb IS NULL OR psc.nb = 0
+             OR CAST(psc.milli AS DOUBLE) / CAST(psc.nb * 1000 AS DOUBLE)
+                <= {LM_TAIL_NLL}),
+        -- stage 3: DSIR Gumbel-top-k — target features from the English
+        -- subset, RAW features from THIS corpus (c2), λ in milli-nats,
+        -- deterministic md5 Gumbel, top-{CURATION_SCORED_DSIR_K}
+        dtfb AS (
+          SELECT CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS b
+          FROM (
+            SELECT unnest(tk) AS f FROM etoks
+            UNION ALL
+            SELECT unnest(tk[1:len(tk)-1]) || ' ' || unnest(tk[2:len(tk)])
+              AS f
+            FROM etoks)),
+        drfb AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS b
+          FROM (
+            SELECT doc_id, unnest(tk) AS f FROM
+              (SELECT doc_id,
+                      list_filter(
+                        string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> x <> '') AS tk
+               FROM c2) rt
+            UNION ALL
+            SELECT doc_id,
+                   unnest(tk[1:len(tk)-1]) || ' ' || unnest(tk[2:len(tk)])
+                     AS f
+            FROM (SELECT doc_id,
+                         list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS tk
+                  FROM c2) rt2)),
+        dtc AS (SELECT b, count(*) AS ct FROM dtfb GROUP BY b),
+        drc AS (SELECT b, count(*) AS cr FROM drfb GROUP BY b),
+        dtt AS (SELECT COALESCE(sum(ct), 0) AS tot_t FROM dtc),
+        drt AS (SELECT COALESCE(sum(cr), 0) AS tot_r FROM drc),
+        dlam AS (
+          SELECT COALESCE(dtc.b, drc.b) AS b,
+                 CAST(round(1000 * (
+                     ln((COALESCE(ct, 0) + 1.0) / (tot_t + {DSIR_BUCKETS}.0))
+                   - ln((COALESCE(cr, 0) + 1.0)
+                        / (tot_r + {DSIR_BUCKETS}.0))))
+                      AS BIGINT) AS lam
+          FROM dtc FULL JOIN drc ON dtc.b = drc.b, dtt, drt),
+        dsc AS (
+          SELECT drfb.doc_id, count(*) AS nf, sum(dlam.lam) AS milli
+          FROM drfb LEFT JOIN dlam ON drfb.b = dlam.b
+          GROUP BY drfb.doc_id),
+        dsel AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY sel_milli DESC, doc_id ASC)
+                     AS rk
+            FROM (
+              SELECT doc_id,
+                     milli + CAST(round(1000 * (-ln(-ln(
+                       (CAST(('0x' || substring(
+                          md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        + 0.5) / 4294967296.0)))) AS BIGINT) AS sel_milli
+              FROM dsc WHERE milli IS NOT NULL))
+          WHERE rk <= {CURATION_SCORED_DSIR_K}),
+        c3 AS MATERIALIZED (
+          SELECT c2.* FROM c2 JOIN dsel USING (doc_id)),
+        -- stage 4: paragraph dedup over c3, rewritten text forward
+        pt AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+          FROM c3),
+        sp AS (
+          SELECT doc_id, tk,
+                 unnest(range(0, greatest(
+                   CAST(ceil(length(tk) / {sw}.0) AS INT), 1))) AS pos
+          FROM pt),
+        segd AS (
+          SELECT doc_id, CAST(pos AS INT) AS pos,
+                 array_to_string(tk[CAST(pos * {sw} + 1 AS INT):
+                                    CAST(pos * {sw} + {sw} AS INT)], ' ') AS seg
+          FROM sp),
+        dup AS (
+          SELECT md5(seg) AS h FROM segd
+          GROUP BY md5(seg) HAVING count(DISTINCT doc_id) >= 2),
+        fl AS (
+          SELECT s.doc_id, s.pos, s.seg, (d.h IS NOT NULL) AS is_dup
+          FROM segd s LEFT JOIN dup d ON md5(s.seg) = d.h),
+        c4t AS (
+          SELECT doc_id,
+                 string_agg(CASE WHEN NOT is_dup THEN seg END,
+                            ' ' ORDER BY pos) AS text
+          FROM fl GROUP BY doc_id),
+        c4x AS MATERIALIZED (
+          SELECT t.doc_id, t.text, c.source,
+                 CAST(length(list_filter(
+                   string_split_regex(trim(t.text), '\\s+'),
+                   x -> x <> '')) AS BIGINT) AS nt
+          FROM c4t t JOIN c3 c USING (doc_id)
+          WHERE t.text IS NOT NULL AND t.text <> ''),
+        bpe2 AS MATERIALIZED (
+          SELECT doc_id, sum(nseg) AS bt
+          FROM (SELECT doc_id, unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x <> '')) AS word
+                FROM c4x) o2
+          JOIN bfin USING (word) GROUP BY doc_id),
+        -- stage 5: MinHash-LSH near-dup over the REWRITTEN text
+        shingled AS (
+          SELECT doc_id, {shingle_expr} AS sh FROM c4x),
+        sigs AS (
+          SELECT doc_id, sh, [{mins}] AS sig FROM shingled),
+        banded0 AS (
+          SELECT doc_id AS key, unnest([{bands}]) AS band_key FROM sigs),
+        banded AS (
+          SELECT key, band_key FROM banded0
+          QUALIFY count(*) OVER (PARTITION BY band_key) <= {LSH_MAX_BUCKET}),
+        mcand AS (
+          SELECT DISTINCT a.key AS id_a, b.key AS id_b
+          FROM banded a JOIN banded b USING (band_key)
+          WHERE a.key < b.key),
+        mpairs AS (
+          SELECT id_a, id_b
+          FROM (SELECT c.id_a, c.id_b, sa.sh AS sh_a, sb.sh AS sh_b
+                FROM mcand c
+                JOIN sigs sa ON sa.doc_id = c.id_a
+                JOIN sigs sb ON sb.doc_id = c.id_b)
+          WHERE round({jac}, 6) >= {LSH_THRESHOLD}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM mpairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM mpairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+        c5 AS MATERIALIZED (
+          SELECT c.doc_id, c.text, c.source, c.nt
+          FROM c4x c LEFT JOIN comp ON comp.node = c.doc_id
+          WHERE comp.node IS NULL OR c.doc_id = comp.cluster_id),
+        -- stage 6: exact 5-gram decontamination vs the ORIGINAL eval text
+        evg AS (
+          SELECT DISTINCT md5(g) AS h FROM (
+            SELECT unnest({grams5}) AS g
+            FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk
+                  FROM documents WHERE doc_id % {DECONTAM_MODULUS} = 0))),
+        c5g AS (
+          SELECT doc_id, md5(g) AS h FROM (
+            SELECT doc_id, unnest({grams5}) AS g
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS tk
+                  FROM c5))),
+        xh AS (SELECT DISTINCT c5g.doc_id FROM c5g JOIN evg USING (h)),
+        c6 AS MATERIALIZED (
+          SELECT * FROM c5
+          WHERE doc_id NOT IN (SELECT doc_id FROM xh)),
+        -- stage 7: fuzzy (LSH) decontamination — c6's rewritten text vs
+        -- the negative-keyed eval split, same banding as stage 5
+        fsrc AS (
+          SELECT doc_id, text FROM c6
+          UNION ALL
+          SELECT -doc_id - 1 AS doc_id, text FROM documents
+          WHERE doc_id % {DECONTAM_MODULUS} = 0),
+        fsh AS (SELECT doc_id, {shingle_expr} AS sh FROM fsrc),
+        fsig AS (SELECT doc_id, sh, [{mins}] AS sig FROM fsh),
+        fband0 AS (
+          SELECT doc_id AS key, unnest([{bands}]) AS band_key FROM fsig),
+        fband AS (
+          SELECT key, band_key FROM fband0
+          QUALIFY count(*) OVER (PARTITION BY band_key) <= {LSH_MAX_BUCKET}),
+        fcand AS (
+          SELECT DISTINCT a.key AS id_a, b.key AS id_b
+          FROM fband a JOIN fband b USING (band_key)
+          WHERE a.key < b.key),
+        fh AS (
+          SELECT DISTINCT id_b AS doc_id
+          FROM (SELECT c.id_a, c.id_b, sa.sh AS sh_a, sb.sh AS sh_b
+                FROM fcand c
+                JOIN fsig sa ON sa.doc_id = c.id_a
+                JOIN fsig sb ON sb.doc_id = c.id_b)
+          WHERE round({jac}, 6) >= {LSH_THRESHOLD}
+            AND id_a < 0 AND id_b >= 0),
+        c7 AS MATERIALIZED (
+          SELECT * FROM c6
+          WHERE doc_id NOT IN (SELECT doc_id FROM fh)),
+        -- stage 8: mixture resample budgeted in SUBWORD tokens
+        cur8 AS (
+          SELECT source, CAST(sum(bt) AS BIGINT) AS c
+          FROM c7 JOIN bpe2 USING (doc_id) GROUP BY source),
+        r8 AS (
+          SELECT source,
+                 CASE WHEN c > 0
+                      THEN least(1.0,
+                        (CASE source {w_case} END) / CAST(c AS DOUBLE))
+                      ELSE 1.0 END AS accept_rate
+          FROM cur8 WHERE source IN ({in_list})),
+        c8 AS MATERIALIZED (
+          SELECT c7.doc_id, c7.text, c7.nt, bpe2.bt
+          FROM c7 JOIN r8 USING (source) JOIN bpe2 USING (doc_id)
+          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) < accept_rate * 4294967296.0),
+        -- stage 9: shard packing in SUBWORD tokens
+        packed AS MATERIALIZED (
+          SELECT doc_id AS key, bt,
+                 CAST(floor((sum(bt) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - bt) / {CURATION_SCORED_SHARD_TOKENS}.0) AS BIGINT)
+                   AS shard_id
+          FROM c8)
+        SELECT CAST(1 AS BIGINT) AS stage_no, 'gate' AS stage,
+               (SELECT count(*) FROM tr) AS rows_in,
+               (SELECT count(*) FROM c1) AS rows_out,
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c1)
+                 AS tokens_out,
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe1)
+                 AS bpe_tokens_out
+        UNION ALL
+        SELECT 2, 'ppl', (SELECT count(*) FROM c1),
+               (SELECT count(*) FROM c2),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c2),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe1
+                WHERE doc_id IN (SELECT doc_id FROM c2))
+        UNION ALL
+        SELECT 3, 'dsirsel', (SELECT count(*) FROM c2),
+               (SELECT count(*) FROM c3),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c3),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe1
+                WHERE doc_id IN (SELECT doc_id FROM c3))
+        UNION ALL
+        SELECT 4, 'para', (SELECT count(*) FROM c3),
+               (SELECT count(*) FROM c4x),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c4x),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2)
+        UNION ALL
+        SELECT 5, 'neardup', (SELECT count(*) FROM c4x),
+               (SELECT count(*) FROM c5),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c5),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2
+                WHERE doc_id IN (SELECT doc_id FROM c5))
+        UNION ALL
+        SELECT 6, 'decontam', (SELECT count(*) FROM c5),
+               (SELECT count(*) FROM c6),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c6),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2
+                WHERE doc_id IN (SELECT doc_id FROM c6))
+        UNION ALL
+        SELECT 7, 'fdecontam', (SELECT count(*) FROM c6),
+               (SELECT count(*) FROM c7),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c7),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2
+                WHERE doc_id IN (SELECT doc_id FROM c7))
+        UNION ALL
+        SELECT 8, 'mixture', (SELECT count(*) FROM c7),
+               (SELECT count(*) FROM c8),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c8),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM c8)
+        UNION ALL
+        SELECT 9, 'shard', (SELECT count(*) FROM c8),
+               (SELECT count(DISTINCT shard_id) FROM packed),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c8),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM packed)
+    """
+
+
 def _bpe_seg_ctes(vocab_cte: str, prefix: str) -> str:
     """CTE fragment replaying bpe_apply_word's leftmost-lowest-rank merge
     loop as a recursive CTE over a vocabulary relation ``vocab_cte``
@@ -1851,6 +2561,66 @@ ORACLES: dict[str, str] = {
           SELECT query_id, vec_id AS corpus_id, dt.m, d
           FROM cenc JOIN dt ON cenc.m = dt.m AND cenc.code = dt.code
           WHERE vec_id <> query_id),
+        approx AS (
+          SELECT query_id, corpus_id,
+                 round(list_sum(list_transform(
+                     list_sort(list(struct_pack(m := m, d := d))),
+                     s -> s.d)), 6) AS approx_dist
+          FROM pairs GROUP BY query_id, corpus_id),
+        ranked AS (
+          SELECT query_id, corpus_id, approx_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_dist ASC, corpus_id ASC) AS rn
+          FROM approx)
+        SELECT query_id, corpus_id, approx_dist, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= 5
+    """,
+    # IVF-PQ: the PQ ADC pipeline above restricted to the 2-probe IVF
+    # posting lists (mirrors annsearch.py:ivfpq_topk — routing changes
+    # candidate sets, never distances)
+    "ann_ivfpq_topk": f"""
+        WITH c AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cents AS (
+          SELECT label AS cluster_id, arg_min(v, vec_id) AS centroid
+          FROM c GROUP BY label),
+        q0 AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        routed AS (
+          SELECT q0.query_id, ct.cluster_id,
+                 row_number() OVER (PARTITION BY q0.query_id
+                   ORDER BY round({_COSINE.format(a="q0.qv", b="ct.centroid")}, 6) DESC,
+                            ct.cluster_id ASC) AS rn
+          FROM q0 CROSS JOIN cents ct),
+        probe AS (SELECT query_id, cluster_id FROM routed WHERE rn <= 2),
+        seeds AS (
+          SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+          FROM c ORDER BY vec_id LIMIT 16),
+        ms AS (SELECT CAST(unnest(range(8)) AS INT) AS m),
+        cb AS (SELECT m, code, v[m*8+1 : m*8+8] AS sv FROM seeds, ms),
+        csub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS xv FROM c, ms),
+        cenc AS (
+          SELECT vec_id, m,
+                 (min(struct_pack(d := list_sum(list_transform(range(1, 9),
+                      i -> (xv[i] - sv[i]) * (xv[i] - sv[i]))),
+                      c := code))).c AS code
+          FROM csub JOIN cb USING (m) GROUP BY vec_id, m),
+        qsub AS (SELECT query_id, m, qv[m*8+1 : m*8+8] AS xv FROM q0, ms),
+        dt AS (
+          SELECT query_id, m, code,
+                 list_sum(list_transform(range(1, 9),
+                     i -> (xv[i] - sv[i]) * (xv[i] - sv[i]))) AS d
+          FROM qsub JOIN cb USING (m)),
+        lab AS (SELECT vec_id, label AS cluster_id FROM c),
+        pairs AS (
+          SELECT p.query_id, cenc.vec_id AS corpus_id, dt.m, d
+          FROM cenc
+          JOIN lab USING (vec_id)
+          JOIN probe p USING (cluster_id)
+          JOIN dt ON dt.query_id = p.query_id
+                 AND dt.m = cenc.m AND dt.code = cenc.code
+          WHERE cenc.vec_id <> p.query_id),
         approx AS (
           SELECT query_id, corpus_id,
                  round(list_sum(list_transform(
@@ -2633,6 +3403,8 @@ ORACLES: dict[str, str] = {
     "text_url_domains": _URL_DOMAINS_SQL,
     # the composed six-stage curation chain's per-stage ledger
     "curation_pipeline": _curation_sql(),
+    # the nine-stage SCORED chain (model gates composed in, BPE budgets)
+    "curation_scored_pipeline": _curation_scored_sql(),
     # near-dup decontamination = union LSH pairs restricted to train×eval
     "text_fuzzy_decontaminate": _fuzzy_decontam_oracle(),
     # deterministic md5(key)-ordered quota, mirroring group_sample_k

@@ -647,7 +647,27 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stage_no").alias("key_id"),
         F.col("rows_out").alias("n"),
     )
-    return doc.unionByName(para).unionByName(ap).unionByName(cu)
+    # curation_scored: the nine-stage SCORED chain (model gates composed
+    # in, BPE-token budgets) — same packed-ledger shape
+    cs = pipeline.q_curation_scored_pipeline(spark, sf_dir).select(
+        F.lit("curation_scored").alias("mode"),
+        F.concat_ws(
+            "|",
+            F.col("stage"),
+            F.col("rows_in").cast("string"),
+            F.col("rows_out").cast("string"),
+            F.col("tokens_out").cast("string"),
+            F.col("bpe_tokens_out").cast("string"),
+        ).alias("h"),
+        F.col("stage_no").alias("key_id"),
+        F.col("rows_out").alias("n"),
+    )
+    return (
+        doc.unionByName(para)
+        .unionByName(ap)
+        .unionByName(cu)
+        .unionByName(cs)
+    )
 
 
 def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +727,14 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_dist").alias("cosine_sim"),
         "rank",
     )
+    # ivfpq: the composed production index (2-probe routing × ADC codes)
+    ivfpq = pipeline.q_ann_ivfpq_topk(spark, sf_dir).select(
+        F.lit("ivfpq").alias("variant"),
+        "query_id",
+        "corpus_id",
+        F.col("approx_dist").alias("cosine_sim"),
+        "rank",
+    )
     # encode: corpus → hash-projection vectors → cosine top-k, the full
     # embedding-GENERATION path (documents in, neighbors out)
     enc = pipeline.q_ann_encode_topk(spark, sf_dir).select(
@@ -716,7 +744,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine_sim",
         "rank",
     )
-    return out.unionByName(pq).unionByName(enc)
+    return out.unionByName(pq).unionByName(ivfpq).unionByName(enc)
 
 
 # --------------------------------------------------------- enrichment suites
@@ -1583,6 +1611,13 @@ ORACLES: dict[str, str] = {
             " || '|' || tokens_out || '|' || bpe_tokens_out AS h, "
             "stage_no AS key_id, rows_out AS n",
         )
+        + " UNION ALL "
+        + _tagged(
+            _P["curation_scored_pipeline"],
+            "'curation_scored' AS mode, stage || '|' || rows_in || '|' || "
+            "rows_out || '|' || tokens_out || '|' || bpe_tokens_out AS h, "
+            "stage_no AS key_id, rows_out AS n",
+        )
     ),
     "dedup_simhash_suite": (
         _tagged(
@@ -1618,6 +1653,12 @@ ORACLES: dict[str, str] = {
     + _tagged(
         _P["ann_pq_topk"],
         "'pq' AS variant, query_id, corpus_id, approx_dist AS cosine_sim, \"rank\"",
+    )
+    + " UNION ALL "
+    + _tagged(
+        _P["ann_ivfpq_topk"],
+        "'ivfpq' AS variant, query_id, corpus_id, "
+        "approx_dist AS cosine_sim, \"rank\"",
     )
     + " UNION ALL "
     + _tagged(

@@ -54,3 +54,57 @@ def test_curation_ledger_invariants(spark):
     # shard stage packs exactly the mixture survivors
     assert rows["shard"]["rows_in"] == rows["mixture"]["rows_out"]
     assert rows["shard"]["rows_out"] >= 1 or rows["mixture"]["rows_out"] == 0
+
+
+def test_curation_ledger_bpe_column(spark):
+    """bpe_tokens_out rides every ledger row: a word is ≥1 subword, so
+    the real subword count dominates the whitespace count stage-for-
+    stage — the systematic under-count that motivated budgeting on BPE."""
+    from mgo_liveagent_data_pipeline_spark.plans.pipeline import (
+        q_curation_pipeline,
+    )
+
+    rows = {r["stage"]: r for r in q_curation_pipeline(spark, SF_DIR).collect()}
+    for s, r in rows.items():
+        assert r["bpe_tokens_out"] >= r["tokens_out"], s
+    # packing drops no documents: shard/mixture agree in BOTH units
+    assert rows["shard"]["bpe_tokens_out"] == rows["mixture"]["bpe_tokens_out"]
+
+
+def test_curation_scored_ledger_invariants(spark):
+    """The nine-stage SCORED chain: same flow invariants as the rule-based
+    chain, plus the model-gate stages (ppl/dsirsel) and the fuzzy
+    decontamination pass slotting in without breaking the relation flow,
+    and every budget column carried in both token units."""
+    from mgo_liveagent_data_pipeline_spark.plans.pipeline import (
+        CURATION_SCORED_DSIR_K,
+        q_curation_scored_pipeline,
+    )
+
+    rows = {
+        r["stage"]: r
+        for r in q_curation_scored_pipeline(spark, SF_DIR).collect()
+    }
+    order = [
+        "gate", "ppl", "dsirsel", "para", "neardup", "decontam",
+        "fdecontam", "mixture", "shard",
+    ]
+    assert [r["stage"] for r in sorted(rows.values(), key=lambda r: r["stage_no"])] == order
+    for prev, cur in zip(order, order[1:]):
+        assert rows[cur]["rows_in"] == rows[prev]["rows_out"], (prev, cur)
+    for s in order[:-1]:  # every stage before packing can only shrink
+        assert rows[s]["rows_out"] <= rows[s]["rows_in"], s
+    # the DSIR selection is a hard top-k
+    assert rows["dsirsel"]["rows_out"] <= min(
+        CURATION_SCORED_DSIR_K, rows["dsirsel"]["rows_in"]
+    )
+    # token counts only decrease stage-over-stage in both units (within
+    # each text regime: gate..dsirsel original text, para.. rewritten)
+    for a, b in (("ppl", "gate"), ("dsirsel", "ppl"), ("para", "dsirsel"),
+                 ("neardup", "para"), ("decontam", "neardup"),
+                 ("fdecontam", "decontam"), ("mixture", "fdecontam")):
+        assert rows[a]["tokens_out"] <= rows[b]["tokens_out"], (a, b)
+        assert rows[a]["bpe_tokens_out"] <= rows[b]["bpe_tokens_out"], (a, b)
+    for s in order:
+        assert rows[s]["bpe_tokens_out"] >= rows[s]["tokens_out"], s
+    assert rows["shard"]["bpe_tokens_out"] == rows["mixture"]["bpe_tokens_out"]
