@@ -155,14 +155,41 @@ def _banded_signatures(
     bands: int,
     shingle_k: int,
     max_bucket_size: int | None,
+    salvage_depth: int = 0,
 ) -> DataFrame:
     """(key, band_key) LSH banding rows with the mega-bucket cap applied —
     the narrow signature index both the full self-join dedup and the
-    incremental delta-vs-corpus dedup probe."""
+    incremental delta-vs-corpus dedup probe.
+
+    ``salvage_depth`` > 0 turns the cap's all-or-nothing refusal into
+    RECURSIVE RE-BANDING: a bucket over ``max_bucket_size`` is split by
+    extending its band key with the next signature value (wrapping
+    around the full signature), up to ``salvage_depth`` extensions —
+    each doc lands in its bucket-chain's FIRST fitting prefix, so hot
+    buckets degrade to deeper (more selective) probing instead of
+    dropped pairs. Two docs still pair in a band iff they share the
+    extended key at that first fitting depth; since extensions only
+    subdivide buckets, the salvaged pair set is a SUPERSET of the
+    capped one and a subset of the uncapped one (the property test
+    pins both bounds). Only buckets still oversized after
+    ``salvage_depth`` extensions are refused (near-identical signature
+    cohorts), and that refusal is logged.
+
+    Plan shape: the depth-0 pass is unchanged (one windowed count on the
+    banding shuffle). Only members of OVERSIZED buckets — the hot-bucket
+    subset, not the corpus — re-join their signature and explode into
+    ``salvage_depth`` candidate extensions; one count per extended key
+    plus a per-(doc, band) min-depth pick adds two narrow aggregations
+    over that subset. Equivalent to counting every doc at every depth
+    (bucket membership at depth d is confined to one depth-0 bucket, so
+    the counts agree on every bucket a deep row can land in — the
+    oracle uses that single-phase formulation)."""
     from pyspark.sql.window import Window
 
     rows = num_hashes // bands
     sigs = minhash_signature(df, text_col, key_col, num_hashes, shingle_k)
+    if salvage_depth > 0:
+        sigs = _scoped_persist(sigs)
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -173,16 +200,89 @@ def _banded_signatures(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("key", F.explode(band_arr).alias("band_key"))
-    if max_bucket_size is not None:
+    if max_bucket_size is None:
+        return sigs.select("key", F.explode(band_arr).alias("band_key"))
+    if salvage_depth <= 0:
+        banded = sigs.select("key", F.explode(band_arr).alias("band_key"))
         # bucket-size count as an unordered window over band_key: one
         # shuffle, no sort, and the joins downstream reuse the same
         # hash partitioning
         bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_key"))
-        banded = banded.withColumn("__bn", bucket_n).where(
+        return banded.withColumn("__bn", bucket_n).where(
             F.col("__bn") <= F.lit(max_bucket_size)
         ).drop("__bn")
-    return banded
+
+    # banding rows carry the band index so extension positions resolve
+    banded = _scoped_persist(
+        sigs.select(
+            "key",
+            F.posexplode(band_arr).alias("b", "band_key"),
+        ).withColumn(
+            "__bn",
+            F.count(F.lit(1)).over(Window.partitionBy("band_key")),
+        )
+    )
+    ok0 = banded.where(F.col("__bn") <= F.lit(max_bucket_size)).select(
+        "key", "band_key"
+    )
+    over = banded.where(F.col("__bn") > F.lit(max_bucket_size)).select(
+        "key", "b", "band_key"
+    )
+    # depth-d key for band b extends with sig[(b·rows + rows + j) mod H],
+    # j < d — deterministic, engine-reproducible, mirrors the oracle
+    ext_entries = []
+    for b in range(bands):
+        for d in range(1, salvage_depth + 1):
+            ext = [
+                F.col("sig")[(b * rows + rows + j) % num_hashes]
+                for j in range(d)
+            ]
+            ext_entries.append(
+                F.when(
+                    F.col("b") == b,
+                    F.array(
+                        F.struct(
+                            F.lit(d).alias("depth"),
+                            F.concat_ws(
+                                "|", F.col("band_key"), *ext
+                            ).alias("ext_key"),
+                        )
+                    ),
+                )
+            )
+    deep = _scoped_persist(
+        over.join(sigs, on="key")
+        .select(
+            "key",
+            "b",
+            F.explode(
+                F.flatten(
+                    F.filter(
+                        F.array(*ext_entries), lambda x: x.isNotNull()
+                    )
+                )
+            ).alias("e"),
+        )
+        .select("key", "b", F.col("e.depth").alias("depth"),
+                F.col("e.ext_key").alias("ext_key"))
+    )
+    dsz = deep.groupBy("ext_key").agg(F.count(F.lit(1)).alias("__n"))
+    fit = deep.join(dsz, on="ext_key").where(
+        F.col("__n") <= F.lit(max_bucket_size)
+    )
+    best = _scoped_persist(
+        fit.groupBy("key", "b").agg(
+            F.min(F.struct(F.col("depth"), F.col("ext_key"))).alias("bk")
+        ).select("key", "b", F.col("bk.ext_key").alias("band_key"))
+    )
+    refused = over.join(best, ["key", "b"], "left_anti").count()
+    if refused > 0:
+        logging.getLogger(__name__).warning(
+            "salvage banding: %d (doc, band) rows still oversized after "
+            "%d extensions — refused (near-identical signature cohort)",
+            refused, salvage_depth,
+        )
+    return ok0.unionByName(best.select("key", "band_key"))
 
 
 def minhash_lsh_dedup(
@@ -194,8 +294,14 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     threshold: float = 0.4,
     max_bucket_size: int | None = 1000,
+    salvage_depth: int = 0,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
+
+    ``salvage_depth`` > 0 replaces the cap's whole-bucket refusal with
+    recursive re-banding (see ``_banded_signatures``): oversized buckets
+    split by extending their band signature until they fit, so hot
+    buckets degrade to deeper probing instead of dropped pairs.
 
     Plan shape (scales to 100 TB):
       1. signature pass — explode + codegen'd MIN aggregates; map-side
@@ -227,7 +333,7 @@ def minhash_lsh_dedup(
     banded = _scoped_persist(
         _banded_signatures(
             df, text_col, key_col, num_hashes, bands, shingle_k,
-            max_bucket_size,
+            max_bucket_size, salvage_depth,
         )
     )
 

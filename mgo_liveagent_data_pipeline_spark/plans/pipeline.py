@@ -64,6 +64,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALVAGE_MAX_BUCKET = 2
+SALVAGE_DEPTH = 4
+
+
+def q_dedup_minhash_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs with OVERSIZED-BUCKET SALVAGE
+    (operators/dedup.py:_banded_signatures salvage_depth): the mega-
+    bucket cap set adversarially low (2) so the benchmark corpus's
+    size-3/4 buckets actually exercise the recursive re-banding — hot
+    buckets split by signature extension instead of refusing their
+    pairs whole. Driver-visible via the ``mh_salvage`` mode of
+    ``dedup_simhash_suite``."""
+    from ..operators.dedup import minhash_lsh_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=LSH_THRESHOLD,
+        max_bucket_size=SALVAGE_MAX_BUCKET,
+        salvage_depth=SALVAGE_DEPTH,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint clusters (identical 32-bit fingerprint)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1241,6 +1269,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_apply": q_dedup_apply,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_salvage": q_dedup_minhash_salvage,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_near": q_dedup_simhash_near,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
@@ -1406,6 +1435,64 @@ def _minhash_oracle() -> str:
                round({_JACCARD.format(a="sh_a", b="sh_b")}, 6) AS jaccard_sim
         FROM pairs
         WHERE {_JACCARD.format(a="sh_a", b="sh_b")} >= {LSH_THRESHOLD}
+    """
+
+
+def _minhash_salvage_oracle() -> str:
+    """Mirror of minhash_lsh_dedup(salvage_depth=SALVAGE_DEPTH): the
+    single-phase formulation — every (doc, band) generates its full
+    chain of depth-extended keys, counts run per key over all depths,
+    and each (doc, band) is accepted at its chain's FIRST fitting depth.
+    Equivalent to the operator's two-phase plan because bucket
+    membership at depth d is confined to one depth-0 bucket (see
+    _banded_signatures)."""
+    cap = SALVAGE_MAX_BUCKET
+    rows = NUM_HASHES // BANDS
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {_A} + {i} * {_B}))"
+        for i in range(NUM_HASHES)
+    )
+    entries = []
+    for b in range(BANDS):
+        base = [f"sig[{b * rows + r + 1}]" for r in range(rows)]
+        for d in range(SALVAGE_DEPTH + 1):
+            ext = [
+                f"sig[{(b * rows + rows + j) % NUM_HASHES + 1}]"
+                for j in range(d)
+            ]
+            key = f"'{b}|' || " + " || '|' || ".join(base + ext)
+            entries.append(
+                f"struct_pack(b := {b}, d := {d}, k := {key})"
+            )
+    shingled = _SHINGLES.format(km1=SHINGLE_K - 1)
+    sig = _SIG.format(mins=mins)
+    return f"""
+        WITH shingled AS ({shingled}),
+        sigs AS ({sig}),
+        lv AS (
+          SELECT doc_id AS key, unnest([{", ".join(entries)}]) AS e
+          FROM sigs),
+        rw AS (SELECT key, e.b AS b, e.d AS d, e.k AS k FROM lv),
+        sz AS (SELECT k, count(*) AS n FROM rw GROUP BY k),
+        fit AS (
+          SELECT rw.key, rw.b, rw.d, rw.k
+          FROM rw JOIN sz USING (k) WHERE sz.n <= {cap}),
+        acc AS (
+          SELECT key, b, (min(struct_pack(d := d, k := k))).k AS band_key
+          FROM fit GROUP BY key, b),
+        cand AS (
+          SELECT DISTINCT a.key AS id_a, b.key AS id_b
+          FROM acc a JOIN acc b USING (band_key)
+          WHERE a.key < b.key),
+        pairs AS (
+          SELECT c.id_a, c.id_b, sa.sh AS sh_a, sb.sh AS sh_b
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.id_a
+          JOIN sigs sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b,
+               round({_JACCARD.format(a="sh_a", b="sh_b")}, 6) AS jaccard_sim
+        FROM pairs
+        WHERE round({_JACCARD.format(a="sh_a", b="sh_b")}, 6) >= {LSH_THRESHOLD}
     """
 
 
@@ -2704,6 +2791,8 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY md5(text)
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
+    # oversized-bucket salvage variant (adversarially low cap)
+    "dedup_minhash_salvage": _minhash_salvage_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_simhash_near": _simhash_near_dup_oracle(),
     # whole-doc blocked Jaccard ∪ winnowing partial-overlap pairs

@@ -671,8 +671,11 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash family: identical-fingerprint clusters + Hamming-radius
-    near-dup pairs (multi-probe banding)."""
+    """Fingerprint near-dup family: SimHash identical-fingerprint
+    clusters, SimHash Hamming-radius pairs (multi-probe banding), and
+    MinHash-LSH pairs under OVERSIZED-BUCKET SALVAGE (``mh_salvage``
+    mode — recursive re-banding with an adversarially low cap; n packs
+    the verified Jaccard ×10⁶ so the pair scores hash-check)."""
     cl = pipeline.q_dedup_simhash(spark, sf_dir).select(
         F.lit("cluster").alias("mode"),
         F.col("simhash").alias("a"),
@@ -685,7 +688,13 @@ def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("string").alias("b"),
         F.col("hamming_dist").cast("long").alias("n"),
     )
-    return cl.unionByName(near)
+    sal = pipeline.q_dedup_minhash_salvage(spark, sf_dir).select(
+        F.lit("mh_salvage").alias("mode"),
+        F.col("id_a").cast("string").alias("a"),
+        F.col("id_b").cast("string").alias("b"),
+        F.round(F.col("jaccard_sim") * 1e6, 0).cast("long").alias("n"),
+    )
+    return cl.unionByName(near).unionByName(sal)
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1630,6 +1639,13 @@ ORACLES: dict[str, str] = {
             _P["dedup_simhash_near"],
             "'near' AS mode, CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b, "
             "CAST(hamming_dist AS BIGINT) AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["dedup_minhash_salvage"],
+            "'mh_salvage' AS mode, CAST(id_a AS VARCHAR) AS a, "
+            "CAST(id_b AS VARCHAR) AS b, "
+            "CAST(round(jaccard_sim * 1e6) AS BIGINT) AS n",
         )
     ),
     "text_metrics": (

@@ -635,3 +635,52 @@ def test_real_decode_dispatches_all_codecs_and_rejects_unknown():
     # known magic but torn structure → corruption error, not a mis-decode
     with pytest.raises(ValueError):
         real_decode(b"\x89PNG\r\n\x1a\nfakedata")
+
+
+def test_lsh_salvage_bounds_capped_and_uncapped(spark):
+    """Oversized-bucket salvage recovers pairs the whole-bucket refusal
+    drops, without inventing any: on a near-dup-heavy corpus whose
+    buckets all bust an adversarially low cap,
+      pairs(capped) ⊆ pairs(salvage) ⊆ pairs(uncapped),
+    and salvage strictly improves on refusal here (the capped run loses
+    every hot-bucket pair)."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        release_intermediates,
+    )
+
+    # Hash-engineered corpus (salvage only helps when a bucket glues
+    # DISSIMILAR-signature docs — identical-signature cohorts never
+    # split, by design). Four docs "b0..b9 <tail>" whose tails were
+    # selected by replaying the operator's Carter-Wegman hash in Python
+    # (md5 halves of the one tail shingle "b8 b9 t" vs the shared-
+    # shingle floor):
+    #   t0/t48  lose families 0-4 → both collide in band 0 AND share
+    #           the depth-1 extension value sig[4]; their band 1-3 keys
+    #           all differ, so no OTHER band ever pairs them
+    #   t83/t98 lose families 0-3 (collide in band 0) but WIN family 4
+    #           with distinct values → depth-1 split peels them off
+    # Band-0 bucket = all four docs (> cap 2): the capped run refuses it
+    # whole and the (t0, t48) near-dup pair (J = 0.8) is LOST; salvage
+    # splits at depth 1 into {t0, t48} | {t83} | {t98} and recovers it.
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [(k, f"{boiler} {t}")
+            for k, t in enumerate(["t0", "t48", "t83", "t98"])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairs(**kw):
+        out = minhash_lsh_dedup(
+            df, "text", "doc_id", num_hashes=16, bands=4, shingle_k=3,
+            threshold=0.4, **kw,
+        )
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        release_intermediates()
+        return got
+
+    capped = pairs(max_bucket_size=2)
+    salvaged = pairs(max_bucket_size=2, salvage_depth=4)
+    uncapped = pairs(max_bucket_size=None)
+    assert capped <= salvaged, "salvage must not lose capped pairs"
+    assert salvaged <= uncapped, "salvage must not invent pairs"
+    assert (0, 1) not in capped, "cap must drop the glued band-0 pair"
+    assert (0, 1) in salvaged, "salvage must recover the glued pair"
