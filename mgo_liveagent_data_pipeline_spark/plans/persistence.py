@@ -27,6 +27,7 @@ from ..sinks.writers import (
 )
 from ..sources.tables import load_table
 from ..streaming.windows import session_windows, stream_tumbling_6h
+from . import pipeline as _pipe
 from .pipeline import ORACLES as _pipeline_oracles
 from .relational import MONEY
 
@@ -552,6 +553,36 @@ def q_stream_incremental_dedup(
     return spark.read.parquet(pairs_path).select("id_a", "id_b", "jaccard_sim")
 
 
+def q_stream_scored_ingest(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
+    """§2.8 + the scored-curation gates composed INTO continuous
+    ingestion: each documents micro-batch passes the quality gate and
+    the CCNet perplexity gate (static English reference model, tail
+    dropped) BEFORE indexing, then dedups against the corpus-so-far and
+    MERGEs (streaming/windows.py:stream_scored_ingest). Restart-safe by
+    the same idempotent-MERGE argument as ``incdedup`` — the gates are
+    pure per-doc maps, so a replayed batch gates identically. The
+    drained pair table equals the batch gate→ppl→LSH composition over
+    the whole table (pipeline._scored_ingest_oracle), whatever the
+    batch split."""
+    from ..streaming.windows import stream_scored_ingest
+
+    base_dir = scratch_dir("mgo_stream_scored_")
+    pairs_path, _corpus = stream_scored_ingest(
+        spark,
+        sf_dir,
+        base_dir,
+        lm_buckets=_pipe.LM_BUCKETS,
+        head_nll=_pipe.LM_HEAD_NLL,
+        tail_nll=_pipe.LM_TAIL_NLL,
+        n_state_partitions=n_state_partitions,
+    )
+    return spark.read.parquet(pairs_path).select(
+        "id_a", "id_b", "jaccard_sim"
+    )
+
+
 def q_stream_join_30m(
     spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 2
 ) -> DataFrame:
@@ -582,6 +613,7 @@ QUERIES = {
     "stream_dedup_6h": q_stream_dedup_6h,
     "stream_merge_partitioned": q_stream_merge_partitioned,
     "stream_incremental_dedup": q_stream_incremental_dedup,
+    "stream_scored_ingest": q_stream_scored_ingest,
     "stream_join_30m": q_stream_join_30m,
 }
 
@@ -640,6 +672,8 @@ ORACLES: dict[str, str] = {
     # full-corpus batch LSH pair set (see stream_incremental_dedup) —
     # reuse the minhash member oracle verbatim
     "stream_incremental_dedup": _pipeline_oracles["dedup_minhash_lsh"],
+    # drained scored-ingest pairs = batch gate -> ppl -> LSH composition
+    "stream_scored_ingest": _pipe._scored_ingest_oracle(),
     "k_cdc_apply": _CDC_SQL,
     "k_scd2_cdc": _SCD2CDC_SQL,
     # same algebra as k4_upsert_merge — but computed through a real

@@ -1438,6 +1438,167 @@ def _minhash_oracle() -> str:
     """
 
 
+def _scored_ingest_oracle() -> str:
+    """Batch twin of streaming/windows.py:stream_scored_ingest's drained
+    pair table: quality gate → ppl gate (full-table English reference,
+    tail dropped) over the WHOLE documents table, then the standard
+    capped MinHash-LSH pair set over exactly the surviving docs — what
+    the gated micro-batch ingestion converges to for any batch split."""
+    rows = NUM_HASHES // BANDS
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {_A} + {i} * {_B}))"
+        for i in range(NUM_HASHES)
+    )
+    bands = ", ".join(
+        "'"
+        + str(b)
+        + "|' || "
+        + " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        for b in range(BANDS)
+    )
+    jac = _JACCARD.format(a="sh_a", b="sh_b")
+    km1 = SHINGLE_K - 1
+    return f"""
+        WITH qt AS (
+          SELECT doc_id,
+                 text IS NULL AS is_null,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS tk,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   AS DOUBLE) AS punct,
+                 CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                   AS DOUBLE) AS upper_c
+          FROM documents),
+        qs AS (
+          SELECT doc_id, is_null, tk, n_chars,
+                 CAST(length(tk) AS BIGINT) AS n_tok,
+                 CAST(length(tk) AS DOUBLE) AS n_tok_d,
+                 CASE WHEN length(tk) >= 3
+                      THEN list_transform(range(1, length(tk) - 1),
+                             i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [] END AS sh,
+                 punct, upper_c
+          FROM qt),
+        qr AS (
+          SELECT doc_id, is_null, n_tok,
+                 CASE WHEN n_tok > 0
+                      THEN round(CAST(list_sum(list_transform(tk,
+                             x -> length(x))) AS DOUBLE) / n_tok_d, 6)
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN n_chars > 0 THEN round(punct / n_chars, 6)
+                      ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_chars > 0 THEN round(upper_c / n_chars, 6)
+                      ELSE 0.0 END AS upper_ratio,
+                 CASE WHEN n_tok > 0
+                      THEN round((n_tok - length(list_distinct(tk)))
+                                 / n_tok_d, 6)
+                      ELSE 0.0 END AS dup_tok,
+                 CASE WHEN length(sh) > 0
+                      THEN round(CAST(length(sh) - length(list_distinct(sh))
+                                 AS DOUBLE) / CAST(length(sh) AS DOUBLE), 6)
+                      ELSE 0.0 END AS dup_sh,
+                 CASE WHEN n_tok > 0
+                      THEN round(CAST(length(list_filter(tk, x -> lower(x) IN
+                             ('the','a','and','of','to','in','is','it')))
+                             AS DOUBLE) / n_tok_d, 6)
+                      ELSE 0.0 END AS stop_ratio
+          FROM qs),
+        qd AS (
+          SELECT doc_id,
+                 CASE WHEN is_null THEN 'null_text' ELSE
+                 concat_ws(',',
+                   CASE WHEN n_tok < 30 THEN 'too_short' END,
+                   CASE WHEN n_tok > 100000 THEN 'too_long' END,
+                   CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                        THEN 'word_len' END,
+                   CASE WHEN punct_ratio > 0.2 THEN 'punct' END,
+                   CASE WHEN upper_ratio > 0.3 THEN 'upper' END,
+                   CASE WHEN dup_tok > 0.65 THEN 'rep_token' END,
+                   CASE WHEN dup_sh > 0.35 THEN 'rep_shingle' END,
+                   CASE WHEN stop_ratio < 0.01 THEN 'stopword' END
+                 ) END AS reasons
+          FROM qr),
+        g1 AS MATERIALIZED (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN qd USING (doc_id) WHERE qd.reasons = ''),
+        etoks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents WHERE lang = 'en'),
+        ebg AS (
+          SELECT CAST(('0x' || substring(md5(unnest(tk[1:len(tk)-1])), 1, 8))
+                      AS BIGINT) % {LM_BUCKETS} AS h1,
+                 CAST(('0x' || substring(md5(unnest(tk[2:len(tk)])), 1, 8))
+                      AS BIGINT) % {LM_BUCKETS} AS h2
+          FROM etoks),
+        prb AS (SELECT h1, h2, count(*) AS b FROM ebg GROUP BY h1, h2),
+        pctx AS (SELECT h1, sum(b) AS u FROM prb GROUP BY h1),
+        pmodel AS (
+          SELECT prb.h1, prb.h2,
+                 CAST(round(-1000 * ln((b + 1.0) / (u + {LM_BUCKETS}.0)))
+                      AS BIGINT) AS m
+          FROM prb JOIN pctx USING (h1)),
+        pctxu AS (
+          SELECT h1,
+                 CAST(round(-1000 * ln(1.0 / (u + {LM_BUCKETS}.0)))
+                      AS BIGINT) AS mu
+          FROM pctx),
+        g1bg AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(unnest(tk[1:len(tk)-1])), 1, 8))
+                      AS BIGINT) % {LM_BUCKETS} AS h1,
+                 CAST(('0x' || substring(md5(unnest(tk[2:len(tk)])), 1, 8))
+                      AS BIGINT) % {LM_BUCKETS} AS h2
+          FROM (SELECT doc_id,
+                       list_filter(
+                         string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk
+                FROM g1)),
+        psc AS (
+          SELECT g1bg.doc_id, count(*) AS nb,
+                 sum(COALESCE(m, mu,
+                     CAST(round(1000 * ln({LM_BUCKETS}.0)) AS BIGINT)))
+                   AS milli
+          FROM g1bg
+          LEFT JOIN pmodel USING (h1, h2)
+          LEFT JOIN pctxu USING (h1)
+          GROUP BY g1bg.doc_id),
+        sv AS MATERIALIZED (
+          SELECT g1.doc_id, g1.text FROM g1 LEFT JOIN psc USING (doc_id)
+          WHERE psc.nb IS NULL OR psc.nb = 0
+             OR CAST(psc.milli AS DOUBLE) / CAST(psc.nb * 1000 AS DOUBLE)
+                <= {LM_TAIL_NLL}),
+        shingled AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {km1}, 1) + 1),
+                   i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{km1}], ' ')
+                 )) AS sh
+          FROM sv),
+        sigs AS (SELECT doc_id, sh, [{mins}] AS sig FROM shingled),
+        banded0 AS (
+          SELECT doc_id AS key, unnest([{bands}]) AS band_key FROM sigs),
+        banded AS (
+          SELECT key, band_key FROM banded0
+          QUALIFY count(*) OVER (PARTITION BY band_key) <= {LSH_MAX_BUCKET}),
+        cand AS (
+          SELECT DISTINCT a.key AS id_a, b.key AS id_b
+          FROM banded a JOIN banded b USING (band_key)
+          WHERE a.key < b.key),
+        pairs AS (
+          SELECT c.id_a, c.id_b, sa.sh AS sh_a, sb.sh AS sh_b
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.id_a
+          JOIN sigs sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b,
+               round({jac}, 6) AS jaccard_sim
+        FROM pairs
+        WHERE round({jac}, 6) >= {LSH_THRESHOLD}
+    """
+
+
 def _minhash_salvage_oracle() -> str:
     """Mirror of minhash_lsh_dedup(salvage_depth=SALVAGE_DEPTH): the
     single-phase formulation — every (doc, band) generates its full

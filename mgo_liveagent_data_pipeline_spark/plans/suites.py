@@ -1124,6 +1124,11 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         incdedup_fut = ex.submit(
             persistence.q_stream_incremental_dedup, spark, sf_dir, None
         )
+        # scored_ingest: the same ingestion loop with the quality + ppl
+        # gates applied to each micro-batch BEFORE indexing
+        scored_fut = ex.submit(
+            persistence.q_stream_scored_ingest, spark, sf_dir, None
+        )
         done = list(
             ex.map(
                 lambda m: m[1](spark, sf_dir, n_state_partitions=None), members
@@ -1131,6 +1136,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         join_df = join_fut.result()
         incdedup_df = incdedup_fut.result()
+        scored_df = scored_fut.result()
     parts = [
         df.select(
             F.lit(tag).alias("mode"),
@@ -1168,6 +1174,16 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("n_events"),
         F.col("jaccard_sim").alias("total_value"),
     )
+    scored_part = scored_df.select(
+        F.lit("scored_ingest").alias("mode"),
+        F.concat_ws(
+            "|", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        ).alias("grp"),
+        _null("timestamp").alias("window_start"),
+        _null("timestamp").alias("window_end"),
+        F.col("id_b").alias("n_events"),
+        F.col("jaccard_sim").alias("total_value"),
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1175,6 +1191,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.unionByName(sess)
         .unionByName(join_part)
         .unionByName(incdedup_part)
+        .unionByName(scored_part)
     )
 
 
@@ -1786,6 +1803,15 @@ ORACLES: dict[str, str] = {
         + _tagged(
             _K["stream_incremental_dedup"],
             "'incdedup' AS mode, "
+            "CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR) AS grp, "
+            "CAST(NULL AS TIMESTAMP) AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "id_b AS n_events, jaccard_sim AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _K["stream_scored_ingest"],
+            "'scored_ingest' AS mode, "
             "CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR) AS grp, "
             "CAST(NULL AS TIMESTAMP) AS window_start, "
             "CAST(NULL AS TIMESTAMP) AS window_end, "

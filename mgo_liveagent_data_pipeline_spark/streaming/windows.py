@@ -357,6 +357,7 @@ def stream_incremental_dedup(
     n_batches: int = 3,
     n_state_partitions: int | None = None,
     checkpoint_dir: str | None = None,
+    gate_fn=None,
 ) -> tuple[str, str]:
     """Continuous corpus ingestion with streaming incremental near-dup
     detection — the production shape for a training corpus that grows by
@@ -364,6 +365,14 @@ def stream_incremental_dedup(
     far via ``operators.dedup.incremental_minhash_dedup`` (delta-bands ⋈
     corpus-index, never corpus×corpus), then MERGEd into the corpus
     table; discovered pairs MERGE into a pairs table keyed on the pair.
+
+    ``gate_fn`` (DataFrame → DataFrame), when given, filters each
+    micro-batch BEFORE dedup and indexing — the hook scored ingestion
+    composes its quality/perplexity gates through
+    (``stream_scored_ingest``). It must be a PURE per-doc decision
+    (deterministic, batch-content-only) so a replayed batch gates
+    identically — that is what keeps the idempotent-MERGE replay
+    argument intact with a gate in the loop.
 
     Exactly-once under crash replay WITHOUT relying on foreachBatch
     running once: both writes are idempotent keyed MERGEs, and a replayed
@@ -406,6 +415,8 @@ def stream_incremental_dedup(
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         delta = batch_df.select("doc_id", "text")
+        if gate_fn is not None:
+            delta = gate_fn(delta)
         corpus = spark.read.parquet(corpus_path)
         pairs = incremental_minhash_dedup(corpus, delta, "text", "doc_id")
         out = pairs.select(
@@ -433,6 +444,77 @@ def stream_incremental_dedup(
         )
         q.awaitTermination()
     return table_path(base_dir, pairs_name), corpus_path
+
+
+def stream_scored_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    lm_buckets: int = 2048,
+    head_nll: float = 6.0,
+    tail_nll: float = 7.0,
+    table: str = "documents",
+    n_batches: int = 3,
+    n_state_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[str, str]:
+    """SCORED continuous ingestion: every micro-batch passes the
+    Gopher-style quality gate and the CCNet perplexity gate (hashed-
+    bigram LM over the static English reference; ``tail`` bucket
+    dropped) BEFORE it is indexed or deduped — the production shape for
+    continuous CURATED corpus growth, composing two independently-green
+    pieces (``stream_incremental_dedup`` + the scored-curation gates,
+    plans/pipeline.py:q_curation_scored_pipeline stages 1-2).
+
+    Gate determinism ⇒ restart safety: both gates are pure per-doc maps
+    (no batch- or order-dependence; the reference model is built from
+    the STATIC English subset, not the stream), so a crash-replayed
+    batch gates identically and the two idempotent keyed MERGEs behave
+    exactly as in the ungated operator. A production pass would persist
+    the tiny LM relations instead of re-aggregating the reference per
+    batch — the scoring plan is unchanged; only the model build is
+    amortized.
+
+    Drained-output contract (the oracle): accepted docs = the batch
+    gate→ppl composition over the whole table, and the pair table = the
+    full-corpus batch LSH over exactly those docs, independent of the
+    batch split."""
+    from ..operators.textops import lm_perplexity_score, quality_filter
+    from ..sources.tables import load_table
+
+    en_ref = load_table(spark, sf_dir, table).where(
+        F.col("lang") == "en"
+    ).select("doc_id", "text")
+
+    def gate(delta: DataFrame) -> DataFrame:
+        qf = quality_filter(delta)
+        kept = delta.join(
+            qf.where("keep").select("doc_id"), "doc_id", "left_semi"
+        )
+        # head_nll must sit at or below tail_nll: the bucket CASE tests
+        # head first, so a head cut above the tail cut would relabel
+        # (tail_nll, head_nll) docs 'head' and sneak them past the gate
+        ppl = lm_perplexity_score(
+            kept, en_ref, lm_buckets, head_nll=head_nll, tail_nll=tail_nll
+        )
+        return kept.join(
+            ppl.where(F.col("ppl_bucket") != "tail").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
+    return stream_incremental_dedup(
+        spark,
+        sf_dir,
+        base_dir,
+        table=table,
+        pairs_name="scored_pairs",
+        corpus_name="scored_corpus",
+        n_batches=n_batches,
+        n_state_partitions=n_state_partitions,
+        checkpoint_dir=checkpoint_dir,
+        gate_fn=gate,
+    )
 
 
 def stream_dedup_6h(

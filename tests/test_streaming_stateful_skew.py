@@ -367,3 +367,68 @@ def test_stream_incremental_dedup_restart_exactly_once(spark, tmp_path):
     corpus_rows = spark.read.parquet(corpus_path).collect()
     assert len(corpus_rows) == sum(len(v) for v in docs.values())
     assert len({r["doc_id"] for r in corpus_rows}) == len(corpus_rows)
+
+
+def test_stream_scored_ingest_equals_batch_composition(spark):
+    """Scored continuous ingestion (gate → ppl → incremental dedup per
+    micro-batch) drains to exactly the batch composition: quality+ppl
+    gates over the whole table, then full-corpus LSH pairs. Gates are
+    pure per-doc maps, so the result is independent of the batch split —
+    and the crash-replay argument of
+    test_stream_incremental_dedup_restart_exactly_once carries over
+    unchanged (the gate adds no batch- or order-dependence)."""
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        lm_perplexity_score,
+        quality_filter,
+    )
+    from mgo_liveagent_data_pipeline_spark.plans.pipeline import (
+        LM_BUCKETS,
+        LM_HEAD_NLL,
+        LM_TAIL_NLL,
+    )
+    from mgo_liveagent_data_pipeline_spark.scratch import scratch_dir
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_scored_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = scratch_dir("mgo_test_scored_ingest_")
+    pairs_path, corpus_path = stream_scored_ingest(
+        spark, sf, base,
+        lm_buckets=LM_BUCKETS, head_nll=LM_HEAD_NLL, tail_nll=LM_TAIL_NLL,
+        n_state_partitions=1,
+    )
+    streamed = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    ingested = {
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    }
+
+    docs = load_table(spark, sf, "documents")
+    qf = quality_filter(docs)
+    kept = docs.join(qf.where("keep").select("doc_id"), "doc_id", "left_semi")
+    ppl = lm_perplexity_score(
+        kept, docs.where(F.col("lang") == "en"), LM_BUCKETS,
+        head_nll=LM_HEAD_NLL, tail_nll=LM_TAIL_NLL,
+    )
+    gated = kept.join(
+        ppl.where(F.col("ppl_bucket") != "tail").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    expect_docs = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    batch = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in minhash_lsh_dedup(gated, "text", "doc_id").collect()
+    }
+    release_intermediates()
+    assert ingested == expect_docs, "corpus must hold exactly the gated docs"
+    assert streamed == batch, "drained pairs must equal the batch composition"
