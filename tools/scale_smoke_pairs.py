@@ -122,6 +122,14 @@ def main() -> None:
     def minhash(df):
         return minhash_lsh_dedup(df)
 
+    def mh_salvage(df):
+        # oversized-bucket salvage engaged by an adversarially low cap
+        # (the dedup_minhash_salvage member's parameters): every size-3/4
+        # bucket busts cap 2 and goes through depth-extended re-banding,
+        # so the 64× run measures the salvage path itself, not the happy
+        # path around it
+        return minhash_lsh_dedup(df, max_bucket_size=2, salvage_depth=4)
+
     def incr(df):
         return incremental_minhash_dedup(
             df.where(F.col("doc_id") % 5 != 0),
@@ -156,6 +164,7 @@ def main() -> None:
     results = {}
     for name, fn in {
         "minhash_lsh": minhash,
+        "minhash_salvage": mh_salvage,
         "incremental": incr,
         "cc_cluster": cc,
         "cc_blocked_capped": cc_blocked,
