@@ -162,13 +162,20 @@ def main() -> None:
         return connected_components(pairs.select("id_a", "id_b"))
 
     results = {}
-    for name, fn in {
+    pair_cases = {
         "minhash_lsh": minhash,
         "minhash_salvage": mh_salvage,
         "incremental": incr,
         "cc_cluster": cc,
         "cc_blocked_capped": cc_blocked,
-    }.items():
+    }
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(pair_cases)
+        if unknown:
+            raise SystemExit(f"unknown case(s) {sorted(unknown)}")
+        pair_cases = {k: v for k, v in pair_cases.items() if k in only}
+    for name, fn in pair_cases.items():
         fn(docs_1x).count()  # warm the code path
         release_intermediates()
         t0 = time.time()
@@ -191,13 +198,15 @@ def main() -> None:
         # incremental flush so a died-mid-run session still leaves data
         print(json.dumps({name: results[name]}), file=sys.stderr)
 
-    drops = {
-        "lsh_cap1000_1x": lsh_drop_stats(docs_1x),
-        f"lsh_cap1000_{factor}x": lsh_drop_stats(docs_nx),
-        "block_cap1000_1x": block_drop_stats(docs_1x, cap=1000),
-        f"block_cap1000_{factor}x": block_drop_stats(docs_nx, cap=1000),
-        f"block_cap10000_{factor}x": block_drop_stats(docs_nx, cap=10_000),
-    }
+    drops = {}
+    if not only:  # full runs keep the cap-drop accounting
+        drops = {
+            "lsh_cap1000_1x": lsh_drop_stats(docs_1x),
+            f"lsh_cap1000_{factor}x": lsh_drop_stats(docs_nx),
+            "block_cap1000_1x": block_drop_stats(docs_1x, cap=1000),
+            f"block_cap1000_{factor}x": block_drop_stats(docs_nx, cap=1000),
+            f"block_cap10000_{factor}x": block_drop_stats(docs_nx, cap=10_000),
+        }
     print(json.dumps({"factor": factor, "cases": results, "cap_drops": drops}))
     import shutil
 
