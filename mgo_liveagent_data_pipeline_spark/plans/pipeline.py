@@ -24,6 +24,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_dedup,
 )
 from ..operators.textops import (
@@ -227,6 +228,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked, "embedding", "doc_id", "label", threshold=0.8
     ).select(F.lit("encoded").alias("mode"), "id_a", "id_b", "cosine_sim")
     return e.unionByName(n)
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup verdicts (operators/dedup.py:semantic_dedup):
+    cluster-blocked cosine dedup over the embeddings table at threshold
+    0.3 (this corpus's meaningful within-cluster band — see
+    q_dedup_embedding's threshold note), keep-lowest-centroid-sim
+    survivor policy. One verdict row per vector. Driver-visible via the
+    ``semdedup`` mode of ``dedup_simhash_suite``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3)
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,6 +1288,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_incremental": q_dedup_incremental,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_semantic": q_dedup_semantic,
     "text_fingerprint": q_text_fingerprint,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
@@ -3082,6 +3095,43 @@ ORACLES: dict[str, str] = {
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                            - n_tokens) / 1000.0) AS BIGINT) AS shard_id
         FROM t
+    """,
+    # SemDeDup verdicts (operators/dedup.py:semantic_dedup): deterministic
+    # lowest-key centroids, highest-(csim, cluster_id) assignment,
+    # (centroid_sim ASC, key ASC) in-cluster rank, dropped iff an
+    # earlier-ranked member is >= threshold-similar
+    "dedup_semantic": f"""
+        WITH cents AS (
+          SELECT label AS cluster_id,
+                 arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                         vec_id) AS centroid
+          FROM embeddings GROUP BY label),
+        v AS (
+          SELECT vec_id AS key,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+        scored AS (
+          SELECT v.key, v.cv, c.cluster_id,
+                 round({_COSINE.format(a="v.cv", b="c.centroid")}, 6) AS csim
+          FROM v CROSS JOIN cents c),
+        assigned AS (
+          SELECT key, cv, cluster_id, csim AS centroid_sim
+          FROM scored
+          QUALIFY row_number() OVER (PARTITION BY key
+                                     ORDER BY csim DESC, cluster_id DESC) = 1),
+        ranked AS (
+          SELECT key, cv, cluster_id, centroid_sim,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY centroid_sim ASC, key ASC) AS rnk
+          FROM assigned),
+        dups AS (
+          SELECT DISTINCT b.key
+          FROM ranked a JOIN ranked b
+            ON a.cluster_id = b.cluster_id AND a.rnk < b.rnk
+          WHERE round({_COSINE.format(a="a.cv", b="b.cv")}, 6) >= 0.3)
+        SELECT r.key AS vec_id, r.cluster_id, r.centroid_sim,
+               CAST(CASE WHEN d.key IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+        FROM ranked r LEFT JOIN dups d USING (key)
     """,
     "dedup_embedding": f"""
         SELECT 'emb' AS mode, id_a, id_b, cosine_sim FROM (

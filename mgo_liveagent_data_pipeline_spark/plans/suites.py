@@ -675,7 +675,10 @@ def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters, SimHash Hamming-radius pairs (multi-probe banding), and
     MinHash-LSH pairs under OVERSIZED-BUCKET SALVAGE (``mh_salvage``
     mode — recursive re-banding with an adversarially low cap; n packs
-    the verified Jaccard ×10⁶ so the pair scores hash-check)."""
+    the verified Jaccard ×10⁶ so the pair scores hash-check), and
+    SemDeDup semantic-dedup verdicts (``semdedup`` mode —
+    pipeline.q_dedup_semantic; n packs kept-flag and centroid-sim ×10⁶
+    so both hash-check)."""
     cl = pipeline.q_dedup_simhash(spark, sf_dir).select(
         F.lit("cluster").alias("mode"),
         F.col("simhash").alias("a"),
@@ -694,7 +697,19 @@ def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("string").alias("b"),
         F.round(F.col("jaccard_sim") * 1e6, 0).cast("long").alias("n"),
     )
-    return cl.unionByName(near).unionByName(sal)
+    sd = pipeline.q_dedup_semantic(spark, sf_dir).select(
+        F.lit("semdedup").alias("mode"),
+        F.col("vec_id").cast("string").alias("a"),
+        F.col("cluster_id").cast("string").alias("b"),
+        # pack (kept, centroid_sim): sim is 6dp-rounded so ×1e6 is
+        # integral; +1e6 keeps the term non-negative for any cosine
+        (
+            F.col("kept").cast("long") * F.lit(10_000_000).cast("long")
+            + F.round(F.col("centroid_sim") * 1e6, 0).cast("long")
+            + F.lit(1_000_000).cast("long")
+        ).alias("n"),
+    )
+    return cl.unionByName(near).unionByName(sal).unionByName(sd)
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1663,6 +1678,14 @@ ORACLES: dict[str, str] = {
             "'mh_salvage' AS mode, CAST(id_a AS VARCHAR) AS a, "
             "CAST(id_b AS VARCHAR) AS b, "
             "CAST(round(jaccard_sim * 1e6) AS BIGINT) AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["dedup_semantic"],
+            "'semdedup' AS mode, CAST(vec_id AS VARCHAR) AS a, "
+            "CAST(cluster_id AS VARCHAR) AS b, "
+            "CAST(kept AS BIGINT) * 10000000 "
+            "+ CAST(round(centroid_sim * 1e6) AS BIGINT) + 1000000 AS n",
         )
     ),
     "text_metrics": (

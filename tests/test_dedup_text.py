@@ -684,3 +684,110 @@ def test_lsh_salvage_bounds_capped_and_uncapped(spark):
     assert salvaged <= uncapped, "salvage must not invent pairs"
     assert (0, 1) not in capped, "cap must drop the glued band-0 pair"
     assert (0, 1) in salvaged, "salvage must recover the glued pair"
+
+
+# ------------------------------------------------------- semantic dedup
+SEM_ROWS = [
+    # label-0 island near e1: ids 1-3 are a near-identical triple
+    # (pairwise cos > 0.999), id 4 is a same-cluster singleton
+    # (cos ~0.939 to the triple — below the 0.98 threshold)
+    (1, [1.0, 0.0, 0.2], 0),
+    (2, [1.0, 0.01, 0.2], 0),
+    (3, [1.0, 0.02, 0.2], 0),
+    (4, [1.0, 0.3, 0.0], 0),
+    # label-1 island near e2: two distinct vectors (cos ~0.976 < 0.98)
+    (5, [0.0, 1.0, 0.2], 1),
+    (6, [0.1, 1.0, 0.0], 1),
+]
+
+
+def sem_df(spark):
+    return spark.createDataFrame(
+        SEM_ROWS, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_semantic_dedup_keeps_low_centroid_sim_survivor(spark):
+    """The engineered corpus pins the full SemDeDup contract: the
+    near-identical triple collapses to ONE survivor — the member LEAST
+    similar to its cluster centroid (id 3: the centroid is id 1's own
+    vector, so id 1 scores sim 1.0 and ranks LAST) — while the
+    below-threshold singleton and the distinct label-1 pair survive."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(sem_df(spark), threshold=0.98).collect()
+    verdicts = {r["vec_id"]: r for r in out}
+    assert len(verdicts) == 6  # one verdict row per input vector
+    # nearest-centroid assignment reproduces the label islands
+    assert {k: v["cluster_id"] for k, v in verdicts.items()} == {
+        1: 0, 2: 0, 3: 0, 4: 0, 5: 1, 6: 1,
+    }
+    kept = {k for k, v in verdicts.items() if v["kept"] == 1}
+    assert kept == {3, 4, 5, 6}
+    # the survivor of the triple is the peripheral copy, not the seed
+    assert verdicts[1]["centroid_sim"] == 1.0 and verdicts[1]["kept"] == 0
+
+
+def test_semantic_dedup_invariants_on_corpus(spark):
+    """On the real embeddings table: dropped ⟺ an earlier-ranked member
+    of the same cluster is ≥ threshold-similar (recomputed brute-force
+    from the verdict rows + raw vectors), and raising the threshold only
+    grows the kept set (the EXISTS is monotone in τ)."""
+    import math
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import semantic_dedup
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    thr = 0.3
+    out = semantic_dedup(emb, threshold=thr).collect()
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6) if na > 0 and nb > 0 else 0.0
+
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    n_dropped = 0
+    for members in by_cluster.values():
+        members.sort(key=lambda r: (r["centroid_sim"], r["vec_id"]))
+        for i, r in enumerate(members):
+            earlier_hit = any(
+                cos(vecs[q["vec_id"]], vecs[r["vec_id"]]) >= thr
+                for q in members[:i]
+            )
+            assert (r["kept"] == 0) == earlier_hit, r
+            n_dropped += r["kept"] == 0
+    assert n_dropped > 0, "threshold 0.3 must exercise the drop path"
+
+    kept_hi = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, threshold=0.45).collect()
+        if r["kept"] == 1
+    }
+    kept_lo = {r["vec_id"] for r in out if r["kept"] == 1}
+    assert kept_lo <= kept_hi
+
+
+def test_semantic_dedup_cluster_cap_degrades_to_kept(spark):
+    """A cluster over max_cluster_size is refused from pair generation:
+    its members all surface kept=1 (no duplicate evidence — same degrade
+    contract as the LSH bucket cap), while clusters within the cap are
+    still probed."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    rows = SEM_ROWS + [(7, [0.1, 1.0, 0.001], 1)]  # near-dup of id 6
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["vec_id"]: r["kept"] for r in
+           semantic_dedup(df, threshold=0.98, max_cluster_size=3).collect()}
+    # cluster 0 (size 4 > 3) refused -> all kept despite the triple
+    assert all(out[i] == 1 for i in (1, 2, 3, 4))
+    # cluster 1 (size 3 <= 3) still probed -> the 6/7 near-dup collapses
+    assert sorted(out[i] for i in (5, 6, 7)) == [0, 1, 1]

@@ -426,6 +426,24 @@ def main() -> None:
         return read_partitioned(spark, base, "c")
 
     n_docs_1x = docs_1x.count()
+    n_emb_1x = emb_1x.count()
+
+    def semdedup_case(df):
+        # the replicas carry IDENTICAL vectors, so leaving labels alone
+        # would grow cluster SIZE N× (quadratic pairs — the blowup, not
+        # the contract). The documented 100 TB rule is grow cluster
+        # COUNT: give each replica its own label space (recoverable from
+        # the key shift), so clusters stay 1×-sized and pairs scale
+        # linearly — exactly the re-cluster-with-more-centroids shape.
+        from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+            semantic_dedup,
+        )
+
+        rep = F.floor(F.col("vec_id") / F.lit(10 * n_emb_1x))
+        relabeled = df.withColumn(
+            "label", (F.col("label") + rep * 10).cast("int")
+        )
+        return semantic_dedup(relabeled, threshold=0.3)
 
     def enc_near_dup(df):
         # sign-block bits follow the documented sizing rule
@@ -481,6 +499,7 @@ def main() -> None:
         "bpe_encode": (bpe, docs_1x, docs_nx),
         "dedup_apply_rewrite": (dedup_apply_case, docs_1x, docs_nx),
         "encoded_near_dup": (enc_near_dup, docs_1x, docs_nx),
+        "semantic_dedup": (semdedup_case, emb_1x, emb_nx),
         "curation_pipeline": (curation_case, docs_1x, docs_nx),
     }
 
