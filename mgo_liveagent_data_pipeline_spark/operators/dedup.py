@@ -1231,6 +1231,142 @@ def semantic_dedup(
     )
 
 
+def incremental_semantic_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_col: str = "label",
+    threshold: float = 0.3,
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """Delta-vs-corpus SemDeDup — the merge a recurring embedding ingest
+    actually runs: verdicts for the DELTA's vectors against corpus ∪
+    delta WITHOUT regenerating corpus×corpus pairs (the semantic
+    counterpart of ``incremental_minhash_dedup``, same contract shape).
+
+    Exactness property (what the oracle checks): the result equals
+    ``semantic_dedup(corpus ∪ delta)`` restricted to delta keys. That
+    restriction is exact because a key's verdict depends only on
+    EARLIER-ordered members of its own cluster — (centroid_sim, key)
+    lexicographic order — never on the verdicts of others, so no global
+    rank is needed: the pair probe tests the order predicate directly.
+
+    Consequence worth knowing at ingest time: a delta vector that is
+    near-dup of a corpus vector but MORE peripheral (lower centroid_sim)
+    is ADMITTED — under the keep-low policy it is the copy the full
+    dedup would keep, and the corpus twin the one it would drop. The
+    incremental pass reports delta verdicts only, so that corpus-side
+    drop is deferred: run the full ``semantic_dedup`` sweep periodically
+    (or feed these pairs into ``dedup_apply``) to canonicalize the
+    standing corpus.
+
+    Plan shape: assignment of both sides against the shared centroid
+    set, then delta-assigned ⋈ all-assigned on cluster_id with the
+    order predicate — only clusters that RECEIVED a delta vector
+    generate pairs, each contributing |delta ∩ cluster| × |cluster|
+    comparisons. At 100 TB the corpus side participates through its
+    stored assignment index (cluster_id, key, centroid_sim, vector) —
+    maintained by appending each accepted delta's assignment rows —
+    recomputing it here keeps the operator a pure function for the
+    oracle; swap the ``corpus`` argument for the index table and
+    nothing else changes. A key in BOTH inputs is a re-ingest: the
+    delta's version supersedes the corpus row (K4 MERGE semantics),
+    matching what ``semantic_dedup`` would see after the MERGE.
+
+    Returns delta-key verdict rows (key, cluster_id, centroid_sim,
+    kept)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.similarity import cosine_prenorm, norm2
+
+    from .annsearch import ivf_centroids
+
+    _require_numeric(corpus, [key_col], "incremental_semantic_dedup")
+    _require_numeric(delta, [key_col], "incremental_semantic_dedup")
+    delta_keys = _scoped_persist(
+        delta.select(F.col(key_col).alias("key")).distinct()
+    )
+    corpus_live = corpus.join(
+        delta_keys.withColumnRenamed("key", key_col),
+        on=key_col,
+        how="left_anti",
+    )
+    both = corpus_live.select(
+        F.col(key_col), F.col(vec_col), F.col(label_col)
+    ).unionByName(delta.select(F.col(key_col), F.col(vec_col), F.col(label_col)))
+    cents = ivf_centroids(both, vec_col, key_col, label_col).withColumn(
+        "cent_n", norm2(F.col("centroid"))
+    )
+    v = both.select(
+        F.col(key_col).alias("key"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nv", norm2(F.col("v")))
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "csim",
+        F.round(
+            cosine_prenorm(
+                F.col("v"), F.col("centroid"), F.col("nv"), F.col("cent_n")
+            ),
+            6,
+        ),
+    )
+    assigned = scored.groupBy("key").agg(
+        F.max(F.struct(F.col("csim"), F.col("cluster_id"))).alias("best"),
+        F.first("v").alias("v"),
+        F.first("nv").alias("nv"),
+    )
+    assigned = _scoped_persist(
+        assigned.select(
+            "key",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.csim").alias("centroid_sim"),
+            "v",
+            "nv",
+        )
+    )
+    if max_cluster_size is not None:
+        cn = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        probe = (
+            assigned.withColumn("__cn", cn)
+            .where(F.col("__cn") <= max_cluster_size)
+            .drop("__cn")
+        )
+    else:
+        probe = assigned
+    delta_side = probe.join(delta_keys, on="key", how="left_semi")
+    a, b = probe.alias("a"), delta_side.alias("b")
+    pair_sim = F.round(
+        cosine_prenorm(F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")), 6
+    )
+    # the order predicate IS the rank: a precedes b iff
+    # (a.centroid_sim, a.key) < (b.centroid_sim, b.key)
+    earlier = (F.col("a.centroid_sim") < F.col("b.centroid_sim")) | (
+        (F.col("a.centroid_sim") == F.col("b.centroid_sim"))
+        & (F.col("a.key") < F.col("b.key"))
+    )
+    dup_keys = (
+        a.join(b, F.col("a.cluster_id") == F.col("b.cluster_id"))
+        .where(earlier)
+        .where(pair_sim >= threshold)
+        .select(F.col("b.key").alias("key"))
+        .distinct()
+    )
+    return (
+        assigned.join(delta_keys, on="key", how="left_semi")
+        .join(dup_keys.withColumn("__dup", F.lit(1)), on="key", how="left")
+        .select(
+            F.col("key").alias(key_col),
+            "cluster_id",
+            "centroid_sim",
+            F.when(F.col("__dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
 def dedup_apply(
     corpus: DataFrame,
     clusters: DataFrame,

@@ -1705,6 +1705,105 @@ def paragraph_dedup(
     return flagged.groupBy("key").agg(*aggs)
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 8,
+    emit_text: bool = False,
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): remove every duplicated token span of
+    length ≥ ``k`` from the corpus, keeping exactly ONE canonical
+    occurrence corpus-wide. The paper builds a suffix array; the
+    equivalent Spark-native formulation is dense k-gram coverage — a
+    maximal duplicated substring of length L ≥ k is exactly the union of
+    its L−k+1 duplicated k-grams, so marking every token covered by a
+    duplicated k-gram occurrence (minus the canonical occurrence)
+    removes the same spans without any suffix structure.
+
+    Deterministic spec (both engines): a k-gram occurrence (key, pos) is
+    duplicated iff its digest appears ≥ 2 times in the corpus (including
+    within one document); the canonical occurrence of a digest is the
+    (key, pos)-minimum; token t of a document is removed iff some
+    NON-canonical duplicated occurrence [s, s+k) covers it. Documents
+    shorter than ``k`` tokens emit no grams and pass through untouched.
+
+    Plan shape (scale path): one narrow gram expansion (key, pos,
+    digest), ONE hash-aggregate per digest computing count and the
+    (key, pos)-min together, an equi-join of duplicated digests back
+    onto the gram stream (no broadcast hint — the duplicated-digest set
+    is unbounded on a dirty corpus, the same reasoning as
+    ``paragraph_dedup``), a (key, token-pos) coverage distinct, and one
+    per-doc reassembly join. Every shuffle carries keys/digests/ints —
+    the text payload stays in the final doc-level join only. At 100 TB
+    this is the standard inverted-gram dedup layout; the suffix array's
+    advantage (finding the MAXIMAL span in one pass) is irrelevant here
+    because coverage union reproduces it exactly.
+
+    Returns (key, n_tokens, n_removed, dedup_hash) where dedup_hash is
+    md5 of the space-rejoined surviving tokens; ``emit_text`` adds the
+    surviving text for pipeline composition (a fully-duplicated doc
+    comes back as the empty string — callers filter)."""
+    from .dedup import _scoped_persist
+
+    toks = _tokens(F.col(text_col))
+    base = df.select(F.col(key_col).alias("key"), toks.alias("tk"))
+    grams = base.select(
+        "key",
+        F.posexplode(
+            # sequence(0, -1) would DESCEND, not be empty — short docs
+            # (< k tokens) must emit no grams at all
+            F.when(
+                F.size("tk") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - k),
+                    lambda i: F.md5(F.array_join(F.slice("tk", i + 1, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    grams = _scoped_persist(grams)
+    # count + canonical occurrence in ONE aggregate over (digest) — the
+    # shuffle carries (h, key, pos) only
+    dup = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("key", "pos")).alias("canon"),
+        )
+        .where(F.col("cnt") >= 2)
+        .select("h", F.col("canon.key").alias("ck"), F.col("canon.pos").alias("cp"))
+    )
+    removed = (
+        grams.join(dup, "h")
+        .where(~((F.col("key") == F.col("ck")) & (F.col("pos") == F.col("cp"))))
+        .select(
+            "key",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("t"),
+        )
+        .groupBy("key")
+        .agg(F.collect_set("t").alias("rm"))
+    )
+    kept = F.filter(
+        F.transform("tk", lambda x, i: F.struct(x.alias("w"), i.alias("i"))),
+        lambda s: ~F.array_contains(F.col("rm"), s["i"]),
+    )
+    kept_text = F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+    out = base.join(removed, "key", "left").withColumn(
+        "rm", F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    )
+    cols = [
+        F.col("key").alias(key_col),
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size("rm").cast("long").alias("n_removed"),
+        F.md5(kept_text).alias("dedup_hash"),
+    ]
+    if emit_text:
+        cols.append(kept_text.alias("text"))
+    return out.select(*cols)
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,

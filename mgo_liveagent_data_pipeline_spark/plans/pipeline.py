@@ -230,6 +230,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.unionByName(n)
 
 
+def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (operators/textops.py:exact_substring_dedup):
+    remove duplicated ≥8-token spans corpus-wide, keep one canonical
+    occurrence. k=8 hits ~2.1k duplicated gram occurrences across ~47
+    docs at sf0.01 — enough removals that the per-doc survivor hashes
+    check real span surgery, not a no-op. Driver-visible via the
+    ``substr`` mode of ``dedup_exact_suite``."""
+    from ..operators.textops import exact_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, "text", "doc_id", k=8)
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup verdicts (operators/dedup.py:semantic_dedup):
     cluster-blocked cosine dedup over the embeddings table at threshold
@@ -239,6 +252,23 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``semdedup`` mode of ``dedup_simhash_suite``."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.3)
+
+
+def q_dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (operators/dedup.py:incremental_semantic_dedup):
+    the vec_id % 5 == 0 split is the day's delta, the rest the standing
+    corpus — verdicts for the delta only. The oracle is the operator's
+    exactness contract verbatim: semantic_dedup over the union,
+    restricted to delta keys. Driver-visible via the ``semdedup_inc``
+    mode of ``dedup_simhash_suite``."""
+    from ..operators.dedup import incremental_semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return incremental_semantic_dedup(
+        emb.where(F.col("vec_id") % 5 != 0),
+        emb.where(F.col("vec_id") % 5 == 0),
+        threshold=0.3,
+    )
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1289,6 +1319,8 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_embedding": q_dedup_embedding,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_semantic_inc": q_dedup_semantic_inc,
+    "text_substring_dedup": q_text_substring_dedup,
     "text_fingerprint": q_text_fingerprint,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
@@ -1919,6 +1951,46 @@ def _ivf_oracle(n_probes: int = 1) -> str:
         SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
         FROM ranked WHERE rn <= 5
     """
+
+
+# SemDeDup verdict SQL (mirrors operators/dedup.py:semantic_dedup):
+# deterministic lowest-key centroids, highest-(csim, cluster_id)
+# assignment, (centroid_sim ASC, key ASC) in-cluster rank, dropped iff an
+# earlier-ranked member is >= 0.3-similar. Shared by the full-corpus
+# member and (restricted to the delta split) the incremental member.
+_SEMANTIC_SQL = f"""
+    WITH cents AS (
+      SELECT label AS cluster_id,
+             arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                     vec_id) AS centroid
+      FROM embeddings GROUP BY label),
+    v AS (
+      SELECT vec_id AS key,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings),
+    scored AS (
+      SELECT v.key, v.cv, c.cluster_id,
+             round({_COSINE.format(a="v.cv", b="c.centroid")}, 6) AS csim
+      FROM v CROSS JOIN cents c),
+    assigned AS (
+      SELECT key, cv, cluster_id, csim AS centroid_sim
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY key
+                                 ORDER BY csim DESC, cluster_id DESC) = 1),
+    ranked AS (
+      SELECT key, cv, cluster_id, centroid_sim,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY centroid_sim ASC, key ASC) AS rnk
+      FROM assigned),
+    dups AS (
+      SELECT DISTINCT b.key
+      FROM ranked a JOIN ranked b
+        ON a.cluster_id = b.cluster_id AND a.rnk < b.rnk
+      WHERE round({_COSINE.format(a="a.cv", b="b.cv")}, 6) >= 0.3)
+    SELECT r.key AS vec_id, r.cluster_id, r.centroid_sim,
+           CAST(CASE WHEN d.key IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM ranked r LEFT JOIN dups d USING (key)
+"""
 
 
 # blocked unigram-Jaccard near-dup pairs (threshold 0.5, block cap 10000 —
@@ -3096,42 +3168,56 @@ ORACLES: dict[str, str] = {
                            - n_tokens) / 1000.0) AS BIGINT) AS shard_id
         FROM t
     """,
+    # ExactSubstr dedup (operators/textops.py:exact_substring_dedup):
+    # duplicated-8-gram coverage minus the (key,pos)-min canonical
+    # occurrence; per-doc survivor hash over space-rejoined kept tokens
+    "text_substring_dedup": """
+        WITH t AS (
+          SELECT doc_id AS key,
+                 string_split_regex(trim(text), '\\s+') AS tk
+          FROM documents),
+        g AS (
+          SELECT key, CAST(i AS INT) - 1 AS pos,
+                 md5(array_to_string(
+                     tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ')) AS h
+          FROM t, unnest(range(1, len(tk) - 8 + 2)) AS r(i)
+          WHERE len(tk) >= 8),
+        gw AS (
+          SELECT key, pos,
+                 count(*) OVER (PARTITION BY h) AS cnt,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY key, pos) AS rn
+          FROM g),
+        cov AS (
+          SELECT DISTINCT key, pos + CAST(u AS INT) AS tt
+          FROM gw, unnest(range(0, 8)) AS r(u)
+          WHERE cnt >= 2 AND rn > 1),
+        tokpos AS (
+          SELECT key, CAST(i AS INT) AS i,
+                 tk[CAST(i AS INT)] AS w, len(tk) AS n
+          FROM t, unnest(range(1, len(tk) + 1)) AS r(i))
+        SELECT tp.key AS doc_id,
+               CAST(any_value(tp.n) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE c.tt IS NOT NULL) AS BIGINT)
+                 AS n_removed,
+               md5(coalesce(
+                 string_agg(tp.w, ' ' ORDER BY tp.i)
+                   FILTER (WHERE c.tt IS NULL), '')) AS dedup_hash
+        FROM tokpos tp
+        LEFT JOIN cov c ON c.key = tp.key AND c.tt = tp.i - 1
+        GROUP BY tp.key
+    """,
     # SemDeDup verdicts (operators/dedup.py:semantic_dedup): deterministic
     # lowest-key centroids, highest-(csim, cluster_id) assignment,
     # (centroid_sim ASC, key ASC) in-cluster rank, dropped iff an
     # earlier-ranked member is >= threshold-similar
-    "dedup_semantic": f"""
-        WITH cents AS (
-          SELECT label AS cluster_id,
-                 arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                         vec_id) AS centroid
-          FROM embeddings GROUP BY label),
-        v AS (
-          SELECT vec_id AS key,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-          FROM embeddings),
-        scored AS (
-          SELECT v.key, v.cv, c.cluster_id,
-                 round({_COSINE.format(a="v.cv", b="c.centroid")}, 6) AS csim
-          FROM v CROSS JOIN cents c),
-        assigned AS (
-          SELECT key, cv, cluster_id, csim AS centroid_sim
-          FROM scored
-          QUALIFY row_number() OVER (PARTITION BY key
-                                     ORDER BY csim DESC, cluster_id DESC) = 1),
-        ranked AS (
-          SELECT key, cv, cluster_id, centroid_sim,
-                 row_number() OVER (PARTITION BY cluster_id
-                                    ORDER BY centroid_sim ASC, key ASC) AS rnk
-          FROM assigned),
-        dups AS (
-          SELECT DISTINCT b.key
-          FROM ranked a JOIN ranked b
-            ON a.cluster_id = b.cluster_id AND a.rnk < b.rnk
-          WHERE round({_COSINE.format(a="a.cv", b="b.cv")}, 6) >= 0.3)
-        SELECT r.key AS vec_id, r.cluster_id, r.centroid_sim,
-               CAST(CASE WHEN d.key IS NULL THEN 1 ELSE 0 END AS INT) AS kept
-        FROM ranked r LEFT JOIN dups d USING (key)
+    "dedup_semantic": _SEMANTIC_SQL,
+    # incremental SemDeDup (operators/dedup.py:incremental_semantic_dedup):
+    # the oracle IS the exactness contract — full-union verdicts
+    # restricted to the delta split (vec_id % 5 = 0, the
+    # dedup_incremental fixture convention)
+    "dedup_semantic_inc": f"""
+        SELECT * FROM ({_SEMANTIC_SQL}) WHERE vec_id % 5 = 0
     """,
     "dedup_embedding": f"""
         SELECT 'emb' AS mode, id_a, id_b, cosine_sim FROM (

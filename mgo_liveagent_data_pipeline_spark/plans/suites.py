@@ -662,11 +662,20 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stage_no").alias("key_id"),
         F.col("rows_out").alias("n"),
     )
+    # substr: ExactSubstr span dedup (Lee et al. 2021) — n packs
+    # (n_tokens, n_removed) so the span-surgery counts hash-check
+    sub = pipeline.q_text_substring_dedup(spark, sf_dir).select(
+        F.lit("substr").alias("mode"),
+        F.col("dedup_hash").alias("h"),
+        F.col("doc_id").alias("key_id"),
+        (F.col("n_tokens") * 100000 + F.col("n_removed")).alias("n"),
+    )
     return (
         doc.unionByName(para)
         .unionByName(ap)
         .unionByName(cu)
         .unionByName(cs)
+        .unionByName(sub)
     )
 
 
@@ -697,19 +706,27 @@ def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("string").alias("b"),
         F.round(F.col("jaccard_sim") * 1e6, 0).cast("long").alias("n"),
     )
-    sd = pipeline.q_dedup_semantic(spark, sf_dir).select(
-        F.lit("semdedup").alias("mode"),
-        F.col("vec_id").cast("string").alias("a"),
-        F.col("cluster_id").cast("string").alias("b"),
-        # pack (kept, centroid_sim): sim is 6dp-rounded so ×1e6 is
-        # integral; +1e6 keeps the term non-negative for any cosine
-        (
-            F.col("kept").cast("long") * F.lit(10_000_000).cast("long")
-            + F.round(F.col("centroid_sim") * 1e6, 0).cast("long")
-            + F.lit(1_000_000).cast("long")
-        ).alias("n"),
+    def _sem_pack(df, tag):
+        return df.select(
+            F.lit(tag).alias("mode"),
+            F.col("vec_id").cast("string").alias("a"),
+            F.col("cluster_id").cast("string").alias("b"),
+            # pack (kept, centroid_sim): sim is 6dp-rounded so ×1e6 is
+            # integral; +1e6 keeps the term non-negative for any cosine
+            (
+                F.col("kept").cast("long") * F.lit(10_000_000).cast("long")
+                + F.round(F.col("centroid_sim") * 1e6, 0).cast("long")
+                + F.lit(1_000_000).cast("long")
+            ).alias("n"),
+        )
+
+    sd = _sem_pack(pipeline.q_dedup_semantic(spark, sf_dir), "semdedup")
+    sdi = _sem_pack(
+        pipeline.q_dedup_semantic_inc(spark, sf_dir), "semdedup_inc"
     )
-    return cl.unionByName(near).unionByName(sal).unionByName(sd)
+    return (
+        cl.unionByName(near).unionByName(sal).unionByName(sd).unionByName(sdi)
+    )
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1659,6 +1676,12 @@ ORACLES: dict[str, str] = {
             "rows_out || '|' || tokens_out || '|' || bpe_tokens_out AS h, "
             "stage_no AS key_id, rows_out AS n",
         )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_substring_dedup"],
+            "'substr' AS mode, dedup_hash AS h, doc_id AS key_id, "
+            "n_tokens * 100000 + n_removed AS n",
+        )
     ),
     "dedup_simhash_suite": (
         _tagged(
@@ -1683,6 +1706,14 @@ ORACLES: dict[str, str] = {
         + _tagged(
             _P["dedup_semantic"],
             "'semdedup' AS mode, CAST(vec_id AS VARCHAR) AS a, "
+            "CAST(cluster_id AS VARCHAR) AS b, "
+            "CAST(kept AS BIGINT) * 10000000 "
+            "+ CAST(round(centroid_sim * 1e6) AS BIGINT) + 1000000 AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["dedup_semantic_inc"],
+            "'semdedup_inc' AS mode, CAST(vec_id AS VARCHAR) AS a, "
             "CAST(cluster_id AS VARCHAR) AS b, "
             "CAST(kept AS BIGINT) * 10000000 "
             "+ CAST(round(centroid_sim * 1e6) AS BIGINT) + 1000000 AS n",

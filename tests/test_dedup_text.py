@@ -791,3 +791,150 @@ def test_semantic_dedup_cluster_cap_degrades_to_kept(spark):
     assert all(out[i] == 1 for i in (1, 2, 3, 4))
     # cluster 1 (size 3 <= 3) still probed -> the 6/7 near-dup collapses
     assert sorted(out[i] for i in (5, 6, 7)) == [0, 1, 1]
+
+
+# ------------------------------------------------- exact-substring dedup
+def test_exact_substring_dedup_span_surgery(spark):
+    """Lee et al. ExactSubstr semantics on an engineered corpus (k=4):
+    a 5-token span shared by two docs survives ONLY at its canonical
+    (lowest doc_id, pos) occurrence — the other doc loses the whole
+    overlapping-gram union, not just one gram; a within-doc repeat loses
+    its second occurrence; sub-k docs pass through untouched."""
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        exact_substring_dedup,
+    )
+
+    rows = [
+        (1, "a b s1 s2 s3 s4 s5 c"),
+        (2, "q s1 s2 s3 s4 s5 r t"),
+        (3, "u v w"),
+        (4, "m1 m2 m3 m4 z m1 m2 m3 m4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(
+            df, "text", "doc_id", k=4, emit_text=True
+        ).collect()
+    }
+    # doc 1 holds the canonical occurrences -> untouched
+    assert out[1]["n_removed"] == 0 and out[1]["text"] == rows[0][1]
+    # doc 2 loses the union of both duplicated grams (tokens 1-5)
+    assert out[2]["n_removed"] == 5 and out[2]["text"] == "q r t"
+    # doc 3 is shorter than k -> no grams, untouched
+    assert out[3]["n_removed"] == 0 and out[3]["text"] == "u v w"
+    # doc 4's internal repeat: second occurrence removed
+    assert out[4]["n_removed"] == 4 and out[4]["text"] == "m1 m2 m3 m4 z"
+    assert all(r["n_tokens"] == len(t.split()) for (i, t), r in
+               zip(rows, (out[1], out[2], out[3], out[4])))
+
+
+def test_exact_substring_dedup_corpus_invariants(spark):
+    """On the real documents table: exactly one occurrence of every
+    duplicated k-gram survives corpus-wide (re-derived brute-force from
+    the emitted texts), removals touch a meaningful doc subset at k=8,
+    and total tokens are conserved (kept + removed = input)."""
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        exact_substring_dedup,
+    )
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    k = 8
+    out = exact_substring_dedup(docs, "text", "doc_id", k=k,
+                                emit_text=True).collect()
+    raw = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    n_touched = sum(1 for r in out if r["n_removed"] > 0)
+    assert n_touched > 0, "k=8 must exercise removal on this corpus"
+    for r in out:
+        toks = raw[r["doc_id"]].strip().split()
+        assert r["n_tokens"] == max(len(toks), 1)
+        assert r["n_tokens"] == r["n_removed"] + (
+            len(r["text"].split()) if r["text"] else 0
+        )
+    # every duplicated gram of the INPUT survives somewhere (its
+    # canonical home is never removed): count surviving occurrences of a
+    # sample of duplicated grams in the OUTPUT texts
+    from collections import Counter
+
+    gram_count: Counter = Counter()
+    for t in raw.values():
+        toks = t.strip().split()
+        for i in range(len(toks) - k + 1):
+            gram_count[" ".join(toks[i : i + k])] += 1
+    dups = [g for g, c in gram_count.items() if c >= 2]
+    assert dups, "fixture must contain duplicated grams"
+    out_text = "  ".join(r["text"] for r in out)
+    for g in dups[:20]:
+        assert g in out_text, f"canonical occurrence of {g!r} was removed"
+
+
+def test_incremental_semantic_dedup_matches_full_restriction(spark):
+    """The exactness contract on real data: incremental delta verdicts
+    equal semantic_dedup over the union restricted to delta keys — for
+    two different splits (sparse and dense deltas)."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full = {
+        r["vec_id"]: (r["cluster_id"], r["centroid_sim"], r["kept"])
+        for r in semantic_dedup(emb, threshold=0.3).collect()
+    }
+    for mod in (5, 2):
+        delta = emb.where(F.col("vec_id") % mod == 0)
+        corpus = emb.where(F.col("vec_id") % mod != 0)
+        inc = {
+            r["vec_id"]: (r["cluster_id"], r["centroid_sim"], r["kept"])
+            for r in incremental_semantic_dedup(
+                corpus, delta, threshold=0.3
+            ).collect()
+        }
+        expect = {k: v for k, v in full.items() if k % mod == 0}
+        assert inc == expect, f"split %{mod} diverged from the restriction"
+
+
+def test_incremental_semantic_dedup_reingest_supersedes(spark):
+    """A key present in both inputs is a re-ingest: the delta's vector
+    replaces the corpus row. The corpus version of key 2 is a
+    near-identical copy of key 1 (would be dropped); the delta re-ingests
+    key 2 with a distinct vector, so its verdict must be kept=1 — and the
+    stale corpus copy must not generate a pair against anything."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        incremental_semantic_dedup,
+    )
+
+    schema = "vec_id long, embedding array<double>, label int"
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.2], 0),
+            (2, [1.0, 0.01, 0.2], 0),  # stale: near-dup of key 1
+            (5, [0.0, 1.0, 0.2], 1),
+        ],
+        schema,
+    )
+    delta = spark.createDataFrame(
+        [
+            (2, [1.0, 0.6, 0.0], 0),  # re-ingest: now distinct
+            # exact copy of corpus key 1: ties on centroid_sim (1.0) and
+            # loses the key tiebreak, so it MUST drop. (A merely-similar
+            # delta vector that is MORE peripheral than its corpus twin
+            # would be kept instead — the keep-low policy admits it and
+            # the full dedup would drop the corpus copy; see the
+            # operator docstring.)
+            (3, [1.0, 0.0, 0.2], 0),
+        ],
+        schema,
+    )
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in incremental_semantic_dedup(
+            corpus, delta, threshold=0.98
+        ).collect()
+    }
+    assert set(out) == {2, 3}, "verdicts must cover delta keys only"
+    assert out[2] == 1, "re-ingested distinct vector must be kept"
+    assert out[3] == 0, "exact copy of a corpus vector must drop"

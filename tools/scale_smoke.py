@@ -175,6 +175,16 @@ def main() -> None:
             "doc_id",
         )
 
+    def substr(df):
+        # replica text is word-perturbed, so duplicated grams stay
+        # replica-local: the duplicated-occurrence count scales linearly,
+        # never quadratically
+        from mgo_liveagent_data_pipeline_spark.operators.textops import (
+            exact_substring_dedup,
+        )
+
+        return exact_substring_dedup(df, "text", "doc_id", k=8)
+
     from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
         hypertable_rollup,
         kmv_distinct,
@@ -445,6 +455,22 @@ def main() -> None:
         )
         return semantic_dedup(relabeled, threshold=0.3)
 
+    def semdedup_inc_case(df):
+        # same per-replica label space; 20% of keys are the day's delta
+        from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+            incremental_semantic_dedup,
+        )
+
+        rep = F.floor(F.col("vec_id") / F.lit(10 * n_emb_1x))
+        relabeled = df.withColumn(
+            "label", (F.col("label") + rep * 10).cast("int")
+        )
+        return incremental_semantic_dedup(
+            relabeled.where(F.col("vec_id") % 5 != 0),
+            relabeled.where(F.col("vec_id") % 5 == 0),
+            threshold=0.3,
+        )
+
     def enc_near_dup(df):
         # sign-block bits follow the documented sizing rule
         # (bits ≈ 6 + log2(corpus growth)) so block sizes stay ~constant
@@ -473,6 +499,7 @@ def main() -> None:
         "simhash": (simhash_dedup, docs_1x, docs_nx),
         "cc_clusters": (cc, docs_1x, docs_nx),
         "paragraph_dedup": (paragraph_dedup, docs_1x, docs_nx),
+        "substring_dedup": (substr, docs_1x, docs_nx),
         "decontaminate": (decon, docs_1x, docs_nx),
         "pack_shards": (pack_shards, docs_1x, docs_nx),
         "incremental_dedup": (incr, docs_1x, docs_nx),
@@ -500,6 +527,7 @@ def main() -> None:
         "dedup_apply_rewrite": (dedup_apply_case, docs_1x, docs_nx),
         "encoded_near_dup": (enc_near_dup, docs_1x, docs_nx),
         "semantic_dedup": (semdedup_case, emb_1x, emb_nx),
+        "semantic_dedup_inc": (semdedup_inc_case, emb_1x, emb_nx),
         "curation_pipeline": (curation_case, docs_1x, docs_nx),
     }
 
