@@ -1107,6 +1107,8 @@ def semantic_dedup(
     label_col: str = "label",
     threshold: float = 0.3,
     max_cluster_size: int | None = 100_000,
+    route_bits: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1140,28 +1142,103 @@ def semantic_dedup(
     contract as the LSH bucket cap; re-cluster with more centroids
     instead of scoring a quadratic list.
 
+    The flat exact assignment is n × k — when cluster count scales with
+    the corpus, BOTH factors grow and assignment becomes the quadratic
+    term (measured: the 64× smoke). ``route_bits=b`` switches to the
+    LSH-routed assignment (see ``semantic_assign``): candidates per
+    vector drop to the centroids sharing its b-bit sign bucket or a
+    Hamming-1 neighbor, restoring linear scaling at the cost of
+    routing approximation (unrouted vectors degrade to kept=1).
+
     Reference tie-in: the content-level lift of the reference's
     key-equality drop_duplicates / MERGE dedup
     (core/extract/helpers/extractor_bq_helpers.py:159-169), at the
     semantic granularity a training-data pipeline needs."""
-    from pyspark.sql.window import Window
+    _require_numeric(corpus, [key_col], "semantic_dedup")
+    assigned = semantic_assign(
+        corpus, None, vec_col, key_col, label_col,
+        route_bits=route_bits, dim=dim,
+    )
+    return _semantic_verdicts(assigned, key_col, threshold, max_cluster_size)
 
+
+def semantic_assign(
+    corpus: DataFrame,
+    cents: DataFrame | None = None,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_col: str = "label",
+    route_bits: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """The SemDeDup assignment index: (key, cluster_id, centroid_sim, v,
+    nv) — one row per corpus vector. This is the relation a production
+    deployment STORES (partitioned by cluster_id) and maintains by
+    appending each accepted delta's rows; every semantic-dedup variant
+    here consumes it.
+
+    ``cents`` defaults to the deterministic lowest-key-per-label pick
+    (``ivf_centroids``); pass a frozen centroid table for index
+    maintenance. Two assignment strategies:
+
+    * flat (``route_bits=None``) — exact argmax over ALL centroids via a
+      broadcast crossJoin. Cost n × k: exact, and fine while k is small,
+      but when cluster COUNT scales with the corpus (the sizing rule)
+      both factors grow — the measured 64× smoke shows the quadratic
+      wall. This is the oracle-exact spec.
+    * LSH-routed (``route_bits=b``) — both vectors and centroids get a
+      b-bit random-hyperplane signature (``rh_planes``/``rh_signature``,
+      md5-derived so any engine regenerates them); a vector considers
+      only centroids whose signature is in its own bucket or any
+      Hamming-1 neighbor (the centroid side is expanded b+1× and
+      broadcast, so the vector scan stays one pass). Cost
+      n × k·(b+1)/2^b — linear in n for b ≈ log2(k). Approximate: a
+      vector whose probe finds NO centroid gets cluster_id NULL and
+      surfaces kept=1 with no duplicate evidence (the family's
+      degrade-to-no-evidence contract); a vector can also route to a
+      non-nearest centroid across a hyperplane — agreement vs flat is
+      measured by test and smoke, and the verdict semantics WITHIN the
+      routed clustering stay exact and oracle-checked."""
     from ..functions.similarity import cosine_prenorm, norm2
 
     from .annsearch import ivf_centroids
 
-    _require_numeric(corpus, [key_col], "semantic_dedup")
-    cents = ivf_centroids(corpus, vec_col, key_col, label_col).withColumn(
-        "cent_n", norm2(F.col("centroid"))
-    )
+    if cents is None:
+        cents = ivf_centroids(corpus, vec_col, key_col, label_col)
+    if "cent_n" not in cents.columns:
+        cents = cents.withColumn("cent_n", norm2(F.col("centroid")))
     v = corpus.select(
         F.col(key_col).alias("key"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("nv", norm2(F.col("v")))  # once per vector, not per pair
-    # nearest-centroid assignment, keeping the winning similarity: the
-    # argmax is a map-side partial MAX over a (csim, cluster_id) struct
-    # (ties → highest cluster_id, same total order as assign_nearest)
-    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+    if route_bits is None:
+        cand = v.crossJoin(F.broadcast(cents))
+    else:
+        from .annsearch import rh_planes, rh_signature
+
+        planes = rh_planes(route_bits, dim)
+        sig = rh_signature(F.col("centroid"), planes)
+        # centroid probe list: own signature + every one-bit flip
+        variants = [sig] + [
+            F.concat(
+                F.substring(sig, 1, j),
+                F.when(
+                    F.substring(sig, j + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring(sig, j + 2, route_bits - j - 1),
+            )
+            for j in range(route_bits)
+        ]
+        cent_probe = cents.select(
+            "cluster_id",
+            "centroid",
+            "cent_n",
+            F.explode(F.array(*variants)).alias("__sig"),
+        )
+        cand = v.withColumn(
+            "__sig", rh_signature(F.col("v"), planes)
+        ).join(F.broadcast(cent_probe), on="__sig")
+    scored = cand.withColumn(
         "csim",
         F.round(
             cosine_prenorm(
@@ -1170,18 +1247,46 @@ def semantic_dedup(
             6,
         ),
     )
-    assigned = scored.groupBy("key").agg(
+    # nearest-centroid argmax: a map-side partial MAX over a
+    # (csim, cluster_id) struct (ties → highest cluster_id, the same
+    # total order as assign_nearest)
+    best = scored.groupBy("key").agg(
         F.max(F.struct(F.col("csim"), F.col("cluster_id"))).alias("best"),
         F.first("v").alias("v"),  # identical across the group
         F.first("nv").alias("nv"),
     )
-    ranked = assigned.select(
+    assigned = best.select(
         "key",
         F.col("best.cluster_id").alias("cluster_id"),
         F.col("best.csim").alias("centroid_sim"),
         "v",
         "nv",
-    ).withColumn(
+    )
+    if route_bits is not None:
+        # vectors whose probe matched no centroid: NULL assignment
+        assigned = v.select("key", "v", "nv").join(
+            assigned.select("key", "cluster_id", "centroid_sim"),
+            on="key",
+            how="left",
+        ).select("key", "cluster_id", "centroid_sim", "v", "nv")
+    return assigned
+
+
+def _semantic_verdicts(
+    assigned: DataFrame,
+    key_col: str,
+    threshold: float,
+    max_cluster_size: int | None,
+) -> DataFrame:
+    """Verdicts from an assignment index: rank within cluster by
+    (centroid_sim ASC, key ASC), drop iff an earlier-ranked member is
+    ≥ threshold-similar. NULL-cluster rows (unrouted vectors) skip the
+    pair probe and surface kept=1."""
+    from pyspark.sql.window import Window
+
+    from ..functions.similarity import cosine_prenorm
+
+    ranked = assigned.withColumn(
         "rnk",
         F.row_number().over(
             Window.partitionBy("cluster_id").orderBy(
@@ -1192,18 +1297,17 @@ def semantic_dedup(
     # both pair-join sides AND the verdict join consume the ranked
     # relation: one cached copy of the vector payload (house rule)
     ranked = _scoped_persist(ranked)
+    probe = ranked.where(F.col("cluster_id").isNotNull())
     if max_cluster_size is not None:
         # action-free refusal (same contract as embedding_near_dup's
         # plain cap): oversized clusters never enter the pair join, so
         # their members surface as kept=1 with no duplicate evidence
         cn = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
         probe = (
-            ranked.withColumn("__cn", cn)
+            probe.withColumn("__cn", cn)
             .where(F.col("__cn") <= max_cluster_size)
             .drop("__cn")
         )
-    else:
-        probe = ranked
     a, b = probe.alias("a"), probe.alias("b")
     pair_sim = F.round(
         cosine_prenorm(F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")), 6
@@ -1232,13 +1336,18 @@ def semantic_dedup(
 
 
 def incremental_semantic_dedup(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     delta: DataFrame,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     label_col: str = "label",
     threshold: float = 0.3,
     max_cluster_size: int | None = 100_000,
+    corpus_index: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    route_bits: int | None = None,
+    dim: int = 64,
+    emit_corpus_flips: bool = False,
 ) -> DataFrame:
     """Delta-vs-corpus SemDeDup — the merge a recurring embedding ingest
     actually runs: verdicts for the DELTA's vectors against corpus ∪
@@ -1275,85 +1384,120 @@ def incremental_semantic_dedup(
     matching what ``semantic_dedup`` would see after the MERGE.
 
     Returns delta-key verdict rows (key, cluster_id, centroid_sim,
-    kept)."""
+    kept). With ``emit_corpus_flips`` the result gains a ``side`` column
+    and ALSO carries a kept=0 row for every CORPUS member newly dropped
+    by this delta — a standing vector flips only when a delta vector
+    that precedes it in the (centroid_sim, key) order is ≥
+    threshold-similar, the REVERSE direction of the same cluster-blocked
+    pair probe (no extra join). kept is monotone 1→0 over ingests, so a
+    verdict table maintained by idempotent keyed MERGEs of these rows
+    converges to exactly ``semantic_dedup`` over the accumulated corpus
+    whatever the batch split — the invariant the streaming ingestion
+    harness is built on (streaming/windows.py:stream_semantic_dedup).
+    ``corpus`` may be None when ``corpus_index`` is given."""
     from pyspark.sql.window import Window
 
-    from ..functions.similarity import cosine_prenorm, norm2
+    from ..functions.similarity import cosine_prenorm
 
     from .annsearch import ivf_centroids
 
-    _require_numeric(corpus, [key_col], "incremental_semantic_dedup")
+    if corpus is None and corpus_index is None:
+        raise ValueError(
+            "incremental_semantic_dedup: corpus may be None only with "
+            "corpus_index"
+        )
+    if corpus is not None:
+        _require_numeric(corpus, [key_col], "incremental_semantic_dedup")
     _require_numeric(delta, [key_col], "incremental_semantic_dedup")
     delta_keys = _scoped_persist(
         delta.select(F.col(key_col).alias("key")).distinct()
     )
-    corpus_live = corpus.join(
-        delta_keys.withColumnRenamed("key", key_col),
-        on=key_col,
-        how="left_anti",
-    )
-    both = corpus_live.select(
-        F.col(key_col), F.col(vec_col), F.col(label_col)
-    ).unionByName(delta.select(F.col(key_col), F.col(vec_col), F.col(label_col)))
-    cents = ivf_centroids(both, vec_col, key_col, label_col).withColumn(
-        "cent_n", norm2(F.col("centroid"))
-    )
-    v = both.select(
-        F.col(key_col).alias("key"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nv", norm2(F.col("v")))
-    scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "csim",
-        F.round(
-            cosine_prenorm(
-                F.col("v"), F.col("centroid"), F.col("nv"), F.col("cent_n")
-            ),
-            6,
-        ),
-    )
-    assigned = scored.groupBy("key").agg(
-        F.max(F.struct(F.col("csim"), F.col("cluster_id"))).alias("best"),
-        F.first("v").alias("v"),
-        F.first("nv").alias("nv"),
-    )
-    assigned = _scoped_persist(
-        assigned.select(
-            "key",
-            F.col("best.cluster_id").alias("cluster_id"),
-            F.col("best.csim").alias("centroid_sim"),
-            "v",
-            "nv",
+    if corpus_index is not None:
+        # production path: the corpus participates through its STORED
+        # assignment index — only the delta is assigned, against the
+        # frozen centroid table the index was built with (centroids are
+        # a versioned artifact here; a changed centroid set means a
+        # rebuilt index, not a silent mix)
+        if centroids is None:
+            raise ValueError(
+                "incremental_semantic_dedup: corpus_index requires the "
+                "frozen centroids it was built with"
+            )
+        corpus_assigned = corpus_index.join(
+            delta_keys, on="key", how="left_anti"
         )
+        delta_assigned = semantic_assign(
+            delta, centroids, vec_col, key_col, label_col,
+            route_bits=route_bits, dim=dim,
+        )
+        assigned = corpus_assigned.unionByName(delta_assigned)
+    else:
+        corpus_live = corpus.join(
+            delta_keys.withColumnRenamed("key", key_col),
+            on=key_col,
+            how="left_anti",
+        )
+        both = corpus_live.select(
+            F.col(key_col), F.col(vec_col), F.col(label_col)
+        ).unionByName(
+            delta.select(F.col(key_col), F.col(vec_col), F.col(label_col))
+        )
+        cents = centroids
+        if cents is None:
+            cents = ivf_centroids(both, vec_col, key_col, label_col)
+        assigned = semantic_assign(
+            both, cents, vec_col, key_col, label_col,
+            route_bits=route_bits, dim=dim,
+        )
+    assigned = _scoped_persist(assigned)
+    delta_assigned = _scoped_persist(
+        assigned.join(delta_keys, on="key", how="left_semi")
     )
+    # partition pruning, the plan analog of the stored index being
+    # partitioned by cluster_id: only clusters that RECEIVED a delta
+    # vector participate in the cap window and the pair probe — a
+    # fixed-size ingest touches a bounded cluster set however large the
+    # standing corpus grows (the 64× smoke's fixed-delta claim)
+    hot = delta_assigned.where(F.col("cluster_id").isNotNull()).select(
+        "cluster_id"
+    ).distinct()
+    probe = assigned.join(hot, on="cluster_id", how="left_semi")
     if max_cluster_size is not None:
         cn = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
         probe = (
-            assigned.withColumn("__cn", cn)
+            probe.withColumn("__cn", cn)
             .where(F.col("__cn") <= max_cluster_size)
             .drop("__cn")
         )
-    else:
-        probe = assigned
     delta_side = probe.join(delta_keys, on="key", how="left_semi")
     a, b = probe.alias("a"), delta_side.alias("b")
     pair_sim = F.round(
         cosine_prenorm(F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")), 6
     )
+    pairs = (
+        a.join(b, F.col("a.cluster_id") == F.col("b.cluster_id"))
+        .where(F.col("a.key") != F.col("b.key"))
+        .select(
+            F.col("a.key").alias("ka"),
+            F.col("a.cluster_id").alias("ca"),
+            F.col("a.centroid_sim").alias("sa"),
+            F.col("b.key").alias("kb"),
+            F.col("b.centroid_sim").alias("sb"),
+            pair_sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
     # the order predicate IS the rank: a precedes b iff
     # (a.centroid_sim, a.key) < (b.centroid_sim, b.key)
-    earlier = (F.col("a.centroid_sim") < F.col("b.centroid_sim")) | (
-        (F.col("a.centroid_sim") == F.col("b.centroid_sim"))
-        & (F.col("a.key") < F.col("b.key"))
+    a_first = (F.col("sa") < F.col("sb")) | (
+        (F.col("sa") == F.col("sb")) & (F.col("ka") < F.col("kb"))
     )
-    dup_keys = (
-        a.join(b, F.col("a.cluster_id") == F.col("b.cluster_id"))
-        .where(earlier)
-        .where(pair_sim >= threshold)
-        .select(F.col("b.key").alias("key"))
-        .distinct()
-    )
-    return (
-        assigned.join(delta_keys, on="key", how="left_semi")
+    if emit_corpus_flips:
+        # both directions consume the scored pair list: one copy
+        pairs = _scoped_persist(pairs)
+    dup_keys = pairs.where(a_first).select(F.col("kb").alias("key")).distinct()
+    verdicts = (
+        delta_assigned.select("key", "cluster_id", "centroid_sim")
         .join(dup_keys.withColumn("__dup", F.lit(1)), on="key", how="left")
         .select(
             F.col("key").alias(key_col),
@@ -1364,6 +1508,28 @@ def incremental_semantic_dedup(
             .cast("int")
             .alias("kept"),
         )
+    )
+    if not emit_corpus_flips:
+        return verdicts
+    # reverse direction: a delta vector PRECEDING a standing corpus
+    # member is drop evidence for that member — emit its kept=0 rewrite
+    flips = (
+        pairs.where(~a_first)
+        .join(
+            delta_keys.withColumnRenamed("key", "ka"),
+            on="ka",
+            how="left_anti",  # corpus members only
+        )
+        .select(
+            F.col("ka").alias(key_col),
+            F.col("ca").alias("cluster_id"),
+            F.col("sa").alias("centroid_sim"),
+        )
+        .distinct()
+        .withColumn("kept", F.lit(0).cast("int"))
+    )
+    return verdicts.withColumn("side", F.lit("delta")).unionByName(
+        flips.withColumn("side", F.lit("corpus"))
     )
 
 

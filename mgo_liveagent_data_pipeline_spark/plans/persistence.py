@@ -553,6 +553,27 @@ def q_stream_incremental_dedup(
     return spark.read.parquet(pairs_path).select("id_a", "id_b", "jaccard_sim")
 
 
+def q_stream_semantic_dedup(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
+    """§2.8 + SemDeDup composed: the embeddings corpus ingested as
+    micro-batches, each verdict-ed against the corpus-so-far through the
+    stored assignment index, corpus flips emitted by the reverse pair
+    probe (streaming/windows.py:stream_semantic_dedup). kept is monotone
+    1→0, so the drained verdicts table equals the FULL-corpus
+    semantic_dedup whatever the batch split — the batch member's oracle
+    checks the streaming run verbatim."""
+    from ..streaming.windows import stream_semantic_dedup
+
+    base_dir = scratch_dir("mgo_stream_semdedup_")
+    verdicts_path, _index = stream_semantic_dedup(
+        spark, sf_dir, base_dir, n_state_partitions=n_state_partitions
+    )
+    return spark.read.parquet(verdicts_path).select(
+        "vec_id", "cluster_id", "centroid_sim", "kept"
+    )
+
+
 def q_stream_scored_ingest(
     spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
 ) -> DataFrame:
@@ -614,6 +635,7 @@ QUERIES = {
     "stream_merge_partitioned": q_stream_merge_partitioned,
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "stream_scored_ingest": q_stream_scored_ingest,
+    "stream_semantic_dedup": q_stream_semantic_dedup,
     "stream_join_30m": q_stream_join_30m,
 }
 
@@ -674,6 +696,9 @@ ORACLES: dict[str, str] = {
     "stream_incremental_dedup": _pipeline_oracles["dedup_minhash_lsh"],
     # drained scored-ingest pairs = batch gate -> ppl -> LSH composition
     "stream_scored_ingest": _pipe._scored_ingest_oracle(),
+    # drained streaming SemDeDup verdicts = full-corpus batch verdicts
+    # (kept is monotone; flips close the later-arrival direction)
+    "stream_semantic_dedup": _pipeline_oracles["dedup_semantic"],
     "k_cdc_apply": _CDC_SQL,
     "k_scd2_cdc": _SCD2CDC_SQL,
     # same algebra as k4_upsert_merge — but computed through a real

@@ -254,6 +254,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.3)
 
 
+def q_dedup_semantic_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-routed SemDeDup (operators/dedup.py:semantic_assign, routed
+    mode): assignment candidates come from 4-bit random-hyperplane sign
+    buckets (own + Hamming-1), so the per-vector candidate set is
+    k·(b+1)/2^b instead of k — the linear-scaling assignment the 64×
+    smoke showed the flat argmax needs. Unrouted vectors surface
+    kept=1 with NULL cluster. Driver-visible via the
+    ``semdedup_routed`` mode of ``dedup_simhash_suite``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, route_bits=4, dim=64)
+
+
 def q_dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SemDeDup (operators/dedup.py:incremental_semantic_dedup):
     the vec_id % 5 == 0 split is the day's delta, the rest the standing
@@ -1319,6 +1331,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_embedding": q_dedup_embedding,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_semantic_routed": q_dedup_semantic_routed,
     "dedup_semantic_inc": q_dedup_semantic_inc,
     "text_substring_dedup": q_text_substring_dedup,
     "text_fingerprint": q_text_fingerprint,
@@ -1991,6 +2004,79 @@ _SEMANTIC_SQL = f"""
            CAST(CASE WHEN d.key IS NULL THEN 1 ELSE 0 END AS INT) AS kept
     FROM ranked r LEFT JOIN dups d USING (key)
 """
+
+
+def _semantic_routed_oracle(bits: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of the LSH-routed SemDeDup member: the same md5-derived
+    hyperplanes regenerate the sign buckets (the _rh_lsh_oracle trick),
+    the centroid side expands to own-signature + every one-bit flip, and
+    verdict semantics run within the routed clustering. Unrouted vectors
+    (no candidate centroid) carry NULL cluster and kept=1."""
+    from ..operators.annsearch import rh_planes
+
+    planes = rh_planes(bits, dim)
+
+    def sig(v: str) -> str:
+        bits_sql = []
+        for plane in planes:
+            lit = "[" + ", ".join(f"{float(w):.1f}" for w in plane) + "]"
+            bits_sql.append(
+                f"CASE WHEN list_sum(list_transform(range(1, {dim + 1}),"
+                f" i -> {v}[i] * ({lit})[i])) > 0 THEN '1' ELSE '0' END"
+            )
+        return " || ".join(bits_sql)
+
+    flips = ", ".join(
+        f"substr(sig, 1, {j}) || (CASE WHEN substr(sig, {j + 1}, 1) = '1'"
+        f" THEN '0' ELSE '1' END) || substr(sig, {j + 2})"
+        for j in range(bits)
+    )
+    return f"""
+        WITH cents AS (
+          SELECT label AS cluster_id,
+                 arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                         vec_id) AS centroid
+          FROM embeddings GROUP BY label),
+        cs AS (
+          SELECT cluster_id, centroid, {sig("centroid")} AS sig FROM cents),
+        cp AS (
+          SELECT cluster_id, centroid,
+                 unnest(list_value(sig, {flips})) AS psig
+          FROM cs),
+        v AS (
+          SELECT vec_id AS key,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+        vs AS (SELECT key, cv, {sig("cv")} AS sig FROM v),
+        best AS (
+          SELECT vs.key, cp.cluster_id,
+                 round({_COSINE.format(a="vs.cv", b="cp.centroid")}, 6)
+                   AS centroid_sim
+          FROM vs JOIN cp ON vs.sig = cp.psig
+          QUALIFY row_number() OVER (
+            PARTITION BY vs.key
+            ORDER BY round({_COSINE.format(a="vs.cv", b="cp.centroid")}, 6)
+                       DESC,
+                     cp.cluster_id DESC) = 1),
+        assigned AS (
+          SELECT v.key, v.cv, b.cluster_id, b.centroid_sim
+          FROM v LEFT JOIN best b USING (key)),
+        ranked AS (
+          SELECT key, cv, cluster_id, centroid_sim,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY centroid_sim ASC, key ASC)
+                   AS rnk
+          FROM assigned WHERE cluster_id IS NOT NULL),
+        dups AS (
+          SELECT DISTINCT b.key
+          FROM ranked a JOIN ranked b
+            ON a.cluster_id = b.cluster_id AND a.rnk < b.rnk
+          WHERE round({_COSINE.format(a="a.cv", b="b.cv")}, 6) >= 0.3)
+        SELECT r.key AS vec_id, r.cluster_id, r.centroid_sim,
+               CAST(CASE WHEN d.key IS NULL THEN 1 ELSE 0 END AS INT)
+                 AS kept
+        FROM assigned r LEFT JOIN dups d USING (key)
+    """
 
 
 # blocked unigram-Jaccard near-dup pairs (threshold 0.5, block cap 10000 —
@@ -3212,6 +3298,7 @@ ORACLES: dict[str, str] = {
     # (centroid_sim ASC, key ASC) in-cluster rank, dropped iff an
     # earlier-ranked member is >= threshold-similar
     "dedup_semantic": _SEMANTIC_SQL,
+    "dedup_semantic_routed": _semantic_routed_oracle(),
     # incremental SemDeDup (operators/dedup.py:incremental_semantic_dedup):
     # the oracle IS the exactness contract — full-union verdicts
     # restricted to the delta split (vec_id % 5 = 0, the

@@ -724,8 +724,25 @@ def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdi = _sem_pack(
         pipeline.q_dedup_semantic_inc(spark, sf_dir), "semdedup_inc"
     )
+    # routed mode: NULL cluster/sim (unrouted vectors) coalesce into the
+    # packing so the degrade path hash-checks too
+    sdr = pipeline.q_dedup_semantic_routed(spark, sf_dir).select(
+        F.lit("semdedup_routed").alias("mode"),
+        F.col("vec_id").cast("string").alias("a"),
+        F.coalesce(F.col("cluster_id").cast("string"), F.lit("-")).alias("b"),
+        (
+            F.col("kept").cast("long") * F.lit(10_000_000).cast("long")
+            + F.round(F.coalesce(F.col("centroid_sim"), F.lit(-2.0)) * 1e6, 0)
+            .cast("long")
+            + F.lit(2_000_000).cast("long")
+        ).alias("n"),
+    )
     return (
-        cl.unionByName(near).unionByName(sal).unionByName(sd).unionByName(sdi)
+        cl.unionByName(near)
+        .unionByName(sal)
+        .unionByName(sd)
+        .unionByName(sdi)
+        .unionByName(sdr)
     )
 
 
@@ -1112,7 +1129,11 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup MERGE (``incdedup`` — documents ingested as micro-batches,
     each deduped against the corpus-so-far,
     streaming/windows.py:stream_incremental_dedup; its drained pair set
-    equals the batch LSH result, which is its oracle).
+    equals the batch LSH result, which is its oracle), and streaming
+    SemDeDup (``incsem`` — embeddings ingested as micro-batches against
+    the stored assignment index, corpus verdicts flipped monotonically
+    by the reverse pair probe; drained verdicts equal the batch
+    semantic_dedup, which is its oracle verbatim).
 
     The AvailableNow streaming members run CONCURRENTLY via a thread pool: each is
     an independent run-to-completion AvailableNow query, so their fixed
@@ -1161,6 +1182,11 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored_fut = ex.submit(
             persistence.q_stream_scored_ingest, spark, sf_dir, None
         )
+        # incsem: streaming SemDeDup over the embeddings corpus — verdict
+        # table maintained by monotone kept-flips; drained == batch
+        incsem_fut = ex.submit(
+            persistence.q_stream_semantic_dedup, spark, sf_dir, None
+        )
         done = list(
             ex.map(
                 lambda m: m[1](spark, sf_dir, n_state_partitions=None), members
@@ -1169,6 +1195,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_df = join_fut.result()
         incdedup_df = incdedup_fut.result()
         scored_df = scored_fut.result()
+        incsem_df = incsem_fut.result()
     parts = [
         df.select(
             F.lit(tag).alias("mode"),
@@ -1216,6 +1243,17 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("n_events"),
         F.col("jaccard_sim").alias("total_value"),
     )
+    incsem_part = incsem_df.select(
+        F.lit("incsem").alias("mode"),
+        F.col("vec_id").cast("string").alias("grp"),
+        _null("timestamp").alias("window_start"),
+        _null("timestamp").alias("window_end"),
+        F.col("cluster_id").cast("long").alias("n_events"),
+        # kept*10 + 6dp-rounded sim: exact in IEEE double on both engines
+        (F.col("kept").cast("double") * 10 + F.col("centroid_sim")).alias(
+            "total_value"
+        ),
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1224,6 +1262,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(join_part)
         .unionByName(incdedup_part)
         .unionByName(scored_part)
+        .unionByName(incsem_part)
     )
 
 
@@ -1718,6 +1757,15 @@ ORACLES: dict[str, str] = {
             "CAST(kept AS BIGINT) * 10000000 "
             "+ CAST(round(centroid_sim * 1e6) AS BIGINT) + 1000000 AS n",
         )
+        + " UNION ALL "
+        + _tagged(
+            _P["dedup_semantic_routed"],
+            "'semdedup_routed' AS mode, CAST(vec_id AS VARCHAR) AS a, "
+            "coalesce(CAST(cluster_id AS VARCHAR), '-') AS b, "
+            "CAST(kept AS BIGINT) * 10000000 "
+            "+ CAST(round(coalesce(centroid_sim, -2.0) * 1e6) AS BIGINT) "
+            "+ 2000000 AS n",
+        )
     ),
     "text_metrics": (
         "SELECT q.*, t.ws_tokens, t.bpe_tokens, t.approx_llm_tokens FROM ("
@@ -1870,6 +1918,15 @@ ORACLES: dict[str, str] = {
             "CAST(NULL AS TIMESTAMP) AS window_start, "
             "CAST(NULL AS TIMESTAMP) AS window_end, "
             "id_b AS n_events, jaccard_sim AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _K["stream_semantic_dedup"],
+            "'incsem' AS mode, CAST(vec_id AS VARCHAR) AS grp, "
+            "CAST(NULL AS TIMESTAMP) AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "CAST(cluster_id AS BIGINT) AS n_events, "
+            "CAST(kept AS DOUBLE) * 10 + centroid_sim AS total_value",
         )
     ),
 }

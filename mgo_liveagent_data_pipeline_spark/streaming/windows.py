@@ -322,19 +322,21 @@ def stream_merge_partitioned(
 def stage_doc_batches(
     spark: SparkSession, sf_dir: str, base_dir: str, n_batches: int = 3,
     table: str = "documents",
+    key_col: str = "doc_id",
+    cols: tuple[str, ...] = ("doc_id", "text"),
 ) -> str:
-    """Stage the documents table as ``n_batches`` single parquet files so
+    """Stage a table as ``n_batches`` single parquet files so
     AvailableNow + maxFilesPerTrigger=1 delivers a deterministic sequence
-    of micro-batches from one immutable source (splits by doc_id mod, so
+    of micro-batches from one immutable source (splits by key mod, so
     the staging is a pure function of the corpus)."""
     src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).select(
-        "doc_id", "text"
+        *cols
     )
     stage = os.path.join(base_dir, "ingest")
     os.makedirs(stage, exist_ok=True)
     for b in range(n_batches):
         tmp = os.path.join(base_dir, f"__stage_{b}")
-        src.where(F.col("doc_id") % n_batches == b).coalesce(1).write.mode(
+        src.where(F.col(key_col) % n_batches == b).coalesce(1).write.mode(
             "overwrite"
         ).parquet(tmp)
         part = next(
@@ -444,6 +446,123 @@ def stream_incremental_dedup(
         )
         q.awaitTermination()
     return table_path(base_dir, pairs_name), corpus_path
+
+
+def stream_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    table: str = "embeddings",
+    verdicts_name: str = "sem_verdicts",
+    index_name: str = "sem_index",
+    threshold: float = 0.3,
+    n_batches: int = 3,
+    n_state_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[str, str]:
+    """Continuous embedding ingestion with streaming SemDeDup — each
+    micro-batch is verdict-ed against the corpus-so-far through the
+    STORED assignment index (``incremental_semantic_dedup`` with
+    ``corpus_index`` + ``emit_corpus_flips``), then its assignment rows
+    MERGE into the index and its verdicts (plus any corpus flips it
+    caused) MERGE into the verdicts table.
+
+    Why the drained verdicts equal the FULL-corpus ``semantic_dedup``
+    for ANY batch split: kept is monotone — a vector's verdict flips
+    only 1→0, and only when an EARLIER-(centroid_sim, key)-ordered
+    ≥ threshold-similar member exists. If that member arrived in an
+    earlier-or-same batch, the vector's own ingest verdict catches it;
+    if it arrives LATER, the reverse direction of the same pair probe
+    emits the kept=0 flip at that batch. Both writes are idempotent
+    keyed MERGEs, so crash replay recomputes identical rows (the
+    re-ingest supersede rule keeps the recompute insensitive to whether
+    the previous attempt's index merge landed) — the same
+    exactly-once-without-coordination argument as
+    ``stream_incremental_dedup``.
+
+    Centroids are FROZEN from the staged table up front — the versioned-
+    artifact model the ``corpus_index`` contract documents (and the
+    condition under which the drained state equals the batch operator,
+    whose internal centroid pick over the accumulated corpus is the same
+    set).
+
+    Returns (verdicts_path, index_path)."""
+    from ..operators.annsearch import ivf_centroids
+    from ..operators.dedup import (
+        incremental_semantic_dedup,
+        semantic_assign,
+    )
+    from ..sinks.writers import ensure_table, table_path, upsert
+
+    stage = stage_doc_batches(
+        spark, sf_dir, base_dir, n_batches, table,
+        key_col="vec_id", cols=("vec_id", "embedding", "label"),
+    )
+    src_schema = spark.read.parquet(stage).schema
+    emb_stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    # frozen centroid artifact: the full staged corpus's deterministic pick
+    from ..functions.similarity import norm2
+
+    cents = ivf_centroids(spark.read.parquet(stage)).withColumn(
+        "cent_n", norm2(F.col("centroid"))
+    )
+    cents.persist().count()
+    index_path = ensure_table(
+        spark,
+        base_dir,
+        index_name,
+        spark.createDataFrame(
+            [],
+            "key long, cluster_id int, centroid_sim double, "
+            "v array<double>, nv double",
+        ),
+    )
+    verdicts_path = ensure_table(
+        spark,
+        base_dir,
+        verdicts_name,
+        spark.createDataFrame(
+            [], "vec_id long, cluster_id int, centroid_sim double, kept int"
+        ),
+    )
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        delta = batch_df.select("vec_id", "embedding", "label")
+        index = spark.read.parquet(index_path)
+        out = incremental_semantic_dedup(
+            None,
+            delta,
+            threshold=threshold,
+            corpus_index=index,
+            centroids=cents,
+            emit_corpus_flips=True,
+        ).select("vec_id", "cluster_id", "centroid_sim", "kept")
+        upsert(spark, out, base_dir, verdicts_name, "vec_id")
+        upsert(
+            spark,
+            semantic_assign(delta, cents),
+            base_dir,
+            index_name,
+            "key",
+        )
+
+    with state_partitions(spark, n_state_partitions), _checkpoint(
+        checkpoint_dir
+    ) as ckpt:
+        q = (
+            emb_stream.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    cents.unpersist()
+    return table_path(base_dir, verdicts_name), index_path
 
 
 def stream_scored_ingest(

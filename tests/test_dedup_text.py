@@ -938,3 +938,98 @@ def test_incremental_semantic_dedup_reingest_supersedes(spark):
     assert set(out) == {2, 3}, "verdicts must cover delta keys only"
     assert out[2] == 1, "re-ingested distinct vector must be kept"
     assert out[3] == 0, "exact copy of a corpus vector must drop"
+
+
+def test_semantic_dedup_routed_agreement_and_degrade(spark):
+    """LSH-routed assignment on the real table: the bits-vs-quality
+    tradeoff is monotone and measured (this near-isotropic synthetic
+    corpus is the documented RH-LSH worst case — see the rh_lsh recall
+    notes: b=2 agrees ~83% with flat, b=4 ~44%; real clustered
+    embeddings route far better), routed vectors that agree on the
+    cluster agree exactly on centroid_sim, and an engineered
+    every-bit-flipped vector exercises the unrouted kept=1 degrade."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    flat = {r["vec_id"]: r for r in semantic_dedup(emb, threshold=0.3).collect()}
+
+    def agreement(bits):
+        routed = {
+            r["vec_id"]: r
+            for r in semantic_dedup(
+                emb, threshold=0.3, route_bits=bits, dim=64
+            ).collect()
+        }
+        assert set(routed) == set(flat)  # one verdict per vector either way
+        same = [
+            k
+            for k, r in routed.items()
+            if r["cluster_id"] is not None
+            and r["cluster_id"] == flat[k]["cluster_id"]
+        ]
+        for k in same:
+            assert routed[k]["centroid_sim"] == flat[k]["centroid_sim"]
+        return len(same) / len(flat)
+
+    a2, a4 = agreement(2), agreement(4)
+    assert a2 >= 0.8 and a4 >= 0.4
+    assert a2 > a4  # fewer buckets -> more candidates -> closer to flat
+
+    # unrouted degrade: v2 = -v1 flips the sign bit on EVERY plane whose
+    # dot is nonzero (all of them here), so at b=8 it sits Hamming-8 from
+    # the only centroid's bucket — no candidate, NULL cluster, kept=1
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], 0), (2, [-1.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, threshold=0.3, route_bits=8, dim=3
+        ).collect()
+    }
+    assert out[2]["cluster_id"] is None
+    assert out[2]["kept"] == 1 and out[2]["centroid_sim"] is None
+    assert out[1]["cluster_id"] == 0 and out[1]["kept"] == 1
+
+
+def test_incremental_semantic_dedup_corpus_index_path(spark):
+    """The production path: with a prebuilt assignment index and frozen
+    centroids, the incremental verdicts equal the recompute path run
+    against the same centroid set — only the delta is assigned."""
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        ivf_centroids,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        incremental_semantic_dedup,
+        semantic_assign,
+    )
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    delta = emb.where(F.col("vec_id") % 7 == 0)
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+    # frozen centroids from the FULL key space so both paths share them
+    cents = ivf_centroids(emb)
+    index = semantic_assign(corpus, cents)
+    via_index = {
+        r["vec_id"]: (r["cluster_id"], r["centroid_sim"], r["kept"])
+        for r in incremental_semantic_dedup(
+            corpus, delta, threshold=0.3, corpus_index=index, centroids=cents
+        ).collect()
+    }
+    recompute = {
+        r["vec_id"]: (r["cluster_id"], r["centroid_sim"], r["kept"])
+        for r in incremental_semantic_dedup(
+            corpus, delta, threshold=0.3, centroids=cents
+        ).collect()
+    }
+    assert via_index == recompute
+    # index path demands its frozen centroids
+    import pytest
+
+    with pytest.raises(ValueError):
+        incremental_semantic_dedup(corpus, delta, corpus_index=index)

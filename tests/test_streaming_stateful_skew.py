@@ -432,3 +432,173 @@ def test_stream_scored_ingest_equals_batch_composition(spark):
     release_intermediates()
     assert ingested == expect_docs, "corpus must hold exactly the gated docs"
     assert streamed == batch, "drained pairs must equal the batch composition"
+
+
+def test_stream_semantic_dedup_matches_batch_and_flips(spark, tmp_path):
+    """Streaming SemDeDup drained state equals the FULL-corpus batch
+    semantic_dedup on the real embeddings table (3 micro-batches), and
+    the mod-3 split genuinely exercises the corpus-FLIP path: some
+    dropped vectors have ALL their drop evidence in later batches, so
+    only the reverse pair probe can have produced their kept=0 row
+    (brute-force recount here; 36 such cases at sf0.001)."""
+    import math
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_semantic_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    verdicts_path, _idx = stream_semantic_dedup(
+        spark, sf, str(tmp_path / "semstream"), n_batches=3,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    drained = {
+        r["vec_id"]: (r["cluster_id"], r["centroid_sim"], r["kept"])
+        for r in spark.read.parquet(verdicts_path).collect()
+    }
+    emb = load_table(spark, sf, "embeddings")
+    batch = {
+        r["vec_id"]: (r["cluster_id"], r["centroid_sim"], r["kept"])
+        for r in semantic_dedup(emb, threshold=0.3).collect()
+    }
+    assert drained == batch
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6) if na > 0 and nb > 0 else 0.0
+
+    by_cluster: dict[int, list] = {}
+    for k, (c, s, kept) in batch.items():
+        by_cluster.setdefault(c, []).append((s, k, kept))
+    n_flip_only = 0
+    for mem in by_cluster.values():
+        mem.sort()
+        for i, (s, k, kept) in enumerate(mem):
+            if kept:
+                continue
+            evidence = [
+                q for (_, q, _k2) in mem[:i]
+                if cos(vecs[q], vecs[k]) >= 0.3
+            ]
+            if evidence and all(q % 3 > k % 3 for q in evidence):
+                n_flip_only += 1
+    assert n_flip_only > 0, "split must exercise the flip path"
+
+
+def test_stream_semantic_dedup_restart_exactly_once(spark, tmp_path):
+    """Streaming SemDeDup under the worst-case crash window: the FLIP
+    batch's verdict/index MERGEs land but its offset is not committed,
+    then resume. The replayed batch re-assigns delta keys already in the
+    index (supersede rule), recomputes the identical flip, and both
+    idempotent MERGEs land on already-correct rows — drained verdicts
+    still equal the batch operator over the full fixture."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        ivf_centroids,
+    )
+    from mgo_liveagent_data_pipeline_spark.functions.similarity import norm2
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        incremental_semantic_dedup,
+        semantic_assign,
+        semantic_dedup,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        ensure_table,
+        table_path,
+        upsert,
+    )
+
+    schema = "vec_id long, embedding array<double>, label int"
+    batches = {
+        0: [(1, [1.0, 0.0, 0.2], 0), (5, [0.0, 1.0, 0.2], 1)],
+        # batch 1: key 3 is MORE peripheral than the seed key 1 -> key 1
+        # must FLIP to dropped when batch 1 lands
+        1: [(3, [1.0, 0.02, 0.2], 0)],
+        # batch 2: key 2 drops at its own ingest (key 3 precedes it)
+        2: [(2, [1.0, 0.01, 0.2], 0)],
+    }
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    for b, rows in batches.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"batch_{b}.parquet")
+        )
+    all_rows = spark.createDataFrame(
+        [r for rows in batches.values() for r in rows], schema
+    )
+    cents = ivf_centroids(all_rows).withColumn(
+        "cent_n", norm2(F.col("centroid"))
+    )
+    cents.persist().count()
+    base = str(tmp_path / "sem_tbl")
+    ckpt = str(tmp_path / "sem_ckpt")
+    index_path = ensure_table(
+        spark, base, "idx",
+        spark.createDataFrame(
+            [],
+            "key long, cluster_id int, centroid_sim double, "
+            "v array<double>, nv double",
+        ),
+    )
+    ensure_table(
+        spark, base, "verd",
+        spark.createDataFrame(
+            [], "vec_id long, cluster_id int, centroid_sim double, kept int"
+        ),
+    )
+    rd_schema = spark.read.parquet(str(src / "batch_0.parquet")).schema
+    crash = {"armed": True}
+
+    def merge_batch(batch_df, batch_id):
+        delta = batch_df.select("vec_id", "embedding", "label")
+        index = spark.read.parquet(index_path)
+        out = incremental_semantic_dedup(
+            None, delta, threshold=0.98,
+            corpus_index=index, centroids=cents, emit_corpus_flips=True,
+        ).select("vec_id", "cluster_id", "centroid_sim", "kept")
+        upsert(spark, out, base, "verd", "vec_id")
+        upsert(spark, semantic_assign(delta, cents), base, "idx", "key")
+        if crash["armed"] and batch_id == 1:
+            crash["armed"] = False
+            raise RuntimeError("injected crash AFTER the flip batch's merges")
+
+    def run():
+        q = (
+            spark.readStream.schema(rd_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+            .writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        run()
+    run()  # resume: batch 1 replays (merges already applied), then batch 2
+    cents.unpersist()
+
+    drained = {
+        r["vec_id"]: r["kept"]
+        for r in spark.read.parquet(table_path(base, "verd")).collect()
+    }
+    expect = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(all_rows, threshold=0.98).collect()
+    }
+    assert drained == expect
+    assert expect == {1: 0, 2: 0, 3: 1, 5: 1}  # key 1 dropped via FLIP

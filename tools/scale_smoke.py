@@ -183,7 +183,12 @@ def main() -> None:
             exact_substring_dedup,
         )
 
-        return exact_substring_dedup(df, "text", "doc_id", k=8)
+        # the harness times .count(): reference a computed column so
+        # Catalyst can't eliminate the unique-key left join (and with it
+        # the whole gram/coverage pipeline) under the count-only plan
+        return exact_substring_dedup(df, "text", "doc_id", k=8).where(
+            F.col("n_removed") >= 0
+        )
 
     from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
         hypertable_rollup,
@@ -453,7 +458,13 @@ def main() -> None:
         relabeled = df.withColumn(
             "label", (F.col("label") + rep * 10).cast("int")
         )
-        return semantic_dedup(relabeled, threshold=0.3)
+        # .where(kept >= 0) forces the verdict column under the harness's
+        # count()-only plan — otherwise the unique-key left join (and the
+        # pair probe behind it) is eliminated and the smoke times only
+        # assignment + ranking
+        return semantic_dedup(relabeled, threshold=0.3).where(
+            F.col("kept") >= 0
+        )
 
     def semdedup_inc_case(df):
         # same per-replica label space; 20% of keys are the day's delta
@@ -469,7 +480,65 @@ def main() -> None:
             relabeled.where(F.col("vec_id") % 5 != 0),
             relabeled.where(F.col("vec_id") % 5 == 0),
             threshold=0.3,
+        ).where(F.col("kept") >= 0)  # same count()-pruning guard
+
+    def semdedup_routed_case(df):
+        # the linear-assignment fix: route_bits scales with cluster count
+        # (b = 4 + log2(growth)) so bucket occupancy — and with it the
+        # per-vector candidate set — stays ~constant as k grows; compare
+        # against the flat case's measured n x k wall
+        import math
+
+        from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+            semantic_dedup,
         )
+
+        n = df.count()
+        bits = 4 + max(0, round(math.log2(max(n, 1) / n_emb_1x)))
+        rep = F.floor(F.col("vec_id") / F.lit(10 * n_emb_1x))
+        relabeled = df.withColumn(
+            "label", (F.col("label") + rep * 10).cast("int")
+        )
+        return semantic_dedup(
+            relabeled, threshold=0.3, route_bits=bits, dim=64
+        ).where(F.col("kept") >= 0)
+
+    def semdedup_inc_indexed_case(df):
+        # the production incremental shape: corpus assignment is a STORED
+        # index — prebuilt and materialized outside the timed region —
+        # and the delta is FIXED-SIZE (the 1× key range's %5 slice, same
+        # rows at both scales; the fixed-delta merge cases' claim): a
+        # same-sized ingest should cost ~the same against an N× bigger
+        # corpus, because only delta assignment (n_delta × k) and the
+        # delta's cluster-blocked pairs are paid per ingest
+        from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+            ivf_centroids,
+        )
+        from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+            incremental_semantic_dedup,
+            semantic_assign,
+        )
+
+        rep = F.floor(F.col("vec_id") / F.lit(10 * n_emb_1x))
+        relabeled = df.withColumn(
+            "label", (F.col("label") + rep * 10).cast("int")
+        )
+        fixed = (F.col("vec_id") < n_emb_1x) & (F.col("vec_id") % 5 == 0)
+        delta = relabeled.where(fixed)
+        corpus = relabeled.where(~fixed)
+        key = ("idx", id(df))
+        if key not in _prebuilt:
+            cents = ivf_centroids(relabeled).persist()
+            idx = semantic_assign(corpus, cents).persist()
+            idx.count()  # materialize OUTSIDE the timed run
+            cents.count()
+            _prebuilt[key] = (idx, cents)
+        idx, cents = _prebuilt[key]
+        return incremental_semantic_dedup(
+            corpus, delta, threshold=0.3, corpus_index=idx, centroids=cents
+        ).where(F.col("kept") >= 0)
+
+    _prebuilt: dict = {}
 
     def enc_near_dup(df):
         # sign-block bits follow the documented sizing rule
@@ -527,7 +596,9 @@ def main() -> None:
         "dedup_apply_rewrite": (dedup_apply_case, docs_1x, docs_nx),
         "encoded_near_dup": (enc_near_dup, docs_1x, docs_nx),
         "semantic_dedup": (semdedup_case, emb_1x, emb_nx),
+        "semantic_dedup_routed": (semdedup_routed_case, emb_1x, emb_nx),
         "semantic_dedup_inc": (semdedup_inc_case, emb_1x, emb_nx),
+        "semantic_dedup_inc_indexed": (semdedup_inc_indexed_case, emb_1x, emb_nx),
         "curation_pipeline": (curation_case, docs_1x, docs_nx),
     }
 
@@ -630,6 +701,12 @@ def main() -> None:
         merge_cases = {k: v for k, v in merge_cases.items() if k in only}
 
     results = {}
+    # the indexed-incremental case's premise is a PREBUILT index: build
+    # and materialize both scales' indexes before any timing (the
+    # harness's warmup only touches the 1× input)
+    if "semantic_dedup_inc_indexed" in cases:
+        for d in (emb_1x, emb_nx):
+            semdedup_inc_indexed_case(d)
     # warm the whole merge code path once, outside timing
     _wb = tempfile.mkdtemp(prefix="warm_", dir=big)
     if merge_cases:
