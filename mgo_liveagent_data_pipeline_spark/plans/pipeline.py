@@ -805,6 +805,193 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATION_SEM_BITS = 6
+CURATION_SEM_DIM = 32
+CURATION_SEM_THRESHOLD = 0.9
+
+
+def q_curation_semantic_pipeline(
+    spark: SparkSession, sf_dir: str, sem_bits: int = CURATION_SEM_BITS
+) -> DataFrame:
+    """The curation chain with SEMANTIC dedup composed in — the stage
+    the rule-based chain can't express: near-duplicates that share
+    meaning-bearing vocabulary but few exact shingles survive MinHash;
+    SemDeDup over the encoded corpus catches them. Five stages with the
+    same per-stage ledger:
+
+      1. ``gate``    — Gopher-style quality filter
+      2. ``para``    — CCNet segment dedup, rewritten text forward
+      3. ``neardup`` — MinHash-LSH → CC → keep-one (shingle identity)
+      4. ``semdedup``— encode_documents (hash-projection, ONE
+                       mapInPandas crossing) → 6-bit sign-block labels
+                       (rh_signature) → semantic_dedup keep-low
+                       survivors (operators/dedup.py:semantic_dedup —
+                       cosine ≥ 0.9 within the assigned cluster —
+                       this corpus's shared tiny vocabulary makes
+                       projections broadly similar, so the member
+                       threshold sits at the near-identical band)
+      5. ``shard``   — ~1000-token shard packing
+
+    The encoder output feeds BOTH the centroid pick and the assignment
+    scan inside semantic_dedup, so it is scoped-persisted here — the
+    round-6 double-encode lesson applied at composition time (the
+    operator cannot know its input is a Python crossing). Ledger shape
+    and BPE accounting identical to ``q_curation_pipeline``; oracle =
+    the full five-stage DuckDB twin (stages 1-3 shared with
+    _curation_sql; stage 4 from sparse ±1 integer vector math, exact in
+    both engines). Driver-visible via the ``curation_sem`` mode of
+    ``dedup_exact_suite``."""
+    from ..operators.annsearch import (
+        encode_documents,
+        rh_planes,
+        rh_signature,
+    )
+    from ..operators.dedup import (
+        _scoped_persist,
+        connected_components,
+        dedup_apply,
+        minhash_lsh_dedup,
+        semantic_dedup,
+    )
+    from ..operators.textops import (
+        bpe_encode,
+        pack_shards,
+        paragraph_dedup,
+        quality_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    train = docs.where(F.col("doc_id") % DECONTAM_MODULUS != 0)
+
+    # stages 1-3: identical composition to q_curation_pipeline
+    qf = _scoped_persist(quality_filter(train))
+    c1 = _scoped_persist(
+        bpe_encode(
+            train.join(
+                qf.where("keep").select("doc_id"), "doc_id", "left_semi"
+            ),
+            carry_cols=("text", "source"),
+        )
+        .withColumnRenamed("n_bpe_tokens", "__bt")
+        .drop("n_words")
+    )
+    para = paragraph_dedup(
+        c1, "text", "doc_id", CURATION_SEG_WORDS, CURATION_MIN_SEG_DOCS,
+        emit_text=True,
+    )
+    ntok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    c2 = _scoped_persist(
+        bpe_encode(
+            para.where(F.col("text") != "")
+            .select(F.col("key").alias("doc_id"), "text")
+            .join(c1.select("doc_id", "source"), "doc_id")
+            .withColumn("__lt", ntok),
+            carry_cols=("text", "source", "__lt"),
+        )
+        .withColumnRenamed("n_bpe_tokens", "__bt")
+        .drop("n_words")
+    )
+    pairs = minhash_lsh_dedup(
+        c2, "text", "doc_id", NUM_HASHES, BANDS, SHINGLE_K,
+        LSH_THRESHOLD, LSH_MAX_BUCKET,
+    )
+    clusters = connected_components(pairs.select("id_a", "id_b"))
+    c3 = _scoped_persist(dedup_apply(c2, clusters, "doc_id"))
+
+    # stage 4 — SemDeDup over the encoded survivors
+    blocked = _scoped_persist(
+        encode_documents(
+            c3.select("doc_id", "text"), dim=CURATION_SEM_DIM
+        ).withColumn(
+            "label",
+            rh_signature(
+                F.col("embedding"),
+                rh_planes(sem_bits, CURATION_SEM_DIM),
+            ),
+        )
+    )
+    verd = semantic_dedup(
+        blocked, "embedding", "doc_id", "label",
+        threshold=CURATION_SEM_THRESHOLD,
+    )
+    c4 = _scoped_persist(
+        c3.join(
+            verd.where(F.col("kept") == 1).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+
+    # stage 5 — shard packing
+    packed = pack_shards(
+        c4, "text", "doc_id",
+        shard_tokens=CURATION_SHARD_TOKENS, block_size=100,
+    )
+
+    def stats(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("__lt"), F.lit(0)).cast("long").alias("tok"),
+            F.coalesce(F.sum("__bt"), F.lit(0)).cast("long").alias("bpe"),
+        )
+
+    s_in = qf.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s1 = c1.withColumn("__lt", ntok).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(ntok), F.lit(0)).cast("long").alias("tok"),
+        F.coalesce(F.sum("__bt"), F.lit(0)).cast("long").alias("bpe"),
+    )
+    s2, s3, s4 = stats(c2), stats(c3), stats(c4)
+    s5 = packed.agg(
+        F.countDistinct("shard_id").cast("long").alias("n"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tok"),
+    ).crossJoin(
+        c4.agg(F.coalesce(F.sum("__bt"), F.lit(0)).cast("long").alias("bpe"))
+    )
+    stages = [
+        ("gate", s_in, s1), ("para", s1, s2), ("neardup", s2, s3),
+        ("semdedup", s3, s4), ("shard", s4, s5),
+    ]
+    ledger = None
+    for i, (name, prev, cur) in enumerate(stages, start=1):
+        row = (
+            prev.select(F.col("n").alias("rows_in"))
+            .crossJoin(
+                cur.select(
+                    F.col("n").alias("rows_out"),
+                    F.col("tok").alias("tokens_out"),
+                    F.col("bpe").alias("bpe_tokens_out"),
+                )
+            )
+            .select(
+                F.lit(i).cast("long").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                "rows_in",
+                "rows_out",
+                "tokens_out",
+                "bpe_tokens_out",
+            )
+        )
+        ledger = row if ledger is None else ledger.unionByName(row)
+    # same observability round trip as the sibling chains: the ledger is
+    # APPENDED to a K5 history table and read back, so the oracle
+    # certifies the ledger write too
+    from ..sinks.writers import history_append, table_path
+
+    base_dir = scratch_dir("mgo_curation_sem_ledger_")
+    history_append(spark, ledger, base_dir, "curation_sem_run")
+    return spark.read.parquet(
+        table_path(base_dir, "curation_sem_run_history")
+    ).select(
+        "stage_no", "stage", "rows_in", "rows_out", "tokens_out",
+        "bpe_tokens_out",
+    )
+
+
 # scored curation: the model gates slot between the rule gate and the
 # dedup stages, and every budget runs on REAL subword counts. The BPE
 # budget constants are the whitespace ones scaled by the measured ~4×
@@ -1369,6 +1556,7 @@ QUERIES = {
     "text_shard_pack": q_text_shard_pack,
     "curation_pipeline": q_curation_pipeline,
     "curation_scored_pipeline": q_curation_scored_pipeline,
+    "curation_semantic_pipeline": q_curation_semantic_pipeline,
 }
 
 
@@ -2113,14 +2301,10 @@ _CLUSTERS_SQL = f"""
     FROM comp
 """
 
-def _curation_sql() -> str:
-    """DuckDB twin of q_curation_pipeline — the FULL six-stage chain in
-    one statement, each stage mirroring its operator's member oracle
-    expression-for-expression, emitting the same 6-row ledger. The value
-    of this oracle is exactly the composition: a stage consuming the
-    wrong intermediate, double-applying a filter, or recounting tokens
-    on the wrong text shows up as a ledger mismatch even when every
-    member oracle stays green."""
+def _curation_stage123_ctes() -> str:
+    """The gate -> para -> LSH-neardup CTE prefix (tr..c3 plus the BPE
+    count relations bpe1/bpe2) shared VERBATIM by _curation_sql and
+    _curation_semantic_sql — one mirror of stages 1-3, two chains."""
     rows = NUM_HASHES // BANDS
     mins = ", ".join(
         f"list_min(list_transform(sh, s -> {_A} + {i} * {_B}))"
@@ -2133,27 +2317,10 @@ def _curation_sql() -> str:
         + " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
         for b in range(BANDS)
     )
-    # per-source token target computed in PYTHON exactly as mixture_sample
-    # builds its literal (float(budget) * (w / total_w)) — recomputing the
-    # product in SQL could differ by one ulp and flip a boundary accept
-    total_w = sum(CURATION_MIX_WEIGHTS.values())
-    w_case = " ".join(
-        f"WHEN '{k}' THEN {float(CURATION_MIX_BUDGET) * (v / total_w)!r}"
-        for k, v in sorted(CURATION_MIX_WEIGHTS.items())
-    )
-    in_list = ", ".join(f"'{k}'" for k in sorted(CURATION_MIX_WEIGHTS))
     jac = _JACCARD.format(a="sh_a", b="sh_b")
     sw = CURATION_SEG_WORDS
-    dk = DECONTAM_NGRAM_K - 1
     bpe_ctes = _bpe_seg_ctes("bv", "b")
-    grams5 = (
-        "list_distinct(list_transform("
-        f"range(1, greatest(length(tk) - {dk}, 1) + 1),"
-        f" i -> array_to_string(tk[CAST(i AS INT):CAST(i + {dk} AS INT)], ' ')))"
-    )
-    return f"""
-        WITH RECURSIVE
-        tr AS MATERIALIZED (
+    return f"""        tr AS MATERIALIZED (
           SELECT doc_id, text, source FROM documents
           WHERE doc_id % {DECONTAM_MODULUS} <> 0),
         -- stage 1: quality gate (mirror of text_quality_filter)
@@ -2311,7 +2478,50 @@ def _curation_sql() -> str:
         c3 AS MATERIALIZED (
           SELECT c.doc_id, c.text, c.source, c.nt
           FROM c2x c LEFT JOIN comp ON comp.node = c.doc_id
-          WHERE comp.node IS NULL OR c.doc_id = comp.cluster_id),
+          WHERE comp.node IS NULL OR c.doc_id = comp.cluster_id),"""
+
+
+def _curation_sql() -> str:
+    """DuckDB twin of q_curation_pipeline — the FULL six-stage chain in
+    one statement, each stage mirroring its operator's member oracle
+    expression-for-expression, emitting the same 6-row ledger. The value
+    of this oracle is exactly the composition: a stage consuming the
+    wrong intermediate, double-applying a filter, or recounting tokens
+    on the wrong text shows up as a ledger mismatch even when every
+    member oracle stays green."""
+    rows = NUM_HASHES // BANDS
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {_A} + {i} * {_B}))"
+        for i in range(NUM_HASHES)
+    )
+    bands = ", ".join(
+        "'"
+        + str(b)
+        + "|' || "
+        + " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        for b in range(BANDS)
+    )
+    # per-source token target computed in PYTHON exactly as mixture_sample
+    # builds its literal (float(budget) * (w / total_w)) — recomputing the
+    # product in SQL could differ by one ulp and flip a boundary accept
+    total_w = sum(CURATION_MIX_WEIGHTS.values())
+    w_case = " ".join(
+        f"WHEN '{k}' THEN {float(CURATION_MIX_BUDGET) * (v / total_w)!r}"
+        for k, v in sorted(CURATION_MIX_WEIGHTS.items())
+    )
+    in_list = ", ".join(f"'{k}'" for k in sorted(CURATION_MIX_WEIGHTS))
+    jac = _JACCARD.format(a="sh_a", b="sh_b")
+    sw = CURATION_SEG_WORDS
+    dk = DECONTAM_NGRAM_K - 1
+    bpe_ctes = _bpe_seg_ctes("bv", "b")
+    grams5 = (
+        "list_distinct(list_transform("
+        f"range(1, greatest(length(tk) - {dk}, 1) + 1),"
+        f" i -> array_to_string(tk[CAST(i AS INT):CAST(i + {dk} AS INT)], ' ')))"
+    )
+    return f"""
+        WITH RECURSIVE
+{_curation_stage123_ctes()}
         -- stage 4: decontaminate vs the ORIGINAL eval split (5-grams)
         evg AS (
           SELECT DISTINCT md5(g) AS h FROM (
@@ -2393,6 +2603,145 @@ def _curation_sql() -> str:
                 FROM packed),
                (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2
                 WHERE doc_id IN (SELECT doc_id FROM c5))
+    """
+
+
+def _curation_semantic_sql() -> str:
+    """DuckDB twin of q_curation_semantic_pipeline — gate → para → LSH
+    neardup (CTE prefix shared verbatim with _curation_sql) → SemDeDup
+    over the hash-projection encoding → shard, as one statement emitting
+    the 5-row ledger. Stage 4 mirrors encode_documents + rh_signature +
+    semantic_dedup in sparse ±1 integer vector math (dot products and
+    norms are exact integers → identical doubles in any engine; the
+    6-decimal rounds land on the same values the dense Spark side
+    computes). Assignment tie-break mirrors max(struct(csim, label)):
+    csim DESC, label DESC (binary string order in both engines)."""
+    dim = CURATION_SEM_DIM
+    bits = CURATION_SEM_BITS
+    thr = CURATION_SEM_THRESHOLD
+    zeros = "0" * bits
+    return f"""
+        WITH RECURSIVE
+{_curation_stage123_ctes()}
+        -- stage 4: SemDeDup over the encoded survivors (mirror of
+        -- encode_documents + rh_signature + semantic_dedup)
+        tok4 AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+          FROM c3),
+        feat4 AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(t), 1, 12)) AS BIGINT) % {dim}
+                   AS b,
+                 CASE WHEN CAST(('0x' || substring(md5(t), 13, 1)) AS BIGINT)
+                           % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM tok4 WHERE t <> ''),
+        vec4 AS (
+          SELECT doc_id, b, sum(s) AS val FROM feat4 GROUP BY 1, 2),
+        nrm4 AS (
+          SELECT c.doc_id,
+                 coalesce(sqrt(CAST(sum(val * val) AS DOUBLE)), 0) AS n
+          FROM c3 c LEFT JOIN vec4 USING (doc_id) GROUP BY 1),
+        planes4 AS (
+          SELECT CAST(t1.range AS BIGINT) AS p, CAST(t2.range AS BIGINT) AS d,
+                 CASE WHEN CAST(('0x' || substring(md5(
+                        CAST(t1.range AS VARCHAR) || ':'
+                        || CAST(t2.range AS VARCHAR)), 1, 1)) AS BIGINT)
+                      % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM range({bits}) t1 CROSS JOIN range({dim}) t2),
+        sigbits4 AS (
+          SELECT v.doc_id, pl.p,
+                 CASE WHEN sum(pl.s * v.val) > 0 THEN '1' ELSE '0' END AS bit
+          FROM vec4 v JOIN planes4 pl ON pl.d = v.b
+          GROUP BY v.doc_id, pl.p),
+        sig4 AS (
+          SELECT c.doc_id,
+                 coalesce(string_agg(bit, '' ORDER BY p), '{zeros}') AS label
+          FROM c3 c LEFT JOIN sigbits4 sb ON sb.doc_id = c.doc_id
+          GROUP BY c.doc_id),
+        cents4 AS (SELECT label, min(doc_id) AS cid FROM sig4 GROUP BY label),
+        alldots AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 CAST(sum(a.val * b.val) AS DOUBLE) AS dp
+          FROM vec4 a JOIN vec4 b ON a.b = b.b GROUP BY 1, 2),
+        csim4 AS (
+          SELECT g.doc_id, c.label,
+                 CASE WHEN dn.n > 0 AND cn.n > 0
+                      THEN round(coalesce(ad.dp, 0) / (dn.n * cn.n), 6)
+                      ELSE 0.0 END AS cs
+          FROM sig4 g CROSS JOIN cents4 c
+          LEFT JOIN alldots ad ON ad.da = g.doc_id AND ad.db = c.cid
+          JOIN nrm4 dn ON dn.doc_id = g.doc_id
+          JOIN nrm4 cn ON cn.doc_id = c.cid),
+        assigned4 AS (
+          SELECT doc_id, label, cs AS centroid_sim
+          FROM csim4
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cs DESC, label DESC) = 1),
+        ranked4 AS (
+          SELECT doc_id, label, centroid_sim,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY centroid_sim ASC, doc_id ASC)
+                   AS rnk
+          FROM assigned4),
+        dups4 AS (
+          SELECT DISTINCT b.doc_id
+          FROM ranked4 a JOIN ranked4 b
+            ON a.label = b.label AND a.rnk < b.rnk
+          JOIN nrm4 an ON an.doc_id = a.doc_id
+          JOIN nrm4 bn ON bn.doc_id = b.doc_id
+          LEFT JOIN alldots ad ON ad.da = a.doc_id AND ad.db = b.doc_id
+          WHERE (CASE WHEN an.n > 0 AND bn.n > 0
+                      THEN round(coalesce(ad.dp, 0) / (an.n * bn.n), 6)
+                      ELSE 0.0 END) >= {thr}),
+        c4s AS MATERIALIZED (
+          SELECT * FROM c3
+          WHERE doc_id NOT IN (SELECT doc_id FROM dups4)),
+        -- stage 5: shard packing over the semantic survivors
+        p5 AS (
+          SELECT CAST(doc_id AS BIGINT) AS key,
+                 CAST(length(string_split_regex(trim(text), '\\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM c4s),
+        packed5 AS MATERIALIZED (
+          SELECT key, n_tokens,
+                 CAST(floor((sum(n_tokens) OVER (ORDER BY key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens) / {CURATION_SHARD_TOKENS}.0) AS BIGINT)
+                   AS shard_id
+          FROM p5)
+        SELECT CAST(1 AS BIGINT) AS stage_no, 'gate' AS stage,
+               (SELECT count(*) FROM tr) AS rows_in,
+               (SELECT count(*) FROM c1) AS rows_out,
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c1)
+                 AS tokens_out,
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe1)
+                 AS bpe_tokens_out
+        UNION ALL
+        SELECT 2, 'para', (SELECT count(*) FROM c1),
+               (SELECT count(*) FROM c2x),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c2x),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2)
+        UNION ALL
+        SELECT 3, 'neardup', (SELECT count(*) FROM c2x),
+               (SELECT count(*) FROM c3),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c3),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2
+                WHERE doc_id IN (SELECT doc_id FROM c3))
+        UNION ALL
+        SELECT 4, 'semdedup', (SELECT count(*) FROM c3),
+               (SELECT count(*) FROM c4s),
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM c4s),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2
+                WHERE doc_id IN (SELECT doc_id FROM c4s))
+        UNION ALL
+        SELECT 5, 'shard', (SELECT count(*) FROM c4s),
+               (SELECT count(DISTINCT shard_id) FROM packed5),
+               (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+                FROM packed5),
+               (SELECT CAST(coalesce(sum(bt), 0) AS BIGINT) FROM bpe2
+                WHERE doc_id IN (SELECT doc_id FROM c4s))
     """
 
 
@@ -3878,6 +4227,7 @@ ORACLES: dict[str, str] = {
     "curation_pipeline": _curation_sql(),
     # the nine-stage SCORED chain (model gates composed in, BPE budgets)
     "curation_scored_pipeline": _curation_scored_sql(),
+    "curation_semantic_pipeline": _curation_semantic_sql(),
     # near-dup decontamination = union LSH pairs restricted to train×eval
     "text_fuzzy_decontaminate": _fuzzy_decontam_oracle(),
     # deterministic md5(key)-ordered quota, mirroring group_sample_k

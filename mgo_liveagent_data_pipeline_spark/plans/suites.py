@@ -631,6 +631,8 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").alias("key_id"),
         F.col("n_merged").alias("n"),
     )
+    # (the curation_sem mode adds the chain variant with SEMANTIC dedup
+    # composed in — gate → para → LSH → SemDeDup-over-encoding → shard)
     # curation: the COMPOSED six-stage pipeline's per-stage ledger
     # (pipeline.q_curation_pipeline) — all three counts packed into h so
     # one branch (one evaluation of the chain) hash-checks the full row
@@ -662,6 +664,21 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stage_no").alias("key_id"),
         F.col("rows_out").alias("n"),
     )
+    # curation_sem: the chain with SEMANTIC dedup composed in (gate →
+    # para → LSH neardup → SemDeDup-over-encoding → shard)
+    cse = pipeline.q_curation_semantic_pipeline(spark, sf_dir).select(
+        F.lit("curation_sem").alias("mode"),
+        F.concat_ws(
+            "|",
+            F.col("stage"),
+            F.col("rows_in").cast("string"),
+            F.col("rows_out").cast("string"),
+            F.col("tokens_out").cast("string"),
+            F.col("bpe_tokens_out").cast("string"),
+        ).alias("h"),
+        F.col("stage_no").alias("key_id"),
+        F.col("rows_out").alias("n"),
+    )
     # substr: ExactSubstr span dedup (Lee et al. 2021) — n packs
     # (n_tokens, n_removed) so the span-surgery counts hash-check
     sub = pipeline.q_text_substring_dedup(spark, sf_dir).select(
@@ -675,6 +692,7 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ap)
         .unionByName(cu)
         .unionByName(cs)
+        .unionByName(cse)
         .unionByName(sub)
     )
 
@@ -1712,6 +1730,13 @@ ORACLES: dict[str, str] = {
         + _tagged(
             _P["curation_scored_pipeline"],
             "'curation_scored' AS mode, stage || '|' || rows_in || '|' || "
+            "rows_out || '|' || tokens_out || '|' || bpe_tokens_out AS h, "
+            "stage_no AS key_id, rows_out AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["curation_semantic_pipeline"],
+            "'curation_sem' AS mode, stage || '|' || rows_in || '|' || "
             "rows_out || '|' || tokens_out || '|' || bpe_tokens_out AS h, "
             "stage_no AS key_id, rows_out AS n",
         )

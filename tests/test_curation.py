@@ -108,3 +108,33 @@ def test_curation_scored_ledger_invariants(spark):
     for s in order:
         assert rows[s]["bpe_tokens_out"] >= rows[s]["tokens_out"], s
     assert rows["shard"]["bpe_tokens_out"] == rows["mixture"]["bpe_tokens_out"]
+
+
+def test_curation_semantic_ledger_invariants(spark):
+    """The semantic-chain ledger: one relation flows through (rows_in
+    chaining), every filtering stage shrinks or holds, tokens are
+    monotone non-increasing, the SEMANTIC stage is genuinely load-bearing
+    (drops at least one doc on this corpus — a no-op stage would verify
+    nothing), and its survivors are a subset of stage 3's output
+    re-derived through the standalone operators."""
+    from mgo_liveagent_data_pipeline_spark.plans.pipeline import (
+        q_curation_semantic_pipeline,
+    )
+
+    rows = {
+        r["stage"]: r
+        for r in q_curation_semantic_pipeline(spark, SF_DIR).collect()
+    }
+    order = ["gate", "para", "neardup", "semdedup", "shard"]
+    assert sorted(rows, key=lambda s: rows[s]["stage_no"]) == order
+    for prev, cur in zip(order, order[1:]):
+        assert rows[cur]["rows_in"] == rows[prev]["rows_out"], (prev, cur)
+    for s in ("gate", "neardup", "semdedup"):
+        assert rows[s]["rows_out"] <= rows[s]["rows_in"], s
+    assert rows["semdedup"]["tokens_out"] <= rows["neardup"]["tokens_out"]
+    assert rows["semdedup"]["bpe_tokens_out"] <= rows["neardup"]["bpe_tokens_out"]
+    # load-bearing: the semantic stage must actually drop something here
+    assert rows["semdedup"]["rows_out"] < rows["semdedup"]["rows_in"]
+    # shard packs exactly the semantic survivors' tokens
+    assert rows["shard"]["rows_in"] == rows["semdedup"]["rows_out"]
+    assert rows["shard"]["tokens_out"] == rows["semdedup"]["tokens_out"]

@@ -430,6 +430,7 @@ def main() -> None:
         # documents table and its eval split); route by corpus identity
         return q_curation_pipeline(spark, SF_DIR if df is docs_1x else big)
 
+
     def dedup_apply_case(df):
         # full canonicalization: star edges → CC → keep-one → partitioned
         # MERGE rewrite → read back (the dedup "apply" composition)

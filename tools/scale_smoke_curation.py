@@ -15,6 +15,7 @@ per-stage selectivities can be read against corpus growth.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -66,6 +67,7 @@ def main() -> None:
     from mgo_liveagent_data_pipeline_spark.plans.pipeline import (
         q_curation_pipeline,
         q_curation_scored_pipeline,
+        q_curation_semantic_pipeline,
     )
     from mgo_liveagent_data_pipeline_spark.scratch import purge_scratch
     from mgo_liveagent_data_pipeline_spark.session import get_spark
@@ -108,6 +110,13 @@ def main() -> None:
     chains = {
         "curation": q_curation_pipeline,
         "curation_scored": q_curation_scored_pipeline,
+        # sign-block COUNT must scale with the corpus (the ANN-smoke
+        # sizing rule): bits = 6 + log2(growth), else stage-4 pairs
+        # grow as block-size^2
+        "curation_semantic": lambda sp, sd: q_curation_semantic_pipeline(
+            sp, sd, sem_bits=6 + max(0, round(math.log2(factor)))
+            if sd != SF_DIR else 6
+        ),
     }
     if only:
         chains = {k: v for k, v in chains.items() if k in only}
