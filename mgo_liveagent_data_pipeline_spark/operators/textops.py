@@ -604,6 +604,12 @@ def lm_perplexity_score(
     functions (functions/strings.py) on the text column first — the
     operator scores whatever text it's given.
 
+    ``head_nll`` must sit at or below ``tail_nll`` — the bucket CASE
+    tests ``head`` first, so a head cut above the tail cut would relabel
+    ``(tail_nll, head_nll]`` docs ``head`` and sneak tail-perplexity
+    docs past any ``!= 'tail'`` gate. Enforced here (ValueError) rather
+    than documented, so misconfigured callers fail loudly.
+
     Plan at 100 TB: the model is built from the REFERENCE corpus (small,
     curated — Wikipedia-sized, not crawl-sized) with two map-side-combined
     hash aggs bounded by observed-bigram cardinality ≤ min(|ref bigrams|,
@@ -613,6 +619,13 @@ def lm_perplexity_score(
     (key, count, milli-sum) row per doc per partition before the only
     shuffle — document text never shuffles.
     """
+    if head_nll > tail_nll:
+        raise ValueError(
+            f"head_nll ({head_nll}) must be <= tail_nll ({tail_nll}): "
+            "the head-first bucket CASE would otherwise label "
+            "(tail_nll, head_nll] docs 'head' and pass them through a "
+            "!= 'tail' gate"
+        )
     v = float(n_buckets)
 
     def bucket(c: Column) -> Column:
@@ -985,7 +998,10 @@ def bpe_encode(
                 nb.append(total)
             out = {key_col: keys}
             for c in carry_cols:
-                out[c] = pdf[c]
+                # positional, like the list-built columns: pd.DataFrame
+                # aligns Series by index, so a raw pdf[c] would silently
+                # depend on the Arrow batch keeping a default RangeIndex
+                out[c] = pdf[c].to_numpy()
             out["n_words"] = nw
             out["n_bpe_tokens"] = nb
             yield pd.DataFrame(out)
@@ -1785,11 +1801,22 @@ def exact_substring_dedup(
         .groupBy("key")
         .agg(F.collect_set("t").alias("rm"))
     )
-    kept = F.filter(
-        F.transform("tk", lambda x, i: F.struct(x.alias("w"), i.alias("i"))),
-        lambda s: ~F.array_contains(F.col("rm"), s["i"]),
+    # single-pass reassembly: kept indices = [0, L) \ rm via array_except
+    # (hash-set of rm, O(L + |rm|)) — NOT a per-token array_contains scan,
+    # which is O(L × |rm|) and melts on a heavily-duplicated 100k-token
+    # book (~10^10 comparisons in one task). element_at on the REAL
+    # column ``tk`` is O(1) per index (attribute reference, not a
+    # recomputed subtree — the trap lm_perplexity_score documents).
+    keep_idx = F.array_except(
+        F.when(
+            F.size("tk") > 0, F.sequence(F.lit(0), F.size("tk") - 1)
+        ).otherwise(F.array().cast("array<int>")),
+        F.col("rm"),
     )
-    kept_text = F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+    kept_text = F.array_join(
+        F.transform(keep_idx, lambda i: F.element_at(F.col("tk"), i + 1)),
+        " ",
+    )
     out = base.join(removed, "key", "left").withColumn(
         "rm", F.coalesce(F.col("rm"), F.array().cast("array<int>"))
     )

@@ -1186,7 +1186,10 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("dedup", persistence.q_stream_dedup_6h),
         ("merge_part", persistence.q_stream_merge_partitioned),
     )
-    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 2) as ex:
+    # pool sized for EVERY submitted future (4 streaming singles + the
+    # mapped members) so no streaming member queues behind the others —
+    # the fixed-cost fan-out overlap is the point of the pool
+    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 4) as ex:
         join_fut = ex.submit(
             persistence.q_stream_join_30m, spark, sf_dir, None
         )

@@ -456,6 +456,7 @@ def stream_semantic_dedup(
     verdicts_name: str = "sem_verdicts",
     index_name: str = "sem_index",
     threshold: float = 0.3,
+    max_cluster_size: int | None = None,
     n_batches: int = 3,
     n_state_partitions: int | None = None,
     checkpoint_dir: str | None = None,
@@ -479,6 +480,17 @@ def stream_semantic_dedup(
     the previous attempt's index merge landed) — the same
     exactly-once-without-coordination argument as
     ``stream_incremental_dedup``.
+
+    ``max_cluster_size`` defaults to **None** (uncapped) here, unlike
+    the batch operator's 100k: a cap makes the refusal a function of
+    cluster size AT INGEST TIME — a kept=0 verdict MERGEd while its hot
+    cluster was still under cap would persist even after the cluster
+    crosses the cap, while the full-corpus batch run would refuse the
+    now-oversized cluster and report all its members kept=1. Uncapped,
+    the two semantics cannot diverge. If you pass a cap, the drained==
+    batch equivalence holds only under the precondition that every hot
+    cluster stays <= max_cluster_size throughout the stream (and the
+    batch comparison uses the same cap).
 
     Centroids are FROZEN from the staged table up front — the versioned-
     artifact model the ``corpus_index`` contract documents (and the
@@ -537,6 +549,7 @@ def stream_semantic_dedup(
             None,
             delta,
             threshold=threshold,
+            max_cluster_size=max_cluster_size,
             corpus_index=index,
             centroids=cents,
             emit_corpus_flips=True,

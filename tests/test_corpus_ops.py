@@ -1434,6 +1434,11 @@ def test_lm_perplexity_prefers_reference_like_text(spark):
                                ["doc_id", "text"])
     same = lm_perplexity_score(up, ref, 64, head_nll=3.5).collect()[0]
     assert same["avg_nll"] == out[1]["avg_nll"]
+    # inverted thresholds fail loudly: a head cut above the tail cut
+    # would relabel (tail, head] docs 'head' and sneak them past a
+    # != 'tail' gate (the stream_scored_ingest hazard)
+    with pytest.raises(ValueError, match="head_nll"):
+        lm_perplexity_score(df, ref, 64, head_nll=9.0, tail_nll=7.0)
 
 
 def test_dsir_weight_discriminates_target(spark):
