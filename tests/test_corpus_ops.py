@@ -1437,7 +1437,7 @@ def test_lm_perplexity_prefers_reference_like_text(spark):
     # inverted thresholds fail loudly: a head cut above the tail cut
     # would relabel (tail, head] docs 'head' and sneak them past a
     # != 'tail' gate (the stream_scored_ingest hazard)
-    with pytest.raises(ValueError, match="head_nll"):
+    with _pytest.raises(ValueError, match="head_nll"):
         lm_perplexity_score(df, ref, 64, head_nll=9.0, tail_nll=7.0)
 
 
