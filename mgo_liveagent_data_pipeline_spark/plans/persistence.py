@@ -28,6 +28,7 @@ from ..sinks.writers import (
 from ..sources.tables import load_table
 from ..streaming.windows import session_windows, stream_tumbling_6h
 from . import pipeline as _pipe
+from .parity import _elt_parity_sql
 from .pipeline import ORACLES as _pipeline_oracles
 from .relational import MONEY
 
@@ -302,12 +303,32 @@ def q_k5_history_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("batch_id").cast("long").alias("n"),
         F.col("n_regionkey").cast("double").alias("val"),
     )
+    # elt_parity: the reference's flagship lifecycle composed end-to-end
+    # (tickets MERGE → window read-back → message enrich → users → convo
+    # analysis → geocode/viable → history+merge → logs) — ledger packed
+    # into k1 so one branch hash-checks all eight stages' counts AND
+    # content checksums (plans/parity.py)
+    from . import parity as _parity
+
+    ep = _parity.q_elt_parity_pipeline(spark, sf_dir).select(
+        F.lit("elt_parity").alias("mode"),
+        F.concat_ws(
+            "|",
+            F.col("stage"),
+            F.col("rows_in").cast("string"),
+            F.col("rows_out").cast("string"),
+            F.col("checksum").cast("string"),
+        ).alias("k1"),
+        F.col("stage_no").alias("n"),
+        F.col("rows_out").cast("double").alias("val"),
+    )
     return (
         hist.unionByName(q_k_datepart_sink(spark, sf_dir))
         .unionByName(q_k_zorder_sink(spark, sf_dir))
         .unionByName(q_k_compact_sink(spark, sf_dir))
         .unionByName(q_k_pointread_sink(spark, sf_dir))
         .unionByName(q_k_rangeread_sink(spark, sf_dir))
+        .unionByName(ep)
     )
 
 
@@ -838,6 +859,12 @@ ORACLES: dict[str, str] = {
                     AS DOUBLE) AS val
         FROM orders WHERE o_orderkey BETWEEN 1000 AND 4999
         GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'elt_parity' AS mode,
+               stage || '|' || rows_in || '|' || rows_out || '|' || checksum
+                 AS k1,
+               stage_no AS n, CAST(rows_out AS DOUBLE) AS val
+        FROM (""" + _elt_parity_sql() + """)
     """,
     # six 1-file appends (5 region slices + full replay) compacted to 2
     # files; per-region aggregates double-counted by the replay, and the

@@ -14,12 +14,12 @@ under its original name for tests, bench, and plan audits.
 """
 from __future__ import annotations
 
-from . import connector, enrichment, persistence, pipeline, relational, suites
+from . import connector, enrichment, parity, persistence, pipeline, relational, suites
 
 ALL_QUERIES = {}
 ALL_ORACLES: dict[str, str] = {}
 
-for _mod in (relational, pipeline, enrichment, persistence, connector, suites):
+for _mod in (relational, pipeline, enrichment, parity, persistence, connector, suites):
     for _k in _mod.QUERIES:
         if _k in ALL_QUERIES:
             raise ValueError(f"duplicate query name: {_k}")

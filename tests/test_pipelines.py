@@ -134,6 +134,54 @@ def test_convo_pipeline_history_and_upsert(spark, tmp_path, agents, raw_messages
     assert read_table(spark, base, "convo_analysis_history").count() == 4
 
 
+def test_elt_parity_ledger_invariants(spark):
+    """The composed reference-lifecycle chain (plans/parity.py): stage
+    hand-offs are exact (each stage's rows_in is the PREVIOUS stage's
+    written-and-read-back output), the K4 MERGE collapsed the wave
+    overlap, the geocode/viable stage is row-preserving, and the logs
+    route emits exactly one metrics row — the invariants the reference's
+    Extractor lifecycle promises (core/extract/Extractor.py:56-327)."""
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.plans.parity import (
+        q_elt_parity_pipeline,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {
+        r["stage_no"]: r
+        for r in q_elt_parity_pipeline(spark, sf_dir).collect()
+    }
+    assert [rows[i]["stage"] for i in range(1, 9)] == [
+        "tickets_upsert", "recent_window", "messages_enrich",
+        "users_upsert", "convo_analysis", "geocode_viable",
+        "history_merge", "logs_metrics",
+    ]
+    # read-back hand-offs: stage N+1 consumed exactly what stage N wrote
+    assert rows[2]["rows_in"] == rows[1]["rows_out"]
+    assert rows[3]["rows_in"] == rows[2]["rows_out"]
+    assert rows[4]["rows_in"] == rows[3]["rows_out"]
+    assert rows[6]["rows_in"] == rows[5]["rows_out"]
+    assert rows[7]["rows_in"] == rows[6]["rows_out"] == rows[7]["rows_out"]
+    assert rows[8]["rows_out"] == 1
+    # K4 MERGE semantics against the source of truth: two waves in,
+    # |%2 ∪ %3| distinct ticket keys out (the %6 overlap merged in place)
+    keys = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    n_w1 = keys.where(F.col("o_orderkey") % 2 == 0).count()
+    n_w2 = keys.where(F.col("o_orderkey") % 3 == 0).count()
+    n_union = keys.where(
+        (F.col("o_orderkey") % 2 == 0) | (F.col("o_orderkey") % 3 == 0)
+    ).count()
+    assert rows[1]["rows_in"] == n_w1 + n_w2
+    assert rows[1]["rows_out"] == n_union
+    assert rows[8]["rows_in"] == n_w2
+    # the window bounds the run; conversations group the window's tickets
+    assert 0 < rows[2]["rows_out"] < rows[1]["rows_out"]
+    assert 0 < rows[5]["rows_out"] <= rows[2]["rows_out"]
+    # every stage's content checksum is populated (values, not just counts)
+    assert all(rows[i]["checksum"] > 0 for i in range(1, 9))
+
+
 def test_logs_pipeline_metrics_row(spark, tmp_path, agents, raw_messages):
     base = str(tmp_path)
     run_message_pipeline(spark, raw_messages, agents, base, now=NOW())
