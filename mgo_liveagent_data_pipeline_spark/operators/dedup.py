@@ -642,6 +642,90 @@ def simhash_near_dup(
     )
 
 
+def hamming_banded_pairs(
+    fps: DataFrame,
+    fp_col: str = "fp",
+    key_col: str = "key",
+    bits: int = 64,
+    bands: int = 8,
+    radius: int = 7,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Hamming-radius near-dup pairs over bit-string fingerprints by
+    band splitting (the general-radius sibling of ``simhash_near_dup``'s
+    one-bit multi-probe, which only covers radius ≤ 2): split the
+    ``bits``-bit string into ``bands`` contiguous bands; any pair within
+    Hamming distance < bands collides on at least one identical band
+    (pigeonhole), so for radius ≤ bands−1 the banded candidates are
+    COMPLETE and the exact-distance verify makes the result equal the
+    brute-force spec. Used by the pHash image dedup
+    (operators/multimodal.py:image_phash_dedup).
+
+    Plan shape: fingerprints post ``bands`` (band_no, band_bits) rows —
+    the shuffle carries (band_no, band_bits, key, fp) only; buckets over
+    ``max_bucket_size`` are dropped (degenerate fingerprints — uniform
+    images, empty docs — would contribute B² pairs); candidates verify
+    the exact distance with ``bits`` substring comparisons, all codegen.
+
+    Returns (id_a < id_b, hamming_dist ≤ radius), deduplicated across
+    bands."""
+    from pyspark.sql.window import Window
+
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide into bands ({bands})")
+    width = bits // bands
+    base = fps.select(
+        F.col(key_col).alias("key"), F.col(fp_col).alias("fp")
+    )
+    posted = base.select(
+        "key",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_no"),
+                        F.col("fp").substr(j * width + 1, width).alias("band_bits"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("key", "fp", "band.band_no", "band.band_bits")
+    if max_bucket_size is not None:
+        bn = F.count(F.lit(1)).over(Window.partitionBy("band_no", "band_bits"))
+        posted = (
+            posted.withColumn("__bn", bn)
+            .where(F.col("__bn") <= F.lit(max_bucket_size))
+            .drop("__bn")
+        )
+    posted = _scoped_persist(posted)
+    a, b = posted.alias("a"), posted.alias("b")
+    cand = (
+        a.join(b, on=["band_no", "band_bits"])
+        .where(F.col("a.key") < F.col("b.key"))
+        .select(
+            F.col("a.key").alias("id_a"),
+            F.col("b.key").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = None
+    for j in range(bits):
+        term = F.when(
+            F.col("fp_a").substr(j + 1, 1) != F.col("fp_b").substr(j + 1, 1),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        dist = term if dist is None else dist + term
+    return (
+        cand.withColumn("hamming_dist", dist)
+        .where(F.col("hamming_dist") <= radius)
+        .select("id_a", "id_b", "hamming_dist")
+    )
+
+
 def derive_block_cap(
     sizes: "list[int] | list[tuple[int, int]]", max_pairs_budget: int
 ) -> tuple[int, int, int]:

@@ -1506,8 +1506,77 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(to_media_column(docs))
 
 
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over the deterministic BMP fixtures:
+    genuine pixel decode → dHash → Hamming-banded pairs → CC → keep-one
+    (operators/multimodal.py:image_phash_dedup). The fixture plants a
+    byte-level re-encode, a brightness-shifted copy, and two crops, so
+    the member certifies that CONTENT-level duplicates pair with their
+    originals across byte-level differences. Driver-visible via the
+    ``img_dedup`` mode of ``multimodal_suite``."""
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import image_phash_dedup, phash_fixture_images
+    from ..session import ship_package
+
+    ship_package(spark)
+    fixture = spark.createDataFrame(
+        [(c["img_id"], bytearray(c["payload"])) for c in phash_fixture_images()],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    out = image_phash_dedup(fixture)
+    return out.select(
+        F.col("key").alias("img_id"), "dhash", "keep_id", "is_dup"
+    )
+
+
+def _image_phash_sql() -> str:
+    """DuckDB twin of q_dedup_image_phash: expected dHashes computed
+    from the raw pixel rows (pre-pack) inline as VALUES — pinning the
+    BMP pack→decode round trip — then the brute-force Hamming spec the
+    banded path provably equals (radius ≤ bands−1), a recursive CC
+    label walk, and keep-one survival."""
+    from ..operators.multimodal import phash_fixture_images
+
+    vals = ", ".join(
+        f"({c['img_id']}, '{c['dhash']}')" for c in phash_fixture_images()
+    )
+    ham = (
+        "list_sum(list_transform(range(1, 65), i -> CASE WHEN "
+        "substring(a.dhash, CAST(i AS INT), 1) <> "
+        "substring(b.dhash, CAST(i AS INT), 1) THEN 1 ELSE 0 END))"
+    )
+    return f"""
+    WITH RECURSIVE imgs(img_id, dhash) AS (VALUES {vals}),
+    pairs AS (
+      SELECT a.img_id AS id_a, b.img_id AS id_b
+      FROM imgs a CROSS JOIN imgs b
+      WHERE a.img_id < b.img_id AND {ham} <= 7),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    walk(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+    SELECT CAST(img_id AS BIGINT) AS img_id, dhash,
+           CAST(coalesce(cluster_id, img_id) AS BIGINT) AS keep_id,
+           CAST(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> img_id
+                THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM imgs LEFT JOIN comp ON img_id = node
+    """
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_image_phash": q_dedup_image_phash,
     "dedup_apply": q_dedup_apply,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_salvage": q_dedup_minhash_salvage,
@@ -3642,6 +3711,10 @@ ORACLES: dict[str, str] = {
         LEFT JOIN cov c ON c.key = tp.key AND c.tt = tp.i - 1
         GROUP BY tp.key
     """,
+    # pHash image dedup: expected dHash VALUES from the raw pixel rows +
+    # brute-force Hamming spec + recursive CC (the banded Spark path is
+    # provably complete at radius <= bands-1, so the results coincide)
+    "dedup_image_phash": _image_phash_sql(),
     # SemDeDup verdicts (operators/dedup.py:semantic_dedup): deterministic
     # lowest-key centroids, highest-(csim, cluster_id) assignment,
     # (centroid_sim ASC, key ASC) in-cluster rank, dropped iff an

@@ -1080,6 +1080,18 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_rgb").alias("m1"),
         F.col("n_pixels").alias("m2"),
     )
+    # img_dedup: perceptual-hash (dHash) image near-dup over the decoded
+    # pixels — re-encoded / brightness-shifted / cropped copies cluster
+    # with their originals and the minimum id survives (keep-one)
+    pd_ = pipeline.q_dedup_image_phash(spark, sf_dir).select(
+        F.lit("img_dedup").alias("mode"),
+        F.col("img_id").alias("doc_id"),
+        F.col("keep_id").alias("seq"),
+        F.col("dhash").alias("digest"),
+        _null("long").alias("n_bytes"),
+        F.col("is_dup").cast("long").alias("m1"),
+        _null("long").alias("m2"),
+    )
     return (
         dec.unionByName(fr).unionByName(rs).unionByName(au)
         .unionByName(ra).unionByName(ral)
@@ -1087,6 +1099,7 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rp).unionByName(rprgb)
         .unionByName(rj).unionByName(rjrgb)
         .unionByName(rg).unionByName(rgrgb)
+        .unionByName(pd_)
     )
 
 
@@ -1870,6 +1883,13 @@ ORACLES: dict[str, str] = {
         UNION ALL
         """
         + _wav_expected_sql()
+        + " UNION ALL "
+        + _tagged(
+            _P["dedup_image_phash"],
+            "'img_dedup' AS mode, img_id AS doc_id, keep_id AS seq, "
+            "dhash AS digest, CAST(NULL AS BIGINT) AS n_bytes, "
+            "is_dup AS m1, CAST(NULL AS BIGINT) AS m2",
+        )
     ),
     "s_rest_suite": (
         _tagged(

@@ -614,6 +614,57 @@ def test_real_image_decode_matches_independent_reference(spark):
             assert g[k] == c[k], (c["img_id"], k, g[k], c[k])
 
 
+def test_image_phash_dedup_pairs_content_duplicates(spark):
+    """pHash image dedup: a byte-level re-encode, a brightness-shifted
+    copy, and a cropped copy all cluster with their original (content-
+    level duplicates the md5/key dedup can't see), distinct base images
+    never pair, and the minimum id survives keep-one."""
+    from pyspark.sql import types as T
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        dhash_from_rows,
+        image_phash_dedup,
+        phash_fixture_images,
+    )
+
+    imgs = phash_fixture_images()
+    df = spark.createDataFrame(
+        [(c["img_id"], bytearray(c["payload"])) for c in imgs],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    got = {r["key"]: r.asDict() for r in image_phash_dedup(df).collect()}
+    release_intermediates()
+    # decode→hash round trip matches the pre-pack expected hashes
+    for c in imgs:
+        assert got[c["img_id"]]["dhash"] == c["dhash"], c["img_id"]
+    # re-encode (10), brightness (11), crop-col (12) cluster with base 0
+    for dup in (10, 11, 12):
+        assert got[dup]["keep_id"] == 0 and got[dup]["is_dup"] == 1, dup
+    assert got[0]["keep_id"] == 0 and got[0]["is_dup"] == 0
+    # crop-row (13) pairs with base 1 at a NONZERO Hamming distance —
+    # the banding actually recovered a near (not exact) duplicate
+    h13 = sum(
+        a != b for a, b in zip(got[13]["dhash"], got[1]["dhash"])
+    )
+    assert 0 < h13 <= 7
+    assert got[13]["keep_id"] == 1 and got[13]["is_dup"] == 1
+    # distinct bases stay singletons
+    for base in (2, 3, 4):
+        assert got[base]["keep_id"] == base and got[base]["is_dup"] == 0
+    # brightness invariance is exact by construction (shift cancels)
+    rows = [[(20, 30, 40), (200, 90, 10)], [(5, 250, 125), (99, 98, 97)]]
+    shifted = [[(r + 4, g + 4, b + 4) for (r, g, b) in row] for row in rows]
+    assert dhash_from_rows(rows, 2) == dhash_from_rows(shifted, 2)
+
+
 def test_real_decode_dispatches_all_codecs_and_rejects_unknown():
     import pytest
 
