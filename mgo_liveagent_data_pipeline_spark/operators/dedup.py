@@ -62,6 +62,26 @@ def _scoped_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def lineage_cut(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = False
+) -> DataFrame:
+    """Truncate the logical plan at a data-contract boundary.
+
+    ``checkpoint_dir=None`` (the local default) uses ``localCheckpoint``:
+    same materialization cost as a persist, but the blocks live on the
+    executors and DIE WITH THEM — fine single-JVM, a recompute/abort
+    hazard under executor loss on a real cluster. Passing a durable
+    ``checkpoint_dir`` (HDFS/object-store path in production) switches to
+    reliable ``checkpoint()``, whose files survive executor loss — the
+    swap the composed chains and the CC loop document. One checkpoint dir
+    per SparkContext (Spark's own contract): concurrent chains must share
+    it, which is safe — each checkpoint() writes its own rdd-N subdir."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 _NUMERIC_KEY_TYPES = ("bigint", "int", "smallint", "tinyint")
 
 
@@ -897,6 +917,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
     driver_threshold: int | None = 100_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a near-dup
     pair list (the step after any pair generator — MinHash-LSH, blocked
@@ -956,8 +977,8 @@ def connected_components(
         # identically on both paths (the driver union-find would crash on
         # None and the distributed loop would emit a garbage NULL node)
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .localCheckpoint(eager=True)
     )
+    e = lineage_cut(e, checkpoint_dir, eager=True)
     # gate-and-fetch in ONE job: take(threshold+1) both decides the path
     # and delivers the edges the fast path needs
     head = (
@@ -1006,14 +1027,16 @@ def connected_components(
     # without truncation the logical plan grows ~4× per iteration and
     # Catalyst analysis/stringification goes exponential long before the
     # data does (measured: a 5-round loop spent 14 min in
-    # Expression.toString). Eager localCheckpoint materializes the round
-    # and restarts the plan from the checkpointed RDD — on a fault-tolerant
-    # cluster run, set a checkpoint dir and swap in ``checkpoint()``.
-    labels = (
+    # Expression.toString). The eager lineage cut materializes the round
+    # and restarts the plan from the checkpointed RDD — pass
+    # ``checkpoint_dir`` on a fault-tolerant cluster run for the durable
+    # ``checkpoint()`` variant (lineage_cut).
+    labels = lineage_cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("lbl", F.col("node")),
+        checkpoint_dir,
+        eager=True,
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
@@ -1026,12 +1049,16 @@ def connected_components(
         stepped = labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
         # pointer jump: follow my (new) label to ITS label and take the min
         hop = stepped.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2"))
-        new_labels = stepped.join(hop, on="lbl", how="left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))).alias(
-                "lbl"
+        new_labels = lineage_cut(
+            stepped.join(hop, on="lbl", how="left").select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
+                ).alias("lbl"),
             ),
-        ).localCheckpoint(eager=True)
+            checkpoint_dir,
+            eager=True,
+        )
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:

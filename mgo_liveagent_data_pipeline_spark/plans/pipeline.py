@@ -597,7 +597,9 @@ CURATION_SEG_WORDS = 10
 CURATION_MIN_SEG_DOCS = 2
 
 
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_curation_pipeline(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """The COMPOSED LLM-data curation pipeline — every stage the
     operators exist for, chained over one corpus with a per-stage ledger:
 
@@ -714,7 +716,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         c2, "text", "doc_id", NUM_HASHES, BANDS, SHINGLE_K,
         LSH_THRESHOLD, LSH_MAX_BUCKET,
     )
-    clusters = connected_components(pairs.select("id_a", "id_b"))
+    clusters = connected_components(
+        pairs.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
     c3 = _scoped_persist(dedup_apply(c2, clusters, "doc_id"))
 
     # stage 4 — benchmark decontamination against the ORIGINAL eval text
@@ -811,7 +815,10 @@ CURATION_SEM_THRESHOLD = 0.9
 
 
 def q_curation_semantic_pipeline(
-    spark: SparkSession, sf_dir: str, sem_bits: int = CURATION_SEM_BITS
+    spark: SparkSession,
+    sf_dir: str,
+    sem_bits: int = CURATION_SEM_BITS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The curation chain with SEMANTIC dedup composed in — the stage
     the rule-based chain can't express: near-duplicates that share
@@ -899,7 +906,9 @@ def q_curation_semantic_pipeline(
         c2, "text", "doc_id", NUM_HASHES, BANDS, SHINGLE_K,
         LSH_THRESHOLD, LSH_MAX_BUCKET,
     )
-    clusters = connected_components(pairs.select("id_a", "id_b"))
+    clusters = connected_components(
+        pairs.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
     c3 = _scoped_persist(dedup_apply(c2, clusters, "doc_id"))
 
     # stage 4 — SemDeDup over the encoded survivors
@@ -1002,7 +1011,9 @@ CURATION_SCORED_MIX_BUDGET = 24_000  # bpe tokens
 CURATION_SCORED_SHARD_TOKENS = 4_000  # bpe tokens
 
 
-def q_curation_scored_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_curation_scored_pipeline(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """The SCORED curation pipeline — q_curation_pipeline's six
     rule-based stages with the model-based scorers composed INTO the
     chain (the composition q_curation_pipeline's docstring promises and
@@ -1050,16 +1061,21 @@ def q_curation_scored_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst's analysis cost stays linear — with persist-only scoping
     the optimizer ground to a halt on the stage-7 plan (measured: the
     fuzzy stage never finished planning at sf0.001; with cuts the whole
-    chain runs in seconds). c3/c4/c6 are therefore localCheckpoint()ed:
-    same materialization cost as the persist the chain already paid,
-    but the logical plan restarts from the materialized relation. The
-    cuts sit exactly where the data contract changes (post-model-gates,
+    chain runs in seconds). c3/c4/c6 are therefore lineage-cut: same
+    materialization cost as the persist the chain already paid, but the
+    logical plan restarts from the materialized relation. The cuts sit
+    exactly where the data contract changes (post-model-gates,
     post-rewrite, post-exact-decontam), so each downstream stage's plan
-    is its OWN algebra, not the whole pipeline's."""
+    is its OWN algebra, not the whole pipeline's. ``checkpoint_dir``
+    selects the durability of every cut (here and in the CC rounds):
+    None → localCheckpoint (executor-resident, the local default); a
+    durable path → reliable checkpoint() whose blocks survive executor
+    loss on a real cluster (operators/dedup.py:lineage_cut)."""
     from ..operators.dedup import (
         _scoped_persist,
         connected_components,
         dedup_apply,
+        lineage_cut,
         minhash_lsh_dedup,
     )
     from ..operators.textops import (
@@ -1123,18 +1139,21 @@ def q_curation_scored_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (raw = c2) against the English target. localCheckpoint: first
     # plan-depth cut (see docstring).
     dsir = dsir_importance_weight(c2, en_ref, DSIR_BUCKETS)
-    c3 = c2.join(
-        dsir_gumbel_topk(dsir, CURATION_SCORED_DSIR_K).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    ).localCheckpoint()
+    c3 = lineage_cut(
+        c2.join(
+            dsir_gumbel_topk(dsir, CURATION_SCORED_DSIR_K).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ),
+        checkpoint_dir,
+    )
 
     # stage 4 — paragraph dedup, rewritten text + recounted (__lt, __bt)
     para = paragraph_dedup(
         c3, "text", "doc_id", CURATION_SEG_WORDS, CURATION_MIN_SEG_DOCS,
         emit_text=True,
     )
-    c4 = (
+    c4 = lineage_cut(
         bpe_encode(
             para.where(F.col("text") != "")
             .select(F.col("key").alias("doc_id"), "text")
@@ -1143,8 +1162,8 @@ def q_curation_scored_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             carry_cols=("text", "source", "__lt"),
         )
         .withColumnRenamed("n_bpe_tokens", "__bt")
-        .drop("n_words")
-        .localCheckpoint()
+        .drop("n_words"),
+        checkpoint_dir,
     )
 
     # stage 5 — near-dup canonicalization on the rewritten corpus
@@ -1152,14 +1171,18 @@ def q_curation_scored_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         c4, "text", "doc_id", NUM_HASHES, BANDS, SHINGLE_K,
         LSH_THRESHOLD, LSH_MAX_BUCKET,
     )
-    clusters = connected_components(pairs.select("id_a", "id_b"))
+    clusters = connected_components(
+        pairs.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
     c5 = _scoped_persist(dedup_apply(c4, clusters, "doc_id"))
 
     # stage 6 — exact n-gram decontamination vs the ORIGINAL eval text
     xhits = decontaminate(c5, ev, "text", "doc_id", DECONTAM_NGRAM_K).select(
         F.col("key").alias("doc_id")
     )
-    c6 = c5.join(xhits, "doc_id", "left_anti").localCheckpoint()
+    c6 = lineage_cut(
+        c5.join(xhits, "doc_id", "left_anti"), checkpoint_dir
+    )
 
     # stage 7 — fuzzy (LSH) decontamination: near-duplicate eval matches
     fhits = fuzzy_decontaminate(

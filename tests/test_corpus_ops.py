@@ -39,6 +39,34 @@ def test_cc_chain_converges_to_min_label(spark, cckw):
     assert out == {n: (1, 5) for n in (1, 2, 3, 4, 5)}
 
 
+def test_cc_durable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir= swaps every lineage cut (edge materialization +
+    each pointer-jumping round) to reliable checkpoint(): the labels are
+    identical to the local default AND checkpoint files actually landed
+    under the durable dir — the cluster-run contract
+    (operators/dedup.py:lineage_cut)."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    # force the distributed loop so the per-round cuts run durably too
+    out = _cc(
+        spark, edges, driver_threshold=None, checkpoint_dir=ckpt
+    )
+    assert out == {
+        **{n: (1, 5) for n in (1, 2, 3, 4, 5)},
+        10: (10, 2), 11: (10, 2),
+    }
+    rdd_dirs = [
+        d
+        for root, dirs, _files in os.walk(ckpt)
+        for d in dirs
+        if d.startswith("rdd-")
+    ]
+    # edge cut + label seed + >=1 round: several durable snapshots
+    assert len(rdd_dirs) >= 3, rdd_dirs
+
+
 @_pytest.mark.parametrize("cckw", _CC_PATHS)
 def test_cc_separate_components_and_sizes(spark, cckw):
     out = _cc(
