@@ -1219,6 +1219,8 @@ def semantic_dedup(
     threshold: float = 0.3,
     max_cluster_size: int | None = 100_000,
     route_bits: int | None = None,
+    route_hamming: int = 1,
+    route_rescue: bool = False,
     dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -1268,7 +1270,8 @@ def semantic_dedup(
     _require_numeric(corpus, [key_col], "semantic_dedup")
     assigned = semantic_assign(
         corpus, None, vec_col, key_col, label_col,
-        route_bits=route_bits, dim=dim,
+        route_bits=route_bits, route_hamming=route_hamming,
+        route_rescue=route_rescue, dim=dim,
     )
     return _semantic_verdicts(assigned, key_col, threshold, max_cluster_size)
 
@@ -1280,6 +1283,8 @@ def semantic_assign(
     key_col: str = "vec_id",
     label_col: str = "label",
     route_bits: int | None = None,
+    route_hamming: int = 1,
+    route_rescue: bool = False,
     dim: int = 64,
 ) -> DataFrame:
     """The SemDeDup assignment index: (key, cluster_id, centroid_sim, v,
@@ -1309,7 +1314,17 @@ def semantic_assign(
       degrade-to-no-evidence contract); a vector can also route to a
       non-nearest centroid across a hyperplane — agreement vs flat is
       measured by test and smoke, and the verdict semantics WITHIN the
-      routed clustering stay exact and oracle-checked."""
+      routed clustering stay exact and oracle-checked.
+
+    Adaptive probing knobs (DESIGN.md round-9 characterization):
+    ``route_hamming=2`` widens the centroid probe list to every two-bit
+    flip (1+b+b(b-1)/2 of the 2^b buckets); ``route_rescue=True``
+    flat-assigns exactly the residual misses (probe-until-hit), driving
+    the unrouted rate to zero at cost n_missed × k. b-selection rule:
+    b ≈ log2(k) with Hamming-1 on clustered (real-embedding-like)
+    corpora; on near-isotropic corpora raise route_hamming to 2 or
+    enable the rescue — the measured agreement/miss tables live in
+    DESIGN.md."""
     from ..functions.similarity import cosine_prenorm, norm2
 
     from .annsearch import ivf_centroids
@@ -1329,17 +1344,33 @@ def semantic_assign(
 
         planes = rh_planes(route_bits, dim)
         sig = rh_signature(F.col("centroid"), planes)
-        # centroid probe list: own signature + every one-bit flip
-        variants = [sig] + [
-            F.concat(
-                F.substring(sig, 1, j),
-                F.when(
-                    F.substring(sig, j + 1, 1) == "1", F.lit("0")
-                ).otherwise(F.lit("1")),
-                F.substring(sig, j + 2, route_bits - j - 1),
-            )
-            for j in range(route_bits)
-        ]
+
+        def flipped(positions: tuple[int, ...]) -> Column:
+            # signature with the given 0-based bit positions inverted
+            parts = []
+            prev = 0
+            for pos in positions:
+                parts.append(F.substring(sig, prev + 1, pos - prev))
+                parts.append(
+                    F.when(
+                        F.substring(sig, pos + 1, 1) == "1", F.lit("0")
+                    ).otherwise(F.lit("1"))
+                )
+                prev = pos + 1
+            parts.append(F.substring(sig, prev + 1, route_bits - prev))
+            return F.concat(*parts)
+
+        # centroid probe list: own signature + every one-bit flip, plus
+        # every two-bit flip under route_hamming=2 (adaptive widening for
+        # corpora where Hamming-1 misses too much — expansion grows from
+        # b+1 to 1+b+b(b-1)/2, still << 2^b for b ~ log2 k)
+        variants = [sig] + [flipped((j,)) for j in range(route_bits)]
+        if route_hamming >= 2:
+            variants += [
+                flipped((j, l))
+                for j in range(route_bits)
+                for l in range(j + 1, route_bits)
+            ]
         cent_probe = cents.select(
             "cluster_id",
             "centroid",
@@ -1349,30 +1380,33 @@ def semantic_assign(
         cand = v.withColumn(
             "__sig", rh_signature(F.col("v"), planes)
         ).join(F.broadcast(cent_probe), on="__sig")
-    scored = cand.withColumn(
-        "csim",
-        F.round(
-            cosine_prenorm(
-                F.col("v"), F.col("centroid"), F.col("nv"), F.col("cent_n")
+    def _argmax(c: DataFrame) -> DataFrame:
+        scored = c.withColumn(
+            "csim",
+            F.round(
+                cosine_prenorm(
+                    F.col("v"), F.col("centroid"), F.col("nv"), F.col("cent_n")
+                ),
+                6,
             ),
-            6,
-        ),
-    )
-    # nearest-centroid argmax: a map-side partial MAX over a
-    # (csim, cluster_id) struct (ties → highest cluster_id, the same
-    # total order as assign_nearest)
-    best = scored.groupBy("key").agg(
-        F.max(F.struct(F.col("csim"), F.col("cluster_id"))).alias("best"),
-        F.first("v").alias("v"),  # identical across the group
-        F.first("nv").alias("nv"),
-    )
-    assigned = best.select(
-        "key",
-        F.col("best.cluster_id").alias("cluster_id"),
-        F.col("best.csim").alias("centroid_sim"),
-        "v",
-        "nv",
-    )
+        )
+        # nearest-centroid argmax: a map-side partial MAX over a
+        # (csim, cluster_id) struct (ties → highest cluster_id, the same
+        # total order as assign_nearest)
+        best = scored.groupBy("key").agg(
+            F.max(F.struct(F.col("csim"), F.col("cluster_id"))).alias("best"),
+            F.first("v").alias("v"),  # identical across the group
+            F.first("nv").alias("nv"),
+        )
+        return best.select(
+            "key",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.csim").alias("centroid_sim"),
+            "v",
+            "nv",
+        )
+
+    assigned = _argmax(cand)
     if route_bits is not None:
         # vectors whose probe matched no centroid: NULL assignment
         assigned = v.select("key", "v", "nv").join(
@@ -1380,6 +1414,18 @@ def semantic_assign(
             on="key",
             how="left",
         ).select("key", "cluster_id", "centroid_sim", "v", "nv")
+        if route_rescue:
+            # probe-until-hit: the residual NULL-assignment vectors get
+            # the EXACT flat argmax — cost n_missed × k, so the rescue is
+            # cheap exactly when routing is working (low miss rate), and
+            # the unrouted rate drops to zero by construction
+            hits = assigned.where(F.col("cluster_id").isNotNull())
+            missed = assigned.where(F.col("cluster_id").isNull()).select(
+                "key", "v", "nv"
+            )
+            assigned = hits.unionByName(
+                _argmax(missed.crossJoin(F.broadcast(cents)))
+            )
     return assigned
 
 

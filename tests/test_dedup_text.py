@@ -1047,6 +1047,57 @@ def test_semantic_dedup_routed_agreement_and_degrade(spark):
     assert out[1]["cluster_id"] == 0 and out[1]["kept"] == 1
 
 
+def test_semantic_assign_adaptive_probing(spark):
+    """Round-9 probing knobs: Hamming-2 widening strictly reduces probe
+    misses, and route_rescue drives the unrouted rate to ZERO while
+    giving every rescued vector the EXACT flat assignment (probe-until-
+    hit = flat argmax on the residual misses)."""
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+        semantic_assign,
+    )
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    b = 6  # high enough that Hamming-1 misses on this isotropic fixture
+
+    def assign(**kw):
+        return {
+            r["key"]: (r["cluster_id"], r["centroid_sim"])
+            for r in semantic_assign(emb, route_bits=b, **kw)
+            .select("key", "cluster_id", "centroid_sim")
+            .collect()
+        }
+
+    flat = {
+        r["key"]: (r["cluster_id"], r["centroid_sim"])
+        for r in semantic_assign(emb)
+        .select("key", "cluster_id", "centroid_sim")
+        .collect()
+    }
+    h1 = assign(route_hamming=1)
+    h2 = assign(route_hamming=2)
+    rescued = assign(route_hamming=1, route_rescue=True)
+    release_intermediates()
+    miss1 = {k for k, v in h1.items() if v[0] is None}
+    miss2 = {k for k, v in h2.items() if v[0] is None}
+    assert miss1, "fixture must actually exercise probe misses at this b"
+    assert miss2 < miss1  # widening only adds probes — misses shrink
+    # rescue: zero unrouted, and rescued vectors get the exact flat row
+    assert all(v[0] is not None for v in rescued.values())
+    for k in miss1:
+        assert rescued[k] == flat[k], k
+    # hits are untouched by the rescue path
+    for k, v in h1.items():
+        if v[0] is not None:
+            assert rescued[k] == v, k
+
+
 def test_incremental_semantic_dedup_corpus_index_path(spark):
     """The production path: with a prebuilt assignment index and frozen
     centroids, the incremental verdicts equal the recompute path run

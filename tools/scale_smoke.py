@@ -742,6 +742,25 @@ def main() -> None:
             f"t_{factor}x": round(t_large, 2),
             "ratio": round(t_large / max(t_small, 1e-9), 1),
         }
+    # routing-quality column: the unrouted (probe-miss) rate at the big
+    # scale — the knob-tuning signal the round-9 characterization says a
+    # production run must watch (a rising rate means route_bits outgrew
+    # the corpus's cluster tightness: widen route_hamming or rescue)
+    if "semantic_dedup_routed" in results:
+        row = (
+            semdedup_routed_case(emb_nx)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("cluster_id").isNull(), 1).otherwise(0)
+                ).alias("miss"),
+            )
+            .collect()[0]
+        )
+        release_intermediates()
+        results["semantic_dedup_routed"]["unrouted_pct"] = round(
+            100.0 * row["miss"] / max(row["n"], 1), 2
+        )
     print(json.dumps({"factor": factor, "cases": results}))
     shutil.rmtree(big, ignore_errors=True)
     spark.stop()
