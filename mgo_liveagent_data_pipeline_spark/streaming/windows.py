@@ -460,6 +460,7 @@ def stream_semantic_dedup(
     n_batches: int = 3,
     n_state_partitions: int | None = None,
     checkpoint_dir: str | None = None,
+    centroids: DataFrame | None = None,
 ) -> tuple[str, str]:
     """Continuous embedding ingestion with streaming SemDeDup — each
     micro-batch is verdict-ed against the corpus-so-far through the
@@ -516,12 +517,19 @@ def stream_semantic_dedup(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    # frozen centroid artifact: the full staged corpus's deterministic pick
+    # frozen centroid artifact: the full staged corpus's deterministic
+    # pick by default; production ingest loops pass the stored
+    # ``centroids`` table that the standing corpus_index was built with
+    # (the versioned-artifact model — centroids and index must agree)
     from ..functions.similarity import norm2
 
-    cents = ivf_centroids(spark.read.parquet(stage)).withColumn(
-        "cent_n", norm2(F.col("centroid"))
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(spark.read.parquet(stage))
     )
+    if "cent_n" not in cents.columns:
+        cents = cents.withColumn("cent_n", norm2(F.col("centroid")))
     cents.persist().count()
     index_path = ensure_table(
         spark,

@@ -1,0 +1,207 @@
+"""64x streaming smoke: per-batch ingest wall vs standing-corpus size.
+
+The streaming modes (incdedup, scored_ingest, incsem) are oracle-exact at
+sf0.001 but were never scale-gated. The production question is different
+from the batch smokes': not "how does the operator scale with corpus
+size" but "what does ONE fixed-size micro-batch cost against a standing
+corpus N× bigger" — the stored-index claim, now under the real streaming
+harness (availableNow + checkpoint + foreachBatch MERGEs).
+
+Per mode and scale the harness:
+  1. pre-populates the stream's state tables with the standing corpus
+     (corpus table for the MinHash modes; assignment index + frozen
+     centroid artifact for incsem — the versioned-artifact model);
+  2. stages a FIXED delta (same rows at both scales, ids disjoint from
+     every replica range) as one micro-batch;
+  3. times the full stream run (checkpoint, trigger, merge, drain);
+  4. guards correctness: the stream's delta output must equal the
+     direct incremental operator on the same (corpus, delta) — catching
+     stream-plumbing bugs without paying a full-corpus batch run at N×.
+
+Writes one JSON line like the other smokes.
+
+Usage: python tools/scale_smoke_streaming.py [factor] [mode ...]
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mgo_liveagent_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    only = set(sys.argv[2:])
+    spark = get_spark("scale_smoke_streaming")
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        ivf_centroids,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        incremental_semantic_dedup,
+        release_intermediates,
+        semantic_assign,
+    )
+    from mgo_liveagent_data_pipeline_spark.functions.similarity import norm2
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import table_path
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_incremental_dedup,
+        stream_scored_ingest,
+        stream_semantic_dedup,
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scale_smoke import replicate
+
+    big = tempfile.mkdtemp(prefix="mgo_stream_smoke_")
+    docs_1x = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb_1x = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n_docs_1x = docs_1x.count()
+    n_emb_1x = emb_1x.count()
+    replicate(spark, SF_DIR, big, "documents", factor, "doc_id", perturb_col="text")
+    replicate(spark, SF_DIR, big, "embeddings", factor, "vec_id")
+    docs_nx = spark.read.parquet(os.path.join(big, "documents.parquet"))
+    emb_nx = spark.read.parquet(os.path.join(big, "embeddings.parquet"))
+
+    def relabel(df):
+        # cluster COUNT grows with the corpus (the sizing rule): each
+        # replica's labels land in their own band — same as scale_smoke
+        rep = F.floor(F.col("vec_id") / F.lit(10 * n_emb_1x))
+        return df.withColumn("label", (F.col("label") + rep * 10).cast("int"))
+
+    # the FIXED delta: the 1x table's %37 slice with ids shifted past
+    # every replica's key range — identical rows at both scales
+    shift = (factor + 2) * 10
+    docs_delta = docs_1x.where(F.col("doc_id") % 37 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(shift * n_docs_1x)
+    )
+    emb_delta = emb_1x.where(F.col("vec_id") % 37 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(shift * n_emb_1x)
+    )
+
+    def delta_sf(df, name):
+        d = tempfile.mkdtemp(prefix="delta_", dir=big)
+        df.write.mode("overwrite").parquet(os.path.join(d, f"{name}.parquet"))
+        return d
+
+    docs_delta_sf = delta_sf(docs_delta, "documents")
+    emb_delta_sf = delta_sf(emb_delta, "embeddings")
+
+    def prep_minhash(corpus, corpus_name):
+        base = tempfile.mkdtemp(prefix="st_", dir=big)
+        corpus.select("doc_id", "text").write.mode("overwrite").parquet(
+            table_path(base, corpus_name)
+        )
+        return base
+
+    def run_incdedup(corpus):
+        base = prep_minhash(corpus, "st_corpus")
+        t0 = time.time()
+        pairs_path, _c = stream_incremental_dedup(
+            spark, docs_delta_sf, base,
+            pairs_name="st_pairs", corpus_name="st_corpus", n_batches=1,
+        )
+        wall = time.time() - t0
+        got = spark.read.parquet(pairs_path)
+        want = incremental_minhash_dedup(
+            corpus.select("doc_id", "text"), docs_delta.select("doc_id", "text")
+        ).select("id_a", "id_b")
+        n_got = got.count()
+        diff = got.select("id_a", "id_b").exceptAll(want).count() + want.exceptAll(
+            got.select("id_a", "id_b")
+        ).count()
+        release_intermediates()
+        return wall, {"pairs": n_got, "diff_vs_direct": diff}
+
+    def run_scored(corpus):
+        # stream_scored_ingest writes to its fixed scored_* table names
+        base = prep_minhash(corpus, "scored_corpus")
+        t0 = time.time()
+        pairs_path, corpus_path = stream_scored_ingest(
+            spark, docs_delta_sf, base, n_batches=1,
+        )
+        wall = time.time() - t0
+        n_accepted = (
+            spark.read.parquet(corpus_path).count() - corpus.count()
+        )
+        release_intermediates()
+        return wall, {"accepted": n_accepted}
+
+    def prep_semantic(corpus):
+        base = tempfile.mkdtemp(prefix="st_", dir=big)
+        cents = ivf_centroids(corpus).withColumn(
+            "cent_n", norm2(F.col("centroid"))
+        )
+        cents = cents.persist()
+        cents.count()
+        semantic_assign(corpus, cents).write.mode("overwrite").parquet(
+            table_path(base, "st_index")
+        )
+        return base, cents
+
+    def run_incsem(corpus):
+        corpus = relabel(corpus)
+        base, cents = prep_semantic(corpus)
+        t0 = time.time()
+        verdicts_path, index_path = stream_semantic_dedup(
+            spark, emb_delta_sf, base,
+            verdicts_name="st_verdicts", index_name="st_index",
+            n_batches=1, centroids=cents,
+        )
+        wall = time.time() - t0
+        got = spark.read.parquet(verdicts_path)
+        delta_keys = emb_delta.select(F.col("vec_id"))
+        got_delta = got.join(delta_keys, "vec_id")
+        want = incremental_semantic_dedup(
+            None,
+            emb_delta,
+            max_cluster_size=None,  # match the stream's uncapped default
+            corpus_index=spark.read.parquet(table_path(base, "st_index"))
+            .join(delta_keys.select(F.col("vec_id").alias("key")), "key", "left_anti"),
+            centroids=cents,
+        ).select("vec_id", "cluster_id", "centroid_sim", "kept")
+        diff = got_delta.exceptAll(want).count() + want.exceptAll(got_delta).count()
+        n_kept = got_delta.where("kept = 1").count()
+        cents.unpersist()
+        release_intermediates()
+        return wall, {"delta_kept": n_kept, "diff_vs_direct": diff}
+
+    modes = {
+        "stream_incdedup": (run_incdedup, docs_1x, docs_nx),
+        "stream_scored_ingest": (run_scored, docs_1x, docs_nx),
+        "stream_incsem": (run_incsem, emb_1x, emb_nx),
+    }
+    if only:
+        unknown = only - set(modes)
+        if unknown:
+            raise SystemExit(f"unknown mode(s) {sorted(unknown)}")
+        modes = {k: v for k, v in modes.items() if k in only}
+
+    results = {}
+    for name, (fn, small, large) in modes.items():
+        fn(small)  # warmup: JIT the whole path (stream + state machinery)
+        t_small, _ = fn(small)
+        t_large, extra = fn(large)
+        results[name] = {
+            "t_1x": round(t_small, 2),
+            f"t_{factor}x": round(t_large, 2),
+            "ratio": round(t_large / max(t_small, 1e-9), 1),
+            **extra,
+        }
+    print(json.dumps({"factor": factor, "cases": results}))
+    shutil.rmtree(big, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
