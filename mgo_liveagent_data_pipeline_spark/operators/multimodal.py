@@ -580,6 +580,63 @@ def _bmp_pixel_rows(payload: bytes) -> list[list[tuple[int, int, int]]]:
     return rows
 
 
+def image_pixel_rows(payload: bytes) -> list[list[tuple[int, int, int]]]:
+    """Container-dispatched RGB pixel rows — the pixel counterpart of
+    ``real_decode``'s metadata dispatch, so content-level operators
+    (pHash dedup) see THE SAME pixel grid whether the bytes arrived as
+    BMP, PNG, or GIF. Honest refusals for everything else (JPEG/MP3
+    pixel extraction would need the DCT path's pixel plumbing; the
+    class of formats the codec module already refuses stays refused).
+
+    PNG support here: 8-bit truecolor (2), grayscale (0), and palette
+    (3) — the fixture-exercised layouts; alpha/16-bit/sub-byte rows
+    decode for MEANS in real_png_decode but are refused for pixel
+    reconstruction rather than silently dropped channels."""
+    if payload[:2] == b"BM":
+        return _bmp_pixel_rows(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        d = real_png_decode(payload, with_pixels=True)
+        w, h, raw = d["width"], d["height"], d["pixels"]
+        ctype, depth, palette = d["ctype"], d["depth"], d["palette"]
+        stride = len(raw) // h
+        if ctype == 2 and depth == 8:
+            return [
+                [
+                    (
+                        raw[y * stride + 3 * x],
+                        raw[y * stride + 3 * x + 1],
+                        raw[y * stride + 3 * x + 2],
+                    )
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ]
+        if ctype == 0 and depth == 8:
+            return [
+                [(raw[y * stride + x],) * 3 for x in range(w)]
+                for y in range(h)
+            ]
+        if ctype == 3 and depth == 8:
+            return [
+                [palette[raw[y * stride + x]] for x in range(w)]
+                for y in range(h)
+            ]
+        raise NotImplementedError(
+            f"pixel reconstruction for PNG ctype={ctype} depth={depth} "
+            "not supported (means-only decode path handles it)"
+        )
+    if payload[:6] in (b"GIF89a", b"GIF87a"):
+        d = real_gif_decode(payload, with_pixels=True)
+        w, h, raw, palette = d["width"], d["height"], d["pixels"], d["palette"]
+        return [
+            [palette[raw[y * w + x]] for x in range(w)] for y in range(h)
+        ]
+    raise NotImplementedError(
+        "pixel extraction supports BMP/PNG/GIF; JPEG needs the DCT "
+        "pixel path and other containers need external codecs"
+    )
+
+
 def dhash_from_rows(
     rows: list[list[tuple[int, int, int]]], hash_size: int = 8
 ) -> str:
@@ -624,10 +681,13 @@ def real_image_dhash(
     media_col: str = "media",
     hash_size: int = 8,
 ) -> DataFrame:
-    """mapInPandas perceptual hash over BMP payloads: genuine pixel
+    """mapInPandas perceptual hash over BMP/PNG/GIF payloads
+    (``image_pixel_rows`` dispatches on container magic): genuine pixel
     decode → dHash bit string. Narrow (key, media) in, (key, 64-char
     string) out — media bytes never shuffle, the same 100 TB shape as
-    the other real codecs."""
+    the other real codecs. Because the hash sees the PIXELS, the same
+    image packed in different containers hashes identically — the
+    cross-format dedup a byte-level digest can never see."""
     media_df = df.select(
         F.col(key_col).alias("key"), F.col(media_col).alias("media")
     )
@@ -637,7 +697,9 @@ def real_image_dhash(
             keys, fps = [], []
             for key, p in zip(pdf["key"], pdf["media"]):
                 keys.append(key)
-                fps.append(dhash_from_rows(_bmp_pixel_rows(bytes(p)), hash_size))
+                fps.append(
+                    dhash_from_rows(image_pixel_rows(bytes(p)), hash_size)
+                )
             yield pd.DataFrame({"key": keys, "dhash": fps})
 
     return media_df.mapInPandas(hashes, "key long, dhash string")
@@ -717,9 +779,13 @@ def phash_fixture_images() -> list[dict]:
         block size — boundary shifts stay inside the boxes)
       * 13: base 1 with the bottom pixel row cropped (measured Hamming 6
         — the nonzero-distance case the banding must recover)
+      * 14: base 0 RE-PACKED AS PNG (truecolor, filter-cycled scanlines)
+      * 15: base 2 RE-PACKED AS GIF (LZW, 54-color palette) — 14/15 pin
+        the CROSS-FORMAT pairing: same pixels, different container,
+        Hamming 0 to their BMP originals
 
     Expected ``dhash`` is computed from the raw pixel ROWS (pre-pack),
-    so the oracle pins the pack→decode round trip."""
+    so the oracle pins the pack→decode round trip of every container."""
     import hashlib as _hl
 
     def noise_rows(iid: int, w: int, h: int, block: int = 4):
@@ -752,6 +818,16 @@ def phash_fixture_images() -> list[dict]:
     variants.append((12, crop_col, _pack_bmp(35, 24, crop_col)))
     crop_row = bases[1][:-1]
     variants.append((13, crop_row, _pack_bmp(36, 23, crop_row)))
+    variants.append((14, bases[0], _pack_png(36, 24, bases[0], ctype=2)))
+    colors = sorted({p for row in bases[2] for p in row})
+    cidx = {c: i for i, c in enumerate(colors)}
+    variants.append(
+        (
+            15,
+            bases[2],
+            _pack_gif(36, 24, colors, [[cidx[p] for p in row] for row in bases[2]]),
+        )
+    )
     return [
         {
             "img_id": iid,
@@ -1307,6 +1383,11 @@ def real_png_decode(payload: bytes, with_pixels: bool = False) -> dict:
     }
     if with_pixels:
         out_d["pixels"] = b"".join(lines)
+        # layout metadata so pixel consumers (image_pixel_rows → pHash)
+        # can reconstruct RGB without re-walking the chunk stream
+        out_d["ctype"] = ctype
+        out_d["depth"] = depth
+        out_d["palette"] = palette
     return out_d
 
 
@@ -1636,6 +1717,7 @@ def real_gif_decode(payload: bytes, with_pixels: bool = False) -> dict:
     }
     if with_pixels:
         out_d["pixels"] = bytes(pixels)
+        out_d["palette"] = palette  # resolves the indices to RGB
     return out_d
 
 

@@ -656,8 +656,16 @@ def test_image_phash_dedup_pairs_content_duplicates(spark):
     )
     assert 0 < h13 <= 7
     assert got[13]["keep_id"] == 1 and got[13]["is_dup"] == 1
+    # CROSS-FORMAT: the PNG re-pack of base 0 (14) and the GIF re-pack
+    # of base 2 (15) hash to the same pixels and cluster with their BMP
+    # originals — content identity across containers
+    assert got[14]["dhash"] == got[0]["dhash"]
+    assert got[14]["keep_id"] == 0 and got[14]["is_dup"] == 1
+    assert got[15]["dhash"] == got[2]["dhash"]
+    assert got[15]["keep_id"] == 2 and got[15]["is_dup"] == 1
+    assert got[2]["keep_id"] == 2 and got[2]["is_dup"] == 0
     # distinct bases stay singletons
-    for base in (2, 3, 4):
+    for base in (3, 4):
         assert got[base]["keep_id"] == base and got[base]["is_dup"] == 0
     # brightness invariance is exact by construction (shift cancels)
     rows = [[(20, 30, 40), (200, 90, 10)], [(5, 250, 125), (99, 98, 97)]]
