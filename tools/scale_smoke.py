@@ -190,6 +190,43 @@ def main() -> None:
             F.col("n_removed") >= 0
         )
 
+    def substr_longdoc(df):
+        # the per-DOC cost case the fixture corpus can't exercise: 12k-
+        # token docs, half of every doc one shared duplicated block (so
+        # |rm| ~ 6k against L = 12k). The round-8 reassembly was
+        # O(L x |rm|) per doc (~7e7 comparisons each); the round-9
+        # array_except single pass is O(L + |rm|) — this case measures
+        # that, with the long-doc COUNT scaling with the input
+        from mgo_liveagent_data_pipeline_spark.operators.textops import (
+            exact_substring_dedup,
+        )
+
+        n_long = max(4, df.count() // 2000)
+        base = df.sparkSession.range(n_long).select(
+            F.col("id").alias("doc_id")
+        )
+        six_k = F.sequence(F.lit(0), F.lit(5999))
+        shared = F.array_join(
+            F.transform(six_k, lambda i: F.concat(F.lit("s"), i.cast("string"))),
+            " ",
+        )
+        uniq = F.array_join(
+            F.transform(
+                six_k,
+                lambda i: F.concat(
+                    F.lit("u"), F.col("doc_id").cast("string"),
+                    F.lit("_"), i.cast("string"),
+                ),
+            ),
+            " ",
+        )
+        docs = base.select(
+            "doc_id", F.concat(shared, F.lit(" "), uniq).alias("text")
+        )
+        return exact_substring_dedup(docs, "text", "doc_id", k=8).where(
+            F.col("n_removed") >= 0
+        )
+
     from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
         hypertable_rollup,
         kmv_distinct,
@@ -570,6 +607,7 @@ def main() -> None:
         "cc_clusters": (cc, docs_1x, docs_nx),
         "paragraph_dedup": (paragraph_dedup, docs_1x, docs_nx),
         "substring_dedup": (substr, docs_1x, docs_nx),
+        "substring_dedup_longdoc": (substr_longdoc, docs_1x, docs_nx),
         "decontaminate": (decon, docs_1x, docs_nx),
         "pack_shards": (pack_shards, docs_1x, docs_nx),
         "incremental_dedup": (incr, docs_1x, docs_nx),
