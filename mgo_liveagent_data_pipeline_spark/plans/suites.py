@@ -853,7 +853,7 @@ def q_u2_geocode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # branches count twice — the plan prints a node per reference). Update this
 # alongside the unionByName chain when adding a mode; tests/
 # test_plan_shapes.py derives its expected MapInPandas count from it.
-MULTIMODAL_PYTHON_BRANCHES = 13  # decode resize audio ra ral ri rirgb rp rprgb rj rjrgb rg rgrgb
+MULTIMODAL_PYTHON_BRANCHES = 14  # decode resize audio ra ral ri rirgb rp rprgb rj rjrgb rg rgrgb + img_dedup's dhash
 
 
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
