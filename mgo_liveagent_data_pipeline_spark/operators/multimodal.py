@@ -705,6 +705,49 @@ def real_image_dhash(
     return media_df.mapInPandas(hashes, "key long, dhash string")
 
 
+def _hamming_dedup_tail(
+    fps: DataFrame,
+    bits: int,
+    radius: int,
+    bands: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared fingerprint→clusters tail for the perceptual-dedup family
+    (image dHash, audio energy-dHash): Hamming-banded pairs → CC →
+    keep-minimum-key. Guarantee check lives here: radius ≤ bands−1 or
+    the banding could silently miss pairs."""
+    from .dedup import connected_components, hamming_banded_pairs
+
+    if radius > bands - 1:
+        raise ValueError(
+            f"radius {radius} exceeds the banding guarantee (bands - 1 = "
+            f"{bands - 1}): pairs beyond it could be silently missed"
+        )
+    pairs = hamming_banded_pairs(
+        fps, "fp", "key", bits=bits, bands=bands, radius=radius,
+        max_bucket_size=max_bucket_size,
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        fps.join(
+            cc.select(F.col("node").alias("key"), "cluster_id"), "key", "left"
+        )
+        .select(
+            "key",
+            "fp",
+            F.coalesce(F.col("cluster_id"), F.col("key")).alias("keep_id"),
+            F.when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("cluster_id") != F.col("key")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_dup"),
+        )
+    )
+
+
 def image_phash_dedup(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -732,38 +775,167 @@ def image_phash_dedup(
     band-bucket-locally ((band_no, band_bits, key)-only shuffle) with
     the standard mega-bucket cap, never n²; CC is the shared pointer-
     jumping operator."""
-    from .dedup import connected_components, hamming_banded_pairs
+    fps = real_image_dhash(df, key_col, media_col, hash_size).select(
+        "key", F.col("dhash").alias("fp")
+    )
+    out = _hamming_dedup_tail(
+        fps, hash_size * hash_size, radius, bands, max_bucket_size
+    )
+    return out.select("key", F.col("fp").alias("dhash"), "keep_id", "is_dup")
 
-    bits = hash_size * hash_size
-    if radius > bands - 1:
-        raise ValueError(
-            f"radius {radius} exceeds the banding guarantee (bands - 1 = "
-            f"{bands - 1}): pairs beyond it could be silently missed"
-        )
-    fps = real_image_dhash(df, key_col, media_col, hash_size)
-    pairs = hamming_banded_pairs(
-        fps, "dhash", "key", bits=bits, bands=bands, radius=radius,
-        max_bucket_size=max_bucket_size,
-    )
-    cc = connected_components(pairs.select("id_a", "id_b"))
-    return (
-        fps.join(
-            cc.select(F.col("node").alias("key"), "cluster_id"), "key", "left"
-        )
-        .select(
-            "key",
-            "dhash",
-            F.coalesce(F.col("cluster_id"), F.col("key")).alias("keep_id"),
-            F.when(
-                F.col("cluster_id").isNotNull()
-                & (F.col("cluster_id") != F.col("key")),
-                F.lit(1),
+
+def _wav_samples(payload: bytes) -> tuple[int, list[int]]:
+    """(n_channels, interleaved 16-bit samples) from a WAV payload —
+    the sample-returning sibling of ``real_audio_decode`` (same stdlib
+    ``wave`` walk, same 16-bit-only refusal)."""
+    import array
+    import io
+    import sys
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n_ch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                "only 16-bit PCM WAV is decodable without external codecs"
             )
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("is_dup"),
-        )
+        raw = w.readframes(w.getnframes())
+    samples = array.array("h")
+    samples.frombytes(raw)
+    if sys.byteorder == "big":
+        samples.byteswap()
+    return n_ch, list(samples)
+
+
+def audio_fingerprint_from_samples(
+    samples: list[int], n_channels: int, n_windows: int = 65
+) -> str:
+    """Temporal-energy dHash of a PCM clip as a bit string — the audio
+    analog of ``dhash_from_rows``, pure integer math shared by the Spark
+    operator and the oracle builder.
+
+    Spec: mono-mix each frame (channel SUM — a stereo clip duplicating
+    its mono source scales every frame by exactly 2); split the frame
+    axis into ``n_windows`` floor-bounded windows; window energy =
+    Σ|frame|; bit w = 1 iff sum[w]·cnt[w+1] > sum[w+1]·cnt[w] (cross-
+    multiplied means — exact integers, so an exactly-volume-scaled copy
+    fingerprints IDENTICALLY: both sides of every comparison scale by
+    the same factor, ties stay ties). Sample-rate metadata is ignored —
+    the fingerprint sees content, so a re-headered re-encode matches."""
+    if n_channels > 1:
+        frames = [
+            sum(samples[i * n_channels : (i + 1) * n_channels])
+            for i in range(len(samples) // n_channels)
+        ]
+    else:
+        frames = list(samples)
+    n = len(frames)
+    sums, cnts = [], []
+    for w in range(n_windows):
+        x0 = w * n // n_windows
+        x1 = min(max(x0 + 1, (w + 1) * n // n_windows), n)
+        sums.append(sum(abs(frames[i]) for i in range(x0, x1)))
+        cnts.append(x1 - x0)
+    return "".join(
+        "1" if sums[w] * cnts[w + 1] > sums[w + 1] * cnts[w] else "0"
+        for w in range(n_windows - 1)
     )
+
+
+def real_audio_fingerprint(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    media_col: str = "media",
+    n_windows: int = 65,
+) -> DataFrame:
+    """mapInPandas audio fingerprint over WAV payloads: genuine PCM
+    decode → 64-bit temporal-energy dHash. Same narrow no-shuffle shape
+    as the other real codecs."""
+    media_df = df.select(
+        F.col(key_col).alias("key"), F.col(media_col).alias("media")
+    )
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, out = [], []
+            for key, p in zip(pdf["key"], pdf["media"]):
+                n_ch, samples = _wav_samples(bytes(p))
+                keys.append(key)
+                out.append(
+                    audio_fingerprint_from_samples(samples, n_ch, n_windows)
+                )
+            yield pd.DataFrame({"key": keys, "fp": out})
+
+    return media_df.mapInPandas(fps, "key long, fp string")
+
+
+def audio_fp_dedup(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    media_col: str = "media",
+    n_windows: int = 65,
+    radius: int = 7,
+    bands: int = 8,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Audio-content near-dup: temporal-energy dHash over decoded PCM →
+    Hamming-banded pairs → CC → keep-one — the third modality of the
+    perceptual-dedup family (text SemDeDup/MinHash, image pHash, now
+    audio). A volume-scaled, re-headered, or stereo-duplicated copy of a
+    clip clusters with its original; byte digests see four distinct
+    files. Same completeness guarantee and 100 TB shape as
+    ``image_phash_dedup`` (shared ``_hamming_dedup_tail``)."""
+    fps = real_audio_fingerprint(df, key_col, media_col, n_windows)
+    return _hamming_dedup_tail(
+        fps, n_windows - 1, radius, bands, max_bucket_size
+    )
+
+
+def audio_fp_fixture_clips() -> list[dict]:
+    """Audio-dedup fixtures: five block-envelope noise clips (8-frame
+    md5 envelope blocks over a small triangle residual — window energies
+    contrast strongly, so fingerprints are stable, not knife-edge) plus
+    content-level duplicates of two of them:
+
+      * 10: base 0 re-headered at a different sample_rate (payload md5
+        differs; samples identical → Hamming 0, the fingerprint ignores
+        rate metadata)
+      * 11: base 0 at exactly 2× volume (Hamming 0 by the cross-
+        multiplied-comparison argument)
+      * 12: base 1 truncated by 4 frames (measured Hamming 6 — the
+        nonzero-distance case the banding must recover)
+      * 13: base 2 duplicated to stereo (mono mix = exact 2× → Hamming 0
+        — cross-channel-layout dedup)
+
+    Expected ``fp`` computed from the raw sample lists (pre-pack)."""
+    import hashlib as _hl
+
+    def noise_clip(cid: int, n_frames: int = 2080, block: int = 8):
+        out = []
+        for i in range(n_frames):
+            hx = _hl.md5(f"{cid}:{i // block}".encode()).hexdigest()
+            amp = 200 + int(hx[0:3], 16) % 7800
+            sign = 1 if int(hx[3], 16) % 2 == 0 else -1
+            out.append(sign * amp + (i % 7) - 3)
+        return out
+
+    bases = {i: noise_clip(i) for i in range(5)}
+    variants: list[tuple[int, list[int], int, int]] = [
+        (i, s, 1, 16000) for i, s in bases.items()
+    ]
+    variants.append((10, bases[0], 1, 8000))  # re-headered rate
+    variants.append((11, [s * 2 for s in bases[0]], 1, 16000))  # 2x volume
+    variants.append((12, bases[1][:-4], 1, 16000))  # 4-frame truncation
+    stereo = [s for x in bases[2] for s in (x, x)]
+    variants.append((13, stereo, 2, 16000))  # stereo duplicate
+    return [
+        {
+            "clip_id": cid,
+            "payload": _pack_wav(sr, n_ch, samples),
+            "fp": audio_fingerprint_from_samples(samples, n_ch),
+        }
+        for cid, samples, n_ch, sr in variants
+    ]
 
 
 def phash_fixture_images() -> list[dict]:

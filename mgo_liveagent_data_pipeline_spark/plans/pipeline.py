@@ -1558,28 +1558,23 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _image_phash_sql() -> str:
-    """DuckDB twin of q_dedup_image_phash: expected dHashes computed
-    from the raw pixel rows (pre-pack) inline as VALUES — pinning the
-    BMP pack→decode round trip — then the brute-force Hamming spec the
-    banded path provably equals (radius ≤ bands−1), a recursive CC
-    label walk, and keep-one survival."""
-    from ..operators.multimodal import phash_fixture_images
-
-    vals = ", ".join(
-        f"({c['img_id']}, '{c['dhash']}')" for c in phash_fixture_images()
-    )
+def _hamming_dedup_sql(vals: str, key_out: str, fp_out: str) -> str:
+    """DuckDB twin builder for the perceptual-dedup family: expected
+    64-bit fingerprints inline as VALUES (computed pre-pack, pinning
+    each codec's pack→decode round trip), the brute-force Hamming-≤7
+    spec the banded path provably equals (radius ≤ bands−1), a
+    recursive CC label walk, and keep-one survival."""
     ham = (
         "list_sum(list_transform(range(1, 65), i -> CASE WHEN "
-        "substring(a.dhash, CAST(i AS INT), 1) <> "
-        "substring(b.dhash, CAST(i AS INT), 1) THEN 1 ELSE 0 END))"
+        "substring(a.fp, CAST(i AS INT), 1) <> "
+        "substring(b.fp, CAST(i AS INT), 1) THEN 1 ELSE 0 END))"
     )
     return f"""
-    WITH RECURSIVE imgs(img_id, dhash) AS (VALUES {vals}),
+    WITH RECURSIVE items(k, fp) AS (VALUES {vals}),
     pairs AS (
-      SELECT a.img_id AS id_a, b.img_id AS id_b
-      FROM imgs a CROSS JOIN imgs b
-      WHERE a.img_id < b.img_id AND {ham} <= 7),
+      SELECT a.k AS id_a, b.k AS id_b
+      FROM items a CROSS JOIN items b
+      WHERE a.k < b.k AND {ham} <= 7),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
@@ -1589,17 +1584,66 @@ def _image_phash_sql() -> str:
       UNION
       SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
     comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
-    SELECT CAST(img_id AS BIGINT) AS img_id, dhash,
-           CAST(coalesce(cluster_id, img_id) AS BIGINT) AS keep_id,
-           CAST(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> img_id
+    SELECT CAST(k AS BIGINT) AS {key_out}, fp AS {fp_out},
+           CAST(coalesce(cluster_id, k) AS BIGINT) AS keep_id,
+           CAST(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> k
                 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
-    FROM imgs LEFT JOIN comp ON img_id = node
+    FROM items LEFT JOIN comp ON k = node
     """
+
+
+def _image_phash_sql() -> str:
+    from ..operators.multimodal import phash_fixture_images
+
+    vals = ", ".join(
+        f"({c['img_id']}, '{c['dhash']}')" for c in phash_fixture_images()
+    )
+    return _hamming_dedup_sql(vals, "img_id", "dhash")
+
+
+def _audio_fp_sql() -> str:
+    from ..operators.multimodal import audio_fp_fixture_clips
+
+    vals = ", ".join(
+        f"({c['clip_id']}, '{c['fp']}')" for c in audio_fp_fixture_clips()
+    )
+    return _hamming_dedup_sql(vals, "clip_id", "fp")
+
+
+def q_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-content near-dup over the deterministic WAV fixtures:
+    genuine PCM decode → temporal-energy dHash → Hamming-banded pairs →
+    CC → keep-one (operators/multimodal.py:audio_fp_dedup). The fixture
+    plants a re-headered re-encode, an exact 2× volume copy, a 4-frame
+    truncation, and a stereo duplication — four byte-distinct files
+    whose CONTENT clusters with the originals. Driver-visible via the
+    ``audio_dedup`` mode of ``multimodal_suite``."""
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import audio_fp_dedup, audio_fp_fixture_clips
+    from ..session import ship_package
+
+    ship_package(spark)
+    fixture = spark.createDataFrame(
+        [
+            (c["clip_id"], bytearray(c["payload"]))
+            for c in audio_fp_fixture_clips()
+        ],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    out = audio_fp_dedup(fixture)
+    return out.select(F.col("key").alias("clip_id"), "fp", "keep_id", "is_dup")
 
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_image_phash": q_dedup_image_phash,
+    "dedup_audio_fp": q_dedup_audio_fp,
     "dedup_apply": q_dedup_apply,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_salvage": q_dedup_minhash_salvage,
@@ -3738,6 +3782,9 @@ ORACLES: dict[str, str] = {
     # brute-force Hamming spec + recursive CC (the banded Spark path is
     # provably complete at radius <= bands-1, so the results coincide)
     "dedup_image_phash": _image_phash_sql(),
+    # audio fingerprint dedup: same twin shape over the WAV fixtures'
+    # pre-pack expected temporal-energy dHashes
+    "dedup_audio_fp": _audio_fp_sql(),
     # SemDeDup verdicts (operators/dedup.py:semantic_dedup): deterministic
     # lowest-key centroids, highest-(csim, cluster_id) assignment,
     # (centroid_sim ASC, key ASC) in-cluster rank, dropped iff an

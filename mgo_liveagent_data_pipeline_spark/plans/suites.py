@@ -853,7 +853,7 @@ def q_u2_geocode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # branches count twice — the plan prints a node per reference). Update this
 # alongside the unionByName chain when adding a mode; tests/
 # test_plan_shapes.py derives its expected MapInPandas count from it.
-MULTIMODAL_PYTHON_BRANCHES = 14  # decode resize audio ra ral ri rirgb rp rprgb rj rjrgb rg rgrgb + img_dedup's dhash
+MULTIMODAL_PYTHON_BRANCHES = 15  # decode resize audio ra ral ri rirgb rp rprgb rj rjrgb rg rgrgb + img_dedup dhash + audio_dedup fp
 
 
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,6 +1092,18 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_dup").cast("long").alias("m1"),
         _null("long").alias("m2"),
     )
+    # audio_dedup: temporal-energy dHash near-dup over decoded PCM —
+    # volume-scaled / re-headered / stereo-duplicated copies cluster
+    # with their originals (the audio member of the perceptual family)
+    ad = pipeline.q_dedup_audio_fp(spark, sf_dir).select(
+        F.lit("audio_dedup").alias("mode"),
+        F.col("clip_id").alias("doc_id"),
+        F.col("keep_id").alias("seq"),
+        F.col("fp").alias("digest"),
+        _null("long").alias("n_bytes"),
+        F.col("is_dup").cast("long").alias("m1"),
+        _null("long").alias("m2"),
+    )
     return (
         dec.unionByName(fr).unionByName(rs).unionByName(au)
         .unionByName(ra).unionByName(ral)
@@ -1099,7 +1111,7 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rp).unionByName(rprgb)
         .unionByName(rj).unionByName(rjrgb)
         .unionByName(rg).unionByName(rgrgb)
-        .unionByName(pd_)
+        .unionByName(pd_).unionByName(ad)
     )
 
 
@@ -1888,6 +1900,13 @@ ORACLES: dict[str, str] = {
             _P["dedup_image_phash"],
             "'img_dedup' AS mode, img_id AS doc_id, keep_id AS seq, "
             "dhash AS digest, CAST(NULL AS BIGINT) AS n_bytes, "
+            "is_dup AS m1, CAST(NULL AS BIGINT) AS m2",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["dedup_audio_fp"],
+            "'audio_dedup' AS mode, clip_id AS doc_id, keep_id AS seq, "
+            "fp AS digest, CAST(NULL AS BIGINT) AS n_bytes, "
             "is_dup AS m1, CAST(NULL AS BIGINT) AS m2",
         )
     ),

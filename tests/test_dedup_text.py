@@ -673,6 +673,58 @@ def test_image_phash_dedup_pairs_content_duplicates(spark):
     assert dhash_from_rows(rows, 2) == dhash_from_rows(shifted, 2)
 
 
+def test_audio_fp_dedup_pairs_content_duplicates(spark):
+    """Audio fingerprint dedup: re-headered, volume-scaled, truncated,
+    and stereo-duplicated copies cluster with their originals; distinct
+    clips never pair; min-id survives."""
+    from pyspark.sql import types as T
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint_from_samples,
+        audio_fp_dedup,
+        audio_fp_fixture_clips,
+    )
+
+    clips = audio_fp_fixture_clips()
+    df = spark.createDataFrame(
+        [(c["clip_id"], bytearray(c["payload"])) for c in clips],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    got = {r["key"]: r.asDict() for r in audio_fp_dedup(df).collect()}
+    release_intermediates()
+    for c in clips:  # decode→fingerprint round trip == pre-pack expected
+        assert got[c["clip_id"]]["fp"] == c["fp"], c["clip_id"]
+    # re-header (10), 2x volume (11) are Hamming 0 with base 0
+    for dup in (10, 11):
+        assert got[dup]["fp"] == got[0]["fp"]
+        assert got[dup]["keep_id"] == 0 and got[dup]["is_dup"] == 1, dup
+    # stereo duplicate (13) is Hamming 0 with base 2 (mono mix = exact 2x)
+    assert got[13]["fp"] == got[2]["fp"]
+    assert got[13]["keep_id"] == 2 and got[13]["is_dup"] == 1
+    # 4-frame truncation (12) pairs with base 1 at NONZERO distance
+    h12 = sum(a != b for a, b in zip(got[12]["fp"], got[1]["fp"]))
+    assert 0 < h12 <= 7
+    assert got[12]["keep_id"] == 1 and got[12]["is_dup"] == 1
+    for base in (0, 1, 2):
+        assert got[base]["keep_id"] == base and got[base]["is_dup"] == 0
+    for base in (3, 4):  # distinct clips stay singletons
+        assert got[base]["keep_id"] == base and got[base]["is_dup"] == 0
+    # volume invariance is exact for ANY integer scale (cross-multiplied
+    # comparisons), including a scale that changes floor-mean rounding
+    s = [7, -3, 12, 5, -9, 4, 8, -2, 6, 11, -1, 3]
+    assert audio_fingerprint_from_samples(
+        s, 1, 5
+    ) == audio_fingerprint_from_samples([x * 3 for x in s], 1, 5)
+
+
 def test_real_decode_dispatches_all_codecs_and_rejects_unknown():
     import pytest
 

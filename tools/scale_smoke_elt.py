@@ -90,12 +90,15 @@ def main() -> None:
     replicated(li, "l_orderkey").write.mode("overwrite").parquet(
         os.path.join(big, "lineitem.parquet")
     )
-    # dimensions pass through unchanged
+    # dimensions pass through unchanged (testdata tables are single
+    # parquet FILES; replicated tables above are directories)
     for t in ("nation", "region"):
-        shutil.copytree(
-            os.path.join(SF_DIR, f"{t}.parquet"),
-            os.path.join(big, f"{t}.parquet"),
-        )
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        dst = os.path.join(big, f"{t}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
 
     sc = spark.sparkContext
     tracker = sc.statusTracker()
