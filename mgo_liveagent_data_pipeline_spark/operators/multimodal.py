@@ -938,6 +938,317 @@ def audio_fp_fixture_clips() -> list[dict]:
     ]
 
 
+def _pack_gif_anim(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    frames: list[list[list[int]]],
+    with_gce: bool = False,
+) -> bytes:
+    """Hand-pack a multi-frame (animated) GIF89a: one global color
+    table, then per frame an optional Graphic Control Extension and a
+    full-canvas image descriptor with genuinely LZW-compressed data —
+    the animation layout ``real_gif_frames`` walks. Same independent-
+    implementation rationale as ``_pack_gif``."""
+    import struct
+
+    bits = max(2, (len(palette) - 1).bit_length())
+    pal = palette + [(0, 0, 0)] * ((1 << bits) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += b"".join(bytes(c) for c in pal)
+    min_code = max(2, bits)
+    for index_rows in frames:
+        if with_gce:  # delay 4/100 s, no transparency, no disposal
+            out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(min_code)
+        data = _gif_lzw_encode(
+            bytes(i for row in index_rows for i in row), min_code
+        )
+        for off in range(0, len(data), 255):
+            blk = data[off : off + 255]
+            out.append(len(blk))
+            out += blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def real_gif_frames(payload: bytes) -> dict:
+    """GENUINE multi-frame GIF decode: walks EVERY image descriptor of
+    an animation (the single-frame ``real_gif_decode`` honestly refuses
+    them), LZW-decoding each frame and resolving indices through its
+    local-or-global palette. Supported subset, refusals explicit:
+    full-canvas opaque frames only — a frame that is offset, smaller
+    than the logical screen, or transparency-flagged composites onto the
+    PREVIOUS canvas under a disposal method this decoder does not model,
+    and mis-decoding an animation is worse than refusing it. Interlaced
+    frames are deinterlaced per pass order.
+
+    Returns {width, height, n_frames, frames: [rows of (r, g, b)]}."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    try:
+        sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = [
+                (payload[pos + 3 * i], payload[pos + 3 * i + 1],
+                 payload[pos + 3 * i + 2])
+                for i in range(n)
+            ]
+            pos += 3 * n
+        frames: list[list[list[tuple[int, int, int]]]] = []
+        while payload[pos] != 0x3B:
+            if payload[pos] == 0x21:  # extension block
+                label = payload[pos + 1]
+                if label == 0xF9 and payload[pos + 2] >= 1:
+                    if payload[pos + 3] & 0x01:
+                        raise NotImplementedError(
+                            "transparent GIF frame composites onto the "
+                            "previous canvas — refused, not mis-decoded"
+                        )
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if payload[pos] != 0x2C:
+                raise ValueError("unexpected GIF block")
+            _l, _t, width, height, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            if _l != 0 or _t != 0 or width != sw or height != sh:
+                raise NotImplementedError(
+                    "GIF frame offset/smaller than logical screen"
+                )
+            palette = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = [
+                    (payload[pos + 3 * i], payload[pos + 3 * i + 1],
+                     payload[pos + 3 * i + 2])
+                    for i in range(n)
+                ]
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF has neither global nor local color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            pixels = bytearray(_gif_lzw_decode(bytes(data), min_code))
+            if len(pixels) != width * height:
+                raise ValueError("GIF pixel count mismatch")
+            if ipacked & 0x40:
+                ordered = bytearray(len(pixels))
+                for src, y in enumerate(_gif_interlace_order(height)):
+                    ordered[y * width : (y + 1) * width] = pixels[
+                        src * width : (src + 1) * width
+                    ]
+                pixels = ordered
+            frames.append(
+                [
+                    [palette[pixels[y * width + x]] for x in range(width)]
+                    for y in range(height)
+                ]
+            )
+    except IndexError as e:
+        raise ValueError("truncated GIF stream") from e
+    if not frames:
+        raise ValueError("GIF contains no image descriptor")
+    return {
+        "width": sw,
+        "height": sh,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def real_video_frame_dhash(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    media_col: str = "media",
+    frame_stride: int = 1,
+    hash_size: int = 8,
+) -> DataFrame:
+    """mapInPandas per-frame perceptual hash over animated-GIF payloads:
+    decode every ``frame_stride``-th frame → dHash each. One Arrow
+    crossing; output is the narrow (key, frame_no, fp) relation the
+    video dedup consumes — media bytes never shuffle, frame hashes do."""
+    media_df = df.select(
+        F.col(key_col).alias("key"), F.col(media_col).alias("media")
+    )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, fnos, fps = [], [], []
+            for key, p in zip(pdf["key"], pdf["media"]):
+                d = real_gif_frames(bytes(p))
+                for fno in range(0, d["n_frames"], frame_stride):
+                    keys.append(key)
+                    fnos.append(fno)
+                    fps.append(dhash_from_rows(d["frames"][fno], hash_size))
+            yield pd.DataFrame(
+                {"key": keys, "frame_no": fnos, "fp": fps}
+            )
+
+    return media_df.mapInPandas(hashes, "key long, frame_no int, fp string")
+
+
+def video_phash_dedup(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    media_col: str = "media",
+    frame_stride: int = 1,
+    min_matching_frames: int = 4,
+    hash_size: int = 8,
+    radius: int = 5,
+    bands: int = 8,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Video-content near-dup via sampled-frame perceptual hashing — the
+    VIDEO member of the perceptual-dedup family (text, image, audio,
+    now video): two videos are near-duplicates when at least
+    ``min_matching_frames`` cross-video frame pairs sit within Hamming
+    ``radius``; duplicate groups close under CC and the minimum key
+    survives. A re-encoded or head-trimmed copy clusters with its
+    original; unrelated videos share no frames.
+
+    Spec (deterministic, oracle-mirrored): frame hashes ride a composite
+    key ``key·10^6 + frame_no`` through the SAME banded Hamming pair
+    machinery as image/audio (complete for radius ≤ bands−1); composite
+    ordering puts every cross-video pair as (lower video, higher video),
+    same-video pairs are discarded, and the match count per video pair
+    is the number of matched frame PAIRS.
+
+    At 100 TB: frames fan out at the stride, hashes are 64-bit strings,
+    and everything after the one decode crossing shuffles (band_key,
+    composite-key) ints — the video bytes stay columnar at rest."""
+    if frame_stride < 1:
+        raise ValueError("frame_stride must be >= 1")
+    from .dedup import connected_components, hamming_banded_pairs
+
+    if radius > bands - 1:
+        raise ValueError(
+            f"radius {radius} exceeds the banding guarantee (bands - 1 = "
+            f"{bands - 1}): pairs beyond it could be silently missed"
+        )
+    fps = real_video_frame_dhash(df, key_col, media_col, frame_stride, hash_size)
+    composite = fps.select(
+        (F.col("key") * F.lit(1_000_000) + F.col("frame_no")).alias("key"),
+        "fp",
+    )
+    pairs = hamming_banded_pairs(
+        composite, "fp", "key", bits=hash_size * hash_size,
+        bands=bands, radius=radius, max_bucket_size=max_bucket_size,
+    )
+    vpairs = (
+        pairs.select(
+            F.floor(F.col("id_a") / 1_000_000).cast("long").alias("vid_a"),
+            F.floor(F.col("id_b") / 1_000_000).cast("long").alias("vid_b"),
+        )
+        .where(F.col("vid_a") != F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frame_matches"))
+        .where(F.col("n_frame_matches") >= min_matching_frames)
+    )
+    cc = connected_components(vpairs.select(
+        F.col("vid_a").alias("id_a"), F.col("vid_b").alias("id_b")
+    ))
+    vids = fps.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    return (
+        vids.join(
+            cc.select(F.col("node").alias("key"), "cluster_id"), "key", "left"
+        )
+        .select(
+            "key",
+            "n_frames",
+            F.coalesce(F.col("cluster_id"), F.col("key")).alias("keep_id"),
+            F.when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("cluster_id") != F.col("key")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_dup"),
+        )
+    )
+
+
+def video_fixture_clips() -> list[dict]:
+    """Video-dedup fixtures: four 8-frame 20×16 animated GIFs (4×4
+    md5-noise blocks keyed (video, frame, block) — every frame of every
+    video is far from every other in dHash space) plus:
+
+      * 10: re-encode of video 0 with per-frame GCEs inserted (payload
+        bytes differ, pixels identical → all 8 frames match)
+      * 11: video 1 with its FIRST frame trimmed (7 of 8 frames match
+        exactly at shifted positions — matching is on frame CONTENT,
+        not frame index)
+
+    Expected per-frame dHashes computed from the raw pixel ROWS
+    (pre-pack), so the oracle pins the animated pack→decode round trip."""
+    import hashlib as _hl
+
+    W, H, NF, BLOCK = 20, 16, 8, 4
+
+    def frame_rows(vid: int, fno: int):
+        rows = []
+        for y in range(H):
+            row = []
+            for x in range(W):
+                hx = _hl.md5(
+                    f"v{vid}:f{fno}:{x // BLOCK}:{y // BLOCK}".encode()
+                ).hexdigest()
+                row.append(
+                    (int(hx[0:2], 16), int(hx[2:4], 16), int(hx[4:6], 16))
+                )
+            rows.append(row)
+        return rows
+
+    def gif_of(frames_rows):
+        colors = sorted({p for fr in frames_rows for row in fr for p in row})
+        cidx = {c: i for i, c in enumerate(colors)}
+        return colors, [
+            [[cidx[p] for p in row] for row in fr] for fr in frames_rows
+        ]
+
+    out = []
+    base_frames = {
+        vid: [frame_rows(vid, f) for f in range(NF)] for vid in range(4)
+    }
+    for vid, frames in base_frames.items():
+        pal, idx = gif_of(frames)
+        out.append((vid, frames, _pack_gif_anim(W, H, pal, idx)))
+    pal0, idx0 = gif_of(base_frames[0])
+    out.append((10, base_frames[0], _pack_gif_anim(W, H, pal0, idx0, with_gce=True)))
+    trimmed = base_frames[1][1:]
+    pal1, idx1 = gif_of(trimmed)
+    out.append((11, trimmed, _pack_gif_anim(W, H, pal1, idx1)))
+    return [
+        {
+            "video_id": vid,
+            "payload": payload,
+            "frame_dhashes": [dhash_from_rows(fr) for fr in frames],
+        }
+        for vid, frames, payload in out
+    ]
+
+
 def phash_fixture_images() -> list[dict]:
     """Deterministic pHash-dedup fixtures: five 4×4-block md5-noise base
     images (36×24, channel values 16-239 so brightness shifts never
@@ -1744,6 +2055,55 @@ def gif_fixture_images(n_images: int = 6) -> list[dict]:
 
 
 @_codec_guard("GIF")
+def _gif_lzw_decode(data: bytes, min_code: int) -> bytes:
+    """Spec-standard variable-width GIF LZW decompressor (CLEAR/EOI
+    handling, the KwKwK first-char case, width growth at table-size
+    boundaries) — shared by the single-frame summary decode and the
+    multi-frame walker."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width_bits = min_code + 1
+    acc = nbits = 0
+    dpos = 0
+    prev: bytes | None = None
+    pixels = bytearray()
+
+    def reset_table():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = reset_table()
+    while True:
+        while nbits < width_bits:
+            if dpos >= len(data):
+                raise ValueError("GIF LZW stream exhausted before EOI")
+            acc |= data[dpos] << nbits
+            dpos += 1
+            nbits += 8
+        code = acc & ((1 << width_bits) - 1)
+        acc >>= width_bits
+        nbits -= width_bits
+        if code == clear:
+            table = reset_table()
+            width_bits = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("GIF LZW code out of range")
+        pixels += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        prev = entry
+    return bytes(pixels)
+
+
 def real_gif_decode(payload: bytes, with_pixels: bool = False) -> dict:
     """GENUINE GIF decode with pure stdlib byte-walking: logical screen
     descriptor, global/local color tables, extension-block skipping, a
@@ -1822,47 +2182,7 @@ def real_gif_decode(payload: bytes, with_pixels: bool = False) -> dict:
     except IndexError as e:
         raise ValueError("truncated GIF stream") from e
 
-    clear = 1 << min_code
-    eoi = clear + 1
-    width_bits = min_code + 1
-    acc = nbits = 0
-    dpos = 0
-    prev: bytes | None = None
-    pixels = bytearray()
-
-    def reset_table():
-        return [bytes([i]) for i in range(clear)] + [b"", b""]
-
-    table = reset_table()
-    while True:
-        while nbits < width_bits:
-            if dpos >= len(data):
-                raise ValueError("GIF LZW stream exhausted before EOI")
-            acc |= data[dpos] << nbits
-            dpos += 1
-            nbits += 8
-        code = acc & ((1 << width_bits) - 1)
-        acc >>= width_bits
-        nbits -= width_bits
-        if code == clear:
-            table = reset_table()
-            width_bits = min_code + 1
-            prev = None
-            continue
-        if code == eoi:
-            break
-        if code < len(table):
-            entry = table[code]
-        elif code == len(table) and prev is not None:
-            entry = prev + prev[:1]  # the KwKwK case
-        else:
-            raise ValueError("GIF LZW code out of range")
-        pixels += entry
-        if prev is not None and len(table) < 4096:
-            table.append(prev + entry[:1])
-            if len(table) == (1 << width_bits) and width_bits < 12:
-                width_bits += 1
-        prev = entry
+    pixels = bytearray(_gif_lzw_decode(data, min_code))
     if len(pixels) != width * height:
         raise ValueError("GIF pixel count mismatch")
     if ipacked & 0x40:  # de-permute 4-pass interlace transmission order

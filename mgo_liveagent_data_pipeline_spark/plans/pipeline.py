@@ -1610,6 +1610,82 @@ def _audio_fp_sql() -> str:
     return _hamming_dedup_sql(vals, "clip_id", "fp")
 
 
+def _video_phash_sql() -> str:
+    """DuckDB twin of q_dedup_video_phash: expected per-frame dHashes
+    (pre-pack) inline as VALUES, the brute-force cross-video frame-pair
+    spec (Hamming ≤ 5, the banded path provably equals it), video pairs
+    at ≥ 4 matching frames, recursive CC, keep-one."""
+    from ..operators.multimodal import video_fixture_clips
+
+    vals = ", ".join(
+        f"({c['video_id']}, {i}, '{h}')"
+        for c in video_fixture_clips()
+        for i, h in enumerate(c["frame_dhashes"])
+    )
+    ham = (
+        "list_sum(list_transform(range(1, 65), i -> CASE WHEN "
+        "substring(a.fp, CAST(i AS INT), 1) <> "
+        "substring(b.fp, CAST(i AS INT), 1) THEN 1 ELSE 0 END))"
+    )
+    return f"""
+    WITH RECURSIVE fps(vid, fno, fp) AS (VALUES {vals}),
+    fpairs AS (
+      SELECT a.vid AS va, b.vid AS vb
+      FROM fps a CROSS JOIN fps b
+      WHERE a.vid < b.vid AND {ham} <= 5),
+    vp AS (
+      SELECT va, vb FROM fpairs GROUP BY va, vb HAVING count(*) >= 4),
+    edges AS (
+      SELECT va AS src, vb AS dst FROM vp
+      UNION
+      SELECT vb AS src, va AS dst FROM vp),
+    walk(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    vids AS (SELECT vid, CAST(count(*) AS BIGINT) AS n_frames
+             FROM fps GROUP BY vid)
+    SELECT CAST(vid AS BIGINT) AS video_id, n_frames,
+           CAST(coalesce(cluster_id, vid) AS BIGINT) AS keep_id,
+           CAST(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> vid
+                THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM vids LEFT JOIN comp ON vid = node
+    """
+
+
+def q_dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-content near-dup over animated-GIF fixtures: multi-frame
+    decode → per-frame dHash → cross-video frame matching → CC →
+    keep-one (operators/multimodal.py:video_phash_dedup). The fixture
+    plants a byte-distinct re-encode (all frames match) and a
+    head-trimmed copy (7 of 8 frames match at SHIFTED positions —
+    content matching, not index alignment). Driver-visible via the
+    ``video_dedup`` mode of ``multimodal_suite``."""
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import video_fixture_clips, video_phash_dedup
+    from ..session import ship_package
+
+    ship_package(spark)
+    fixture = spark.createDataFrame(
+        [
+            (c["video_id"], bytearray(c["payload"]))
+            for c in video_fixture_clips()
+        ],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    out = video_phash_dedup(fixture)
+    return out.select(
+        F.col("key").alias("video_id"), "n_frames", "keep_id", "is_dup"
+    )
+
+
 def q_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-content near-dup over the deterministic WAV fixtures:
     genuine PCM decode → temporal-energy dHash → Hamming-banded pairs →
@@ -1644,6 +1720,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_image_phash": q_dedup_image_phash,
     "dedup_audio_fp": q_dedup_audio_fp,
+    "dedup_video_phash": q_dedup_video_phash,
     "dedup_apply": q_dedup_apply,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_salvage": q_dedup_minhash_salvage,
@@ -3785,6 +3862,9 @@ ORACLES: dict[str, str] = {
     # audio fingerprint dedup: same twin shape over the WAV fixtures'
     # pre-pack expected temporal-energy dHashes
     "dedup_audio_fp": _audio_fp_sql(),
+    # video dedup: per-frame dHash VALUES + cross-video frame-pair spec
+    # + >=4-matching-frames video pairs + recursive CC
+    "dedup_video_phash": _video_phash_sql(),
     # SemDeDup verdicts (operators/dedup.py:semantic_dedup): deterministic
     # lowest-key centroids, highest-(csim, cluster_id) assignment,
     # (centroid_sim ASC, key ASC) in-cluster rank, dropped iff an

@@ -853,7 +853,7 @@ def q_u2_geocode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # branches count twice — the plan prints a node per reference). Update this
 # alongside the unionByName chain when adding a mode; tests/
 # test_plan_shapes.py derives its expected MapInPandas count from it.
-MULTIMODAL_PYTHON_BRANCHES = 15  # decode resize audio ra ral ri rirgb rp rprgb rj rjrgb rg rgrgb + img_dedup dhash + audio_dedup fp
+MULTIMODAL_PYTHON_BRANCHES = 16  # decode resize audio ra ral ri rirgb rp rprgb rj rjrgb rg rgrgb + img_dedup dhash + audio_dedup fp + video_dedup frames
 
 
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,6 +1104,17 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_dup").cast("long").alias("m1"),
         _null("long").alias("m2"),
     )
+    # video_dedup: sampled-frame pHash matching over animated GIFs — a
+    # re-encode and a head-trimmed copy cluster with their originals
+    vd = pipeline.q_dedup_video_phash(spark, sf_dir).select(
+        F.lit("video_dedup").alias("mode"),
+        F.col("video_id").alias("doc_id"),
+        F.col("keep_id").alias("seq"),
+        _null("string").alias("digest"),
+        F.col("n_frames").alias("n_bytes"),
+        F.col("is_dup").cast("long").alias("m1"),
+        _null("long").alias("m2"),
+    )
     return (
         dec.unionByName(fr).unionByName(rs).unionByName(au)
         .unionByName(ra).unionByName(ral)
@@ -1111,7 +1122,7 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rp).unionByName(rprgb)
         .unionByName(rj).unionByName(rjrgb)
         .unionByName(rg).unionByName(rgrgb)
-        .unionByName(pd_).unionByName(ad)
+        .unionByName(pd_).unionByName(ad).unionByName(vd)
     )
 
 
@@ -1907,6 +1918,13 @@ ORACLES: dict[str, str] = {
             _P["dedup_audio_fp"],
             "'audio_dedup' AS mode, clip_id AS doc_id, keep_id AS seq, "
             "fp AS digest, CAST(NULL AS BIGINT) AS n_bytes, "
+            "is_dup AS m1, CAST(NULL AS BIGINT) AS m2",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["dedup_video_phash"],
+            "'video_dedup' AS mode, video_id AS doc_id, keep_id AS seq, "
+            "CAST(NULL AS VARCHAR) AS digest, n_frames AS n_bytes, "
             "is_dup AS m1, CAST(NULL AS BIGINT) AS m2",
         )
     ),

@@ -725,6 +725,56 @@ def test_audio_fp_dedup_pairs_content_duplicates(spark):
     ) == audio_fingerprint_from_samples([x * 3 for x in s], 1, 5)
 
 
+def test_video_phash_dedup_matches_reencode_and_trim(spark):
+    """Video dedup over animated GIFs: a byte-distinct re-encode (all
+    frames match) and a head-trimmed copy (7/8 frames match at SHIFTED
+    positions) cluster with their originals; unrelated videos never
+    pair; the multi-frame decode round-trips the pre-pack hashes; and
+    the single-frame decoder still honestly refuses animations."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        real_gif_decode,
+        real_gif_frames,
+        video_fixture_clips,
+        video_phash_dedup,
+    )
+
+    clips = video_fixture_clips()
+    # decode round trip + the honest single-frame refusal
+    d = real_gif_frames(clips[0]["payload"])
+    assert d["n_frames"] == 8 and d["width"] == 20 and d["height"] == 16
+    with pytest.raises(NotImplementedError, match="multi-frame"):
+        real_gif_decode(clips[0]["payload"])
+    df = spark.createDataFrame(
+        [(c["video_id"], bytearray(c["payload"])) for c in clips],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    got = {r["key"]: r.asDict() for r in video_phash_dedup(df).collect()}
+    release_intermediates()
+    assert got[10]["keep_id"] == 0 and got[10]["is_dup"] == 1
+    assert got[11]["keep_id"] == 1 and got[11]["is_dup"] == 1
+    assert got[11]["n_frames"] == 7
+    for base in (0, 1, 2, 3):
+        assert got[base]["keep_id"] == base and got[base]["is_dup"] == 0
+    # raising the frame-match bar past the trim's 7 splits that pair
+    strict = {
+        r["key"]: r.asDict()
+        for r in video_phash_dedup(df, min_matching_frames=8).collect()
+    }
+    release_intermediates()
+    assert strict[11]["is_dup"] == 0 and strict[10]["is_dup"] == 1
+
+
 def test_real_decode_dispatches_all_codecs_and_rejects_unknown():
     import pytest
 
