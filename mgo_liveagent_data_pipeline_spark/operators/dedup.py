@@ -746,6 +746,106 @@ def hamming_banded_pairs(
     )
 
 
+def incremental_hamming_pairs(
+    corpus_fps: DataFrame,
+    delta_fps: DataFrame,
+    fp_col: str = "fp",
+    key_col: str = "key",
+    bits: int = 64,
+    bands: int = 8,
+    radius: int = 7,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Delta-vs-corpus Hamming near-dup — the recurring-ingest merge for
+    the PERCEPTUAL family (image dHash, audio energy-dHash, video frame
+    hashes), the same contract shape as ``incremental_minhash_dedup``:
+    pairs involving at least one delta fingerprint, WITHOUT regenerating
+    corpus×corpus candidates. In production the banded posting relation
+    ``(band_no, band_bits, key)`` is the STORED index (partitioned by
+    band) maintained by appending each accepted delta's postings; here
+    it is derived from the corpus fingerprints per call.
+
+    Exactness (what the oracle checks): equals the full-corpus
+    ``hamming_banded_pairs(corpus ∪ delta)`` restricted to pairs with a
+    delta endpoint — exact because banding is per-fingerprint, so a
+    pair's candidacy never depends on other pairs. The mega-bucket cap
+    is evaluated against corpus ∪ delta, mirroring the batch operator
+    (same caveat as the MinHash incremental path: a bucket crossing the
+    cap only at larger corpus sizes can admit early pairs a later batch
+    run refuses — content-derived fingerprint buckets stay far below it).
+
+    Returns (id_a < id_b, hamming_dist ≤ radius)."""
+    from pyspark.sql.window import Window
+
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide into bands ({bands})")
+    width = bits // bands
+
+    def post(df: DataFrame, is_delta: int) -> DataFrame:
+        base = df.select(
+            F.col(key_col).alias("key"),
+            F.col(fp_col).alias("fp"),
+            F.lit(is_delta).alias("__d"),
+        )
+        return base.select(
+            "key",
+            "fp",
+            "__d",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band_no"),
+                            F.col("fp")
+                            .substr(j * width + 1, width)
+                            .alias("band_bits"),
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select("key", "fp", "__d", "band.band_no", "band.band_bits")
+
+    posted = post(corpus_fps, 0).unionByName(post(delta_fps, 1))
+    if max_bucket_size is not None:
+        bn = F.count(F.lit(1)).over(Window.partitionBy("band_no", "band_bits"))
+        posted = (
+            posted.withColumn("__bn", bn)
+            .where(F.col("__bn") <= F.lit(max_bucket_size))
+            .drop("__bn")
+        )
+    posted = _scoped_persist(posted)
+    a = posted.where(F.col("__d") == 1).alias("a")  # delta side drives
+    b = posted.alias("b")
+    cand = (
+        a.join(b, on=["band_no", "band_bits"])
+        .where(F.col("a.key") != F.col("b.key"))
+        .select(
+            F.least(F.col("a.key"), F.col("b.key")).alias("id_a"),
+            F.greatest(F.col("a.key"), F.col("b.key")).alias("id_b"),
+            F.when(F.col("a.key") < F.col("b.key"), F.col("a.fp"))
+            .otherwise(F.col("b.fp"))
+            .alias("fp_a"),
+            F.when(F.col("a.key") < F.col("b.key"), F.col("b.fp"))
+            .otherwise(F.col("a.fp"))
+            .alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = None
+    for j in range(bits):
+        term = F.when(
+            F.col("fp_a").substr(j + 1, 1) != F.col("fp_b").substr(j + 1, 1),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        dist = term if dist is None else dist + term
+    return (
+        cand.withColumn("hamming_dist", dist)
+        .where(F.col("hamming_dist") <= radius)
+        .select("id_a", "id_b", "hamming_dist")
+    )
+
+
 def derive_block_cap(
     sizes: "list[int] | list[tuple[int, int]]", max_pairs_budget: int
 ) -> tuple[int, int, int]:

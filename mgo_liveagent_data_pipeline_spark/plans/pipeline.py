@@ -1686,6 +1686,73 @@ def q_dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_phash_inc_split():
+    """Fixture split for the incremental member: the perturbed copies
+    arrive as the DELTA against a standing corpus of the bases plus one
+    prior near-dup (13) — so the corpus-corpus pair 13-1 exists in a
+    batch run but must NOT be emitted by the incremental path."""
+    from ..operators.multimodal import phash_fixture_images
+
+    delta_ids = {10, 11, 12, 14, 15}
+    imgs = phash_fixture_images()
+    corpus = [c for c in imgs if c["img_id"] not in delta_ids]
+    delta = [c for c in imgs if c["img_id"] in delta_ids]
+    return corpus, delta
+
+
+def q_dedup_image_phash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual dedup (operators/dedup.py:
+    incremental_hamming_pairs): the fixture's perturbed copies ingest as
+    a delta against the standing corpus — delta-involved pairs emitted,
+    corpus×corpus pairs (13-1) provably absent. Driver-visible via the
+    ``img_dedup_inc`` mode of ``multimodal_suite``."""
+    from pyspark.sql import types as T
+
+    from ..operators.dedup import incremental_hamming_pairs
+    from ..operators.multimodal import real_image_dhash
+    from ..session import ship_package
+
+    ship_package(spark)
+    corpus, delta = _image_phash_inc_split()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def fps(rows):
+        df = spark.createDataFrame(
+            [(c["img_id"], bytearray(c["payload"])) for c in rows], schema
+        )
+        return real_image_dhash(df).select("key", F.col("dhash").alias("fp"))
+
+    return incremental_hamming_pairs(fps(corpus), fps(delta))
+
+
+def _image_phash_inc_sql() -> str:
+    """DuckDB twin: brute-force Hamming-≤7 pairs over the fixture's
+    expected hashes RESTRICTED to delta-involved pairs — the exactness
+    property of the incremental path."""
+    corpus, delta = _image_phash_inc_split()
+    vals = ", ".join(
+        f"({c['img_id']}, '{c['dhash']}', {int(c in delta)})"
+        for c in corpus + delta
+    )
+    ham = (
+        "list_sum(list_transform(range(1, 65), i -> CASE WHEN "
+        "substring(a.fp, CAST(i AS INT), 1) <> "
+        "substring(b.fp, CAST(i AS INT), 1) THEN 1 ELSE 0 END))"
+    )
+    return f"""
+    WITH items(k, fp, d) AS (VALUES {vals})
+    SELECT CAST(a.k AS BIGINT) AS id_a, CAST(b.k AS BIGINT) AS id_b,
+           CAST({ham} AS BIGINT) AS hamming_dist
+    FROM items a CROSS JOIN items b
+    WHERE a.k < b.k AND (a.d = 1 OR b.d = 1) AND {ham} <= 7
+    """
+
+
 def q_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-content near-dup over the deterministic WAV fixtures:
     genuine PCM decode → temporal-energy dHash → Hamming-banded pairs →
@@ -1721,6 +1788,7 @@ QUERIES = {
     "dedup_image_phash": q_dedup_image_phash,
     "dedup_audio_fp": q_dedup_audio_fp,
     "dedup_video_phash": q_dedup_video_phash,
+    "dedup_image_phash_inc": q_dedup_image_phash_inc,
     "dedup_apply": q_dedup_apply,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_salvage": q_dedup_minhash_salvage,
@@ -3865,6 +3933,8 @@ ORACLES: dict[str, str] = {
     # video dedup: per-frame dHash VALUES + cross-video frame-pair spec
     # + >=4-matching-frames video pairs + recursive CC
     "dedup_video_phash": _video_phash_sql(),
+    # incremental perceptual dedup: delta-involved brute-force pairs only
+    "dedup_image_phash_inc": _image_phash_inc_sql(),
     # SemDeDup verdicts (operators/dedup.py:semantic_dedup): deterministic
     # lowest-key centroids, highest-(csim, cluster_id) assignment,
     # (centroid_sim ASC, key ASC) in-cluster rank, dropped iff an

@@ -853,7 +853,7 @@ def q_u2_geocode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # branches count twice — the plan prints a node per reference). Update this
 # alongside the unionByName chain when adding a mode; tests/
 # test_plan_shapes.py derives its expected MapInPandas count from it.
-MULTIMODAL_PYTHON_BRANCHES = 16  # decode resize audio ra ral ri rirgb rp rprgb rj rjrgb rg rgrgb + img_dedup dhash + audio_dedup fp + video_dedup frames
+MULTIMODAL_PYTHON_BRANCHES = 18  # decode resize audio ra ral ri rirgb rp rprgb rj rjrgb rg rgrgb + img_dedup dhash + audio_dedup fp + video_dedup frames + img_dedup_inc corpus/delta hashes
 
 
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1115,6 +1115,17 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_dup").cast("long").alias("m1"),
         _null("long").alias("m2"),
     )
+    # img_dedup_inc: the delta-vs-corpus ingest path — the perturbed
+    # copies arrive as a delta; corpus-corpus pairs are provably absent
+    pin = pipeline.q_dedup_image_phash_inc(spark, sf_dir).select(
+        F.lit("img_dedup_inc").alias("mode"),
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("seq"),
+        _null("string").alias("digest"),
+        F.col("hamming_dist").alias("n_bytes"),
+        _null("long").alias("m1"),
+        _null("long").alias("m2"),
+    )
     return (
         dec.unionByName(fr).unionByName(rs).unionByName(au)
         .unionByName(ra).unionByName(ral)
@@ -1123,6 +1134,7 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rj).unionByName(rjrgb)
         .unionByName(rg).unionByName(rgrgb)
         .unionByName(pd_).unionByName(ad).unionByName(vd)
+        .unionByName(pin)
     )
 
 
@@ -1926,6 +1938,13 @@ ORACLES: dict[str, str] = {
             "'video_dedup' AS mode, video_id AS doc_id, keep_id AS seq, "
             "CAST(NULL AS VARCHAR) AS digest, n_frames AS n_bytes, "
             "is_dup AS m1, CAST(NULL AS BIGINT) AS m2",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["dedup_image_phash_inc"],
+            "'img_dedup_inc' AS mode, id_a AS doc_id, id_b AS seq, "
+            "CAST(NULL AS VARCHAR) AS digest, hamming_dist AS n_bytes, "
+            "CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2",
         )
     ),
     "s_rest_suite": (

@@ -775,6 +775,59 @@ def test_video_phash_dedup_matches_reencode_and_trim(spark):
     assert strict[11]["is_dup"] == 0 and strict[10]["is_dup"] == 1
 
 
+def test_incremental_hamming_pairs_matches_batch_restriction(spark):
+    """The incremental perceptual path equals the batch pairs restricted
+    to delta-involved endpoints: corpus-corpus evidence (13-1, present
+    in the batch run) must NOT be re-emitted by an ingest."""
+    from pyspark.sql import types as T
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        hamming_banded_pairs,
+        incremental_hamming_pairs,
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        phash_fixture_images,
+        real_image_dhash,
+    )
+    from pyspark.sql import functions as F
+
+    delta_ids = {10, 11, 12, 14, 15}
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def fps(rows):
+        df = spark.createDataFrame(
+            [(c["img_id"], bytearray(c["payload"])) for c in rows], schema
+        )
+        return real_image_dhash(df).select("key", F.col("dhash").alias("fp"))
+
+    imgs = phash_fixture_images()
+    corpus = [c for c in imgs if c["img_id"] not in delta_ids]
+    delta = [c for c in imgs if c["img_id"] in delta_ids]
+    inc = {
+        (r["id_a"], r["id_b"]): r["hamming_dist"]
+        for r in incremental_hamming_pairs(fps(corpus), fps(delta)).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"]): r["hamming_dist"]
+        for r in hamming_banded_pairs(fps(imgs)).collect()
+    }
+    release_intermediates()
+    want = {
+        k: v
+        for k, v in batch.items()
+        if k[0] in delta_ids or k[1] in delta_ids
+    }
+    assert inc == want
+    assert (1, 13) in batch and (1, 13) not in inc  # corpus-corpus excluded
+    assert (0, 10) in inc and inc[(0, 10)] == 0  # delta-vs-corpus found
+
+
 def test_real_decode_dispatches_all_codecs_and_rejects_unknown():
     import pytest
 

@@ -106,11 +106,15 @@ def test_multimodal_suite_is_arrow_batched_python(spark):
     # every Python-crossing branch is exactly ONE Arrow-batched MapInPandas
     # node; the expected branch count lives next to the suite's union chain
     # so adding a mode fails here with a named constant, not a magic total
-    heads = re.findall(r"^\(\d+\) MapInPandas", s, re.M)
+    heads = re.findall(r"^\((\d+)\) MapInPandas", s, re.M)
     assert len(heads) == MULTIMODAL_PYTHON_BRANCHES
-    # formatted explain prints each node twice (tree line + detail header):
-    # a mismatch means a branch smuggled in a second Python stage
-    assert s.count("MapInPandas") == 2 * len(heads)
+    # every MapInPandas mention in the tree carries a node id that has a
+    # detail header — a mismatch means a branch smuggled in an extra
+    # un-audited Python stage. (A plain 2x text count breaks on SELF-
+    # JOINED crossings: the incremental branch's postings subtree prints
+    # twice in the tree under ONE node id.)
+    tree_ids = set(re.findall(r"MapInPandas \((\d+)\)", s))
+    assert tree_ids == set(heads)
     assert "BatchEvalPython" not in s  # no row-at-a-time Python anywhere
 
 
