@@ -595,6 +595,60 @@ def q_stream_semantic_dedup(
     )
 
 
+def q_stream_media_dedup(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
+    """§2.8 + perceptual dedup composed: the pHash fixture corpus
+    ingested as MEDIA micro-batches, each decoded → dHashed →
+    delta-vs-corpus paired against the stored fingerprint index inside
+    foreachBatch, pairs and fingerprints MERGEd (streaming/windows.py:
+    stream_media_dedup). The drained pair table equals the full-corpus
+    banded pairs == the brute-force Hamming spec, whatever the split."""
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import phash_fixture_images
+    from ..streaming.windows import stream_media_dedup
+
+    base_dir = scratch_dir("mgo_stream_phash_")
+    fixture = spark.createDataFrame(
+        [(c["img_id"], bytearray(c["payload"])) for c in phash_fixture_images()],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    pairs_path, _index = stream_media_dedup(
+        spark, fixture, base_dir, n_state_partitions=n_state_partitions
+    )
+    return spark.read.parquet(pairs_path).select(
+        "id_a", "id_b", F.col("hamming_dist").cast("long").alias("hamming_dist")
+    )
+
+
+def _media_stream_pairs_sql() -> str:
+    """Brute-force Hamming-≤7 pairs over the pHash fixture's pre-pack
+    expected hashes — the drained streaming pair table's twin."""
+    from ..operators.multimodal import phash_fixture_images
+
+    vals = ", ".join(
+        f"({c['img_id']}, '{c['dhash']}')" for c in phash_fixture_images()
+    )
+    ham = (
+        "list_sum(list_transform(range(1, 65), i -> CASE WHEN "
+        "substring(a.fp, CAST(i AS INT), 1) <> "
+        "substring(b.fp, CAST(i AS INT), 1) THEN 1 ELSE 0 END))"
+    )
+    return f"""
+    WITH items(k, fp) AS (VALUES {vals})
+    SELECT CAST(a.k AS BIGINT) AS id_a, CAST(b.k AS BIGINT) AS id_b,
+           CAST({ham} AS BIGINT) AS hamming_dist
+    FROM items a CROSS JOIN items b
+    WHERE a.k < b.k AND {ham} <= 7
+    """
+
+
 def q_stream_scored_ingest(
     spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
 ) -> DataFrame:
@@ -657,6 +711,7 @@ QUERIES = {
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "stream_scored_ingest": q_stream_scored_ingest,
     "stream_semantic_dedup": q_stream_semantic_dedup,
+    "stream_media_dedup": q_stream_media_dedup,
     "stream_join_30m": q_stream_join_30m,
 }
 
@@ -720,6 +775,8 @@ ORACLES: dict[str, str] = {
     # drained streaming SemDeDup verdicts = full-corpus batch verdicts
     # (kept is monotone; flips close the later-arrival direction)
     "stream_semantic_dedup": _pipeline_oracles["dedup_semantic"],
+    # drained streaming media-dedup pairs == full-corpus brute-force spec
+    "stream_media_dedup": _media_stream_pairs_sql(),
     "k_cdc_apply": _CDC_SQL,
     "k_scd2_cdc": _SCD2CDC_SQL,
     # same algebra as k4_upsert_merge — but computed through a real

@@ -1234,10 +1234,10 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("dedup", persistence.q_stream_dedup_6h),
         ("merge_part", persistence.q_stream_merge_partitioned),
     )
-    # pool sized for EVERY submitted future (4 streaming singles + the
+    # pool sized for EVERY submitted future (5 streaming singles + the
     # mapped members) so no streaming member queues behind the others —
     # the fixed-cost fan-out overlap is the point of the pool
-    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 4) as ex:
+    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 5) as ex:
         join_fut = ex.submit(
             persistence.q_stream_join_30m, spark, sf_dir, None
         )
@@ -1256,6 +1256,11 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         incsem_fut = ex.submit(
             persistence.q_stream_semantic_dedup, spark, sf_dir, None
         )
+        # incphash: streaming perceptual MEDIA dedup — decode → dHash →
+        # delta-vs-corpus pairs against the stored fingerprint index
+        incphash_fut = ex.submit(
+            persistence.q_stream_media_dedup, spark, sf_dir, None
+        )
         done = list(
             ex.map(
                 lambda m: m[1](spark, sf_dir, n_state_partitions=None), members
@@ -1265,6 +1270,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         incdedup_df = incdedup_fut.result()
         scored_df = scored_fut.result()
         incsem_df = incsem_fut.result()
+        incphash_df = incphash_fut.result()
     parts = [
         df.select(
             F.lit(tag).alias("mode"),
@@ -1312,6 +1318,16 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("n_events"),
         F.col("jaccard_sim").alias("total_value"),
     )
+    incphash_part = incphash_df.select(
+        F.lit("incphash").alias("mode"),
+        F.concat_ws(
+            "|", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        ).alias("grp"),
+        _null("timestamp").alias("window_start"),
+        _null("timestamp").alias("window_end"),
+        F.col("id_b").alias("n_events"),
+        F.col("hamming_dist").cast("double").alias("total_value"),
+    )
     incsem_part = incsem_df.select(
         F.lit("incsem").alias("mode"),
         F.col("vec_id").cast("string").alias("grp"),
@@ -1332,6 +1348,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(incdedup_part)
         .unionByName(scored_part)
         .unionByName(incsem_part)
+        .unionByName(incphash_part)
     )
 
 
@@ -2031,6 +2048,15 @@ ORACLES: dict[str, str] = {
             "CAST(NULL AS TIMESTAMP) AS window_end, "
             "CAST(cluster_id AS BIGINT) AS n_events, "
             "CAST(kept AS DOUBLE) * 10 + centroid_sim AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _K["stream_media_dedup"],
+            "'incphash' AS mode, "
+            "CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR) AS grp, "
+            "CAST(NULL AS TIMESTAMP) AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "id_b AS n_events, CAST(hamming_dist AS DOUBLE) AS total_value",
         )
     ),
 }

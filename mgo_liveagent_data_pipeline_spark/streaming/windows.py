@@ -657,6 +657,113 @@ def stream_scored_ingest(
     )
 
 
+def stream_media_dedup(
+    spark: SparkSession,
+    media_df: DataFrame,
+    base_dir: str,
+    pairs_name: str = "phash_pairs",
+    index_name: str = "phash_index",
+    n_batches: int = 3,
+    radius: int = 7,
+    bands: int = 8,
+    n_state_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[str, str]:
+    """Continuous MEDIA ingestion with streaming perceptual dedup — the
+    streaming member of the perceptual family (the media analog of
+    ``stream_incremental_dedup``): each micro-batch of (doc_id, media)
+    payloads is pixel-decoded and dHashed, its fingerprints are
+    delta-vs-corpus paired against the STORED fingerprint index
+    (``operators.dedup.incremental_hamming_pairs``), then both the new
+    pairs and the batch's fingerprints MERGE into their tables.
+
+    Drained-output contract (the oracle): the accumulated pair table
+    equals the FULL-corpus ``hamming_banded_pairs`` — which provably
+    equals the brute-force Hamming spec at radius ≤ bands−1 — whatever
+    the batch split: a pair (x ∈ batch i, y ∈ batch j ≥ i) is emitted
+    when batch j arrives. Restart safety is the standard argument: the
+    hash is a pure per-payload map and both writes are idempotent keyed
+    MERGEs, so a crash-replayed batch recomputes identical rows.
+
+    Returns (pairs_path, index_path)."""
+    from ..operators.dedup import incremental_hamming_pairs
+    from ..operators.multimodal import real_image_dhash
+    from ..sinks.writers import ensure_table, table_path, upsert
+
+    stage = os.path.join(base_dir, "media_ingest")
+    os.makedirs(stage, exist_ok=True)
+    for b in range(n_batches):
+        tmp = os.path.join(base_dir, f"__mstage_{b}")
+        media_df.where(
+            F.col("doc_id") % n_batches == b
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(tmp, part),
+            os.path.join(stage, f"batch_{b:03d}.parquet"),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+    src_schema = spark.read.parquet(stage).schema
+    media_stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    index_path = ensure_table(
+        spark,
+        base_dir,
+        index_name,
+        spark.createDataFrame([], "key long, fp string"),
+    )
+    ensure_table(
+        spark,
+        base_dir,
+        pairs_name,
+        spark.createDataFrame(
+            [], "pk string, id_a long, id_b long, hamming_dist int"
+        ),
+    )
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        from ..session import ship_package
+
+        ship_package(spark)
+        delta_fps = real_image_dhash(batch_df).select(
+            "key", F.col("dhash").alias("fp")
+        )
+        index = spark.read.parquet(index_path)
+        pairs = incremental_hamming_pairs(
+            index, delta_fps, radius=radius, bands=bands
+        )
+        out = pairs.select(
+            F.concat_ws(
+                "|",
+                F.col("id_a").cast("string"),
+                F.col("id_b").cast("string"),
+            ).alias("pk"),
+            "id_a",
+            "id_b",
+            F.col("hamming_dist").cast("int").alias("hamming_dist"),
+        )
+        upsert(spark, out, base_dir, pairs_name, "pk")
+        upsert(spark, delta_fps, base_dir, index_name, "key")
+
+    with state_partitions(spark, n_state_partitions), _checkpoint(
+        checkpoint_dir
+    ) as ckpt:
+        q = (
+            media_stream.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return table_path(base_dir, pairs_name), index_path
+
+
 def stream_dedup_6h(
     spark: SparkSession,
     sf_dir: str,
