@@ -369,6 +369,129 @@ def test_stream_incremental_dedup_restart_exactly_once(spark, tmp_path):
     assert len({r["doc_id"] for r in corpus_rows}) == len(corpus_rows)
 
 
+def test_stream_media_dedup_restart_exactly_once(spark, tmp_path):
+    """Streaming perceptual media dedup under the worst-case crash
+    window: a mid-stream batch's pair/index MERGEs land but its offset
+    is not committed, then resume. The fingerprint is a pure per-payload
+    map and both writes are idempotent keyed MERGEs, so the replay
+    recomputes identical rows and the drained pair table equals the
+    full-corpus banded pairs."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        hamming_banded_pairs,
+        incremental_hamming_pairs,
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        phash_fixture_images,
+        real_image_dhash,
+    )
+    from mgo_liveagent_data_pipeline_spark.session import ship_package
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        ensure_table,
+        table_path,
+        upsert,
+    )
+
+    ship_package(spark)
+    imgs = phash_fixture_images()
+    # 3 batches split so cross-batch dup evidence exists: base 0 arrives
+    # in batch 0, its perturbed copies (10/11/12/14) in later batches
+    split = {0: {0, 1, 2}, 1: {3, 4, 10, 11}, 2: {12, 13, 14, 15}}
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+    src = tmp_path / "media_src"
+    src.mkdir()
+    for b, ids in split.items():
+        spark.createDataFrame(
+            [
+                (c["img_id"], bytearray(c["payload"]))
+                for c in imgs
+                if c["img_id"] in ids
+            ],
+            schema,
+        ).coalesce(1).write.parquet(str(src / f"batch_{b}.parquet"))
+    base = str(tmp_path / "media_tbl")
+    ckpt = str(tmp_path / "media_ckpt")
+    index_path = ensure_table(
+        spark, base, "idx", spark.createDataFrame([], "key long, fp string")
+    )
+    ensure_table(
+        spark, base, "pairs",
+        spark.createDataFrame(
+            [], "pk string, id_a long, id_b long, hamming_dist int"
+        ),
+    )
+    crash = {"armed": True}
+    merged = []
+
+    def merge_batch(batch_df, batch_id):
+        delta_fps = real_image_dhash(batch_df).select(
+            "key", F.col("dhash").alias("fp")
+        )
+        index = spark.read.parquet(index_path)
+        pairs = incremental_hamming_pairs(index, delta_fps)
+        out = pairs.select(
+            F.concat_ws(
+                "|", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+            ).alias("pk"),
+            "id_a", "id_b",
+            F.col("hamming_dist").cast("int").alias("hamming_dist"),
+        )
+        upsert(spark, out, base, "pairs", "pk")
+        upsert(spark, delta_fps, base, "idx", "key")
+        merged.append(batch_id)
+        if batch_id == 1 and crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after merges, before commit")
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+    assert merged.count(1) == 2, merged  # the crash batch replayed
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming_dist"]
+        for r in spark.read.parquet(table_path(base, "pairs")).collect()
+    }
+    all_df = spark.createDataFrame(
+        [(c["img_id"], bytearray(c["payload"])) for c in imgs], schema
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["hamming_dist"]
+        for r in hamming_banded_pairs(
+            real_image_dhash(all_df).select("key", F.col("dhash").alias("fp"))
+        ).collect()
+    }
+    release_intermediates()
+    assert got == want
+    # cross-batch evidence found: base 0 (batch 0) vs its copies
+    assert (0, 10) in got and (0, 12) in got and (0, 14) in got
+    # index holds each fingerprint exactly once despite the replay
+    idx = spark.read.parquet(index_path).collect()
+    assert len(idx) == len(imgs) == len({r["key"] for r in idx})
+
+
 def test_stream_scored_ingest_equals_batch_composition(spark):
     """Scored continuous ingestion (gate → ppl → incremental dedup per
     micro-batch) drains to exactly the batch composition: quality+ppl
