@@ -975,6 +975,7 @@ def _pack_gif_anim(
     return bytes(out)
 
 
+@_codec_guard("GIF")
 def real_gif_frames(payload: bytes) -> dict:
     """GENUINE multi-frame GIF decode: walks EVERY image descriptor of
     an animation (the single-frame ``real_gif_decode`` honestly refuses
@@ -2104,6 +2105,7 @@ def _gif_lzw_decode(data: bytes, min_code: int) -> bytes:
     return bytes(pixels)
 
 
+@_codec_guard("GIF")
 def real_gif_decode(payload: bytes, with_pixels: bool = False) -> dict:
     """GENUINE GIF decode with pure stdlib byte-walking: logical screen
     descriptor, global/local color tables, extension-block skipping, a
