@@ -1,0 +1,134 @@
+"""Link-graph analytics over extracted-URL edge relations.
+
+Web-corpus curation pipelines rank domains by link structure before
+sampling (CommonCrawl publishes harmonic-centrality/PageRank-style
+domain ranks exactly for this; RefinedWeb/CCNet-class pipelines consume
+them as seed-quality priors). The engine already extracts the edge
+relation (``operators/textops.py:extract_urls`` → registered domains);
+this module adds the iterative rank over it.
+
+Everything here is ENGINE-EXACT integer arithmetic: ranks are BIGINT
+micro-masses (``base`` units per node), each damping step is an integer
+multiply + integer (floor) division, so a DuckDB twin that unrolls the
+same iterations reproduces the ranks bit-for-bit — the property every
+driver oracle in this repo is built on. Floating-point PageRank would
+be engine- and even partitioning-dependent (float sums reorder).
+
+Reference tie-in: the reference has no graph operator (its corpus is
+helpdesk tickets, `/root/reference/core/extract/Extractor.py`); this is
+part of the training-data-pipeline extension surface, same as dedup/ANN.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import lineage_cut
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    base: int = 10**12,
+    checkpoint_every: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a (src, dst) edge relation.
+
+    Spec (chosen for exact cross-engine reproducibility, documented so
+    the DuckDB twin and any reimplementation agree to the last unit):
+
+    * edges are DISTINCT (src, dst) pairs — duplicate citations of the
+      same domain by the same source count once;
+    * nodes = every src ∪ dst; each starts with ``base`` units of rank;
+    * one iteration:
+        contrib(u→v) = rank(u) DIV out_deg(u)            (floor div)
+        rank'(v) = (100-d)·base DIV 100
+                 + (d · Σ_{u→v} contrib(u→v)) DIV 100
+      with d = ``damping_pct``. Dangling nodes (no out-edges) leak
+      their mass — the deliberately simple spec variant (no dangling
+      redistribution), stated here because implementations differ;
+    * ``iterations`` is FIXED, not convergence-tested: a fixed unroll
+      is what makes the computation a deterministic relational
+      expression both engines can evaluate identically.
+
+    Scale shape (the part that matters at 100 TB): the edge relation is
+    |domains|-keyed, orders of magnitude smaller than the corpus that
+    produced it, and is hash-partitioned on ``src`` ONCE before the
+    loop — each iteration is then one join on that partitioning plus
+    one groupBy(dst) shuffle of (dst, contrib) longs. Rank state is one
+    row per node. Lineage grows linearly with iterations, so every
+    ``checkpoint_every`` rounds the rank relation is cut with
+    ``lineage_cut`` (localCheckpoint locally; pass ``checkpoint_dir``
+    for reliable checkpoints on a real cluster — executor loss must not
+    recompute the whole unrolled chain).
+
+    Returns (node, rank, out_deg, in_deg): rank BIGINT after the final
+    iteration; out_deg/in_deg the distinct-edge degrees (0 when none).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    # one partitioning, reused by every iteration's build side
+    e = e.repartition("src").persist()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # contribution denominator rides WITH the edge so the loop join is
+    # edges⋈ranks only (degree join paid once, not per iteration)
+    ed = e.join(out_deg, "src")
+
+    teleport = ((100 - damping_pct) * base) // 100
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    for i in range(iterations):
+        inbound = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div out_deg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("m"))
+        )
+        ranks = nodes.join(inbound, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({damping_pct} * coalesce(m, 0)) div 100"
+                )
+            ).cast("long").alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = lineage_cut(ranks, checkpoint_dir, eager=True)
+
+    out = (
+        ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
+        .drop("src")
+        .join(in_deg, ranks["node"] == in_deg["dst"], "left")
+        .drop("dst")
+        .select(
+            "node",
+            "rank",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+    return out

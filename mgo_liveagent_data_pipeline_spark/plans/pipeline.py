@@ -1300,6 +1300,33 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs)
 
 
+def _web_text_fixture(docs: DataFrame) -> DataFrame:
+    """The deterministic web-text fixture shared by the URL/domain and
+    link-graph members: the synthetic documents carry no URLs, so three
+    are appended per doc (one ``https://www.``-prefixed with query
+    string, one bare ``http://``, one under a ``co.uk``/``com.ph``
+    multi-label public suffix), every byte derived from doc_id so both
+    engines build the identical string."""
+    dk = F.col("doc_id")
+    u1 = F.format_string(
+        "https://www.Sub%d.site%d.com/p/%d?ref=x", dk % 5, dk % 17, dk
+    )
+    u2 = F.format_string("http://cdn%d.example.org/asset/%d", dk % 3, dk)
+    u3 = F.when(
+        dk % 2 == 0,
+        F.format_string("http://shop%d.acme%d.co.uk/b/%d", dk % 4, dk % 7, dk),
+    ).otherwise(
+        F.format_string("https://portal%d.metro%d.com.ph/c/%d", dk % 4, dk % 7, dk)
+    )
+    return docs.select(
+        dk,
+        F.concat_ws(
+            " ", F.col("text"), F.lit("see"), u1, F.lit("and"), u2,
+            F.lit("or"), u3,
+        ).alias("web_text"),
+    )
+
+
 def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL extraction + domain rollup (operators/textops.py:extract_urls
     / domain_stats) over deterministic key-derived web text — the
@@ -1316,25 +1343,35 @@ def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textops import domain_stats, psl_dim
 
     docs = load_table(spark, sf_dir, "documents")
-    dk = F.col("doc_id")
-    u1 = F.format_string(
-        "https://www.Sub%d.site%d.com/p/%d?ref=x", dk % 5, dk % 17, dk
-    )
-    u2 = F.format_string("http://cdn%d.example.org/asset/%d", dk % 3, dk)
-    u3 = F.when(
-        dk % 2 == 0,
-        F.format_string("http://shop%d.acme%d.co.uk/b/%d", dk % 4, dk % 7, dk),
-    ).otherwise(
-        F.format_string("https://portal%d.metro%d.com.ph/c/%d", dk % 4, dk % 7, dk)
-    )
-    fixture = docs.select(
-        dk,
-        F.concat_ws(
-            " ", F.col("text"), F.lit("see"), u1, F.lit("and"), u2,
-            F.lit("or"), u3,
-        ).alias("web_text"),
-    )
+    fixture = _web_text_fixture(docs)
     return domain_stats(fixture, "web_text", "doc_id", psl=psl_dim(spark))
+
+
+def q_text_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain PageRank over the link graph the web-text fixture induces
+    (operators/graph.py:pagerank — fixed-unroll integer spec, see its
+    docstring): each doc's OWN domain is ``site{doc_id%%17}.com`` (the
+    registered domain of its first fixture URL, so every source node
+    carries a self-loop) and it cites the registered domains its text
+    links to (operators/textops.py:extract_urls + PSL rollup). The rank
+    a curation pass would join back as a per-domain quality prior —
+    CommonCrawl publishes exactly this relation for its crawl graph.
+    Driver-visible via the ``pr`` mode of ``text_corpus_stats``; the
+    oracle unrolls the same five integer iterations as CTEs."""
+    from ..operators.graph import pagerank
+    from ..operators.textops import extract_urls, psl_dim
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = extract_urls(
+        _web_text_fixture(docs), "web_text", "doc_id", psl=psl_dim(spark)
+    )
+    edges = u.select(
+        F.format_string("site%d.com", F.col("doc_id") % 17).alias("src"),
+        F.col("registered_domain").alias("dst"),
+    )
+    return pagerank(edges, iterations=5).select(
+        F.col("node").alias("domain"), "rank", "out_deg", "in_deg"
+    )
 
 
 def q_text_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1820,6 +1857,7 @@ QUERIES = {
     "text_bm25_search": q_text_bm25_search,
     "text_quality_filter": q_text_quality_filter,
     "text_url_domains": q_text_url_domains,
+    "text_pagerank": q_text_pagerank,
     "text_group_sample": q_text_group_sample,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
@@ -1895,6 +1933,92 @@ def _url_domains_sql() -> str:
 
 
 _URL_DOMAINS_SQL = _url_domains_sql()
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Unrolled-CTE mirror of q_text_pagerank: same web-text fixture and
+    URL→registered-domain extraction as _url_domains_sql, then the
+    integer PageRank spec (operators/graph.py:pagerank) as one CTE per
+    iteration — BIGINT floor divisions only, so the ranks are bit-equal
+    across engines by construction. DuckDB's SUM(BIGINT) widens to
+    HUGEINT; every intermediate stays exact and the final rank casts
+    back down."""
+    from ..operators.textops import PUBLIC_SUFFIXES
+
+    in_list = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES)
+    regdom = (
+        r"""CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                      IN (""" + in_list + r""")
+                  AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+                      <> ''
+                 THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+                 ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END"""
+    )
+    teleport = (15 * 10**12) // 100
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""r{i} AS (
+          SELECT n.node,
+                 CAST({teleport} + (85 * COALESCE(s.m, 0)) // 100
+                      AS BIGINT) AS rk
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rk // d.out_deg) AS m
+            FROM e JOIN r{i - 1} r ON r.node = e.src
+                   JOIN deg d ON d.src = e.src
+            GROUP BY 1) s ON s.node = n.node)"""
+        )
+    return (
+        r"""
+        WITH t AS (
+          SELECT doc_id,
+                 concat_ws(' ', text, 'see',
+                   printf('https://www.Sub%d.site%d.com/p/%d?ref=x',
+                          doc_id % 5, doc_id % 17, doc_id),
+                   'and',
+                   printf('http://cdn%d.example.org/asset/%d',
+                          doc_id % 3, doc_id),
+                   'or',
+                   CASE WHEN doc_id % 2 = 0
+                        THEN printf('http://shop%d.acme%d.co.uk/b/%d',
+                                    doc_id % 4, doc_id % 7, doc_id)
+                        ELSE printf('https://portal%d.metro%d.com.ph/c/%d',
+                                    doc_id % 4, doc_id % 7, doc_id) END
+                 ) AS web_text
+          FROM documents),
+        u AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(web_text, 'https?://[^\s]+'))
+                   AS url
+          FROM t),
+        h AS (
+          SELECT doc_id, url,
+                 regexp_replace(
+                   regexp_extract(
+                     lower(regexp_extract(url, 'https?://([^/?#\s]+)', 1)),
+                     '^(?:[^@]*@)?([^:]+)', 1),
+                   '^www\.', '') AS host
+          FROM u),
+        e AS (
+          SELECT DISTINCT printf('site%d.com', doc_id % 17) AS src,
+                 """ + regdom + r""" AS dst
+          FROM h),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+        ideg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY 1),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rk FROM nodes),
+        """ + ",\n        ".join(iters) + f"""
+        SELECT n.node AS domain, r{iterations}.rk AS rank,
+               CAST(COALESCE(deg.out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(ideg.in_deg, 0) AS BIGINT) AS in_deg
+        FROM nodes n JOIN r{iterations} ON r{iterations}.node = n.node
+        LEFT JOIN deg ON deg.src = n.node
+        LEFT JOIN ideg ON ideg.dst = n.node
+    """
+    )
+
+
+_PAGERANK_SQL = _pagerank_sql()
 
 # distinct word 3-shingles of a document (tokens on \s+, space-joined runs)
 _SHINGLES = r"""
@@ -4516,6 +4640,7 @@ ORACLES: dict[str, str] = {
     # same key-derived URL fixture as q_text_url_domains; extraction /
     # host normalization / registered-domain mirror extract_urls
     "text_url_domains": _URL_DOMAINS_SQL,
+    "text_pagerank": _PAGERANK_SQL,
     # the composed six-stage curation chain's per-stage ledger
     "curation_pipeline": _curation_sql(),
     # the nine-stage SCORED chain (model gates composed in, BPE budgets)
