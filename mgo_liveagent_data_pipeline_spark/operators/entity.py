@@ -1,0 +1,237 @@
+"""Entity resolution (record linkage): blocking → multi-field fuzzy
+scoring → connected components → survivorship (golden records).
+
+The reference deduplicates users by EXACT key only (MERGE on id,
+`/root/reference/core/extract/helpers/extractor_bq_helpers.py:159-169`);
+real helpdesk/CRM corpora carry the same customer under re-typed names,
+reformatted phones, and truncated addresses. This module is the
+content-granularity lift for RECORDS, exactly as SemDeDup/MinHash are
+for documents — and it reuses the engine's pair machinery end to end
+(``dedup.connected_components`` for clustering).
+
+Everything is engine-exact integer arithmetic (milli-scores, floor
+divisions) and deterministic survivorship rules, so the DuckDB twin
+reproduces golden records bit-for-bit.
+
+At 100 TB: pairs are generated only WITHIN blocks (the classic ER
+blocking bound — no block, no pair), the pair relation carries keys and
+small ints only, clustering shuffles (node, label) pairs, and the
+golden-record aggregation is one groupBy(entity) over the records
+relation. Oversized blocks are refused loudly (``max_block``) rather
+than silently exploding — the same degrade-to-no-evidence contract the
+LSH bucket caps follow.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import connected_components
+
+# survivorship strategies — every one a deterministic aggregate:
+#   first_by_key: the value carried by the entity's lowest record key
+#   min / max:    plain extrema (SQL semantics: NULLs ignored)
+#   longest:      max by (length, value) — the padded-string encoding
+#                 makes the composite ordering one comparable value
+SURVIVORSHIP = ("first_by_key", "min", "max", "longest")
+
+
+def _norm_tokens(col):
+    """Lowercased distinct whitespace tokens — the name-comparison
+    universe. array_distinct AFTER lower() so case variants collapse;
+    NULL names become the empty token set, not a NULL that poisons the
+    score arithmetic."""
+    return F.coalesce(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.trim(col)), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ),
+        F.array().cast("array<string>"),
+    )
+
+
+def _digits(col):
+    """Phone normalization: digits only — '25-989-741' == '25989741'.
+    NULL phones normalize to '' (no phone evidence), never NULL."""
+    return F.coalesce(F.regexp_replace(col, r"[^0-9]", ""), F.lit(""))
+
+
+def entity_pairs(
+    records: DataFrame,
+    key_col: str = "rec_id",
+    block_col: str = "block_key",
+    name_col: str = "name",
+    phone_col: str = "phone",
+    *,
+    name_weight: int = 500,
+    phone_weight: int = 500,
+    threshold_milli: int = 450,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Candidate pairs with an integer match score.
+
+    Score spec (fixed, engine-exact):
+      jac_milli  = 1000·|A∩B| // |A∪B| over lowercased distinct name
+                   tokens (0 when either side is empty),
+      phone_eq   = 1 iff both digit-normalized phones are non-empty and
+                   equal,
+      score      = phone_weight·phone_eq + name_weight·jac_milli // 1000.
+
+    Pairs are emitted only within ``block_col`` groups with
+    ``key_col``(a) < ``key_col``(b) and score ≥ ``threshold_milli``.
+    A block larger than ``max_block`` raises — blocking is the ER scale
+    contract, and a degenerate block key (one giant block) must fail
+    loudly, not run |block|² quietly.
+
+    Returns (id_a, id_b, score_milli).
+    """
+    oversized = (
+        records.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_block)
+        .limit(1)
+        .collect()
+    )
+    if oversized:
+        r = oversized[0]
+        raise ValueError(
+            f"entity_pairs: block {r[block_col]!r} has {r['n']} records "
+            f"(max_block={max_block}) — refine the blocking key"
+        )
+    base = records.select(
+        F.col(block_col).alias("bk"),
+        F.col(key_col).alias("k"),
+        _norm_tokens(F.col(name_col)).alias("toks"),
+        _digits(F.col(phone_col)).alias("ph"),
+    )
+    a = base.select(
+        F.col("bk"),
+        F.col("k").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("ph").alias("ph_a"),
+    )
+    b = base.select(
+        F.col("bk"),
+        F.col("k").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("ph").alias("ph_b"),
+    )
+    p = a.join(b, "bk").where(F.col("id_a") < F.col("id_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac_milli = F.when(
+        union > 0,
+        F.expr(
+            "1000 * size(array_intersect(toks_a, toks_b))"
+            " div size(array_union(toks_a, toks_b))"
+        ),
+    ).otherwise(F.lit(0))
+    phone_eq = (
+        (F.col("ph_a") != F.lit(""))
+        & (F.col("ph_b") != F.lit(""))
+        & (F.col("ph_a") == F.col("ph_b"))
+    ).cast("long")
+    score = (
+        F.lit(phone_weight) * phone_eq
+        + F.expr(f"{name_weight} * jac div 1000")
+    )
+    return (
+        p.withColumn("jac", jac_milli)
+        .withColumn("score_milli", score)
+        .where(F.col("score_milli") >= threshold_milli)
+        .select("id_a", "id_b", "score_milli")
+    )
+
+
+def resolve_entities(
+    records: DataFrame,
+    key_col: str = "rec_id",
+    block_col: str = "block_key",
+    name_col: str = "name",
+    phone_col: str = "phone",
+    *,
+    name_weight: int = 500,
+    phone_weight: int = 500,
+    threshold_milli: int = 450,
+    max_block: int = 10_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Record → entity assignment: ``entity_pairs`` evidence through
+    connected components; records with no pair form singleton entities.
+    entity_id = the minimum record key in the component (the same
+    canonical-min convention every dedup cluster in this repo uses).
+
+    Returns (``key_col``, entity_id, n_records).
+    """
+    pairs = entity_pairs(
+        records,
+        key_col,
+        block_col,
+        name_col,
+        phone_col,
+        name_weight=name_weight,
+        phone_weight=phone_weight,
+        threshold_milli=threshold_milli,
+        max_block=max_block,
+    )
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
+    assigned = (
+        records.select(F.col(key_col))
+        .join(cc, records[key_col] == cc["node"], "left")
+        .select(
+            F.col(key_col),
+            F.coalesce("cluster_id", F.col(key_col)).alias("entity_id"),
+        )
+    )
+    sizes = assigned.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    return assigned.join(sizes, "entity_id").select(
+        key_col, "entity_id", "n_records"
+    )
+
+
+def golden_records(
+    records: DataFrame,
+    assignment: DataFrame,
+    key_col: str = "rec_id",
+    *,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Survivorship: one golden record per entity, each field chosen by
+    its rule (see ``SURVIVORSHIP``). ``longest`` breaks length ties by
+    value (max), so every rule is a total-order aggregate — the round-4
+    lesson (a survivorship rule that is not a total order is an
+    engine-dependent golden record).
+
+    Returns (entity_id, n_records, <one column per rule key>).
+    """
+    for col, rule in rules.items():
+        if rule not in SURVIVORSHIP:
+            raise ValueError(f"unknown survivorship rule {rule!r} for {col}")
+    j = records.join(assignment, key_col)
+    aggs = [F.count(F.lit(1)).alias("n_records")]
+    for col, rule in rules.items():
+        if rule == "first_by_key":
+            aggs.append(F.min_by(F.col(col), F.col(key_col)).alias(col))
+        elif rule == "min":
+            aggs.append(F.min(col).alias(col))
+        elif rule == "max":
+            aggs.append(F.max(col).alias(col))
+        else:  # longest: max of '<len08>|<value>', decoded after the agg
+            enc = F.concat(
+                F.lpad(F.length(col).cast("string"), 8, "0"),
+                F.lit("|"),
+                F.col(col),
+            )
+            aggs.append(F.max(enc).alias(f"__enc_{col}"))
+    out = j.groupBy("entity_id").agg(*aggs)
+    for col, rule in rules.items():
+        if rule == "longest":
+            out = out.withColumn(
+                col, F.substring(F.col(f"__enc_{col}"), 10, 1_000_000)
+            ).drop(f"__enc_{col}")
+    return out

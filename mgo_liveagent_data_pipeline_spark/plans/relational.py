@@ -592,6 +592,82 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(events, "user_id", "ts")
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (operators/entity.py): the customer
+    table plays a dirty CRM extract — every customer contributes its
+    base record plus deterministic re-typed variants (``%3``: lowercased
+    name + ' inc' suffix, same phone; ``%6``: uppercased name, phone
+    digits reformatted; ``%5``: lowercased name, phone LOST) — then
+    blocking on nationkey → integer milli-scored pairs (name token
+    Jaccard + digit-normalized phone equality) → connected components →
+    survivorship golden records (name = lowest-key record's spelling,
+    phone = min non-null, address = longest). Each variant reaches its
+    base through a DIFFERENT evidence path (phone+name, phone-only
+    after reformat, name-only after phone loss), so the oracle checks
+    all three link rules plus the blocking bound and every survivorship
+    strategy. The reference's user dedup is exact-key MERGE only
+    (core/extract/helpers/extractor_bq_helpers.py:159-169); this is the
+    content-granularity lift a real CRM corpus needs. Driver-visible
+    via the ``er`` mode of ``metrics_new_vs_existing``."""
+    from ..operators.entity import golden_records, resolve_entities
+
+    k = F.col("c_custkey")
+    # the synthetic customer table carries no contact columns — derive
+    # phone/address from the key so both engines build identical bytes
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.format_string(
+            "%02d-%03d-%04d", k % 80 + 10, k % 1000, k % 10000
+        ).alias("c_phone"),
+        F.format_string(
+            "%d %s Street", k % 97, F.col("c_mktsegment")
+        ).alias("c_address"),
+    )
+    cols = lambda rid, name, phone, addr: [  # noqa: E731
+        rid.alias("rec_id"), name.alias("name"), phone.alias("phone"),
+        addr.alias("address"), F.col("c_nationkey").alias("block_key"),
+    ]
+    base = c.select(
+        *cols(k * 10, F.col("c_name"), F.col("c_phone"), F.col("c_address"))
+    )
+    v1 = c.where(k % 3 == 0).select(
+        *cols(
+            k * 10 + 1,
+            F.concat(F.lower("c_name"), F.lit(" inc")),
+            F.col("c_phone"),
+            F.concat(
+                F.col("c_address"), F.lit(" suite "),
+                (k % 10).cast("string"),
+            ),
+        )
+    )
+    v2 = c.where(k % 6 == 0).select(
+        *cols(
+            k * 10 + 2,
+            F.upper("c_name"),
+            F.regexp_replace("c_phone", "-", ""),
+            F.substring("c_address", 1, 5),
+        )
+    )
+    v3 = c.where(k % 5 == 0).select(
+        *cols(
+            k * 10 + 3,
+            F.lower("c_name"),
+            F.lit(None).cast("string"),
+            F.col("c_address"),
+        )
+    )
+    records = base.unionByName(v1).unionByName(v2).unionByName(v3)
+    asg = resolve_entities(records)
+    return golden_records(
+        records,
+        asg,
+        rules={"name": "first_by_key", "phone": "min", "address": "longest"},
+    )
+
+
 def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score standardization
     (operators/aggregations.py:standardize): event values scaled against
@@ -1297,6 +1373,79 @@ ORACLES: dict[str, str] = {
         FROM active a JOIN first f USING (user_id)
         GROUP BY 1, 2
     """,
+    # entity resolution: same dirty-variant fixture, same integer
+    # milli-score spec (operators/entity.py:entity_pairs docstring),
+    # recursive-CTE connected components, and the three survivorship
+    # aggregates (arg_min / min / padded-length max)
+    "entity_resolution": r"""
+        WITH RECURSIVE cust AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 printf('%02d-%03d-%04d', c_custkey % 80 + 10,
+                        c_custkey % 1000, c_custkey % 10000) AS c_phone,
+                 printf('%d %s Street', c_custkey % 97, c_mktsegment)
+                   AS c_address
+          FROM customer),
+        recs AS (
+          SELECT c_custkey * 10 AS rec_id, c_name AS name,
+                 c_phone AS phone, c_address AS address,
+                 c_nationkey AS bk
+          FROM cust
+          UNION ALL
+          SELECT c_custkey * 10 + 1, lower(c_name) || ' inc', c_phone,
+                 c_address || ' suite ' || CAST(c_custkey % 10 AS VARCHAR),
+                 c_nationkey
+          FROM cust WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey * 10 + 2, upper(c_name),
+                 replace(c_phone, '-', ''), substr(c_address, 1, 5),
+                 c_nationkey
+          FROM cust WHERE c_custkey % 6 = 0
+          UNION ALL
+          SELECT c_custkey * 10 + 3, lower(c_name), NULL, c_address,
+                 c_nationkey
+          FROM cust WHERE c_custkey % 5 = 0),
+        prep AS (
+          SELECT rec_id, bk, name, phone, address,
+                 COALESCE(list_distinct(list_filter(
+                   string_split_regex(lower(trim(name)), '\s+'),
+                   x -> x <> '')), []) AS toks,
+                 COALESCE(regexp_replace(phone, '[^0-9]', '', 'g'), '')
+                   AS ph
+          FROM recs),
+        pairs AS (
+          SELECT a.rec_id AS id_a, b.rec_id AS id_b
+          FROM prep a JOIN prep b
+            ON a.bk = b.bk AND a.rec_id < b.rec_id
+          WHERE (CASE WHEN a.ph <> '' AND b.ph <> '' AND a.ph = b.ph
+                      THEN 500 ELSE 0 END)
+              + 500 * (CASE WHEN length(list_distinct(
+                                 list_concat(a.toks, b.toks))) > 0
+                       THEN 1000 * length(list_intersect(a.toks, b.toks))
+                            // length(list_distinct(
+                                 list_concat(a.toks, b.toks)))
+                       ELSE 0 END) // 1000
+              >= 450),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        comp AS (SELECT node, min(lbl) AS entity_id FROM walk GROUP BY node),
+        asg AS (
+          SELECT p.rec_id, COALESCE(c.entity_id, p.rec_id) AS entity_id
+          FROM prep p LEFT JOIN comp c ON c.node = p.rec_id)
+        SELECT a.entity_id,
+               CAST(count(*) AS BIGINT) AS n_records,
+               arg_min(r.name, r.rec_id) AS name,
+               min(r.phone) AS phone,
+               substr(max(lpad(CAST(length(r.address) AS VARCHAR), 8, '0')
+                          || '|' || r.address), 10) AS address
+        FROM asg a JOIN prep r ON r.rec_id = a.rec_id
+        GROUP BY 1
+    """,
     # decimal-exact per-group moments → double scalars, mirroring
     # operators/aggregations.py:standardize expression-for-expression
     "zscore": """
@@ -1639,6 +1788,7 @@ QUERIES = {
     "table_diff": q_table_diff,
     "funnel": q_funnel,
     "retention_cohorts": q_retention_cohorts,
+    "entity_resolution": q_entity_resolution,
     "j8_range_join": q_j8_range_join,
     "ht_rollup": q_ht_rollup,
     "kmv_distinct": q_kmv_distinct,

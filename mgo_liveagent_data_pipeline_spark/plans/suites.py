@@ -144,9 +144,12 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     at member level), the snapshot diff summary (``diff`` mode —
     added/removed/changed/unchanged key counts,
     operators/setops.py:table_diff), the 24 h ordered funnel (``funnel``
-    mode, operators/behavior.py:funnel) and the weekly retention
+    mode, operators/behavior.py:funnel), the weekly retention
     triangle (``cohort`` mode,
-    operators/behavior.py:retention_cohorts)."""
+    operators/behavior.py:retention_cohorts) and, since round 9, the
+    entity-resolution golden records (``er`` mode — blocking → integer
+    milli-scored pairs → connected components → survivorship,
+    operators/entity.py)."""
     counts = relational.q_metrics_new_vs_existing(spark, sf_dir).select(
         F.lit("counts").alias("mode"),
         _null("string").alias("key_s"),
@@ -187,11 +190,22 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("long").alias("n3"),
         _null("string").alias("top_s"),
     )
+    # er: entity-resolution golden records — name survives in key_s,
+    # phone|address in top_s, entity id + cluster size hash-checked
+    er = relational.q_entity_resolution(spark, sf_dir).select(
+        F.lit("er").alias("mode"),
+        F.col("name").alias("key_s"),
+        F.col("entity_id").alias("n1"),
+        F.col("n_records").alias("n2"),
+        _null("long").alias("n3"),
+        F.concat_ws("|", "phone", "address").alias("top_s"),
+    )
     return (
         counts.unionByName(prof)
         .unionByName(diff)
         .unionByName(fun)
         .unionByName(coh)
+        .unionByName(er)
     )
 
 
@@ -430,7 +444,10 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/textops.py:dsir_gumbel_topk) and ``bpe`` rows (real
     subword token counts from BPE merge application,
     operators/textops.py:bpe_encode — the suite's one Arrow-batched
-    Python crossing, matching where production tokenizers live)."""
+    Python crossing, matching where production tokenizers live); since
+    round 9, ``pr`` rows (fixed-unroll integer domain PageRank over the
+    web-text link graph, operators/graph.py:pagerank — rank rides key_n
+    so it is hash-checked to the unit, n packs out_deg*1000 + in_deg)."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -582,6 +599,15 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         F.col("n_bpe_tokens").alias("n"),
     )
+    # pr: integer domain PageRank over the web-text link graph — rank
+    # rides key_n (hash-checked to the unit) and n packs both degrees
+    pr = pipeline.q_text_pagerank(spark, sf_dir).select(
+        F.lit("pr").alias("mode"),
+        F.col("domain").alias("key_s"),
+        F.col("rank").alias("key_n"),
+        _null("double").alias("metric"),
+        (F.col("out_deg") * 1000 + F.col("in_deg")).alias("n"),
+    )
     return (
         tfidf.unionByName(sample)
         .unionByName(rep_tok)
@@ -602,6 +628,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir)
         .unionByName(dsirsel)
         .unionByName(bpe)
+        .unionByName(pr)
     )
 
 
@@ -1496,6 +1523,13 @@ ORACLES: dict[str, str] = {
             "week_no AS n1, n_users AS n2, CAST(NULL AS BIGINT) AS n3, "
             "CAST(NULL AS VARCHAR) AS top_s",
         )
+        + " UNION ALL "
+        + _tagged(
+            _R["entity_resolution"],
+            "'er' AS mode, name AS key_s, entity_id AS n1, "
+            "n_records AS n2, CAST(NULL AS BIGINT) AS n3, "
+            "concat_ws('|', phone, address) AS top_s",
+        )
     ),
     "a2_a3_distinct_suite": (
         _tagged(
@@ -1758,6 +1792,13 @@ ORACLES: dict[str, str] = {
             "'bpe' AS mode, CAST(n_words AS VARCHAR) AS key_s, "
             "doc_id AS key_n, CAST(NULL AS DOUBLE) AS metric, "
             "n_bpe_tokens AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_pagerank"],
+            "'pr' AS mode, domain AS key_s, \"rank\" AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, "
+            "out_deg * 1000 + in_deg AS n",
         )
     ),
     "f11_f12_schedule_safecast": """

@@ -1,0 +1,96 @@
+"""Entity resolution (operators/entity.py): pair scoring spec,
+clustering with singletons, survivorship rules."""
+from __future__ import annotations
+
+import pytest
+
+
+RECORDS = [
+    # (rec_id, block, name, phone, address)  — entity A: 3 variants
+    (10, 1, "Acme Metals Corp", "25-989-741", "12 Dock Rd"),
+    (11, 1, "acme metals corp inc", "25989741", "12 Dock Road Pier 4"),
+    (12, 1, "ACME METALS CORP", None, "12 D"),          # name-only link
+    # entity B: phone matches, names disjoint → phone evidence alone
+    # (500) >= threshold 450
+    (20, 1, "Blue Harbour Ltd", "77-111-222", "9 Quay St"),
+    (21, 1, "BH Logistics", "77111222", "9 Quay Street"),
+    # entity C: singleton (no evidence against anyone)
+    (30, 1, "Cedar Freight", "55-000-111", "1 Yard Ln"),
+    # entity D: same name tokens as A but different BLOCK → never paired
+    (40, 2, "Acme Metals Corp", "25-989-741", "99 Other St"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        RECORDS, ["rec_id", "block_key", "name", "phone", "address"]
+    )
+
+
+def test_entity_pairs_score_spec(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.entity import entity_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["score_milli"]
+        for r in entity_pairs(_df(spark)).collect()
+    }
+    # 10-11: phone eq (500) + jaccard {acme,metals,corp} vs +{inc}
+    #        = 3/4 → 750 milli → 500*750//1000 = 375 → 875
+    assert got[(10, 11)] == 875
+    # 10-12: no phone (NULL side), names identical after lower → 500
+    assert got[(10, 12)] == 500
+    # 11-12: phone digits differ-vs-empty → 0; jac 3/4 → 375 < 450: absent
+    assert (11, 12) not in got
+    # 20-21: phone eq only, names disjoint → 500
+    assert got[(20, 21)] == 500
+    # cross-entity and cross-block pairs never appear
+    assert all(a // 10 == b // 10 for a, b in got)
+
+
+def test_resolve_and_golden_records(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        golden_records,
+        resolve_entities,
+    )
+
+    df = _df(spark)
+    asg = resolve_entities(df)
+    by_rec = {r["rec_id"]: (r["entity_id"], r["n_records"]) for r in asg.collect()}
+    # A: 10,11,12 one entity (12 joins via the 10-12 name edge) — min id
+    assert by_rec[10] == by_rec[11] == by_rec[12] == (10, 3)
+    assert by_rec[20] == by_rec[21] == (20, 2)
+    assert by_rec[30] == (30, 1)  # singleton keeps itself
+    assert by_rec[40] == (40, 1)  # blocked away from A
+
+    g = {
+        r["entity_id"]: r
+        for r in golden_records(
+            df,
+            asg,
+            rules={
+                "name": "first_by_key",
+                "phone": "min",
+                "address": "longest",
+            },
+        ).collect()
+    }
+    assert g[10]["name"] == "Acme Metals Corp"        # lowest-key record
+    assert g[10]["phone"] == "25-989-741"             # min ignores NULL
+    assert g[10]["address"] == "12 Dock Road Pier 4"  # longest
+    assert g[30]["n_records"] == 1 and g[30]["name"] == "Cedar Freight"
+    # longest tie-break is by value: two same-length addresses pick max
+    assert g[20]["address"] == "9 Quay Street"
+
+
+def test_oversized_block_refused(spark):
+    from mgo_liveagent_data_pipeline_spark.operators.entity import entity_pairs
+
+    df = _df(spark)
+    with pytest.raises(ValueError, match="refine the blocking"):
+        entity_pairs(df, max_block=3)
+    with pytest.raises(ValueError, match="unknown survivorship"):
+        from mgo_liveagent_data_pipeline_spark.operators.entity import (
+            golden_records,
+        )
+
+        golden_records(df, df.select("rec_id"), rules={"name": "modal"})
