@@ -116,15 +116,28 @@ def hypertable_rollup(
     avoid; callers release via ``dedup.release_intermediates`` like the
     other multi-branch operators.
     """
+    hourly = df.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast(MONEY)).alias("__total"),
+    )
+    return hypertable_rollup_from_hourly(hourly)
+
+
+def hypertable_rollup_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The coarsening half of ``hypertable_rollup``, split out so an
+    INCREMENTALLY-maintained hourly relation can feed it: ``hourly`` is
+    (bucket_ts, n_events, __total DECIMAL) — either the raw scan's
+    hourly pass (the batch caller above) or the read-time fold of
+    streamed per-batch partials (streaming/windows.py:
+    stream_hypertable_rollup, TimescaleDB's real-time-view shape).
+    Because every level is an exact decimal/long re-aggregation, the two
+    producers yield bit-identical unions — which is what lets ONE oracle
+    check both."""
     from .dedup import _scoped_persist
 
-    hourly = _scoped_persist(
-        df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col(value_col).cast(MONEY)).alias("__total"),
-        )
-    )
+    hourly = _scoped_persist(hourly)
     daily = _scoped_persist(
         hourly.groupBy(F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts"))
         .agg(

@@ -348,6 +348,7 @@ def ivf_topk(
     query_key: str = "query_id",
     n_probes: int = 1,
     centroids: DataFrame | None = None,
+    corpus_preassigned: bool = False,
 ) -> DataFrame:
     """IVF probe: route each query to its ``n_probes`` nearest centroids,
     scan only those posting lists. Approximate (recall < 1 vs brute force)
@@ -369,7 +370,16 @@ def ivf_topk(
     oracle-exact mode the driver contract checks. Pass
     ``centroids=ivf_centroids_kmeans(corpus)`` for Lloyd-refined centroids
     with nearest-centroid posting lists — the production mode; the plan
-    shape (broadcast route + pruned posting-list scan) is identical."""
+    shape (broadcast route + pruned posting-list scan) is identical.
+
+    ``corpus_preassigned=True`` (requires ``centroids``) declares that
+    ``corpus`` IS a stored index already carrying ``cluster_id`` — the
+    query-time path of an index maintained incrementally (see
+    streaming/windows.py:stream_ann_ingest): no assignment scan runs,
+    the posting lists are read as stored. The caller owns the contract
+    that the stored assignments were produced by ``assign_nearest``
+    against the SAME frozen centroid artifact — the versioned-artifact
+    rule every stored index in this repo follows."""
     cents = (
         centroids
         if centroids is not None
@@ -392,7 +402,18 @@ def ivf_topk(
     )
 
     # scan only the probed cluster's posting list (partition-pruned at scale)
-    if centroids is None:
+    if corpus_preassigned:
+        if centroids is None:
+            raise ValueError(
+                "corpus_preassigned requires the centroid artifact the "
+                "stored assignments were built with"
+            )
+        c = corpus.select(
+            F.col(key_col).alias("corpus_id"),
+            "cluster_id",
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+    elif centroids is None:
         c = corpus.select(
             F.col(key_col).alias("corpus_id"),
             F.col(label_col).alias("cluster_id"),

@@ -31,6 +31,7 @@ from . import pipeline as _pipe
 from .parity import _elt_parity_sql
 from .pipeline import ORACLES as _pipeline_oracles
 from .relational import MONEY
+from .relational import ORACLES as _relational_oracles
 
 
 def q_k_materialized_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,6 +680,125 @@ def q_stream_scored_ingest(
     )
 
 
+def q_stream_hypertable_rollup(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
+    """§2.8 + the continuous aggregate composed: events ingested as
+    micro-batches, each folded to hourly partials keyed by
+    (batch_id, bucket) and MERGEd idempotently (streaming/windows.py:
+    stream_hypertable_rollup — additivity moves to read time, which is
+    what makes crash replay safe for an ADDITIVE aggregate). The live
+    rollup is the read-time fold of partials through
+    ``hypertable_rollup_from_hourly``; decimal/long associativity makes
+    it equal the batch ``hypertable_rollup`` for any split, so the batch
+    ``ht_rollup`` oracle checks the streaming run verbatim."""
+    from ..operators.aggregations import hypertable_rollup_from_hourly
+    from ..streaming.windows import stream_hypertable_rollup
+
+    base_dir = scratch_dir("mgo_stream_cagg_")
+    partials_path = stream_hypertable_rollup(
+        spark, sf_dir, base_dir, n_state_partitions=n_state_partitions
+    )
+    partials = spark.read.parquet(partials_path)
+    hourly = partials.groupBy("bucket_ts").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total").alias("__total"),
+    )
+    return hypertable_rollup_from_hourly(hourly)
+
+
+def q_stream_ann_ingest(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
+    """§2.8 + ANN index maintenance composed: embedding micro-batches
+    assigned to frozen centroids and MERGEd into a stored IVF
+    posting-list table (streaming/windows.py:stream_ann_ingest), then
+    queried THROUGH the stored index — ``ivf_topk`` with
+    ``corpus_preassigned=True`` reads posting lists as stored, no
+    assignment scan. Assignment is a pure per-vector map of the frozen
+    artifact, so the drained 2-probe top-5 equals the batch ivf_topk
+    with the same centroids for any split; the oracle mirrors the
+    nearest-centroid assignment + probe in SQL."""
+    from ..operators.annsearch import ivf_topk
+    from ..streaming.windows import stream_ann_ingest
+
+    base_dir = scratch_dir("mgo_stream_annivf_")
+    index_path, cents = stream_ann_ingest(
+        spark, sf_dir, base_dir, n_state_partitions=n_state_partitions
+    )
+    index = spark.read.parquet(index_path).withColumnRenamed(
+        "cv", "embedding"
+    )
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivf_topk(
+        index,
+        queries,
+        k=5,
+        query_key="query_id",
+        n_probes=2,
+        centroids=cents,
+        corpus_preassigned=True,
+    )
+
+
+def _ivf_ingest_oracle(n_probes: int = 2, k: int = 5) -> str:
+    """Mirror of q_stream_ann_ingest's drained query: nearest-centroid
+    assignment of EVERY corpus vector (ties → highest cluster_id, as
+    operators/annsearch.py:assign_nearest), then the standard IVF probe
+    (ties → lowest cluster_id) over the assigned posting lists."""
+    cos_qc = _pipe._COSINE.format(a="q.qv", b="c.centroid")
+    cos_vc = _pipe._COSINE.format(a="v.cv", b="c.centroid")
+    cos_vq = _pipe._COSINE.format(a="a.cv", b="p.qv")
+    return f"""
+        WITH cents AS (
+          SELECT label AS cluster_id,
+                 arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                         vec_id) AS centroid
+          FROM embeddings GROUP BY label),
+        v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+        assigned AS (
+          SELECT vec_id, cv, cluster_id FROM (
+            SELECT v.vec_id, v.cv, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY round({cos_vc}, 6) DESC,
+                              c.cluster_id DESC) AS rn
+            FROM v CROSS JOIN cents c) WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        probe AS (
+          SELECT query_id, qv, cluster_id FROM (
+            SELECT q.query_id, q.qv, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY round({cos_qc}, 6) DESC,
+                              c.cluster_id ASC) AS rn
+            FROM q CROSS JOIN cents c) WHERE rn <= {n_probes}),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS corpus_id,
+                 round({cos_vq}, 6) AS cosine_sim
+          FROM assigned a JOIN probe p ON a.cluster_id = p.cluster_id
+          WHERE a.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC,
+                                             corpus_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= {k}
+    """
+
+
 def q_stream_join_30m(
     spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 2
 ) -> DataFrame:
@@ -712,6 +832,8 @@ QUERIES = {
     "stream_scored_ingest": q_stream_scored_ingest,
     "stream_semantic_dedup": q_stream_semantic_dedup,
     "stream_media_dedup": q_stream_media_dedup,
+    "stream_hypertable_rollup": q_stream_hypertable_rollup,
+    "stream_ann_ingest": q_stream_ann_ingest,
     "stream_join_30m": q_stream_join_30m,
 }
 
@@ -777,6 +899,12 @@ ORACLES: dict[str, str] = {
     "stream_semantic_dedup": _pipeline_oracles["dedup_semantic"],
     # drained streaming media-dedup pairs == full-corpus brute-force spec
     "stream_media_dedup": _media_stream_pairs_sql(),
+    # drained continuous aggregate == batch hypertable rollup (decimal
+    # additivity) — reuse the ht_rollup member oracle verbatim
+    "stream_hypertable_rollup": _relational_oracles["ht_rollup"],
+    # drained stored-index 2-probe top-5 == batch ivf over the same
+    # frozen centroids; assignment + probe mirrored in SQL
+    "stream_ann_ingest": _ivf_ingest_oracle(),
     "k_cdc_apply": _CDC_SQL,
     "k_scd2_cdc": _SCD2CDC_SQL,
     # same algebra as k4_upsert_merge — but computed through a real

@@ -1226,7 +1226,13 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup (``incsem`` — embeddings ingested as micro-batches against
     the stored assignment index, corpus verdicts flipped monotonically
     by the reverse pair probe; drained verdicts equal the batch
-    semantic_dedup, which is its oracle verbatim).
+    semantic_dedup, which is its oracle verbatim); since round 9,
+    the continuous aggregate (``incrollup`` — hourly partials keyed by
+    (batch_id, bucket) so an ADDITIVE aggregate survives crash replay,
+    read-time fold == batch hypertable_rollup, its oracle) and ANN
+    index maintenance (``incann`` — frozen-centroid assignment MERGEs
+    into a stored IVF posting-list table, queried through the index
+    with ``corpus_preassigned=True``).
 
     The AvailableNow streaming members run CONCURRENTLY via a thread pool: each is
     an independent run-to-completion AvailableNow query, so their fixed
@@ -1261,10 +1267,10 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("dedup", persistence.q_stream_dedup_6h),
         ("merge_part", persistence.q_stream_merge_partitioned),
     )
-    # pool sized for EVERY submitted future (5 streaming singles + the
+    # pool sized for EVERY submitted future (7 streaming singles + the
     # mapped members) so no streaming member queues behind the others —
     # the fixed-cost fan-out overlap is the point of the pool
-    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 5) as ex:
+    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 7) as ex:
         join_fut = ex.submit(
             persistence.q_stream_join_30m, spark, sf_dir, None
         )
@@ -1288,6 +1294,15 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         incphash_fut = ex.submit(
             persistence.q_stream_media_dedup, spark, sf_dir, None
         )
+        # incrollup: continuous aggregate via replay-safe keyed partials
+        incrollup_fut = ex.submit(
+            persistence.q_stream_hypertable_rollup, spark, sf_dir, None
+        )
+        # incann: IVF index maintained by frozen-centroid assignment
+        # MERGEs, queried through the stored posting lists
+        incann_fut = ex.submit(
+            persistence.q_stream_ann_ingest, spark, sf_dir, None
+        )
         done = list(
             ex.map(
                 lambda m: m[1](spark, sf_dir, n_state_partitions=None), members
@@ -1298,6 +1313,8 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored_df = scored_fut.result()
         incsem_df = incsem_fut.result()
         incphash_df = incphash_fut.result()
+        incrollup_df = incrollup_fut.result()
+        incann_df = incann_fut.result()
     parts = [
         df.select(
             F.lit(tag).alias("mode"),
@@ -1366,6 +1383,26 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+    incrollup_part = incrollup_df.select(
+        F.lit("incrollup").alias("mode"),
+        F.col("level").alias("grp"),
+        F.col("bucket_ts").alias("window_start"),
+        _null("timestamp").alias("window_end"),
+        "n_events",
+        "total_value",
+    )
+    incann_part = incann_df.select(
+        F.lit("incann").alias("mode"),
+        F.concat_ws(
+            "|",
+            F.col("query_id").cast("string"),
+            F.col("corpus_id").cast("string"),
+        ).alias("grp"),
+        _null("timestamp").alias("window_start"),
+        _null("timestamp").alias("window_end"),
+        F.col("rank").cast("long").alias("n_events"),
+        F.col("cosine_sim").alias("total_value"),
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1376,6 +1413,8 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(scored_part)
         .unionByName(incsem_part)
         .unionByName(incphash_part)
+        .unionByName(incrollup_part)
+        .unionByName(incann_part)
     )
 
 
@@ -2098,6 +2137,25 @@ ORACLES: dict[str, str] = {
             "CAST(NULL AS TIMESTAMP) AS window_start, "
             "CAST(NULL AS TIMESTAMP) AS window_end, "
             "id_b AS n_events, CAST(hamming_dist AS DOUBLE) AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _K["stream_hypertable_rollup"],
+            "'incrollup' AS mode, level AS grp, "
+            "bucket_ts AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "n_events, total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _K["stream_ann_ingest"],
+            "'incann' AS mode, "
+            "CAST(query_id AS VARCHAR) || '|' || CAST(corpus_id AS VARCHAR)"
+            " AS grp, "
+            "CAST(NULL AS TIMESTAMP) AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "CAST(\"rank\" AS BIGINT) AS n_events, "
+            "cosine_sim AS total_value",
         )
     ),
 }

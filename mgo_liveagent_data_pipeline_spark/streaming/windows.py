@@ -324,14 +324,19 @@ def stage_doc_batches(
     table: str = "documents",
     key_col: str = "doc_id",
     cols: tuple[str, ...] = ("doc_id", "text"),
+    src_df: DataFrame | None = None,
 ) -> str:
     """Stage a table as ``n_batches`` single parquet files so
     AvailableNow + maxFilesPerTrigger=1 delivers a deterministic sequence
     of micro-batches from one immutable source (splits by key mod, so
-    the staging is a pure function of the corpus)."""
-    src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).select(
-        *cols
-    )
+    the staging is a pure function of the corpus). Pass ``src_df`` when
+    the table needs a normalized read first (events' nanos timestamps go
+    through sources.tables.load_table, not a raw parquet read)."""
+    src = (
+        src_df
+        if src_df is not None
+        else spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    ).select(*cols)
     stage = os.path.join(base_dir, "ingest")
     os.makedirs(stage, exist_ok=True)
     for b in range(n_batches):
@@ -762,6 +767,179 @@ def stream_media_dedup(
         )
         q.awaitTermination()
     return table_path(base_dir, pairs_name), index_path
+
+
+def stream_hypertable_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    table: str = "events",
+    partials_name: str = "cagg_partials",
+    n_batches: int = 3,
+    n_state_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> str:
+    """Streaming continuous-aggregate maintenance — the incremental
+    refresh behind ``aggregations.hypertable_rollup`` (TimescaleDB's
+    cagg + real-time-view pattern): each micro-batch folds to hourly
+    partial aggregates that MERGE into a partials table; the live
+    rollup is the read-time sum of partials fed through
+    ``hypertable_rollup_from_hourly``.
+
+    Exactly-once needs care here that the dedup streams don't: their
+    MERGEs are idempotent because the VALUES are replay-invariant, but
+    an additive update (``total += batch_sum``) double-counts on crash
+    replay. So partials are keyed by (batch_id, hour bucket): a replayed
+    batch recomputes the IDENTICAL partial rows (the aggregate is a pure
+    function of the batch's files) and the keyed MERGE overwrites them —
+    additivity moves to read time, where summing partials twice is
+    impossible. Compaction may fold partials of retired batches into one
+    row per bucket without changing any sum (decimal addition is
+    associative) — the cagg-materialization step, not done here.
+
+    Why drained == batch ``hypertable_rollup`` for ANY split: hourly
+    count/decimal-sum are associative-commutative over disjoint batches,
+    and the coarser levels re-aggregate from the reconstructed hourly
+    relation with the exact arithmetic shared via
+    ``hypertable_rollup_from_hourly``. Returns the partials path."""
+    from ..sinks.writers import ensure_table, table_path, upsert
+    from ..sources.tables import load_table
+
+    src = load_table(spark, sf_dir, table).select("event_id", "ts", "value")
+    stage = stage_doc_batches(
+        spark, sf_dir, base_dir, n_batches, table,
+        key_col="event_id", cols=("event_id", "ts", "value"), src_df=src,
+    )
+    schema = spark.read.parquet(stage).schema
+    ev_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    partials_path = ensure_table(
+        spark,
+        base_dir,
+        partials_name,
+        spark.createDataFrame(
+            [],
+            "pk string, bucket_ts timestamp, n_events long, "
+            "total decimal(22,2)",
+        ),
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast(MONEY))
+                .cast("decimal(22,2)")
+                .alias("total"),
+            )
+            .select(
+                F.concat_ws(
+                    "|",
+                    F.lit(batch_id).cast("string"),
+                    F.col("bucket_ts").cast("long").cast("string"),
+                ).alias("pk"),
+                "bucket_ts",
+                "n_events",
+                "total",
+            )
+        )
+        upsert(spark, part, base_dir, partials_name, "pk")
+
+    with state_partitions(spark, n_state_partitions), _checkpoint(
+        checkpoint_dir
+    ) as ckpt:
+        q = (
+            ev_stream.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return table_path(base_dir, partials_name)
+
+
+def stream_ann_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    table: str = "embeddings",
+    index_name: str = "ann_ivf_index",
+    n_batches: int = 3,
+    n_state_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    centroids: DataFrame | None = None,
+):
+    """Continuous ANN index maintenance: embedding micro-batches are
+    assigned to their nearest FROZEN centroid
+    (operators/annsearch.py:assign_nearest — a pure per-vector map of
+    the versioned centroid artifact) and MERGEd into a stored IVF
+    posting-list table keyed by vec_id. Query time reads the index with
+    ``ivf_topk(..., corpus_preassigned=True)`` — no assignment scan.
+
+    Exactly-once is the simplest in the streaming family: assignment
+    depends on nothing but the vector and the frozen artifact, so a
+    replayed batch recomputes identical rows and the keyed MERGE is
+    idempotent; there is no cross-batch evidence at all (unlike the
+    dedup streams' corpus probes). Consequently drained-index top-k ==
+    batch ``ivf_topk`` with the same centroids, for ANY batch split —
+    the stored cluster_id IS assign_nearest's output.
+
+    Returns (index_path, centroids)."""
+    from ..operators.annsearch import assign_nearest, ivf_centroids
+    from ..sinks.writers import ensure_table, table_path, upsert
+
+    stage = stage_doc_batches(
+        spark, sf_dir, base_dir, n_batches, table,
+        key_col="vec_id", cols=("vec_id", "embedding", "label"),
+    )
+    schema = spark.read.parquet(stage).schema
+    emb_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(spark.read.parquet(stage))
+    )
+    cents.persist().count()
+    index_path = ensure_table(
+        spark,
+        base_dir,
+        index_name,
+        spark.createDataFrame(
+            [], "vec_id long, cluster_id int, cv array<double>"
+        ),
+    )
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        asg = assign_nearest(
+            batch_df.select("vec_id", "embedding"), cents
+        ).select(
+            "vec_id", F.col("cluster_id").cast("int").alias("cluster_id"), "cv"
+        )
+        upsert(spark, asg, base_dir, index_name, "vec_id")
+
+    with state_partitions(spark, n_state_partitions), _checkpoint(
+        checkpoint_dir
+    ) as ckpt:
+        q = (
+            emb_stream.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return table_path(base_dir, index_name), cents
 
 
 def stream_dedup_6h(

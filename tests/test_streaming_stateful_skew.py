@@ -725,3 +725,186 @@ def test_stream_semantic_dedup_restart_exactly_once(spark, tmp_path):
     }
     assert drained == expect
     assert expect == {1: 0, 2: 0, 3: 1, 5: 1}  # key 1 dropped via FLIP
+
+
+def test_stream_hypertable_rollup_restart_exactly_once(spark, tmp_path):
+    """The continuous aggregate under the worst-case crash window — THE
+    trap case for streaming aggregates: an additive MERGE ('total +=
+    batch sum') would double-count the replayed batch. The operator's
+    (batch_id, bucket)-keyed partials make the replay overwrite
+    identical rows instead, so the read-time fold equals the batch
+    rollup exactly."""
+    import datetime
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        hypertable_rollup,
+        hypertable_rollup_from_hourly,
+    )
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        ensure_table,
+        table_path,
+        upsert,
+    )
+
+    # hours that collide across batches (same bucket fed by batches 0-2)
+    # plus distinct days/months so every level is non-trivial
+    rows = [
+        (i, datetime.datetime(2024, 1 + (i % 3), 1 + (i % 5), i % 24),
+         float(i) + 0.25)
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "value"])
+    src = tmp_path / "cagg_src"
+    src.mkdir()
+    for b in range(3):
+        ev.where(F.col("event_id") % 3 == b).coalesce(1).write.parquet(
+            str(src / f"batch_{b}.parquet")
+        )
+    base = str(tmp_path / "cagg_tbl")
+    ckpt = str(tmp_path / "cagg_ckpt")
+    ensure_table(
+        spark, base, "partials",
+        spark.createDataFrame(
+            [],
+            "pk string, bucket_ts timestamp, n_events long, "
+            "total decimal(22,2)",
+        ),
+    )
+    crash = {"armed": True}
+    merged = []
+
+    def merge_batch(batch_df, batch_id):
+        part = (
+            batch_df.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("decimal(22,2)")
+                .alias("total"),
+            )
+            .select(
+                F.concat_ws(
+                    "|",
+                    F.lit(batch_id).cast("string"),
+                    F.col("bucket_ts").cast("long").cast("string"),
+                ).alias("pk"),
+                "bucket_ts", "n_events", "total",
+            )
+        )
+        upsert(spark, part, base, "partials", "pk")
+        merged.append(batch_id)
+        if batch_id == 1 and crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after merge, before commit")
+
+    schema = ev.schema
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+    assert merged.count(1) == 2, merged  # the crash batch really replayed
+
+    partials = spark.read.parquet(table_path(base, "partials"))
+    # replay overwrote, not appended: pk unique
+    assert partials.count() == partials.select("pk").distinct().count()
+    hourly = partials.groupBy("bucket_ts").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total").alias("__total"),
+    )
+    got = {
+        (r["level"], r["bucket_ts"]): (r["n_events"], r["total_value"])
+        for r in hypertable_rollup_from_hourly(hourly).collect()
+    }
+    want = {
+        (r["level"], r["bucket_ts"]): (r["n_events"], r["total_value"])
+        for r in hypertable_rollup(ev, "ts", "value").collect()
+    }
+    release_intermediates()
+    assert got == want
+    # the double-count symptom specifically: total event mass is exact
+    assert sum(v[0] for k, v in got.items() if k[0] == "hour") == 60
+
+
+def test_stream_ann_ingest_drained_equals_batch_and_replay(spark, tmp_path):
+    """Streaming IVF maintenance: (1) querying THROUGH the stored index
+    (corpus_preassigned) equals the batch ivf_topk with the same frozen
+    centroids; (2) a FULL replay of the stream (fresh checkpoint, same
+    tables) leaves the index byte-identical — assignment is a pure map
+    of the frozen artifact, so every MERGE is idempotent."""
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        ivf_topk,
+    )
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_ann_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = str(tmp_path / "annivf")
+    index_path, cents = stream_ann_ingest(spark, sf, base)
+    index = spark.read.parquet(index_path).withColumnRenamed(
+        "cv", "embedding"
+    )
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["corpus_id"], r["cosine_sim"], r["rank"])
+            for r in df.collect()
+        )
+
+    got = key(
+        ivf_topk(
+            index, queries, k=5, query_key="query_id", n_probes=2,
+            centroids=cents, corpus_preassigned=True,
+        )
+    )
+    want = key(
+        ivf_topk(
+            emb, queries, k=5, query_key="query_id", n_probes=2,
+            centroids=cents,
+        )
+    )
+    assert got == want and len(got) > 0
+
+    before = sorted(
+        (r["vec_id"], r["cluster_id"], tuple(r["cv"]))
+        for r in spark.read.parquet(index_path).collect()
+    )
+    # full replay: same standing tables, fresh checkpoint
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "annivf" / "_ckpt"), ignore_errors=True)
+    index_path2, _ = stream_ann_ingest(spark, sf, base, centroids=cents)
+    after = sorted(
+        (r["vec_id"], r["cluster_id"], tuple(r["cv"]))
+        for r in spark.read.parquet(index_path2).collect()
+    )
+    assert index_path2 == index_path and after == before
