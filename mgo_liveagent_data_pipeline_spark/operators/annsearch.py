@@ -182,6 +182,63 @@ def rh_planes(num_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
+def jl_project(vec: Column, planes: list[list[int]]) -> Column:
+    """Johnson–Lindenstrauss random projection, Achlioptas ±1 variant:
+    out[p] = round(vec · plane_p, 6) over the SAME md5-derived ±1 planes
+    as ``rh_signature`` — the sign-bit LSH keeps only the sign of these
+    dot products, this keeps their VALUES, giving a distance-preserving
+    low-dimensional embedding (distortion 1±ε at out_dim = O(log n/ε²);
+    Achlioptas 2001 shows the ±1 matrix obeys the JL lemma, no Gaussians
+    needed — which is what makes the planes exactly mirrorable in SQL).
+    Rounded to 6 decimals so every downstream score is engine-exact.
+
+    Each component is one JVM-side zip_with/aggregate dot against a
+    literal plane — no shuffle, no Python."""
+    return F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(w)) for w in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+            for plane in planes
+        ]
+    )
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    out_dim: int,
+    dim: int,
+) -> DataFrame:
+    """Replace ``vec_col`` with its ``out_dim``-dimensional JL projection
+    (array<double>); every other column rides through untouched.
+
+    At 100 TB this is THE shuffle-byte lever for the vector family: a
+    1024-dim float corpus projected to 64 dims cuts every downstream
+    pair join, posting-list build, and top-k aggregation 16× in vector
+    bytes, at a recall cost that is measured (tests/test_ann_recall.py
+    pins the floor on the fixture; DESIGN.md carries the numbers) —
+    project once at ingest, keep the full-dim vectors at rest for the
+    final re-rank."""
+    if out_dim >= dim:
+        raise ValueError(
+            f"random_project: out_dim ({out_dim}) must be < dim ({dim})"
+        )
+    return df.withColumn(
+        vec_col, jl_project(_as_double(F.col(vec_col)), rh_planes(out_dim, dim))
+    )
+
+
 def rh_signature(vec: Column, planes: list[list[int]]) -> Column:
     """Sign-bit signature string: bit p = 1 iff vec · plane_p > 0. The
     planes are tiny literals, so each bit is one JVM-side zip_with dot."""

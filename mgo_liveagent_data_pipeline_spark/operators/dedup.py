@@ -1184,6 +1184,81 @@ def connected_components(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    *,
+    eval_pct: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    clusters: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Cluster-aware train/eval split: near-duplicate CLUSTERS, not
+    documents, are the unit of assignment, so no eval document has a
+    near-duplicate sitting in train — the benchmark-leakage guard a
+    per-document hash split cannot give (a doc and its near-copy hash
+    independently and straddle the boundary; the GPT-3/C4 eval-set
+    contamination analyses exist precisely because of this failure).
+    The reference has no split step at all (its corpus is operational,
+    `/root/reference/core/extract/Extractor.py`); this is part of the
+    training-data-pipeline extension surface.
+
+    Mechanism: ``connected_components`` over any near-dup ``pairs``
+    relation (MinHash-LSH, blocked Jaccard, SimHash, semantic — the
+    evidence source is the caller's choice), singletons keep their own
+    key as cluster id, then ONE md5-bucket draw per *cluster id* decides
+    the whole cluster: eval iff the first 8 hex digits of
+    md5(cluster_id) — as a long in [0, 16^8) — fall below
+    ``eval_pct * 16^8 // 100``. Deterministic across runs, engines and
+    partitionings (same contract as every sampler in this repo), and
+    exactly mirrorable in the DuckDB twin.
+
+    Expected eval mass is ``eval_pct`` percent of CLUSTERS (not of
+    documents): big clusters move together, so the doc-level fraction
+    has cluster-sized granularity — that is the point, not a bug.
+
+    At 100 TB: the split adds one broadcast-sized md5 comparison per
+    row on top of the CC labelling the dedup stage already computed —
+    pass ``clusters`` (a (node, cluster_id, …) relation from an earlier
+    ``connected_components`` call) to reuse it and the split is one
+    left join + one projection, no new shuffle of content.
+
+    Returns (``key_col``, cluster_id, split) with split ∈
+    {'train', 'eval'}.
+    """
+    if not 0 <= eval_pct <= 100:
+        raise ValueError(f"eval_pct must be in [0, 100], got {eval_pct}")
+    _require_numeric(docs, (key_col,), "leakage_safe_split")
+    cc = (
+        clusters
+        if clusters is not None
+        else connected_components(
+            pairs.select(id_a, id_b), id_a, id_b, checkpoint_dir=checkpoint_dir
+        )
+    )
+    assigned = (
+        docs.select(F.col(key_col).cast("long").alias("__k"))
+        .join(cc.select("node", "cluster_id"), F.col("__k") == F.col("node"), "left")
+        .select(
+            F.col("__k"),
+            F.coalesce("cluster_id", F.col("__k")).alias("cluster_id"),
+        )
+    )
+    eval_max = (eval_pct * 16**8) // 100
+    bucket = F.conv(
+        F.md5(F.col("cluster_id").cast("string")).substr(1, 8), 16, 10
+    ).cast("long")
+    return assigned.select(
+        F.col("__k").alias(key_col),
+        "cluster_id",
+        F.when(bucket < F.lit(eval_max), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -115,9 +115,11 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-doc scores miss), the connected-component cluster
     assignment over the Jaccard pairs (pairwise evidence → one
     keep-per-cluster decision; ``cluster`` rows carry
-    doc → component-min id with the component size as score), and the
+    doc → component-min id with the component size as score), the
     incremental delta-vs-corpus LSH pairs (``incr_delta_corpus`` /
-    ``incr_delta_delta`` modes)."""
+    ``incr_delta_delta`` modes), and the leakage-safe train/eval
+    split over the same clusters (``split`` rows: doc → cluster id,
+    score = 1.0 iff assigned to eval)."""
     from ..operators.dedup import connected_components, winnow_overlap_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -133,7 +135,8 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("winnow").alias("mode"), "id_a", "id_b",
         F.col("n_shared").cast("double").alias("score"),
     )
-    cluster = connected_components(pairs.select("id_a", "id_b")).select(
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    cluster = cc.select(
         F.lit("cluster").alias("mode"),
         F.col("node").alias("id_a"),
         F.col("cluster_id").alias("id_b"),
@@ -145,8 +148,24 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("jaccard_sim").alias("score"),
     )
+    # split: leakage-safe train/eval assignment over the SAME component
+    # labelling (clusters= reuses cc — no second CC run in this row);
+    # score carries the eval indicator, id_b the cluster id
+    from ..operators.dedup import leakage_safe_split
+
+    split = leakage_safe_split(
+        docs, pairs, "doc_id", eval_pct=25, clusters=cc
+    ).select(
+        F.lit("split").alias("mode"),
+        F.col("doc_id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        (F.col("split") == F.lit("eval")).cast("double").alias("score"),
+    )
     return (
-        ngram.unionByName(winnow).unionByName(cluster).unionByName(incr)
+        ngram.unionByName(winnow)
+        .unionByName(cluster)
+        .unionByName(incr)
+        .unionByName(split)
     )
 
 
@@ -191,6 +210,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=1, threshold=0.5,
     )
     return connected_components(pairs.select("id_a", "id_b"))
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split (operators/dedup.py:
+    leakage_safe_split): blocked-Jaccard near-dup clusters are assigned
+    to eval/train as UNITS via one md5 draw per cluster id, so no eval
+    document has a near-duplicate in train. eval_pct=25 on this fixture
+    puts multi-document clusters on both sides of the boundary — the
+    oracle checks the per-cluster draw, the pytest pins that a naive
+    per-document draw WOULD straddle a cluster here. Driver-visible via
+    the ``split`` mode of ``dedup_ngram_pairs``."""
+    from ..operators.dedup import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("lang", "source"),
+        shingle_k=1, threshold=0.5,
+    )
+    return leakage_safe_split(docs, pairs, "doc_id", eval_pct=25)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,6 +433,24 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk(emb, queries, k=5, query_key="query_id")
+
+
+def q_ann_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 in JL-PROJECTED space (operators/
+    annsearch.py:random_project): corpus and queries are projected
+    64 → 16 dims with the md5-derived ±1 planes, then scored exactly.
+    The member is value-exact (the projection is deterministic and the
+    twin mirrors it literally); the RECALL vs full-dim search is the
+    measured quantity (tests/test_ann_recall.py). Driver-visible via
+    the ``project`` variant of ``ann_suite``."""
+    from ..operators.annsearch import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_project(emb, "embedding", out_dim=16, dim=64)
+    queries = proj.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(proj, queries, k=5, query_key="query_id")
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1833,6 +1889,7 @@ QUERIES = {
     "dedup_simhash_near": q_dedup_simhash_near,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "split_leakage_safe": q_split_leakage_safe,
     "dedup_incremental": q_dedup_incremental,
     "dedup_embedding": q_dedup_embedding,
     "dedup_semantic": q_dedup_semantic,
@@ -1844,6 +1901,7 @@ QUERIES = {
     "text_quality_score": q_text_quality_score,
     "text_token_counts": q_text_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_project_topk": q_ann_project_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_multiprobe_topk": q_ann_ivf_multiprobe_topk,
     "ann_rh_lsh_topk": q_ann_rh_lsh_topk,
@@ -2434,6 +2492,46 @@ _COSINE = """
 """
 
 
+def _jl_project_oracle(out_dim: int = 16, dim: int = 64, k: int = 5) -> str:
+    """Mirror of q_ann_project_topk: the identical ±1 planes as literal
+    arrays, per-component round(·, 6), exact cosine in projected space."""
+    from ..operators.annsearch import rh_planes
+
+    planes = rh_planes(out_dim, dim)
+
+    def proj(v: str) -> str:
+        comps = []
+        for plane in planes:
+            lit = "[" + ", ".join(f"{float(w):.1f}" for w in plane) + "]"
+            comps.append(
+                f"round(list_sum(list_transform(range(1, {dim + 1}),"
+                f" i -> {v}[i] * ({lit})[i])), 6)"
+            )
+        return "[" + ", ".join(comps) + "]"
+
+    return f"""
+        WITH c0 AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        c AS (SELECT vec_id AS corpus_id, {proj("v")} AS cv FROM c0),
+        q AS (SELECT corpus_id AS query_id, cv AS qv FROM c
+              WHERE corpus_id < 5),
+        scored AS (
+          SELECT q.query_id, c.corpus_id,
+                 round({_COSINE.format(a="c.cv", b="q.qv")}, 6) AS cosine_sim
+          FROM c CROSS JOIN q
+          WHERE c.corpus_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, corpus_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= {k}
+    """
+
+
 def _rh_lsh_oracle(num_planes: int = 8, dim: int = 64, k: int = 5) -> str:
     from ..operators.annsearch import rh_planes
 
@@ -2705,6 +2803,22 @@ _CLUSTERS_SQL = f"""
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
     FROM comp
 """
+
+# leakage-safe split: one md5 draw per CLUSTER id (mirrors
+# operators/dedup.py:leakage_safe_split at eval_pct=25 — integer
+# threshold, so both engines compare the same longs)
+_SPLIT_EVAL_MAX = (25 * 16**8) // 100
+_SPLIT_SQL = f"""
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(
+                    coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))
+                  AS BIGINT) < {_SPLIT_EVAL_MAX}
+                THEN 'eval' ELSE 'train' END AS split
+    FROM documents d
+    LEFT JOIN ({_CLUSTERS_SQL}) c ON c.node = d.doc_id
+"""
+
 
 def _curation_stage123_ctes() -> str:
     """The gate -> para -> LSH-neardup CTE prefix (tr..c3 plus the BPE
@@ -3925,8 +4039,14 @@ ORACLES: dict[str, str] = {
           WHERE a.key < b.key
           GROUP BY a.key, b.key
           HAVING count(*) >= 3)
+        UNION ALL
+        SELECT 'split' AS mode, doc_id AS id_a, cluster_id AS id_b,
+               CAST(CASE WHEN split = 'eval' THEN 1 ELSE 0 END AS DOUBLE)
+                 AS score
+        FROM ({_SPLIT_SQL})
     """,
     "dedup_clusters": _CLUSTERS_SQL,
+    "split_leakage_safe": _SPLIT_SQL,
     # full-corpus LSH pairs restricted to pairs touching the %5==0 delta
     # (the exactness property incremental_minhash_dedup guarantees)
     "dedup_incremental": f"""
@@ -4248,6 +4368,7 @@ ORACLES: dict[str, str] = {
         SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
         FROM ranked WHERE rn <= 5
     """,
+    "ann_project_topk": _jl_project_oracle(),
     "ann_ivf_topk": _ivf_oracle(1),
     "ann_ivf_multiprobe_topk": _ivf_oracle(2),
     # md5-bucket stratified sample: en kept iff first-8-hex bucket < 0.3·16^8

@@ -802,12 +802,14 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, all strategies under one row: exact brute-force
-    cosine baseline, IVF (1- and 2-probe), RH-LSH (exact-bucket and
-    Hamming-1 multi-probe), and PQ asymmetric-distance top-k (``pq``
-    mode — its metric is the L2² ADC distance, carried in the shared
-    metric column)."""
+    cosine baseline, exact cosine in JL-projected 16-dim space
+    (``project`` — the shuffle-byte reducer), IVF (1- and 2-probe),
+    RH-LSH (exact-bucket and Hamming-1 multi-probe), and PQ
+    asymmetric-distance top-k (``pq`` mode — its metric is the L2² ADC
+    distance, carried in the shared metric column)."""
     members = [
         ("cosine", pipeline.q_ann_cosine_topk),
+        ("project", pipeline.q_ann_project_topk),
         ("ivf", pipeline.q_ann_ivf_topk),
         ("ivf_multiprobe", pipeline.q_ann_ivf_multiprobe_topk),
         ("rh_lsh", pipeline.q_ann_rh_lsh_topk),
@@ -1951,6 +1953,7 @@ ORACLES: dict[str, str] = {
         _tagged(sql, f"'{tag}' AS variant, query_id, corpus_id, cosine_sim, \"rank\"")
         for tag, sql in (
             ("cosine", _P["ann_cosine_topk"]),
+            ("project", _P["ann_project_topk"]),
             ("ivf", _P["ann_ivf_topk"]),
             ("ivf_multiprobe", _P["ann_ivf_multiprobe_topk"]),
             ("rh_lsh", _P["ann_rh_lsh_topk"]),

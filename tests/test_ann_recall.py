@@ -263,3 +263,79 @@ def test_encode_documents_custom_encoder_injectable(spark):
         for r in encode_documents(df, encoder=toy).collect()
     }
     assert got == {1: [3.0, 1.0], 2: [5.0, 1.0]}
+
+
+def test_jl_projection_recall_and_distortion(spark):
+    """random_project contract, measured: on clustered embeddings (the
+    realistic regime) projected-space search stays cluster-correct at
+    4x compression; on the near-isotropic driver fixture recall is
+    intrinsically low (same caveat as every space partitioner above);
+    and the JL distance-preservation property holds within the wide
+    tolerance a tiny out_dim implies (epsilon ~ sqrt(ln n / d))."""
+    import itertools
+
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        cosine_topk,
+        random_project,
+        rh_planes,
+    )
+    from mgo_liveagent_data_pipeline_spark.plans import pipeline as P
+
+    # clustered fixture (same prototype family as the PQ test)
+    DIM, N = 16, 200
+
+    def vec(i):
+        p = i % 16
+        base = [5.0 if (p >> (d % 4)) & 1 else -5.0 for d in range(DIM)]
+        if i < 16:
+            return base
+        return [
+            round(b + ((i * 131 + d * 17) % 11 - 5) * 0.02, 4)
+            for d, b in enumerate(base)
+        ]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(N)], "vec_id int, embedding array<double>"
+    )
+    tq = emb.where(F.col("vec_id").isin(20, 33, 47)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = _pairs(cosine_topk(emb, tq, k=5, query_key="query_id"))
+    for d in (4, 8):
+        pr = random_project(emb, "embedding", out_dim=d, dim=DIM)
+        q = pr.where(F.col("vec_id").isin(20, 33, 47)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = cosine_topk(pr, q, k=5, query_key="query_id").collect()
+        # the semantic contract: every projected neighbor is same-cluster
+        assert all(r["corpus_id"] % 16 == r["query_id"] % 16 for r in got)
+        pp = {(r["query_id"], r["corpus_id"]) for r in got}
+        assert len(pp & truth) / len(truth) >= 0.6  # measured 0.67
+
+    # near-isotropic driver fixture: low recall is expected and pinned
+    truth_iso = _pairs(P.q_ann_cosine_topk(spark, SF_DIR))
+    proj_iso = _pairs(P.q_ann_project_topk(spark, SF_DIR))
+    assert len(proj_iso & truth_iso) / len(truth_iso) >= 0.08  # measured 0.12
+
+    # JL distance preservation: E[|Rx|^2] = out_dim * |x|^2 for +-1
+    # planes, so the scaled pairwise L2^2 ratio concentrates near 1
+    planes = rh_planes(8, DIM)
+
+    def proj(v):
+        return [sum(x * w for x, w in zip(v, pl)) for pl in planes]
+
+    vs = {i: vec(i) for i in range(40)}
+    ratios = []
+    for a, b in itertools.combinations(range(0, 40, 3), 2):
+        d2 = sum((x - y) ** 2 for x, y in zip(vs[a], vs[b]))
+        if d2 == 0:
+            continue
+        pa, pb = proj(vs[a]), proj(vs[b])
+        p2 = sum((x - y) ** 2 for x, y in zip(pa, pb)) / 8
+        ratios.append(p2 / d2)
+    assert 0.2 < min(ratios) and max(ratios) < 3.0  # measured [0.34, 2.25]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        random_project(emb, "embedding", out_dim=16, dim=16)

@@ -1298,3 +1298,72 @@ def test_incremental_semantic_dedup_corpus_index_path(spark):
 
     with pytest.raises(ValueError):
         incremental_semantic_dedup(corpus, delta, corpus_index=index)
+
+
+def test_leakage_safe_split_invariants(spark):
+    """Clusters move as units; a per-document draw WOULD straddle one;
+    eval_pct 0/100 degenerate ends; singleton clusters keep their key."""
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        leakage_safe_split,
+    )
+
+    # a chain cluster {1,2,3} plus two singletons; pairs come from the
+    # near-dup evidence directly so the test controls the topology
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 20)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = leakage_safe_split(docs, pairs, "doc_id", eval_pct=40).collect()
+    by_key = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out}
+    assert len(by_key) == 5
+    # the whole chain shares cluster id 1 and ONE split decision
+    assert {by_key[k][0] for k in (1, 2, 3)} == {1}
+    assert len({by_key[k][1] for k in (1, 2, 3)}) == 1
+    # singletons are their own cluster
+    assert by_key[10][0] == 10 and by_key[20][0] == 20
+    # every split value is one of the two labels
+    assert {s for _, s in by_key.values()} <= {"train", "eval"}
+
+    # the leakage the operator prevents: scan eval fractions until a
+    # per-DOCUMENT md5 draw splits the {1,2,3} cluster across the
+    # boundary while the cluster draw (by construction) cannot
+    def doc_bucket(k):
+        import hashlib
+
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+
+    straddled = False
+    for pct in range(5, 100, 5):
+        cut = (pct * 16**8) // 100
+        naive = {k: "eval" if doc_bucket(k) < cut else "train" for k in (1, 2, 3)}
+        if len(set(naive.values())) > 1:
+            straddled = True
+            break
+    assert straddled, "fixture should demonstrate per-doc straddle"
+
+    # degenerate ends
+    all_train = leakage_safe_split(docs, pairs, "doc_id", eval_pct=0).collect()
+    assert {r["split"] for r in all_train} == {"train"}
+    all_eval = leakage_safe_split(docs, pairs, "doc_id", eval_pct=100).collect()
+    assert {r["split"] for r in all_eval} == {"eval"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, "doc_id", eval_pct=101)
+
+    # clusters= reuse path returns the identical assignment
+    from mgo_liveagent_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs)
+    reused = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in leakage_safe_split(
+            docs, pairs, "doc_id", eval_pct=40, clusters=cc
+        ).collect()
+    }
+    assert reused == by_key
