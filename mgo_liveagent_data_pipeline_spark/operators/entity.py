@@ -58,6 +58,67 @@ def _digits(col):
     return F.coalesce(F.regexp_replace(col, r"[^0-9]", ""), F.lit(""))
 
 
+def _prep(
+    records: DataFrame,
+    key_col: str,
+    block_col: str,
+    name_col: str,
+    phone_col: str,
+) -> DataFrame:
+    """(bk, k, toks, ph) comparison projection shared by the batch and
+    incremental pair generators — one normalization, two callers."""
+    return records.select(
+        F.col(block_col).alias("bk"),
+        F.col(key_col).alias("k"),
+        _norm_tokens(F.col(name_col)).alias("toks"),
+        _digits(F.col(phone_col)).alias("ph"),
+    )
+
+
+def _guard_blocks(records: DataFrame, block_col: str, max_block: int) -> None:
+    """Loud refusal for degenerate blocking keys (the ER scale contract):
+    one bounded action, never a data collect."""
+    oversized = (
+        records.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_block)
+        .limit(1)
+        .collect()
+    )
+    if oversized:
+        r = oversized[0]
+        raise ValueError(
+            f"entity_pairs: block {r[block_col]!r} has {r['n']} records "
+            f"(max_block={max_block}) — refine the blocking key"
+        )
+
+
+def _scored(
+    joined: DataFrame, name_weight: int, phone_weight: int
+) -> DataFrame:
+    """Attach jac + score_milli to a (toks_a, ph_a, toks_b, ph_b) join."""
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac_milli = F.when(
+        union > 0,
+        F.expr(
+            "1000 * size(array_intersect(toks_a, toks_b))"
+            " div size(array_union(toks_a, toks_b))"
+        ),
+    ).otherwise(F.lit(0))
+    phone_eq = (
+        (F.col("ph_a") != F.lit(""))
+        & (F.col("ph_b") != F.lit(""))
+        & (F.col("ph_a") == F.col("ph_b"))
+    ).cast("long")
+    score = (
+        F.lit(phone_weight) * phone_eq
+        + F.expr(f"{name_weight} * jac div 1000")
+    )
+    return joined.withColumn("jac", jac_milli).withColumn(
+        "score_milli", score
+    )
+
+
 def entity_pairs(
     records: DataFrame,
     key_col: str = "rec_id",
@@ -87,25 +148,8 @@ def entity_pairs(
 
     Returns (id_a, id_b, score_milli).
     """
-    oversized = (
-        records.groupBy(block_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > max_block)
-        .limit(1)
-        .collect()
-    )
-    if oversized:
-        r = oversized[0]
-        raise ValueError(
-            f"entity_pairs: block {r[block_col]!r} has {r['n']} records "
-            f"(max_block={max_block}) — refine the blocking key"
-        )
-    base = records.select(
-        F.col(block_col).alias("bk"),
-        F.col(key_col).alias("k"),
-        _norm_tokens(F.col(name_col)).alias("toks"),
-        _digits(F.col(phone_col)).alias("ph"),
-    )
+    _guard_blocks(records, block_col, max_block)
+    base = _prep(records, key_col, block_col, name_col, phone_col)
     a = base.select(
         F.col("bk"),
         F.col("k").alias("id_a"),
@@ -119,26 +163,8 @@ def entity_pairs(
         F.col("ph").alias("ph_b"),
     )
     p = a.join(b, "bk").where(F.col("id_a") < F.col("id_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
-    jac_milli = F.when(
-        union > 0,
-        F.expr(
-            "1000 * size(array_intersect(toks_a, toks_b))"
-            " div size(array_union(toks_a, toks_b))"
-        ),
-    ).otherwise(F.lit(0))
-    phone_eq = (
-        (F.col("ph_a") != F.lit(""))
-        & (F.col("ph_b") != F.lit(""))
-        & (F.col("ph_a") == F.col("ph_b"))
-    ).cast("long")
-    score = (
-        F.lit(phone_weight) * phone_eq
-        + F.expr(f"{name_weight} * jac div 1000")
-    )
     return (
-        p.withColumn("jac", jac_milli)
-        .withColumn("score_milli", score)
+        _scored(p, name_weight, phone_weight)
         .where(F.col("score_milli") >= threshold_milli)
         .select("id_a", "id_b", "score_milli")
     )
@@ -181,6 +207,129 @@ def resolve_entities(
     assigned = (
         records.select(F.col(key_col))
         .join(cc, records[key_col] == cc["node"], "left")
+        .select(
+            F.col(key_col),
+            F.coalesce("cluster_id", F.col(key_col)).alias("entity_id"),
+        )
+    )
+    sizes = assigned.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    return assigned.join(sizes, "entity_id").select(
+        key_col, "entity_id", "n_records"
+    )
+
+
+def incremental_resolve_entities(
+    corpus: DataFrame,
+    delta: DataFrame,
+    *,
+    corpus_assignment: DataFrame,
+    key_col: str = "rec_id",
+    block_col: str = "block_key",
+    name_col: str = "name",
+    phone_col: str = "phone",
+    name_weight: int = 500,
+    phone_weight: int = 500,
+    threshold_milli: int = 450,
+    max_block: int = 10_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Delta-vs-corpus entity resolution — the recurring-ingest shape for
+    records, same contract family as ``incremental_minhash_dedup`` /
+    ``incremental_hamming_pairs``: score only pairs with a DELTA
+    endpoint, never regenerate corpus×corpus evidence, and reuse the
+    STORED corpus assignment as the summary of everything already
+    resolved.
+
+    Exactness (what the oracle checks — the full-batch assignment, not
+    a restriction): the result equals ``resolve_entities(corpus ∪
+    delta)`` verbatim. Proof sketch: pair candidacy is per-record
+    (blocking key and comparison fields are functions of one record),
+    so the full pair graph is (corpus×corpus pairs) ∪ (delta-involved
+    pairs); the stored assignment's star edges (rec → entity_id, one
+    per non-canonical record) have exactly the connectivity of the
+    corpus×corpus pairs — each resolved entity is a connected star, no
+    edge crosses entities — so components over star ∪ delta-involved
+    equal components over the full graph. Labels are preserved too:
+    entity ids are component-minimum record keys, the star keeps each
+    old minimum in its component, and a delta record that BRIDGES two
+    old entities re-labels the merged component to the smaller minimum
+    — exactly what the batch run would do (the one behavior a naive
+    "assign delta to nearest existing entity" incremental ER gets
+    wrong).
+
+    A delta key already present in the corpus raises (re-ingest is the
+    MERGE/supersede path of the sink family, not this operator's);
+    the block-size refusal is evaluated on corpus ∪ delta, mirroring
+    the batch operator's contract.
+
+    At 100 TB: per ingest this scores |delta-involved block pairs| —
+    corpus-side work is ONE semi-join of the prep projection against
+    the delta's block keys — and the CC input is (star edges ∪ new
+    pairs): #records + #new-pairs longs, never content.
+
+    Returns (``key_col``, entity_id, n_records) for corpus ∪ delta.
+    """
+    overlap = (
+        delta.select(F.col(key_col))
+        .join(corpus.select(F.col(key_col)), key_col)
+        .limit(1)
+        .collect()
+    )
+    if overlap:
+        raise ValueError(
+            f"incremental_resolve_entities: delta key "
+            f"{overlap[0][key_col]!r} already exists in the corpus — "
+            "re-ingest goes through the sink MERGE path, not delta ER"
+        )
+    allrecs = corpus.unionByName(delta)
+    _guard_blocks(allrecs, block_col, max_block)
+
+    dp = _prep(delta, key_col, block_col, name_col, phone_col)
+    ap = _prep(allrecs, key_col, block_col, name_col, phone_col)
+    # delta side probes only blocks it inhabits — the corpus-side scan
+    # is block-semi-joined down before any pair forms
+    a = dp.select(
+        "bk",
+        F.col("k").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("ph").alias("ph_a"),
+    )
+    b = ap.select(
+        "bk",
+        F.col("k").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("ph").alias("ph_b"),
+    )
+    new_pairs = (
+        _scored(
+            a.join(b, "bk").where(F.col("id_a") != F.col("id_b")),
+            name_weight,
+            phone_weight,
+        )
+        .where(F.col("score_milli") >= threshold_milli)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    star = corpus_assignment.where(
+        F.col(key_col) != F.col("entity_id")
+    ).select(
+        F.col(key_col).alias("id_a"), F.col("entity_id").alias("id_b")
+    )
+    cc = connected_components(
+        new_pairs.unionByName(star), checkpoint_dir=checkpoint_dir
+    )
+    assigned = (
+        allrecs.select(F.col(key_col))
+        .join(
+            cc.select("node", "cluster_id"),
+            F.col(key_col) == F.col("node"),
+            "left",
+        )
         .select(
             F.col(key_col),
             F.coalesce("cluster_id", F.col(key_col)).alias("entity_id"),

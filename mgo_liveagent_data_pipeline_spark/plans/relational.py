@@ -592,28 +592,13 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(events, "user_id", "ts")
 
 
-def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution end-to-end (operators/entity.py): the customer
-    table plays a dirty CRM extract — every customer contributes its
-    base record plus deterministic re-typed variants (``%3``: lowercased
-    name + ' inc' suffix, same phone; ``%6``: uppercased name, phone
-    digits reformatted; ``%5``: lowercased name, phone LOST) — then
-    blocking on nationkey → integer milli-scored pairs (name token
-    Jaccard + digit-normalized phone equality) → connected components →
-    survivorship golden records (name = lowest-key record's spelling,
-    phone = min non-null, address = longest). Each variant reaches its
-    base through a DIFFERENT evidence path (phone+name, phone-only
-    after reformat, name-only after phone loss), so the oracle checks
-    all three link rules plus the blocking bound and every survivorship
-    strategy. The reference's user dedup is exact-key MERGE only
-    (core/extract/helpers/extractor_bq_helpers.py:159-169); this is the
-    content-granularity lift a real CRM corpus needs. Driver-visible
-    via the ``er`` mode of ``metrics_new_vs_existing``."""
-    from ..operators.entity import golden_records, resolve_entities
-
+def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dirty-CRM record fixture shared by the batch and incremental
+    ER members: every customer contributes its base record plus the
+    deterministic re-typed variants described in ``q_entity_resolution``.
+    The synthetic customer table carries no contact columns — phone and
+    address derive from the key so both engines build identical bytes."""
     k = F.col("c_custkey")
-    # the synthetic customer table carries no contact columns — derive
-    # phone/address from the key so both engines build identical bytes
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
@@ -659,12 +644,60 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_address"),
         )
     )
-    records = base.unionByName(v1).unionByName(v2).unionByName(v3)
+    return base.unionByName(v1).unionByName(v2).unionByName(v3)
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (operators/entity.py): the customer
+    table plays a dirty CRM extract — every customer contributes its
+    base record plus deterministic re-typed variants (``%3``: lowercased
+    name + ' inc' suffix, same phone; ``%6``: uppercased name, phone
+    digits reformatted; ``%5``: lowercased name, phone LOST) — then
+    blocking on nationkey → integer milli-scored pairs (name token
+    Jaccard + digit-normalized phone equality) → connected components →
+    survivorship golden records (name = lowest-key record's spelling,
+    phone = min non-null, address = longest). Each variant reaches its
+    base through a DIFFERENT evidence path (phone+name, phone-only
+    after reformat, name-only after phone loss), so the oracle checks
+    all three link rules plus the blocking bound and every survivorship
+    strategy. The reference's user dedup is exact-key MERGE only
+    (core/extract/helpers/extractor_bq_helpers.py:159-169); this is the
+    content-granularity lift a real CRM corpus needs. Driver-visible
+    via the ``er`` mode of ``metrics_new_vs_existing``."""
+    from ..operators.entity import golden_records, resolve_entities
+
+    records = _er_records(spark, sf_dir)
     asg = resolve_entities(records)
     return golden_records(
         records,
         asg,
         rules={"name": "first_by_key", "phone": "min", "address": "longest"},
+    )
+
+
+def q_entity_resolution_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity resolution (operators/entity.py:
+    incremental_resolve_entities): the v1/v3 variant records (rec_id %
+    10 ∈ {1, 3}) play the incoming delta, base + v2 the standing corpus
+    whose STORED assignment (derived in-member; a table in production)
+    summarizes everything already resolved. Only delta-involved pairs
+    are scored, yet the oracle is the FULL-batch assignment — exact,
+    including the entity MERGES a delta record causes when it bridges
+    two standing entities (v1 arrives with phone+name evidence, v3 with
+    name-only, so both link rules cross the delta boundary here).
+    Driver-visible via the ``er_inc`` mode of
+    ``metrics_new_vs_existing``."""
+    from ..operators.entity import (
+        incremental_resolve_entities,
+        resolve_entities,
+    )
+
+    records = _er_records(spark, sf_dir)
+    tag = F.col("rec_id") % 10
+    corpus = records.where(~tag.isin(1, 3))
+    delta = records.where(tag.isin(1, 3))
+    return incremental_resolve_entities(
+        corpus, delta, corpus_assignment=resolve_entities(corpus)
     )
 
 
@@ -1055,6 +1088,69 @@ def q_k4_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as Spark's unix_timestamp).
 _P2_IDS = ", ".join(f"'{i}'" for i in range(0, 200, 7))
 
+# entity-resolution CTE prefix (record fixture → pairs → recursive CC
+# walk → per-record assignment), shared by the batch golden-record
+# oracle and the incremental-assignment oracle — one mirror, two members
+_ER_CTES = r"""cust AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 printf('%02d-%03d-%04d', c_custkey % 80 + 10,
+                        c_custkey % 1000, c_custkey % 10000) AS c_phone,
+                 printf('%d %s Street', c_custkey % 97, c_mktsegment)
+                   AS c_address
+          FROM customer),
+        recs AS (
+          SELECT c_custkey * 10 AS rec_id, c_name AS name,
+                 c_phone AS phone, c_address AS address,
+                 c_nationkey AS bk
+          FROM cust
+          UNION ALL
+          SELECT c_custkey * 10 + 1, lower(c_name) || ' inc', c_phone,
+                 c_address || ' suite ' || CAST(c_custkey % 10 AS VARCHAR),
+                 c_nationkey
+          FROM cust WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey * 10 + 2, upper(c_name),
+                 replace(c_phone, '-', ''), substr(c_address, 1, 5),
+                 c_nationkey
+          FROM cust WHERE c_custkey % 6 = 0
+          UNION ALL
+          SELECT c_custkey * 10 + 3, lower(c_name), NULL, c_address,
+                 c_nationkey
+          FROM cust WHERE c_custkey % 5 = 0),
+        prep AS (
+          SELECT rec_id, bk, name, phone, address,
+                 COALESCE(list_distinct(list_filter(
+                   string_split_regex(lower(trim(name)), '\s+'),
+                   x -> x <> '')), []) AS toks,
+                 COALESCE(regexp_replace(phone, '[^0-9]', '', 'g'), '')
+                   AS ph
+          FROM recs),
+        pairs AS (
+          SELECT a.rec_id AS id_a, b.rec_id AS id_b
+          FROM prep a JOIN prep b
+            ON a.bk = b.bk AND a.rec_id < b.rec_id
+          WHERE (CASE WHEN a.ph <> '' AND b.ph <> '' AND a.ph = b.ph
+                      THEN 500 ELSE 0 END)
+              + 500 * (CASE WHEN length(list_distinct(
+                                 list_concat(a.toks, b.toks))) > 0
+                       THEN 1000 * length(list_intersect(a.toks, b.toks))
+                            // length(list_distinct(
+                                 list_concat(a.toks, b.toks)))
+                       ELSE 0 END) // 1000
+              >= 450),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        comp AS (SELECT node, min(lbl) AS entity_id FROM walk GROUP BY node),
+        asg AS (
+          SELECT p.rec_id, COALESCE(c.entity_id, p.rec_id) AS entity_id
+          FROM prep p LEFT JOIN comp c ON c.node = p.rec_id)"""
+
 ORACLES: dict[str, str] = {
     "s6_sql_scan": """
         SELECT o_orderstatus, count(*) AS n_orders,
@@ -1377,66 +1473,8 @@ ORACLES: dict[str, str] = {
     # milli-score spec (operators/entity.py:entity_pairs docstring),
     # recursive-CTE connected components, and the three survivorship
     # aggregates (arg_min / min / padded-length max)
-    "entity_resolution": r"""
-        WITH RECURSIVE cust AS (
-          SELECT c_custkey, c_name, c_nationkey,
-                 printf('%02d-%03d-%04d', c_custkey % 80 + 10,
-                        c_custkey % 1000, c_custkey % 10000) AS c_phone,
-                 printf('%d %s Street', c_custkey % 97, c_mktsegment)
-                   AS c_address
-          FROM customer),
-        recs AS (
-          SELECT c_custkey * 10 AS rec_id, c_name AS name,
-                 c_phone AS phone, c_address AS address,
-                 c_nationkey AS bk
-          FROM cust
-          UNION ALL
-          SELECT c_custkey * 10 + 1, lower(c_name) || ' inc', c_phone,
-                 c_address || ' suite ' || CAST(c_custkey % 10 AS VARCHAR),
-                 c_nationkey
-          FROM cust WHERE c_custkey % 3 = 0
-          UNION ALL
-          SELECT c_custkey * 10 + 2, upper(c_name),
-                 replace(c_phone, '-', ''), substr(c_address, 1, 5),
-                 c_nationkey
-          FROM cust WHERE c_custkey % 6 = 0
-          UNION ALL
-          SELECT c_custkey * 10 + 3, lower(c_name), NULL, c_address,
-                 c_nationkey
-          FROM cust WHERE c_custkey % 5 = 0),
-        prep AS (
-          SELECT rec_id, bk, name, phone, address,
-                 COALESCE(list_distinct(list_filter(
-                   string_split_regex(lower(trim(name)), '\s+'),
-                   x -> x <> '')), []) AS toks,
-                 COALESCE(regexp_replace(phone, '[^0-9]', '', 'g'), '')
-                   AS ph
-          FROM recs),
-        pairs AS (
-          SELECT a.rec_id AS id_a, b.rec_id AS id_b
-          FROM prep a JOIN prep b
-            ON a.bk = b.bk AND a.rec_id < b.rec_id
-          WHERE (CASE WHEN a.ph <> '' AND b.ph <> '' AND a.ph = b.ph
-                      THEN 500 ELSE 0 END)
-              + 500 * (CASE WHEN length(list_distinct(
-                                 list_concat(a.toks, b.toks))) > 0
-                       THEN 1000 * length(list_intersect(a.toks, b.toks))
-                            // length(list_distinct(
-                                 list_concat(a.toks, b.toks)))
-                       ELSE 0 END) // 1000
-              >= 450),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION
-          SELECT id_b, id_a FROM pairs),
-        walk(node, lbl) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        comp AS (SELECT node, min(lbl) AS entity_id FROM walk GROUP BY node),
-        asg AS (
-          SELECT p.rec_id, COALESCE(c.entity_id, p.rec_id) AS entity_id
-          FROM prep p LEFT JOIN comp c ON c.node = p.rec_id)
+    "entity_resolution": f"""
+        WITH RECURSIVE {_ER_CTES}
         SELECT a.entity_id,
                CAST(count(*) AS BIGINT) AS n_records,
                arg_min(r.name, r.rec_id) AS name,
@@ -1445,6 +1483,15 @@ ORACLES: dict[str, str] = {
                           || '|' || r.address), 10) AS address
         FROM asg a JOIN prep r ON r.rec_id = a.rec_id
         GROUP BY 1
+    """,
+    # the incremental member's oracle is the FULL-batch assignment —
+    # delta-only pair work must reproduce it exactly, merges included
+    "entity_resolution_inc": f"""
+        WITH RECURSIVE {_ER_CTES},
+        sizes AS (
+          SELECT entity_id, count(*) AS n FROM asg GROUP BY 1)
+        SELECT a.rec_id, a.entity_id, CAST(s.n AS BIGINT) AS n_records
+        FROM asg a JOIN sizes s USING (entity_id)
     """,
     # decimal-exact per-group moments → double scalars, mirroring
     # operators/aggregations.py:standardize expression-for-expression
@@ -1789,6 +1836,7 @@ QUERIES = {
     "funnel": q_funnel,
     "retention_cohorts": q_retention_cohorts,
     "entity_resolution": q_entity_resolution,
+    "entity_resolution_inc": q_entity_resolution_inc,
     "j8_range_join": q_j8_range_join,
     "ht_rollup": q_ht_rollup,
     "kmv_distinct": q_kmv_distinct,

@@ -149,7 +149,9 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/behavior.py:retention_cohorts) and, since round 9, the
     entity-resolution golden records (``er`` mode — blocking → integer
     milli-scored pairs → connected components → survivorship,
-    operators/entity.py)."""
+    operators/entity.py) plus the incremental delta-vs-corpus
+    assignment (``er_inc`` mode — stored-assignment star edges ∪
+    delta-involved pairs, exactly the full-batch components)."""
     counts = relational.q_metrics_new_vs_existing(spark, sf_dir).select(
         F.lit("counts").alias("mode"),
         _null("string").alias("key_s"),
@@ -200,12 +202,23 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("long").alias("n3"),
         F.concat_ws("|", "phone", "address").alias("top_s"),
     )
+    # er_inc: the incremental (delta-vs-corpus) assignment — must equal
+    # the full-batch assignment verbatim, merges included
+    er_inc = relational.q_entity_resolution_inc(spark, sf_dir).select(
+        F.lit("er_inc").alias("mode"),
+        _null("string").alias("key_s"),
+        F.col("rec_id").alias("n1"),
+        F.col("entity_id").alias("n2"),
+        F.col("n_records").alias("n3"),
+        _null("string").alias("top_s"),
+    )
     return (
         counts.unionByName(prof)
         .unionByName(diff)
         .unionByName(fun)
         .unionByName(coh)
         .unionByName(er)
+        .unionByName(er_inc)
     )
 
 
@@ -1570,6 +1583,13 @@ ORACLES: dict[str, str] = {
             "'er' AS mode, name AS key_s, entity_id AS n1, "
             "n_records AS n2, CAST(NULL AS BIGINT) AS n3, "
             "concat_ws('|', phone, address) AS top_s",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["entity_resolution_inc"],
+            "'er_inc' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
+            "rec_id AS n1, entity_id AS n2, n_records AS n3, "
+            "CAST(NULL AS VARCHAR) AS top_s",
         )
     ),
     "a2_a3_distinct_suite": (

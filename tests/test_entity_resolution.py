@@ -94,3 +94,54 @@ def test_oversized_block_refused(spark):
         )
 
         golden_records(df, df.select("rec_id"), rules={"name": "modal"})
+
+
+def test_incremental_resolve_matches_full_batch_with_bridge_merge(spark):
+    """The incremental contract: delta-only pair work reproduces the
+    full-batch assignment exactly — INCLUDING the case a naive
+    assign-to-nearest-entity incremental ER gets wrong, a delta record
+    that BRIDGES two standing entities into one."""
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        incremental_resolve_entities,
+        resolve_entities,
+    )
+
+    # standing corpus: entities {10,11} (phone) and {20,21} (phone),
+    # plus singleton 30
+    corpus = _df(spark).where("rec_id <> 12")
+    corpus_asg = resolve_entities(corpus)
+    # delta: 12 re-links to entity A by name; 15 carries BOTH phones'
+    # digits in no field — instead bridge via names: share >=50% tokens
+    # with A's name AND B's name is disjoint, so bridge through phone:
+    # give 15 entity B's phone and entity A's name → merges A and B
+    delta = spark.createDataFrame(
+        [
+            (12, 1, "ACME METALS CORP", None, "12 D"),
+            (15, 1, "Acme Metals Corp", "77-111-222", "somewhere"),
+        ],
+        ["rec_id", "block_key", "name", "phone", "address"],
+    )
+    inc = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in incremental_resolve_entities(
+            corpus, delta, corpus_assignment=corpus_asg
+        ).collect()
+    }
+    full = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in resolve_entities(corpus.unionByName(delta)).collect()
+    }
+    assert inc == full
+    # and the bridge really merged: A (10,11,12,15) ∪ B (20,21) → one
+    # entity labelled 10 with 6 records
+    assert inc[20] == (10, 6) and inc[15] == (10, 6)
+    # the isolated-block record stays put
+    assert inc[40] == (40, 1)
+
+    # overlapping delta key refused
+    with pytest.raises(ValueError):
+        incremental_resolve_entities(
+            corpus,
+            corpus.limit(1),
+            corpus_assignment=corpus_asg,
+        ).collect()
