@@ -680,6 +680,32 @@ def q_stream_scored_ingest(
     )
 
 
+def q_stream_entity_resolution(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
+    """§2.8 + entity resolution composed: the dirty-CRM record fixture
+    ingested as micro-batches (rec_id % 3 scatters each customer's
+    variants across batches, so cross-batch links and entity MERGES are
+    exercised), each batch resolved delta-vs-corpus against the stored
+    assignment inside foreachBatch and MERGEd
+    (streaming/windows.py:stream_entity_resolution). The drained
+    assignment table equals the full-batch ``resolve_entities`` over
+    all records — the ``entity_resolution_inc`` oracle verbatim."""
+    from ..streaming.windows import stream_entity_resolution
+    from .relational import _er_records
+
+    base_dir = scratch_dir("mgo_stream_er_")
+    asg_path = stream_entity_resolution(
+        spark,
+        _er_records(spark, sf_dir),
+        base_dir,
+        n_state_partitions=n_state_partitions,
+    )
+    return spark.read.parquet(asg_path).select(
+        "rec_id", "entity_id", "n_records"
+    )
+
+
 def q_stream_hypertable_rollup(
     spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
 ) -> DataFrame:
@@ -832,6 +858,7 @@ QUERIES = {
     "stream_scored_ingest": q_stream_scored_ingest,
     "stream_semantic_dedup": q_stream_semantic_dedup,
     "stream_media_dedup": q_stream_media_dedup,
+    "stream_entity_resolution": q_stream_entity_resolution,
     "stream_hypertable_rollup": q_stream_hypertable_rollup,
     "stream_ann_ingest": q_stream_ann_ingest,
     "stream_join_30m": q_stream_join_30m,
@@ -899,6 +926,8 @@ ORACLES: dict[str, str] = {
     "stream_semantic_dedup": _pipeline_oracles["dedup_semantic"],
     # drained streaming media-dedup pairs == full-corpus brute-force spec
     "stream_media_dedup": _media_stream_pairs_sql(),
+    # drained streaming-ER assignment == the full-batch assignment
+    "stream_entity_resolution": _relational_oracles["entity_resolution_inc"],
     # drained continuous aggregate == batch hypertable rollup (decimal
     # additivity) — reuse the ht_rollup member oracle verbatim
     "stream_hypertable_rollup": _relational_oracles["ht_rollup"],

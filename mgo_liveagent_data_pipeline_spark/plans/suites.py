@@ -1244,10 +1244,13 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic_dedup, which is its oracle verbatim); since round 9,
     the continuous aggregate (``incrollup`` — hourly partials keyed by
     (batch_id, bucket) so an ADDITIVE aggregate survives crash replay,
-    read-time fold == batch hypertable_rollup, its oracle) and ANN
+    read-time fold == batch hypertable_rollup, its oracle), ANN
     index maintenance (``incann`` — frozen-centroid assignment MERGEs
     into a stored IVF posting-list table, queried through the index
-    with ``corpus_preassigned=True``).
+    with ``corpus_preassigned=True``), and streaming entity resolution
+    (``increr`` — each record batch resolved delta-vs-corpus against
+    the stored assignment, entity merges propagated by changed-row
+    MERGEs; drained table == full-batch resolve_entities, its oracle).
 
     The AvailableNow streaming members run CONCURRENTLY via a thread pool: each is
     an independent run-to-completion AvailableNow query, so their fixed
@@ -1282,10 +1285,10 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("dedup", persistence.q_stream_dedup_6h),
         ("merge_part", persistence.q_stream_merge_partitioned),
     )
-    # pool sized for EVERY submitted future (7 streaming singles + the
+    # pool sized for EVERY submitted future (8 streaming singles + the
     # mapped members) so no streaming member queues behind the others —
     # the fixed-cost fan-out overlap is the point of the pool
-    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 7) as ex:
+    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 8) as ex:
         join_fut = ex.submit(
             persistence.q_stream_join_30m, spark, sf_dir, None
         )
@@ -1318,6 +1321,12 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         incann_fut = ex.submit(
             persistence.q_stream_ann_ingest, spark, sf_dir, None
         )
+        # increr: streaming entity resolution — each record batch
+        # resolved delta-vs-corpus against the stored assignment;
+        # drained table == full-batch resolve_entities
+        increr_fut = ex.submit(
+            persistence.q_stream_entity_resolution, spark, sf_dir, None
+        )
         done = list(
             ex.map(
                 lambda m: m[1](spark, sf_dir, n_state_partitions=None), members
@@ -1330,6 +1339,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         incphash_df = incphash_fut.result()
         incrollup_df = incrollup_fut.result()
         incann_df = incann_fut.result()
+        increr_df = increr_fut.result()
     parts = [
         df.select(
             F.lit(tag).alias("mode"),
@@ -1418,6 +1428,14 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("n_events"),
         F.col("cosine_sim").alias("total_value"),
     )
+    increr_part = increr_df.select(
+        F.lit("increr").alias("mode"),
+        F.col("rec_id").cast("string").alias("grp"),
+        _null("timestamp").alias("window_start"),
+        _null("timestamp").alias("window_end"),
+        F.col("entity_id").alias("n_events"),
+        F.col("n_records").cast("double").alias("total_value"),
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1430,6 +1448,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(incphash_part)
         .unionByName(incrollup_part)
         .unionByName(incann_part)
+        .unionByName(increr_part)
     )
 
 
@@ -2179,6 +2198,15 @@ ORACLES: dict[str, str] = {
             "CAST(NULL AS TIMESTAMP) AS window_end, "
             "CAST(\"rank\" AS BIGINT) AS n_events, "
             "cosine_sim AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _K["stream_entity_resolution"],
+            "'increr' AS mode, CAST(rec_id AS VARCHAR) AS grp, "
+            "CAST(NULL AS TIMESTAMP) AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "entity_id AS n_events, "
+            "CAST(n_records AS DOUBLE) AS total_value",
         )
     ),
 }

@@ -769,6 +769,106 @@ def stream_media_dedup(
     return table_path(base_dir, pairs_name), index_path
 
 
+def stream_entity_resolution(
+    spark: SparkSession,
+    records_df: DataFrame,
+    base_dir: str,
+    asg_name: str = "er_assignment",
+    rec_name: str = "er_records",
+    n_batches: int = 3,
+    n_state_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> str:
+    """Continuous record ingestion with streaming entity resolution —
+    the streaming member of the ER family (batch ``resolve_entities`` →
+    incremental ``incremental_resolve_entities`` → this): each
+    micro-batch of records is resolved delta-vs-corpus against the
+    STORED assignment table, then the changed assignment rows and the
+    batch's records MERGE into their tables.
+
+    Drained-state contract (the oracle): the assignment table equals
+    the full-batch ``resolve_entities`` over all records, for ANY batch
+    split — ``incremental_resolve_entities`` returns the full-batch
+    assignment each ingest (merges included: a record arriving in batch
+    j that bridges two entities resolved in batches < j re-labels the
+    merged component, and the changed-row MERGE propagates exactly that
+    re-labelling), so the stored table is always the batch answer for
+    the corpus-so-far.
+
+    Replay safety hinges on MERGE ORDER — assignment FIRST, records
+    second: a batch's keys are anti-joined against the stored records
+    before resolving, so a crash between the two MERGEs replays as
+    (fresh delta still absent from the record table) → identical
+    recompute → idempotent re-MERGE, while the reverse order would
+    replay the batch as an empty delta against a record table that
+    already contains it, leaving its rows assigned as singletons. The
+    stored assignment side is insensitive to that half-done state: its
+    extra delta star edges are a subset of the true final component, so
+    components and labels are unchanged.
+
+    Returns the assignment table path (rec_id, entity_id, n_records).
+    """
+    from ..operators.entity import incremental_resolve_entities
+    from ..sinks.writers import ensure_table, table_path, upsert
+
+    stage = os.path.join(base_dir, "er_ingest")
+    os.makedirs(stage, exist_ok=True)
+    for b in range(n_batches):
+        tmp = os.path.join(base_dir, f"__erstage_{b}")
+        records_df.where(
+            F.col("rec_id") % n_batches == b
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(tmp, part),
+            os.path.join(stage, f"batch_{b:03d}.parquet"),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+    src_schema = spark.read.parquet(stage).schema
+    rec_stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    rec_path = ensure_table(
+        spark, base_dir, rec_name, spark.createDataFrame([], src_schema)
+    )
+    asg_path = ensure_table(
+        spark,
+        base_dir,
+        asg_name,
+        spark.createDataFrame([], "rec_id long, entity_id long, n_records long"),
+    )
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        corpus = spark.read.parquet(rec_path)
+        asg = spark.read.parquet(asg_path)
+        fresh = batch_df.join(corpus.select("rec_id"), "rec_id", "left_anti")
+        new_asg = incremental_resolve_entities(
+            corpus, fresh, corpus_assignment=asg
+        )
+        changed = new_asg.join(
+            asg, ["rec_id", "entity_id", "n_records"], "left_anti"
+        )
+        upsert(spark, changed, base_dir, asg_name, "rec_id")
+        upsert(spark, fresh, base_dir, rec_name, "rec_id")
+
+    with state_partitions(spark, n_state_partitions), _checkpoint(
+        checkpoint_dir
+    ) as ckpt:
+        q = (
+            rec_stream.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return table_path(base_dir, asg_name)
+
+
 def stream_hypertable_rollup(
     spark: SparkSession,
     sf_dir: str,

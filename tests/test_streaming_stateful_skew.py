@@ -908,3 +908,113 @@ def test_stream_ann_ingest_drained_equals_batch_and_replay(spark, tmp_path):
         for r in spark.read.parquet(index_path2).collect()
     )
     assert index_path2 == index_path and after == before
+
+
+def test_stream_entity_resolution_restart_exactly_once(spark, tmp_path):
+    """Streaming ER under the worst-case crash window — BETWEEN the two
+    MERGEs (assignment landed, records not, offset uncommitted), the
+    exact half-done state the merge-order argument in
+    stream_entity_resolution's docstring is about. The replayed batch
+    still sees itself as fresh (records table unchanged), recomputes
+    against a stored assignment that already carries its star edges (a
+    subset of the true final component — harmless), and the drained
+    table equals the full-batch resolve_entities, bridge merges
+    included."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        incremental_resolve_entities,
+        resolve_entities,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        ensure_table,
+        table_path,
+        upsert,
+    )
+
+    recs = [
+        (10, 1, "Acme Metals Corp", "25-989-741", "12 Dock Rd"),
+        (11, 1, "acme metals corp inc", "25989741", "12 Dock Road Pier 4"),
+        (12, 1, "ACME METALS CORP", None, "12 D"),
+        (20, 1, "Blue Harbour Ltd", "77-111-222", "9 Quay St"),
+        (21, 1, "BH Logistics", "77111222", "9 Quay Street"),
+        (30, 1, "Cedar Freight", "55-000-111", "1 Yard Ln"),
+        (40, 2, "Acme Metals Corp", "25-989-741", "99 Other St"),
+        # the bridge: A's name + B's phone, arrives LAST — merges the
+        # two standing entities
+        (15, 1, "Acme Metals Corp", "77-111-222", "somewhere"),
+    ]
+    cols = ["rec_id", "block_key", "name", "phone", "address"]
+    split = {0: {10, 20, 40}, 1: {11, 21, 30}, 2: {12, 15}}
+    src = tmp_path / "er_src"
+    src.mkdir()
+    for b, ids in split.items():
+        spark.createDataFrame(
+            [r for r in recs if r[0] in ids], cols
+        ).coalesce(1).write.parquet(str(src / f"batch_{b}.parquet"))
+    schema = spark.read.parquet(str(src / "batch_0.parquet")).schema
+    base = str(tmp_path / "er_tbl")
+    ckpt = str(tmp_path / "er_ckpt")
+    rec_path = ensure_table(
+        spark, base, "recs", spark.createDataFrame([], schema)
+    )
+    asg_path = ensure_table(
+        spark, base, "asg",
+        spark.createDataFrame([], "rec_id long, entity_id long, n_records long"),
+    )
+    crash = {"armed": True}
+    merged = []
+
+    def merge_batch(batch_df, batch_id):
+        corpus = spark.read.parquet(rec_path)
+        asg = spark.read.parquet(asg_path)
+        fresh = batch_df.join(corpus.select("rec_id"), "rec_id", "left_anti")
+        new_asg = incremental_resolve_entities(
+            corpus, fresh, corpus_assignment=asg
+        )
+        changed = new_asg.join(
+            asg, ["rec_id", "entity_id", "n_records"], "left_anti"
+        )
+        upsert(spark, changed, base, "asg", "rec_id")
+        if batch_id == 1 and crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError(
+                "injected crash between assignment and record MERGEs"
+            )
+        upsert(spark, fresh, base, "recs", "rec_id")
+        merged.append(batch_id)
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+    got = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in spark.read.parquet(table_path(base, "asg")).collect()
+    }
+    want = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in resolve_entities(
+            spark.createDataFrame(recs, cols)
+        ).collect()
+    }
+    assert got == want
+    # the late bridge really merged the two standing entities
+    assert got[21] == (10, 6) and got[15] == (10, 6)
+    # records table holds each record exactly once despite the replay
+    stored = spark.read.parquet(rec_path).collect()
+    assert len(stored) == len(recs) == len({r["rec_id"] for r in stored})
