@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import connected_components
+from .dedup import connected_components, lineage_cut
 
 # survivorship strategies — every one a deterministic aggregate:
 #   first_by_key: the value carried by the entity's lowest record key
@@ -234,6 +234,7 @@ def incremental_resolve_entities(
     threshold_milli: int = 450,
     max_block: int = 10_000,
     checkpoint_dir: str | None = None,
+    emit: str = "all",
 ) -> DataFrame:
     """Delta-vs-corpus entity resolution — the recurring-ingest shape for
     records, same contract family as ``incremental_minhash_dedup`` /
@@ -266,11 +267,31 @@ def incremental_resolve_entities(
 
     At 100 TB: per ingest this scores |delta-involved block pairs| —
     corpus-side work is ONE semi-join of the prep projection against
-    the delta's block keys — and the CC input is (star edges ∪ new
-    pairs): #records + #new-pairs longs, never content.
+    the delta's block keys — and the CC runs only over TOUCHED
+    components: star edges are semi-join-pruned to entities adjacent
+    to a new pair endpoint (the ER analog of the semantic family's
+    hot-cluster prune), every other stored assignment row is carried
+    through verbatim, so ingest cost tracks the delta's neighborhood,
+    not the standing corpus (tools/scale_smoke_er.py measures it).
+    Exactness is unaffected: a component no delta pair touches keeps
+    exactly its stored label and size in the full-batch answer.
+    ``corpus_assignment`` must be the output of a previous
+    ``resolve_entities`` / this function (its ``n_records`` are carried
+    for untouched components).
 
-    Returns (``key_col``, entity_id, n_records) for corpus ∪ delta.
+    ``emit='all'`` (default) returns the full corpus ∪ delta assignment
+    — the oracle-checked contract, whose cost has an unavoidable linear
+    term (one scan of the stored assignment to carry untouched rows).
+    ``emit='changed'`` returns only the recomputed rows (delta ∪
+    touched components) — the streaming/MERGE shape, whose cost tracks
+    the delta's neighborhood alone: MERGEing it over the stored table
+    yields exactly the ``'all'`` relation (untouched rows are already
+    stored and recomputed rows are keyed by ``key_col``).
+
+    Returns (``key_col``, entity_id, n_records).
     """
+    if emit not in ("all", "changed"):
+        raise ValueError(f"emit must be 'all' or 'changed', got {emit!r}")
     overlap = (
         delta.select(F.col(key_col))
         .join(corpus.select(F.col(key_col)), key_col)
@@ -315,17 +336,49 @@ def incremental_resolve_entities(
         )
         .distinct()
     )
-    star = corpus_assignment.where(
+    # the pair plan feeds three consumers (endpoint probe, CC union,
+    # and CC's own symmetrize) — materialize it once
+    new_pairs = lineage_cut(new_pairs, checkpoint_dir, eager=True)
+    # tolerate a half-done streaming state: a crash between the
+    # assignment MERGE and the record MERGE replays a batch whose keys
+    # already sit in the stored assignment — drop those rows (their
+    # evidence is recomputed in full below; keeping them would put the
+    # same key on both the carried and recomputed sides)
+    corpus_assignment = corpus_assignment.join(
+        delta.select(F.col(key_col)), key_col, "left_anti"
+    )
+    # touched-component prune: only components ADJACENT to a delta pair
+    # can change, so the CC graph is (new pairs ∪ star edges of touched
+    # entities) and every other stored row rides through verbatim
+    endpoints = (
+        new_pairs.select(F.col("id_a").alias("__n"))
+        .unionByName(new_pairs.select(F.col("id_b").alias("__n")))
+        .distinct()
+    )
+    touched = (
+        corpus_assignment.join(
+            endpoints, corpus_assignment[key_col] == F.col("__n")
+        )
+        .select("entity_id")
+        .distinct()
+    )
+    touched_rows = corpus_assignment.join(
+        touched, "entity_id", "left_semi"
+    )
+    star_touched = touched_rows.where(
         F.col(key_col) != F.col("entity_id")
     ).select(
         F.col(key_col).alias("id_a"), F.col("entity_id").alias("id_b")
     )
     cc = connected_components(
-        new_pairs.unionByName(star), checkpoint_dir=checkpoint_dir
+        new_pairs.unionByName(star_touched), checkpoint_dir=checkpoint_dir
+    )
+    need = (
+        delta.select(F.col(key_col))
+        .unionByName(touched_rows.select(F.col(key_col)))
     )
     assigned = (
-        allrecs.select(F.col(key_col))
-        .join(
+        need.join(
             cc.select("node", "cluster_id"),
             F.col(key_col) == F.col("node"),
             "left",
@@ -338,9 +391,15 @@ def incremental_resolve_entities(
     sizes = assigned.groupBy("entity_id").agg(
         F.count(F.lit(1)).alias("n_records")
     )
-    return assigned.join(sizes, "entity_id").select(
+    changed = assigned.join(sizes, "entity_id").select(
         key_col, "entity_id", "n_records"
     )
+    if emit == "changed":
+        return changed
+    untouched_rows = corpus_assignment.join(
+        touched, "entity_id", "left_anti"
+    ).select(key_col, "entity_id", "n_records")
+    return changed.unionByName(untouched_rows)
 
 
 def golden_records(

@@ -846,11 +846,12 @@ def stream_entity_resolution(
         corpus = spark.read.parquet(rec_path)
         asg = spark.read.parquet(asg_path)
         fresh = batch_df.join(corpus.select("rec_id"), "rec_id", "left_anti")
-        new_asg = incremental_resolve_entities(
-            corpus, fresh, corpus_assignment=asg
-        )
-        changed = new_asg.join(
-            asg, ["rec_id", "entity_id", "n_records"], "left_anti"
+        # emit='changed': only the recomputed (delta ∪ touched) rows —
+        # MERGEing them over the stored table IS the full assignment,
+        # and the per-batch cost tracks the delta's neighborhood, not
+        # the standing corpus
+        changed = incremental_resolve_entities(
+            corpus, fresh, corpus_assignment=asg, emit="changed"
         )
         upsert(spark, changed, base_dir, asg_name, "rec_id")
         upsert(spark, fresh, base_dir, rec_name, "rec_id")
