@@ -234,6 +234,10 @@ def random_project(
         raise ValueError(
             f"random_project: out_dim ({out_dim}) must be < dim ({dim})"
         )
+    # NB: ``dim`` must equal the actual vector length — zip_with pads a
+    # shorter plane with nulls and the projected component goes NULL
+    # (same contract as rh_signature's planes; array length is not in
+    # the schema, so it cannot be checked at plan time)
     return df.withColumn(
         vec_col, jl_project(_as_double(F.col(vec_col)), rh_planes(out_dim, dim))
     )

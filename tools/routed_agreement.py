@@ -101,10 +101,57 @@ def run_fixture(name: str, df, k: int) -> None:
     df.unpersist()
 
 
+def run_jl(name: str, df, out_dims=(8, 16, 32)) -> None:
+    """JL-composition measurement: project the corpus, rerun the SAME
+    flat assignment (centroids re-derived in projected space by the
+    identical deterministic rule), and report agreement vs the full-dim
+    flat assignment plus wall time — quantifies the projected-pipeline
+    lever (shuffle bytes ÷ dim ratio) against its assignment drift."""
+    import time
+
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        random_project,
+    )
+
+    df = df.persist()
+    df.count()
+    t0 = time.time()
+    flat = {
+        r["key"]: r["cluster_id"]
+        for r in semantic_assign(df).select("key", "cluster_id").collect()
+    }
+    t_full = time.time() - t0
+    release_intermediates()
+    print(f"\n### JL-projected flat assignment — {name}\n")
+    print(f"full-dim ({DIM}): {t_full:.1f} s (reference)\n")
+    print("| out_dim | bytes ratio | agreement vs full-dim flat % | t (s) |")
+    print("|---|---|---|---|")
+    for d in out_dims:
+        proj = random_project(df, "embedding", out_dim=d, dim=DIM)
+        t0 = time.time()
+        got = {
+            r["key"]: r["cluster_id"]
+            for r in semantic_assign(proj)
+            .select("key", "cluster_id")
+            .collect()
+        }
+        t = time.time() - t0
+        release_intermediates()
+        agree = 100.0 * sum(1 for k_, v in got.items() if v == flat[k_]) / len(flat)
+        print(f"| {d} | {DIM / d:.0f}× | {agree:.1f} | {t:.1f} |")
+    df.unpersist()
+
+
 def main() -> None:
     n_cl = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     k_cl = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     spark = get_spark("routed_agreement")
+    if "--jl" in sys.argv:
+        run_jl(
+            f"clustered blobs (n={n_cl}, k={k_cl})",
+            clustered_fixture(spark, n_cl, k_cl),
+        )
+        return
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
