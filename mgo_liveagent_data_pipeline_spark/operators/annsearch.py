@@ -504,6 +504,103 @@ def ivf_topk(
 
 
 # ----------------------------------------------------- product quantization
+def sq_encode(
+    df: DataFrame, vec_col: str = "embedding", key_col: str = "vec_id"
+) -> DataFrame:
+    """SQ8 scalar quantization (the FAISS ScalarQuantizer shape):
+    per-vector symmetric int8 codes — code_i = floor(x_i / s · 127 +
+    0.5) with s = max|x_i| — so a 64-dim float64 vector becomes 64
+    bytes + one scale, an 8× at-rest / shuffle compression. floor(·+.5)
+    instead of round(): identical half-up semantics in every engine,
+    which is what makes the codes (and everything computed from them)
+    bit-exact in the DuckDB twin.
+
+    Quantized COSINE needs no scales at all: cos(x̂a, x̂b) =
+    Σ(ca·cb) / √(Σca²·Σcb²) — the per-vector scales cancel — so scoring
+    is integer dot products until one final division (``sq_topk``).
+
+    Zero vectors encode to all-zero codes (guarded — ANSI mode would
+    otherwise overflow on x/0 = ±Inf).
+
+    Returns (key, codes array<int>, sq_norm2 long = Σcode² hoisted once
+    per vector)."""
+    v = _as_double(F.col(vec_col))
+    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.when(
+        s > 0,
+        F.transform(
+            v, lambda x: F.floor(x / s * 127 + F.lit(0.5)).cast("int")
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(key_col).alias("key"), codes.alias("codes")
+    ).withColumn(
+        "sq_norm2",
+        F.aggregate(
+            F.col("codes"),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + (c * c).cast("long"),
+        ),
+    )
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k over SQ8 codes: both sides quantized
+    (symmetric), scored by integer dot products — ~8× fewer vector
+    bytes through the scan/broadcast than ``cosine_topk`` with a
+    near-lossless metric (quantization noise ≪ neighbor margins even on
+    the near-isotropic fixture; tests/test_ann_recall.py pins the
+    recall). Same shape as the float baseline: corpus scan ×
+    broadcast(queries), window top-k, ties broken by corpus id."""
+    c = sq_encode(corpus, vec_col, key_col).select(
+        F.col("key").alias("corpus_id"),
+        F.col("codes").alias("cc"),
+        F.col("sq_norm2").alias("cn2"),
+    )
+    q = sq_encode(queries, vec_col, query_key).select(
+        F.col("key").alias(query_key),
+        F.col("codes").alias("qc"),
+        F.col("sq_norm2").alias("qn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("cc"), F.col("qc"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("corpus_id") != F.col(query_key))
+        .withColumn(
+            "cosine_sim",
+            F.when(
+                (F.col("cn2") > 0) & (F.col("qn2") > 0),
+                F.round(
+                    dot
+                    / F.sqrt(
+                        F.col("cn2").cast("double") * F.col("qn2").cast("double")
+                    ),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_key, "corpus_id", "cosine_sim", "rank")
+    )
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     """Squared L2 distance, left-fold summation (deterministic order both
     engines: zip_with pairs in index order, aggregate folds left)."""

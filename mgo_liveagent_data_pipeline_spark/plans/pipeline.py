@@ -453,6 +453,23 @@ def q_ann_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(proj, queries, k=5, query_key="query_id")
 
 
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 over SQ8 int8 codes (operators/
+    annsearch.py:sq_encode/sq_topk): per-vector symmetric scalar
+    quantization, integer-dot scoring (scales cancel in cosine) — 8×
+    fewer vector bytes with a near-lossless metric. Value-exact member
+    (floor-half-up codes are bit-identical in the twin); the recall
+    against the float baseline is pinned in tests/test_ann_recall.py.
+    Driver-visible via the ``sq`` variant of ``ann_suite``."""
+    from ..operators.annsearch import sq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq_topk(emb, queries, k=5, query_key="query_id")
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-5 (deterministic centroids)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1902,6 +1919,7 @@ QUERIES = {
     "text_token_counts": q_text_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_project_topk": q_ann_project_topk,
+    "ann_sq_topk": q_ann_sq_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_multiprobe_topk": q_ann_ivf_multiprobe_topk,
     "ann_rh_lsh_topk": q_ann_rh_lsh_topk,
@@ -2520,6 +2538,52 @@ def _jl_project_oracle(out_dim: int = 16, dim: int = 64, k: int = 5) -> str:
         scored AS (
           SELECT q.query_id, c.corpus_id,
                  round({_COSINE.format(a="c.cv", b="q.qv")}, 6) AS cosine_sim
+          FROM c CROSS JOIN q
+          WHERE c.corpus_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, corpus_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= {k}
+    """
+
+
+def _sq_topk_oracle(dim: int = 64, k: int = 5) -> str:
+    """Mirror of q_ann_sq_topk: identical floor-half-up int8 codes,
+    integer dot products, one final division."""
+    code = (
+        "CASE WHEN s > 0 THEN list_transform(v, x -> "
+        "CAST(floor(x / s * 127 + 0.5) AS INT)) "
+        "ELSE list_transform(v, x -> 0) END"
+    )
+    n2 = "list_sum(list_transform(codes, c -> CAST(c * c AS BIGINT)))"
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> CAST(c.cc[i] * q.qc[i] AS BIGINT)))"
+    )
+    return f"""
+        WITH raw AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sc AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS s
+          FROM raw),
+        enc AS (SELECT vec_id, {code} AS codes FROM sc),
+        e AS (SELECT vec_id, codes, {n2} AS n2 FROM enc),
+        c AS (SELECT vec_id AS corpus_id, codes AS cc, n2 AS cn2 FROM e),
+        q AS (SELECT vec_id AS query_id, codes AS qc, n2 AS qn2 FROM e
+              WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, c.corpus_id,
+                 CASE WHEN c.cn2 > 0 AND q.qn2 > 0
+                      THEN round({dot}
+                           / sqrt(CAST(c.cn2 AS DOUBLE)
+                                  * CAST(q.qn2 AS DOUBLE)), 6)
+                      ELSE 0.0 END AS cosine_sim
           FROM c CROSS JOIN q
           WHERE c.corpus_id <> q.query_id),
         ranked AS (
@@ -4369,6 +4433,7 @@ ORACLES: dict[str, str] = {
         FROM ranked WHERE rn <= 5
     """,
     "ann_project_topk": _jl_project_oracle(),
+    "ann_sq_topk": _sq_topk_oracle(),
     "ann_ivf_topk": _ivf_oracle(1),
     "ann_ivf_multiprobe_topk": _ivf_oracle(2),
     # md5-bucket stratified sample: en kept iff first-8-hex bucket < 0.3·16^8

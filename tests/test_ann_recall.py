@@ -339,3 +339,44 @@ def test_jl_projection_recall_and_distortion(spark):
 
     with pytest.raises(ValueError):
         random_project(emb, "embedding", out_dim=16, dim=16)
+
+
+def test_sq8_quantization_near_lossless_and_code_spec(spark):
+    """SQ8's contract: on the near-isotropic fixture — where every
+    lossy method above struggles — integer-code cosine still recovers
+    almost all true neighbors (quantization noise ~1/254 of the value
+    range, far below even these thin margins), and the codes obey the
+    spec: int8 range, the max-|component| lands on ±127, zero vectors
+    encode to all-zero."""
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        sq_encode,
+        sq_topk,
+    )
+    from mgo_liveagent_data_pipeline_spark.plans import pipeline as P
+
+    truth = _pairs(P.q_ann_cosine_topk(spark, SF_DIR))
+    sq = _pairs(P.q_ann_sq_topk(spark, SF_DIR))
+    assert len(sq & truth) / len(truth) >= 0.9  # measured 0.96
+
+    rows = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+            (3, [3.0, 3.0, 3.0, 3.0]),  # uniform: every code ±127
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    enc = {r["key"]: (r["codes"], r["sq_norm2"]) for r in sq_encode(rows).collect()}
+    assert enc[1][0] == [64, -127, 32, 0]  # floor(x/1.0*127+0.5)
+    assert enc[1][1] == 64**2 + 127**2 + 32**2
+    assert enc[2] == ([0, 0, 0, 0], 0)
+    assert enc[3][0] == [127, 127, 127, 127]
+    # max-|component| always hits ±127 (scale is per-vector)
+    assert all(max(abs(c) for c in codes) in (0, 127) for codes, _ in enc.values())
+
+    # zero-vector queries score 0 against everyone, never NaN/error
+    q = rows.where("vec_id = 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sq_topk(rows, q, k=2, query_key="query_id").collect()
+    assert [r["cosine_sim"] for r in got] == [0.0, 0.0]
