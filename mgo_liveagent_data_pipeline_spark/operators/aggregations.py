@@ -457,6 +457,121 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+# expectation kinds accepted by validate_expectations; each is one
+# violation-count aggregate, all fused into a single scan
+EXPECTATION_KINDS = (
+    "not_null", "unique", "min", "max", "between", "values_in",
+    "matches", "row_count_between",
+)
+
+
+def validate_expectations(
+    df: DataFrame, expectations: list[tuple]
+) -> DataFrame:
+    """Declarative data-quality gate (the Deequ / Great-Expectations /
+    dbt-test shape — the CHECK a pipeline runs before publishing a
+    load, where ``profile_columns`` is the run-summary it publishes
+    after). Each expectation is a tuple:
+
+      ("not_null",  col)                — no NULLs
+      ("unique",    col)                — no duplicated non-null value
+      ("min",       col, v)             — every value ≥ v
+      ("max",       col, v)             — every value ≤ v
+      ("between",   col, lo, hi)        — lo ≤ value ≤ hi (NULLs violate)
+      ("values_in", col, (v, ...))      — value ∈ set (NULLs violate)
+      ("matches",   col, regex)         — value RLIKE regex (NULLs violate)
+      ("row_count_between", lo, hi)     — table cardinality bound
+
+    Plan shape: EVERY check fuses into ONE aggregation over ONE scan —
+    violation counts are conditional sums, ``unique`` rides the same
+    pass as count(col) − count(distinct col) (Catalyst plans the mixed
+    distinct/non-distinct aggregate with a single expand, still one
+    source scan) — so a 40-check suite costs one corpus pass at 100 TB,
+    not 40. The result is one row per expectation: (check, column,
+    violations, n_rows, passed) — violations for range/set/pattern
+    checks COUNT NULLs as violations (a NULL neither satisfies ``≥ v``
+    nor belongs to a value set; use not_null separately when NULLs are
+    legal), and row_count_between reports |count − nearest bound| as
+    its violation measure.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    metas: list[tuple[str, str]] = []  # (kind, column) per expectation
+
+    def viol(cond: Column) -> Column:
+        # NULL conditions count as violations: coalesce(cond, false)
+        return F.sum(
+            F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+        ).cast("long")
+
+    for i, exp in enumerate(expectations):
+        kind = exp[0]
+        if kind not in EXPECTATION_KINDS:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+        a = f"__e{i}"
+        if kind == "not_null":
+            aggs.append(
+                F.sum(F.when(F.col(exp[1]).isNull(), 1).otherwise(0))
+                .cast("long").alias(a)
+            )
+            metas.append((kind, exp[1]))
+        elif kind == "unique":
+            aggs.append(
+                (F.count(F.col(exp[1])) - F.count_distinct(F.col(exp[1])))
+                .cast("long").alias(a)
+            )
+            metas.append((kind, exp[1]))
+        elif kind == "min":
+            aggs.append(viol(F.col(exp[1]) >= F.lit(exp[2])).alias(a))
+            metas.append((kind, exp[1]))
+        elif kind == "max":
+            aggs.append(viol(F.col(exp[1]) <= F.lit(exp[2])).alias(a))
+            metas.append((kind, exp[1]))
+        elif kind == "between":
+            aggs.append(
+                viol(
+                    (F.col(exp[1]) >= F.lit(exp[2]))
+                    & (F.col(exp[1]) <= F.lit(exp[3]))
+                ).alias(a)
+            )
+            metas.append((kind, exp[1]))
+        elif kind == "values_in":
+            aggs.append(
+                viol(F.col(exp[1]).isin(*exp[2])).alias(a)
+            )
+            metas.append((kind, exp[1]))
+        elif kind == "matches":
+            aggs.append(viol(F.col(exp[1]).rlike(exp[2])).alias(a))
+            metas.append((kind, exp[1]))
+        else:  # row_count_between — resolved against __n after the agg
+            aggs.append(F.lit(None).cast("long").alias(a))
+            metas.append((f"row_count_between[{exp[1]},{exp[2]}]", ""))
+
+    one = df.agg(*aggs)
+    rows = []
+    for i, exp in enumerate(expectations):
+        kind, col = metas[i]
+        a = f"__e{i}"
+        if exp[0] == "row_count_between":
+            lo, hi = exp[1], exp[2]
+            v = F.when(
+                F.col("__n") < lo, F.lit(lo) - F.col("__n")
+            ).when(
+                F.col("__n") > hi, F.col("__n") - F.lit(hi)
+            ).otherwise(F.lit(0)).cast("long")
+        else:
+            v = F.col(a)
+        rows.append(
+            F.struct(
+                F.lit(kind).alias("check"),
+                F.lit(col).alias("column"),
+                v.alias("violations"),
+                F.col("__n").cast("long").alias("n_rows"),
+                (v == 0).alias("passed"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
 def standardize(
     df: DataFrame,
     group_cols: tuple[str, ...],

@@ -538,6 +538,34 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate
+    (operators/aggregations.py:validate_expectations) over orders — a
+    mixed pass/fail suite so both verdicts are exercised: uniqueness
+    holds for the key but FAILS for o_custkey (customers repeat), the
+    1000-cap between FAILS (real prices exceed it), row_count_between
+    [1, 10] FAILS at every sf. Every check fuses into one scan.
+    Driver-visible via the ``expect`` mode of
+    ``metrics_new_vs_existing``."""
+    from ..operators.aggregations import validate_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    return validate_expectations(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("unique", "o_orderkey"),
+            ("unique", "o_custkey"),
+            ("between", "o_totalprice", 0.0, 1_000_000.0),
+            ("between", "o_totalprice", 0.0, 1_000.0),
+            ("values_in", "o_orderstatus", ("F", "O", "P")),
+            ("matches", "o_orderpriority", "^[1-5]-"),
+            ("min", "o_orderkey", 0),
+            ("row_count_between", 1, 10),
+        ],
+    )
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/setops.py:table_diff) between two
     key-derived views of orders: old drops keys ≡0 (mod 97), new drops
@@ -1385,6 +1413,76 @@ ORACLES: dict[str, str] = {
         """
         for c in ("o_orderstatus", "o_orderpriority", "o_custkey")
     ),
+    # one SELECT per expectation, mirroring the fused-agg checks
+    # (violations count NULLs for the range/set/pattern kinds)
+    "validate_expectations": """
+        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+        SELECT 'not_null' AS check, 'o_custkey' AS "column",
+               CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+                 AS violations, n.n_rows,
+               count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed
+        FROM orders, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'unique', 'o_orderkey',
+               CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                 AS BIGINT), n.n_rows,
+               count(o_orderkey) = count(DISTINCT o_orderkey)
+        FROM orders, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'unique', 'o_custkey',
+               CAST(count(o_custkey) - count(DISTINCT o_custkey)
+                 AS BIGINT), n.n_rows,
+               count(o_custkey) = count(DISTINCT o_custkey)
+        FROM orders, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'between', 'o_totalprice',
+               CAST(count(*) FILTER (WHERE NOT coalesce(
+                 o_totalprice >= 0.0 AND o_totalprice <= 1000000.0,
+                 FALSE)) AS BIGINT), n.n_rows,
+               count(*) FILTER (WHERE NOT coalesce(
+                 o_totalprice >= 0.0 AND o_totalprice <= 1000000.0,
+                 FALSE)) = 0
+        FROM orders, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'between', 'o_totalprice',
+               CAST(count(*) FILTER (WHERE NOT coalesce(
+                 o_totalprice >= 0.0 AND o_totalprice <= 1000.0,
+                 FALSE)) AS BIGINT), n.n_rows,
+               count(*) FILTER (WHERE NOT coalesce(
+                 o_totalprice >= 0.0 AND o_totalprice <= 1000.0,
+                 FALSE)) = 0
+        FROM orders, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'values_in', 'o_orderstatus',
+               CAST(count(*) FILTER (WHERE NOT coalesce(
+                 o_orderstatus IN ('F', 'O', 'P'), FALSE)) AS BIGINT),
+               n.n_rows,
+               count(*) FILTER (WHERE NOT coalesce(
+                 o_orderstatus IN ('F', 'O', 'P'), FALSE)) = 0
+        FROM orders, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'matches', 'o_orderpriority',
+               CAST(count(*) FILTER (WHERE NOT coalesce(
+                 regexp_matches(o_orderpriority, '^[1-5]-'), FALSE))
+                 AS BIGINT), n.n_rows,
+               count(*) FILTER (WHERE NOT coalesce(
+                 regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)) = 0
+        FROM orders, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'min', 'o_orderkey',
+               CAST(count(*) FILTER (WHERE NOT coalesce(
+                 o_orderkey >= 0, FALSE)) AS BIGINT), n.n_rows,
+               count(*) FILTER (WHERE NOT coalesce(
+                 o_orderkey >= 0, FALSE)) = 0
+        FROM orders, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'row_count_between[1,10]', '',
+               CAST(CASE WHEN n.n_rows < 1 THEN 1 - n.n_rows
+                         WHEN n.n_rows > 10 THEN n.n_rows - 10
+                         ELSE 0 END AS BIGINT), n.n_rows,
+               n.n_rows BETWEEN 1 AND 10
+        FROM n
+    """,
     # full-outer-join diff classes over the same key-derived snapshots
     "table_diff": """
         WITH o AS (
@@ -1832,6 +1930,7 @@ QUERIES = {
     "pivot_unpivot": q_pivot_unpivot,
     "zscore": q_zscore,
     "profile_columns": q_profile_columns,
+    "validate_expectations": q_validate_expectations,
     "table_diff": q_table_diff,
     "funnel": q_funnel,
     "retention_cohorts": q_retention_cohorts,

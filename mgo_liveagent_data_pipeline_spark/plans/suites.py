@@ -151,7 +151,9 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-scored pairs → connected components → survivorship,
     operators/entity.py) plus the incremental delta-vs-corpus
     assignment (``er_inc`` mode — stored-assignment star edges ∪
-    delta-involved pairs, exactly the full-batch components)."""
+    delta-involved pairs, exactly the full-batch components) and the
+    declarative data-quality gate (``expect`` mode — every check fused
+    into one scan, operators/aggregations.py:validate_expectations)."""
     counts = relational.q_metrics_new_vs_existing(spark, sf_dir).select(
         F.lit("counts").alias("mode"),
         _null("string").alias("key_s"),
@@ -202,6 +204,16 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("long").alias("n3"),
         F.concat_ws("|", "phone", "address").alias("top_s"),
     )
+    # expect: the declarative data-quality gate — one fused-agg scan,
+    # pass/fail + violation counts per check
+    expect = relational.q_validate_expectations(spark, sf_dir).select(
+        F.lit("expect").alias("mode"),
+        F.concat_ws("|", "check", "column").alias("key_s"),
+        F.col("violations").alias("n1"),
+        F.col("n_rows").alias("n2"),
+        F.col("passed").cast("long").alias("n3"),
+        _null("string").alias("top_s"),
+    )
     # er_inc: the incremental (delta-vs-corpus) assignment — must equal
     # the full-batch assignment verbatim, merges included
     er_inc = relational.q_entity_resolution_inc(spark, sf_dir).select(
@@ -219,6 +231,7 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(coh)
         .unionByName(er)
         .unionByName(er_inc)
+        .unionByName(expect)
     )
 
 
@@ -1611,6 +1624,13 @@ ORACLES: dict[str, str] = {
             "'er_inc' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
             "rec_id AS n1, entity_id AS n2, n_records AS n3, "
             "CAST(NULL AS VARCHAR) AS top_s",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["validate_expectations"],
+            "'expect' AS mode, \"check\" || '|' || \"column\" AS key_s, "
+            "violations AS n1, n_rows AS n2, "
+            "CAST(passed AS BIGINT) AS n3, CAST(NULL AS VARCHAR) AS top_s",
         )
     ),
     "a2_a3_distinct_suite": (

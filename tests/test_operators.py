@@ -383,3 +383,45 @@ def test_retention_cohorts_triangle(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_validate_expectations_semantics(spark):
+    """The gate's verdict semantics: NULLs violate range/set/pattern
+    checks (use not_null when NULLs are legal), unique counts repeats,
+    row_count_between reports distance to the nearest bound, unknown
+    kinds are refused."""
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.aggregations import (
+        validate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", None), (3, None, 50.0), (3, "b", 7.0)],
+        "k long, s string, v double",
+    )
+    out = {
+        (r["check"], r["column"]): (r["violations"], r["n_rows"], r["passed"])
+        for r in validate_expectations(
+            df,
+            [
+                ("not_null", "s"),
+                ("unique", "k"),          # 3 appears twice -> 1 repeat
+                ("between", "v", 0.0, 10.0),  # 50 out of range + NULL -> 2
+                ("values_in", "s", ("a", "b")),  # NULL violates -> 1
+                ("matches", "s", "^a$"),  # 'b' + NULL -> 2
+                ("row_count_between", 1, 2),  # 4 rows -> distance 2
+                ("row_count_between", 1, 10),  # pass
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "s")] == (1, 4, False)
+    assert out[("unique", "k")] == (1, 4, False)
+    assert out[("between", "v")] == (2, 4, False)
+    assert out[("values_in", "s")] == (1, 4, False)
+    assert out[("matches", "s")] == (2, 4, False)
+    assert out[("row_count_between[1,2]", "")] == (2, 4, False)
+    assert out[("row_count_between[1,10]", "")] == (0, 4, True)
+
+    with pytest.raises(ValueError):
+        validate_expectations(df, [("no_such_kind", "k")])
