@@ -706,6 +706,36 @@ def q_stream_entity_resolution(
     )
 
 
+def q_stream_gated_ingest(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
+    """§2.8 + the declarative quality gate composed into ingestion with
+    a quarantine table (streaming/windows.py:stream_gated_ingest): the
+    documents corpus ingested as doc_id%3 micro-batches, each gated by
+    (min doc_id ≥ 1, text not null) — batch 0 carries doc_id 0 at every
+    sf, so exactly it lands in quarantine while the others reach the
+    kept table. Returns (doc_id, verdict) over both tables; the oracle
+    reproduces the per-batch gate in SQL."""
+    from ..streaming.windows import stream_gated_ingest
+
+    base_dir = scratch_dir("mgo_stream_gated_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept_path, quarantine_path = stream_gated_ingest(
+        spark,
+        docs,
+        base_dir,
+        [("min", "doc_id", 1), ("not_null", "text")],
+        n_state_partitions=n_state_partitions,
+    )
+    kept = spark.read.parquet(kept_path).select(
+        "doc_id", F.lit("kept").alias("verdict")
+    )
+    quar = spark.read.parquet(quarantine_path).select(
+        "doc_id", F.lit("quarantined").alias("verdict")
+    )
+    return kept.unionByName(quar)
+
+
 def q_stream_hypertable_rollup(
     spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
 ) -> DataFrame:
@@ -859,6 +889,7 @@ QUERIES = {
     "stream_semantic_dedup": q_stream_semantic_dedup,
     "stream_media_dedup": q_stream_media_dedup,
     "stream_entity_resolution": q_stream_entity_resolution,
+    "stream_gated_ingest": q_stream_gated_ingest,
     "stream_hypertable_rollup": q_stream_hypertable_rollup,
     "stream_ann_ingest": q_stream_ann_ingest,
     "stream_join_30m": q_stream_join_30m,
@@ -928,6 +959,18 @@ ORACLES: dict[str, str] = {
     "stream_media_dedup": _media_stream_pairs_sql(),
     # drained streaming-ER assignment == the full-batch assignment
     "stream_entity_resolution": _relational_oracles["entity_resolution_inc"],
+    # per-batch gate reproduced in SQL: a doc_id%3 batch is quarantined
+    # iff its min doc_id < 1 or it carries a NULL text
+    "stream_gated_ingest": """
+        WITH bstat AS (
+          SELECT doc_id % 3 AS b, min(doc_id) AS mn,
+                 count(*) FILTER (WHERE text IS NULL) AS nn
+          FROM documents GROUP BY 1)
+        SELECT d.doc_id,
+               CASE WHEN s.mn < 1 OR s.nn > 0 THEN 'quarantined'
+                    ELSE 'kept' END AS verdict
+        FROM documents d JOIN bstat s ON s.b = d.doc_id % 3
+    """,
     # drained continuous aggregate == batch hypertable rollup (decimal
     # additivity) — reuse the ht_rollup member oracle verbatim
     "stream_hypertable_rollup": _relational_oracles["ht_rollup"],

@@ -1262,10 +1262,14 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-time fold == batch hypertable_rollup, its oracle), ANN
     index maintenance (``incann`` — frozen-centroid assignment MERGEs
     into a stored IVF posting-list table, queried through the index
-    with ``corpus_preassigned=True``), and streaming entity resolution
+    with ``corpus_preassigned=True``), streaming entity resolution
     (``increr`` — each record batch resolved delta-vs-corpus against
     the stored assignment, entity merges propagated by changed-row
-    MERGEs; drained table == full-batch resolve_entities, its oracle).
+    MERGEs; drained table == full-batch resolve_entities, its oracle),
+    and expectation-gated ingestion (``gated`` — each batch through the
+    declarative quality gate, failing batches MERGE into a quarantine
+    table instead of the kept one; the per-batch gate is reproduced in
+    SQL as its oracle).
 
     The AvailableNow streaming members run CONCURRENTLY via a thread pool: each is
     an independent run-to-completion AvailableNow query, so their fixed
@@ -1300,10 +1304,10 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("dedup", persistence.q_stream_dedup_6h),
         ("merge_part", persistence.q_stream_merge_partitioned),
     )
-    # pool sized for EVERY submitted future (8 streaming singles + the
+    # pool sized for EVERY submitted future (9 streaming singles + the
     # mapped members) so no streaming member queues behind the others —
     # the fixed-cost fan-out overlap is the point of the pool
-    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 8) as ex:
+    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 9) as ex:
         join_fut = ex.submit(
             persistence.q_stream_join_30m, spark, sf_dir, None
         )
@@ -1342,6 +1346,11 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         increr_fut = ex.submit(
             persistence.q_stream_entity_resolution, spark, sf_dir, None
         )
+        # gated: expectation-gated ingestion with a quarantine table —
+        # a batch with any failing check never reaches the kept table
+        gated_fut = ex.submit(
+            persistence.q_stream_gated_ingest, spark, sf_dir, None
+        )
         done = list(
             ex.map(
                 lambda m: m[1](spark, sf_dir, n_state_partitions=None), members
@@ -1355,6 +1364,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         incrollup_df = incrollup_fut.result()
         incann_df = incann_fut.result()
         increr_df = increr_fut.result()
+        gated_df = gated_fut.result()
     parts = [
         df.select(
             F.lit(tag).alias("mode"),
@@ -1451,6 +1461,14 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entity_id").alias("n_events"),
         F.col("n_records").cast("double").alias("total_value"),
     )
+    gated_part = gated_df.select(
+        F.lit("gated").alias("mode"),
+        F.col("verdict").alias("grp"),
+        _null("timestamp").alias("window_start"),
+        _null("timestamp").alias("window_end"),
+        F.col("doc_id").alias("n_events"),
+        _null("double").alias("total_value"),
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1464,6 +1482,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(incrollup_part)
         .unionByName(incann_part)
         .unionByName(increr_part)
+        .unionByName(gated_part)
     )
 
 
@@ -2230,6 +2249,14 @@ ORACLES: dict[str, str] = {
             "CAST(NULL AS TIMESTAMP) AS window_end, "
             "entity_id AS n_events, "
             "CAST(n_records AS DOUBLE) AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _K["stream_gated_ingest"],
+            "'gated' AS mode, verdict AS grp, "
+            "CAST(NULL AS TIMESTAMP) AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "doc_id AS n_events, CAST(NULL AS DOUBLE) AS total_value",
         )
     ),
 }

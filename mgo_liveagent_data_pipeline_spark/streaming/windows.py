@@ -870,6 +870,97 @@ def stream_entity_resolution(
     return table_path(base_dir, asg_name)
 
 
+def stream_gated_ingest(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    base_dir: str,
+    expectations: list[tuple],
+    kept_name: str = "gated_kept",
+    quarantine_name: str = "gated_quarantine",
+    n_batches: int = 3,
+    n_state_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[str, str]:
+    """Expectation-gated continuous ingestion with a quarantine
+    (dead-letter) table — the Delta-Live-Tables ``expect_all`` shape:
+    each micro-batch runs the declarative quality gate
+    (``aggregations.validate_expectations``, one fused-agg scan of the
+    batch); a batch with ANY failing check MERGEs into the quarantine
+    table instead of the main one, so a bad load never reaches
+    consumers and is preserved byte-for-byte for triage (the
+    alternative — dropping or crashing — either loses the evidence or
+    stops the pipeline for data the upstream will keep sending).
+
+    Replay safety: the gate is a pure function of the batch (no state),
+    both destinations are idempotent keyed MERGEs, and a batch goes to
+    exactly one table — a crash-replayed batch re-gates identically.
+    The per-batch verdict read is bounded (#expectations rows), the
+    same driver-action budget every streaming member here has.
+
+    Drained contract (the oracle): kept = the union of batches whose
+    gate passes, quarantine = the rest — a pure function of the batch
+    split, mirrored per-batch in SQL.
+
+    Returns (kept_path, quarantine_path)."""
+    from ..operators.aggregations import validate_expectations
+    from ..sinks.writers import ensure_table, table_path, upsert
+
+    stage = os.path.join(base_dir, "gated_ingest")
+    os.makedirs(stage, exist_ok=True)
+    for b in range(n_batches):
+        tmp = os.path.join(base_dir, f"__gstage_{b}")
+        docs_df.where(
+            F.col("doc_id") % n_batches == b
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(tmp, part),
+            os.path.join(stage, f"batch_{b:03d}.parquet"),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+    src_schema = spark.read.parquet(stage).schema
+    docs_stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    kept_path = ensure_table(
+        spark, base_dir, kept_name, spark.createDataFrame([], src_schema)
+    )
+    quarantine_path = ensure_table(
+        spark,
+        base_dir,
+        quarantine_name,
+        spark.createDataFrame([], src_schema),
+    )
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        report = validate_expectations(batch_df, expectations).collect()
+        ok = all(r["passed"] for r in report)
+        upsert(
+            spark,
+            batch_df,
+            base_dir,
+            kept_name if ok else quarantine_name,
+            "doc_id",
+        )
+
+    with state_partitions(spark, n_state_partitions), _checkpoint(
+        checkpoint_dir
+    ) as ckpt:
+        q = (
+            docs_stream.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return kept_path, quarantine_path
+
+
 def stream_hypertable_rollup(
     spark: SparkSession,
     sf_dir: str,
