@@ -26,6 +26,163 @@ from pyspark.sql import functions as F
 from .dedup import lineage_cut
 
 
+def truss_communities(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    min_support: int = 1,
+    max_degree: int = 10_000,
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Triangle-supported (3-truss) community detection over the same
+    edge relation ``pagerank`` ranks: link-farm rings and template
+    mirror networks are TRIANGLE-dense, while the bridges connecting a
+    community to the open web sit in no triangle — so communities =
+    connected components of the edges with ≥ ``min_support`` common
+    neighbors (Cohen's k-truss at k=3 for the default), and a bridge
+    can never merge two communities no matter how central it is.
+
+    Chosen over classic label propagation deliberately: deterministic
+    synchronous LPA needs a tie-break, and ANY order-free tie-break
+    (minimum label) floods the lexicographically smallest label across
+    bridges in the early all-distinct-labels rounds — measured here to
+    converge to plain connected components on triangle+bridge graphs,
+    i.e. no community signal at all. Triangle support is order-free BY
+    CONSTRUCTION, so it stays engine-exact without sacrificing the
+    community structure (the DuckDB twin mirrors it with the recursive
+    min-label walk every CC oracle in this repo uses — it works on
+    string nodes directly).
+
+    Spec: edges are the symmetrized distinct pair set, self-loops
+    dropped; support(u,v) = |N(u) ∩ N(v)| on that undirected graph;
+    strong edges (support ≥ min_support) are clustered by min-label
+    pointer jumping; every node outside a strong edge is its own
+    singleton community. Nodes whose degree exceeds ``max_degree``
+    raise — support counting is Σ deg² work and a hub that big needs
+    degree-capped sampling, which should be an explicit caller choice,
+    not a silent one.
+
+    Returns (node, community, community_size): community = the
+    lexicographically smallest member, the same canonical-min
+    convention every cluster id in this repo follows.
+    """
+    from .dedup import lineage_cut
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    hub = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") > max_degree)
+        .limit(1)
+        .collect()
+    )
+    if hub:
+        raise ValueError(
+            f"truss_communities: node {hub[0]['src']!r} has degree "
+            f"{hub[0]['deg']} (max_degree={max_degree}) — cap or sample "
+            "hub neighborhoods before support counting"
+        )
+    # support(u,v) for undirected pairs u<v that ARE edges: common
+    # neighbors via the wedge join (u,w)⋈(v,w) — self-loops are absent,
+    # so w ≠ u and w ≠ v automatically
+    a = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = a.join(b, "w").where(F.col("u") < F.col("v"))
+    support = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("s"))
+    und = sym.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    strong = (
+        und.join(support, ["u", "v"])
+        .where(F.col("s") >= min_support)
+        .select("u", "v")
+    )
+    strong = lineage_cut(strong, checkpoint_dir, eager=True)
+
+    # min-label pointer jumping on STRING nodes (the dedup CC operator
+    # is long-keyed; labels here are domains, convergence detected by a
+    # changed-row count — one bounded action per round)
+    labels = (
+        strong.select(F.col("u").alias("node"))
+        .unionByName(strong.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    edges2 = strong.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    ).unionByName(strong.select(F.col("v").alias("x"), F.col("u").alias("y")))
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges2.join(labels, edges2["y"] == labels["node"])
+            .groupBy("x")
+            .agg(F.min("lbl").alias("nl"))
+            .select(F.col("x").alias("node"), "nl")
+        )
+        # label's label — the path-doubling shortcut
+        lab2 = labels.select(
+            F.col("node").alias("l_node"), F.col("lbl").alias("l_lbl")
+        )
+        new = (
+            labels.join(nbr_min, "node", "left")
+            .join(lab2, labels["lbl"] == F.col("l_node"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce("nl", F.col("lbl")),
+                    F.coalesce("l_lbl", F.col("lbl")),
+                ).alias("lbl"),
+            )
+        )
+        new = lineage_cut(new, checkpoint_dir, eager=True)
+        changed = (
+            new.join(
+                labels.withColumnRenamed("lbl", "old"), "node"
+            )
+            .where(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"truss_communities: no fixpoint in {max_iterations} rounds"
+        )
+
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    assigned = (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("lbl", F.col("node")).alias("community"))
+    )
+    sizes = assigned.groupBy("community").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return assigned.join(sizes, "community").select(
+        "node", "community", "community_size"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

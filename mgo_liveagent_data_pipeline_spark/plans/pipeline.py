@@ -1447,6 +1447,48 @@ def q_text_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph community detection (operators/graph.py:
+    truss_communities) over the web-text citation graph
+    ``q_text_pagerank`` ranks, plus two PLANTED link-farm rings on
+    fresh nodes (7 ``farm*.biz`` and 5 ``mirror*.net`` domains, each a
+    ring with distance-2 chords — the triangle-dense interlink pattern
+    real spam farms exhibit). The organic citation graph is bipartite
+    (sources cite targets, targets never cite each other), so it is
+    triangle-FREE: every organic domain comes out a singleton, both
+    farms come out as exactly their rings, and no bridge could merge
+    them — which is the operator's whole point (a bridge sits in no
+    triangle). Driver-visible via the ``truss`` mode of
+    ``text_corpus_stats``; the oracle mirrors the support counting and
+    the min-label walk over the shared edge prefix."""
+    from ..operators.graph import truss_communities
+    from ..operators.textops import extract_urls, psl_dim
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = extract_urls(
+        _web_text_fixture(docs), "web_text", "doc_id", psl=psl_dim(spark)
+    )
+    cite = u.select(
+        F.format_string("site%d.com", F.col("doc_id") % 17).alias("src"),
+        F.col("registered_domain").alias("dst"),
+    )
+
+    def ring(n: int, fmt: str):
+        r = spark.range(n)
+        hop = lambda d: r.select(  # noqa: E731
+            F.format_string(fmt, F.col("id")).alias("src"),
+            F.format_string(fmt, (F.col("id") + d) % n).alias("dst"),
+        )
+        return hop(1).unionByName(hop(2))
+
+    edges = cite.unionByName(ring(7, "farm%d.biz")).unionByName(
+        ring(5, "mirror%d.net")
+    )
+    return truss_communities(edges).select(
+        F.col("node").alias("domain"), "community", "community_size"
+    )
+
+
 def q_text_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-quota sampling (operators/textops.py:group_sample_k): 20
     docs per language in deterministic md5(key) order. Driver-visible
@@ -1934,6 +1976,7 @@ QUERIES = {
     "text_quality_filter": q_text_quality_filter,
     "text_url_domains": q_text_url_domains,
     "text_pagerank": q_text_pagerank,
+    "text_communities": q_text_communities,
     "text_group_sample": q_text_group_sample,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
@@ -2011,14 +2054,10 @@ def _url_domains_sql() -> str:
 _URL_DOMAINS_SQL = _url_domains_sql()
 
 
-def _pagerank_sql(iterations: int = 5) -> str:
-    """Unrolled-CTE mirror of q_text_pagerank: same web-text fixture and
-    URL→registered-domain extraction as _url_domains_sql, then the
-    integer PageRank spec (operators/graph.py:pagerank) as one CTE per
-    iteration — BIGINT floor divisions only, so the ranks are bit-equal
-    across engines by construction. DuckDB's SUM(BIGINT) widens to
-    HUGEINT; every intermediate stays exact and the final rank casts
-    back down."""
+def _link_edges_ctes() -> str:
+    """The web-text fixture -> URL -> registered-domain edge-relation CTE
+    prefix (t, u, h, e) shared VERBATIM by the PageRank and LPA oracles
+    — one mirror of the extraction, two graph algorithms."""
     from ..operators.textops import PUBLIC_SUFFIXES
 
     in_list = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES)
@@ -2030,23 +2069,8 @@ def _pagerank_sql(iterations: int = 5) -> str:
                  THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
                  ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END"""
     )
-    teleport = (15 * 10**12) // 100
-    iters = []
-    for i in range(1, iterations + 1):
-        iters.append(
-            f"""r{i} AS (
-          SELECT n.node,
-                 CAST({teleport} + (85 * COALESCE(s.m, 0)) // 100
-                      AS BIGINT) AS rk
-          FROM nodes n LEFT JOIN (
-            SELECT e.dst AS node, SUM(r.rk // d.out_deg) AS m
-            FROM e JOIN r{i - 1} r ON r.node = e.src
-                   JOIN deg d ON d.src = e.src
-            GROUP BY 1) s ON s.node = n.node)"""
-        )
     return (
-        r"""
-        WITH t AS (
+        r"""t AS (
           SELECT doc_id,
                  concat_ws(' ', text, 'see',
                    printf('https://www.Sub%d.site%d.com/p/%d?ref=x',
@@ -2078,7 +2102,34 @@ def _pagerank_sql(iterations: int = 5) -> str:
         e AS (
           SELECT DISTINCT printf('site%d.com', doc_id % 17) AS src,
                  """ + regdom + r""" AS dst
-          FROM h),
+          FROM h)"""
+    )
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Unrolled-CTE mirror of q_text_pagerank: same web-text fixture and
+    URL→registered-domain extraction as _url_domains_sql, then the
+    integer PageRank spec (operators/graph.py:pagerank) as one CTE per
+    iteration — BIGINT floor divisions only, so the ranks are bit-equal
+    across engines by construction. DuckDB's SUM(BIGINT) widens to
+    HUGEINT; every intermediate stays exact and the final rank casts
+    back down."""
+    teleport = (15 * 10**12) // 100
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""r{i} AS (
+          SELECT n.node,
+                 CAST({teleport} + (85 * COALESCE(s.m, 0)) // 100
+                      AS BIGINT) AS rk
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rk // d.out_deg) AS m
+            FROM e JOIN r{i - 1} r ON r.node = e.src
+                   JOIN deg d ON d.src = e.src
+            GROUP BY 1) s ON s.node = n.node)"""
+        )
+    return (
+        "\n        WITH " + _link_edges_ctes() + r""",
         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
         ideg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY 1),
@@ -2093,6 +2144,62 @@ def _pagerank_sql(iterations: int = 5) -> str:
     """
     )
 
+
+def _truss_sql() -> str:
+    """Unrolled mirror of q_text_communities: the shared edge
+    extraction, wedge-join common-neighbor support, strong (>= 1
+    triangle) edges, then the recursive min-label walk every CC oracle
+    here uses — it works on string nodes directly."""
+    return (
+        "\n        WITH RECURSIVE " + _link_edges_ctes() + r""",
+        ring AS (
+          SELECT printf('farm%d.biz', i) AS src,
+                 printf('farm%d.biz', (i + 1) % 7) AS dst FROM range(7) t(i)
+          UNION ALL
+          SELECT printf('farm%d.biz', i), printf('farm%d.biz', (i + 2) % 7)
+          FROM range(7) t(i)
+          UNION ALL
+          SELECT printf('mirror%d.net', i), printf('mirror%d.net', (i + 1) % 5)
+          FROM range(5) t(i)
+          UNION ALL
+          SELECT printf('mirror%d.net', i), printf('mirror%d.net', (i + 2) % 5)
+          FROM range(5) t(i)),
+        e2 AS (SELECT src, dst FROM e UNION ALL SELECT src, dst FROM ring),
+        sym AS (
+          SELECT src, dst FROM e2 WHERE src <> dst
+          UNION
+          SELECT dst, src FROM e2 WHERE src <> dst),
+        und AS (SELECT src AS u, dst AS v FROM sym WHERE src < dst),
+        support AS (
+          SELECT a.src AS u, b.src AS v, count(*) AS s
+          FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+          GROUP BY 1, 2),
+        strong AS (
+          SELECT und.u, und.v FROM und JOIN support USING (u, v)
+          WHERE s >= 1),
+        sedges AS (
+          SELECT u AS x, v AS y FROM strong
+          UNION
+          SELECT v, u FROM strong),
+        walk(node, lbl) AS (
+          SELECT x, x FROM sedges
+          UNION
+          SELECT e2.y, w.lbl FROM walk w JOIN sedges e2 ON e2.x = w.node),
+        comp AS (SELECT node, min(lbl) AS community FROM walk GROUP BY node),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        asg AS (
+          SELECT n.node, coalesce(c.community, n.node) AS community
+          FROM nodes n LEFT JOIN comp c ON c.node = n.node)
+        SELECT a.node AS domain, a.community,
+               CAST(s2.cs AS BIGINT) AS community_size
+        FROM asg a JOIN (
+          SELECT community, count(*) AS cs FROM asg GROUP BY 1) s2
+          USING (community)
+    """
+    )
+
+
+_TRUSS_SQL = _truss_sql()
 
 _PAGERANK_SQL = _pagerank_sql()
 
@@ -4827,6 +4934,7 @@ ORACLES: dict[str, str] = {
     # host normalization / registered-domain mirror extract_urls
     "text_url_domains": _URL_DOMAINS_SQL,
     "text_pagerank": _PAGERANK_SQL,
+    "text_communities": _TRUSS_SQL,
     # the composed six-stage curation chain's per-stage ledger
     "curation_pipeline": _curation_sql(),
     # the nine-stage SCORED chain (model gates composed in, BPE budgets)

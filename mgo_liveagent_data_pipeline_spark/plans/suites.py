@@ -473,7 +473,11 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python crossing, matching where production tokenizers live); since
     round 9, ``pr`` rows (fixed-unroll integer domain PageRank over the
     web-text link graph, operators/graph.py:pagerank — rank rides key_n
-    so it is hash-checked to the unit, n packs out_deg*1000 + in_deg)."""
+    so it is hash-checked to the unit, n packs out_deg*1000 + in_deg)
+    and ``truss`` rows (triangle-supported communities over the same
+    graph plus planted link-farm rings,
+    operators/graph.py:truss_communities — the spam-ring /
+    mirror-network prior; domain>community rides key_s)."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -634,6 +638,16 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         (F.col("out_deg") * 1000 + F.col("in_deg")).alias("n"),
     )
+    # truss: triangle-supported communities — planted link-farm rings
+    # found, the bipartite organic graph left singleton;
+    # domain>community rides key_s, community size in n
+    truss = pipeline.q_text_communities(spark, sf_dir).select(
+        F.lit("truss").alias("mode"),
+        F.concat_ws(">", "domain", "community").alias("key_s"),
+        _null("long").alias("key_n"),
+        _null("double").alias("metric"),
+        F.col("community_size").alias("n"),
+    )
     return (
         tfidf.unionByName(sample)
         .unionByName(rep_tok)
@@ -655,6 +669,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsirsel)
         .unionByName(bpe)
         .unionByName(pr)
+        .unionByName(truss)
     )
 
 
@@ -1920,6 +1935,13 @@ ORACLES: dict[str, str] = {
             "'pr' AS mode, domain AS key_s, \"rank\" AS key_n, "
             "CAST(NULL AS DOUBLE) AS metric, "
             "out_deg * 1000 + in_deg AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_communities"],
+            "'truss' AS mode, domain || '>' || community AS key_s, "
+            "CAST(NULL AS BIGINT) AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, community_size AS n",
         )
     ),
     "f11_f12_schedule_safecast": """

@@ -74,3 +74,44 @@ def test_pagerank_null_edges_and_validation(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         pagerank(df, damping_pct=101)
+
+
+def test_truss_communities_semantics(spark):
+    """The truss spec on a hand-checkable graph: two triangles joined
+    by a bridge stay separate communities (the bridge sits in no
+    triangle), self-loops and duplicate/reversed edges are ignored,
+    nodes outside any triangle are singletons, community = the
+    lexicographically smallest member, and hub degrees are refused."""
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.graph import (
+        truss_communities,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # triangle A: a1-a2-a3
+            ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+            # triangle B: b1-b2-b3 (+ a duplicate and a reversed dup)
+            ("b1", "b2"), ("b2", "b3"), ("b3", "b1"), ("b1", "b2"),
+            ("b2", "b1"),
+            # the bridge + a self-loop (dropped)
+            ("a1", "b1"), ("a1", "a1"),
+            # a triangle-free pair: both singletons
+            ("z9", "z2"),
+        ],
+        ["src", "dst"],
+    )
+    out = {
+        r["node"]: (r["community"], r["community_size"])
+        for r in truss_communities(edges).collect()
+    }
+    assert out["a1"] == out["a2"] == out["a3"] == ("a1", 3)
+    assert out["b1"] == out["b2"] == out["b3"] == ("b1", 3)
+    # the bridge never merges the triangles
+    assert out["a1"][0] != out["b1"][0]
+    # triangle-free nodes are their own singleton communities
+    assert out["z2"] == ("z2", 1) and out["z9"] == ("z9", 1)
+
+    with pytest.raises(ValueError):
+        truss_communities(edges, max_degree=2).collect()
