@@ -293,8 +293,8 @@ def incremental_resolve_entities(
     if emit not in ("all", "changed"):
         raise ValueError(f"emit must be 'all' or 'changed', got {emit!r}")
     overlap = (
-        delta.select(F.col(key_col))
-        .join(corpus.select(F.col(key_col)), key_col)
+        corpus.select(F.col(key_col))
+        .join(F.broadcast(delta.select(F.col(key_col))), key_col)
         .limit(1)
         .collect()
     )
@@ -325,7 +325,7 @@ def incremental_resolve_entities(
     )
     new_pairs = (
         _scored(
-            a.join(b, "bk").where(F.col("id_a") != F.col("id_b")),
+            b.join(F.broadcast(a), "bk").where(F.col("id_a") != F.col("id_b")),
             name_weight,
             phone_weight,
         )
@@ -345,7 +345,7 @@ def incremental_resolve_entities(
     # evidence is recomputed in full below; keeping them would put the
     # same key on both the carried and recomputed sides)
     corpus_assignment = corpus_assignment.join(
-        delta.select(F.col(key_col)), key_col, "left_anti"
+        F.broadcast(delta.select(F.col(key_col))), key_col, "left_anti"
     )
     # touched-component prune: only components ADJACENT to a delta pair
     # can change, so the CC graph is (new pairs ∪ star edges of touched
@@ -357,13 +357,13 @@ def incremental_resolve_entities(
     )
     touched = (
         corpus_assignment.join(
-            endpoints, corpus_assignment[key_col] == F.col("__n")
+            F.broadcast(endpoints), corpus_assignment[key_col] == F.col("__n")
         )
         .select("entity_id")
         .distinct()
     )
     touched_rows = corpus_assignment.join(
-        touched, "entity_id", "left_semi"
+        F.broadcast(touched), "entity_id", "left_semi"
     )
     star_touched = touched_rows.where(
         F.col(key_col) != F.col("entity_id")
@@ -379,7 +379,7 @@ def incremental_resolve_entities(
     )
     assigned = (
         need.join(
-            cc.select("node", "cluster_id"),
+            F.broadcast(cc.select("node", "cluster_id")),
             F.col(key_col) == F.col("node"),
             "left",
         )
@@ -391,13 +391,13 @@ def incremental_resolve_entities(
     sizes = assigned.groupBy("entity_id").agg(
         F.count(F.lit(1)).alias("n_records")
     )
-    changed = assigned.join(sizes, "entity_id").select(
+    changed = assigned.join(F.broadcast(sizes), "entity_id").select(
         key_col, "entity_id", "n_records"
     )
     if emit == "changed":
         return changed
     untouched_rows = corpus_assignment.join(
-        touched, "entity_id", "left_anti"
+        F.broadcast(touched), "entity_id", "left_anti"
     ).select(key_col, "entity_id", "n_records")
     return changed.unionByName(untouched_rows)
 

@@ -713,6 +713,10 @@ def q_entity_resolution_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the entity MERGES a delta record causes when it bridges
     two standing entities (v1 arrives with phone+name evidence, v3 with
     name-only, so both link rules cross the delta boundary here).
+    Audit note: roughly half this member's plan (and its MANY-SHUFFLES
+    count) is the in-member derivation of the STORED assignment via a
+    full batch resolve — production reads that from a table, paying
+    only the delta-broadcast joins on the right of the plan.
     Driver-visible via the ``er_inc`` mode of
     ``metrics_new_vs_existing``."""
     from ..operators.entity import (
