@@ -68,7 +68,7 @@ def truss_communities(
     lexicographically smallest member, the same canonical-min
     convention every cluster id in this repo follows.
     """
-    from .dedup import lineage_cut
+    from .dedup import _scoped_persist, lineage_cut
 
     e = (
         edges.select(
@@ -81,13 +81,14 @@ def truss_communities(
         )
         .distinct()
     )
-    sym = (
+    # scoped persist: registered for release_intermediates(), the same
+    # lifecycle every multi-consumer cache in the dedup family has
+    sym = _scoped_persist(
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .repartition("src")
-        .persist()
     )
     hub = (
         sym.groupBy("src")
@@ -238,15 +239,16 @@ def pagerank(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    from .dedup import _scoped_persist
+
     # one partitioning, reused by every iteration's build side
-    e = e.repartition("src").persist()
+    e = _scoped_persist(e.repartition("src"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
-    nodes = (
+    nodes = _scoped_persist(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     # contribution denominator rides WITH the edge so the loop join is
     # edges⋈ranks only (degree join paid once, not per iteration)
