@@ -498,9 +498,13 @@ def validate_expectations(
     metas: list[tuple[str, str]] = []  # (kind, column) per expectation
 
     def viol(cond: Column) -> Column:
-        # NULL conditions count as violations: coalesce(cond, false)
-        return F.sum(
-            F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+        # NULL conditions count as violations: coalesce(cond, false);
+        # the outer coalesce makes the EMPTY table report 0 violations
+        # (sum over zero rows is NULL, and a NULL verdict would
+        # quarantine empty replay batches downstream)
+        return F.coalesce(
+            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)),
+            F.lit(0),
         ).cast("long")
 
     for i, exp in enumerate(expectations):
@@ -510,8 +514,10 @@ def validate_expectations(
         a = f"__e{i}"
         if kind == "not_null":
             aggs.append(
-                F.sum(F.when(F.col(exp[1]).isNull(), 1).otherwise(0))
-                .cast("long").alias(a)
+                F.coalesce(
+                    F.sum(F.when(F.col(exp[1]).isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).cast("long").alias(a)
             )
             metas.append((kind, exp[1]))
         elif kind == "unique":

@@ -425,3 +425,22 @@ def test_validate_expectations_semantics(spark):
 
     with pytest.raises(ValueError):
         validate_expectations(df, [("no_such_kind", "k")])
+
+    # the EMPTY table: 0 violations everywhere except the row-count
+    # lower bound — a NULL verdict here would mis-quarantine empty
+    # replay batches in stream_gated_ingest
+    empty = df.where("k < 0")
+    eout = {
+        (r["check"], r["column"]): (r["violations"], r["passed"])
+        for r in validate_expectations(
+            empty,
+            [
+                ("not_null", "s"),
+                ("between", "v", 0.0, 10.0),
+                ("row_count_between", 1, 10),
+            ],
+        ).collect()
+    }
+    assert eout[("not_null", "s")] == (0, True)
+    assert eout[("between", "v")] == (0, True)
+    assert eout[("row_count_between[1,10]", "")] == (1, False)
