@@ -695,7 +695,7 @@ def q_stream_entity_resolution(
     from .relational import _er_records
 
     base_dir = scratch_dir("mgo_stream_er_")
-    asg_path = stream_entity_resolution(
+    asg_path, _ = stream_entity_resolution(
         spark,
         _er_records(spark, sf_dir),
         base_dir,
@@ -703,6 +703,37 @@ def q_stream_entity_resolution(
     )
     return spark.read.parquet(asg_path).select(
         "rec_id", "entity_id", "n_records"
+    )
+
+
+def q_stream_er_golden(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
+    """§2.8 + the materialized GOLDEN DIMENSION maintained by streaming
+    ER (streaming/windows.py:stream_entity_resolution with
+    golden_rules): each record batch recomputes golden rows for its
+    touched entities and MERGEs them, and a self-healing stale sweep
+    MERGE-DELETEs golden keys superseded by entity merges (an entity
+    swallowed by a bridge record must DISAPPEAR from the dimension —
+    the delete leg plain upserts cannot express,
+    sinks/writers.py:delete_keys). The drained golden table equals the
+    full-batch golden records — the ``entity_resolution`` member's
+    oracle verbatim."""
+    from ..streaming.windows import stream_entity_resolution
+    from .relational import _er_records
+
+    base_dir = scratch_dir("mgo_stream_ergold_")
+    _asg, golden_path = stream_entity_resolution(
+        spark,
+        _er_records(spark, sf_dir),
+        base_dir,
+        n_state_partitions=n_state_partitions,
+        golden_rules={
+            "name": "first_by_key", "phone": "min", "address": "longest"
+        },
+    )
+    return spark.read.parquet(golden_path).select(
+        "entity_id", "n_records", "name", "phone", "address"
     )
 
 
@@ -890,6 +921,7 @@ QUERIES = {
     "stream_media_dedup": q_stream_media_dedup,
     "stream_entity_resolution": q_stream_entity_resolution,
     "stream_gated_ingest": q_stream_gated_ingest,
+    "stream_er_golden": q_stream_er_golden,
     "stream_hypertable_rollup": q_stream_hypertable_rollup,
     "stream_ann_ingest": q_stream_ann_ingest,
     "stream_join_30m": q_stream_join_30m,
@@ -959,6 +991,8 @@ ORACLES: dict[str, str] = {
     "stream_media_dedup": _media_stream_pairs_sql(),
     # drained streaming-ER assignment == the full-batch assignment
     "stream_entity_resolution": _relational_oracles["entity_resolution_inc"],
+    # drained streaming golden dimension == the full-batch golden records
+    "stream_er_golden": _relational_oracles["entity_resolution"],
     # per-batch gate reproduced in SQL: a doc_id%3 batch is quarantined
     # iff its min doc_id < 1 or it carries a NULL text
     "stream_gated_ingest": """

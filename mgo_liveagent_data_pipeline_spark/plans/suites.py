@@ -1281,10 +1281,13 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``increr`` — each record batch resolved delta-vs-corpus against
     the stored assignment, entity merges propagated by changed-row
     MERGEs; drained table == full-batch resolve_entities, its oracle),
-    and expectation-gated ingestion (``gated`` — each batch through the
+    expectation-gated ingestion (``gated`` — each batch through the
     declarative quality gate, failing batches MERGE into a quarantine
     table instead of the kept one; the per-batch gate is reproduced in
-    SQL as its oracle).
+    SQL as its oracle), and the streaming golden dimension
+    (``incgold`` — touched-entity golden MERGEs + a self-healing stale
+    sweep that MERGE-DELETEs entities swallowed by merges; drained ==
+    full-batch golden records, its oracle).
 
     The AvailableNow streaming members run CONCURRENTLY via a thread pool: each is
     an independent run-to-completion AvailableNow query, so their fixed
@@ -1319,10 +1322,10 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("dedup", persistence.q_stream_dedup_6h),
         ("merge_part", persistence.q_stream_merge_partitioned),
     )
-    # pool sized for EVERY submitted future (9 streaming singles + the
+    # pool sized for EVERY submitted future (10 streaming singles + the
     # mapped members) so no streaming member queues behind the others —
     # the fixed-cost fan-out overlap is the point of the pool
-    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 9) as ex:
+    with state_partitions(spark, 1), ThreadPoolExecutor(len(members) + 10) as ex:
         join_fut = ex.submit(
             persistence.q_stream_join_30m, spark, sf_dir, None
         )
@@ -1366,6 +1369,11 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated_fut = ex.submit(
             persistence.q_stream_gated_ingest, spark, sf_dir, None
         )
+        # incgold: the golden dimension maintained by streaming ER —
+        # touched-entity golden MERGEs + the self-healing stale sweep
+        incgold_fut = ex.submit(
+            persistence.q_stream_er_golden, spark, sf_dir, None
+        )
         done = list(
             ex.map(
                 lambda m: m[1](spark, sf_dir, n_state_partitions=None), members
@@ -1380,6 +1388,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         incann_df = incann_fut.result()
         increr_df = increr_fut.result()
         gated_df = gated_fut.result()
+        incgold_df = incgold_fut.result()
     parts = [
         df.select(
             F.lit(tag).alias("mode"),
@@ -1484,6 +1493,14 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("n_events"),
         _null("double").alias("total_value"),
     )
+    incgold_part = incgold_df.select(
+        F.lit("incgold").alias("mode"),
+        F.concat_ws("|", "name", "phone", "address").alias("grp"),
+        _null("timestamp").alias("window_start"),
+        _null("timestamp").alias("window_end"),
+        F.col("entity_id").alias("n_events"),
+        F.col("n_records").cast("double").alias("total_value"),
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1498,6 +1515,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(incann_part)
         .unionByName(increr_part)
         .unionByName(gated_part)
+        .unionByName(incgold_part)
     )
 
 
@@ -2279,6 +2297,15 @@ ORACLES: dict[str, str] = {
             "CAST(NULL AS TIMESTAMP) AS window_start, "
             "CAST(NULL AS TIMESTAMP) AS window_end, "
             "doc_id AS n_events, CAST(NULL AS DOUBLE) AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _K["stream_er_golden"],
+            "'incgold' AS mode, concat_ws('|', name, phone, address) AS grp, "
+            "CAST(NULL AS TIMESTAMP) AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "entity_id AS n_events, "
+            "CAST(n_records AS DOUBLE) AS total_value",
         )
     ),
 }

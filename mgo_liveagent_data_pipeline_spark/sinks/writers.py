@@ -149,6 +149,29 @@ def upsert(
     return path
 
 
+def delete_keys(
+    spark: SparkSession,
+    keys: DataFrame,
+    base_dir: str,
+    name: str,
+    key: str,
+) -> str:
+    """MERGE ... WHEN MATCHED THEN DELETE: drop target rows whose key
+    appears in ``keys``. Idempotent (deleting absent keys is a no-op),
+    same staged-overwrite mechanics as ``upsert`` — with Delta this is
+    the DELETE leg of the same MERGE statement. Absent targets are a
+    no-op (nothing to delete on a table's first batch)."""
+    path = table_path(base_dir, name)
+    if not os.path.exists(path):
+        return path
+    target = spark.read.parquet(path)
+    merged = target.join(
+        keys.select(key).distinct(), on=key, how="left_anti"
+    )
+    _atomic_overwrite(merged, path)
+    return path
+
+
 def history_append(
     spark: SparkSession, df: DataFrame, base_dir: str, name: str
 ) -> str:

@@ -778,7 +778,9 @@ def stream_entity_resolution(
     n_batches: int = 3,
     n_state_partitions: int | None = None,
     checkpoint_dir: str | None = None,
-) -> str:
+    golden_rules: dict[str, str] | None = None,
+    golden_name: str = "er_golden",
+) -> tuple[str, str | None]:
     """Continuous record ingestion with streaming entity resolution —
     the streaming member of the ER family (batch ``resolve_entities`` →
     incremental ``incremental_resolve_entities`` → this): each
@@ -806,10 +808,23 @@ def stream_entity_resolution(
     extra delta star edges are a subset of the true final component, so
     components and labels are unchanged.
 
-    Returns the assignment table path (rec_id, entity_id, n_records).
+    With ``golden_rules``, a MATERIALIZED GOLDEN DIMENSION is maintained
+    next to the assignment (the CRM-serving table the reference's user
+    MERGE approximates): each batch recomputes golden rows for the
+    touched entities (their member records are exactly the recomputed
+    assignment rows) and MERGEs them by entity_id — and because an
+    entity that merges INTO another must DISAPPEAR from the dimension,
+    each batch also runs a stale sweep: golden keys that are no longer
+    any record's entity_id are MERGE-DELETEd (``writers.delete_keys``).
+    The sweep is a pure function of current state (golden keys ∖ live
+    labels — key-only, entity-scale), so it is self-healing under ANY
+    crash window: a stale row left by a crash between the golden MERGE
+    and the sweep is removed by the replay, or by the next batch.
+
+    Returns (assignment path, golden path or None).
     """
-    from ..operators.entity import incremental_resolve_entities
-    from ..sinks.writers import ensure_table, table_path, upsert
+    from ..operators.entity import golden_records, incremental_resolve_entities
+    from ..sinks.writers import delete_keys, ensure_table, table_path, upsert
 
     stage = os.path.join(base_dir, "er_ingest")
     os.makedirs(stage, exist_ok=True)
@@ -841,6 +856,18 @@ def stream_entity_resolution(
         asg_name,
         spark.createDataFrame([], "rec_id long, entity_id long, n_records long"),
     )
+    golden_path = None
+    if golden_rules:
+        golden_path = ensure_table(
+            spark,
+            base_dir,
+            golden_name,
+            spark.createDataFrame(
+                [],
+                "entity_id long, n_records long, "
+                + ", ".join(f"{c} string" for c in golden_rules),
+            ),
+        )
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         corpus = spark.read.parquet(rec_path)
@@ -853,7 +880,28 @@ def stream_entity_resolution(
         changed = incremental_resolve_entities(
             corpus, fresh, corpus_assignment=asg, emit="changed"
         )
+        changed = changed.localCheckpoint(eager=True)
         upsert(spark, changed, base_dir, asg_name, "rec_id")
+        if golden_rules:
+            # golden rows for the touched entities: `changed` carries
+            # exactly their member records (delta ∪ touched components)
+            members = corpus.unionByName(fresh).join(
+                F.broadcast(changed.select("rec_id")), "rec_id"
+            )
+            g = golden_records(members, changed, rules=golden_rules)
+            upsert(spark, g, base_dir, golden_name, "entity_id")
+            # stale sweep: golden keys no longer any record's label —
+            # pure function of current state, self-healing under any
+            # crash window
+            live = spark.read.parquet(asg_path).select(
+                F.col("entity_id")
+            ).distinct()
+            stale = (
+                spark.read.parquet(table_path(base_dir, golden_name))
+                .select("entity_id")
+                .join(live, "entity_id", "left_anti")
+            )
+            delete_keys(spark, stale, base_dir, golden_name, "entity_id")
         upsert(spark, fresh, base_dir, rec_name, "rec_id")
 
     with state_partitions(spark, n_state_partitions), _checkpoint(
@@ -867,7 +915,7 @@ def stream_entity_resolution(
             .start()
         )
         q.awaitTermination()
-    return table_path(base_dir, asg_name)
+    return table_path(base_dir, asg_name), golden_path
 
 
 def stream_gated_ingest(

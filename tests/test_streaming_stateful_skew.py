@@ -967,22 +967,47 @@ def test_stream_entity_resolution_restart_exactly_once(spark, tmp_path):
     crash = {"armed": True}
     merged = []
 
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        golden_records,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import delete_keys
+
+    RULES = {"name": "first_by_key", "phone": "min", "address": "longest"}
+    ensure_table(
+        spark, base, "gold",
+        spark.createDataFrame(
+            [],
+            "entity_id long, n_records long, name string, phone string, "
+            "address string",
+        ),
+    )
+
     def merge_batch(batch_df, batch_id):
         corpus = spark.read.parquet(rec_path)
         asg = spark.read.parquet(asg_path)
         fresh = batch_df.join(corpus.select("rec_id"), "rec_id", "left_anti")
-        new_asg = incremental_resolve_entities(
-            corpus, fresh, corpus_assignment=asg
-        )
-        changed = new_asg.join(
-            asg, ["rec_id", "entity_id", "n_records"], "left_anti"
-        )
+        changed = incremental_resolve_entities(
+            corpus, fresh, corpus_assignment=asg, emit="changed"
+        ).localCheckpoint(eager=True)
         upsert(spark, changed, base, "asg", "rec_id")
         if batch_id == 1 and crash["armed"]:
             crash["armed"] = False
             raise RuntimeError(
                 "injected crash between assignment and record MERGEs"
             )
+        members = corpus.unionByName(fresh).join(
+            changed.select("rec_id"), "rec_id"
+        )
+        upsert(
+            spark, golden_records(members, changed, rules=RULES),
+            base, "gold", "entity_id",
+        )
+        live = spark.read.parquet(asg_path).select("entity_id").distinct()
+        stale = (
+            spark.read.parquet(table_path(base, "gold"))
+            .select("entity_id").join(live, "entity_id", "left_anti")
+        )
+        delete_keys(spark, stale, base, "gold", "entity_id")
         upsert(spark, fresh, base, "recs", "rec_id")
         merged.append(batch_id)
 
@@ -1018,3 +1043,22 @@ def test_stream_entity_resolution_restart_exactly_once(spark, tmp_path):
     # records table holds each record exactly once despite the replay
     stored = spark.read.parquet(rec_path).collect()
     assert len(stored) == len(recs) == len({r["rec_id"] for r in stored})
+    # drained golden dimension == full-batch golden records: the
+    # swallowed entity 20's golden row was MERGE-DELETEd by the sweep
+    gold = {
+        r["entity_id"]: (r["n_records"], r["name"], r["phone"], r["address"])
+        for r in spark.read.parquet(table_path(base, "gold")).collect()
+    }
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        resolve_entities as _re,
+    )
+
+    full_recs = spark.createDataFrame(recs, cols)
+    want_gold = {
+        r["entity_id"]: (r["n_records"], r["name"], r["phone"], r["address"])
+        for r in golden_records(
+            full_recs, _re(full_recs), rules=RULES
+        ).collect()
+    }
+    assert gold == want_gold
+    assert 20 not in gold and gold[10][0] == 6
