@@ -505,7 +505,10 @@ def ivf_topk(
 
 # ----------------------------------------------------- product quantization
 def sq_encode(
-    df: DataFrame, vec_col: str = "embedding", key_col: str = "vec_id"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """SQ8 scalar quantization (the FAISS ScalarQuantizer shape):
     per-vector symmetric int8 codes — code_i = floor(x_i / s · 127 +
@@ -523,7 +526,8 @@ def sq_encode(
     otherwise overflow on x/0 = ±Inf).
 
     Returns (key, codes array<int>, sq_norm2 long = Σcode² hoisted once
-    per vector)."""
+    per vector, *keep_cols ridden through — so an index build carries
+    its cluster assignment in the SAME scan)."""
     v = _as_double(F.col(vec_col))
     s = F.array_max(F.transform(v, lambda x: F.abs(x)))
     codes = F.when(
@@ -533,7 +537,8 @@ def sq_encode(
         ),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     return df.select(
-        F.col(key_col).alias("key"), codes.alias("codes")
+        F.col(key_col).alias("key"), codes.alias("codes"),
+        *[F.col(c) for c in keep_cols],
     ).withColumn(
         "sq_norm2",
         F.aggregate(
@@ -585,6 +590,105 @@ def sq_topk(
                     dot
                     / F.sqrt(
                         F.col("cn2").cast("double") * F.col("qn2").cast("double")
+                    ),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_key, "corpus_id", "cosine_sim", "rank")
+    )
+
+
+def ivfsq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_col: str = "label",
+    query_key: str = "query_id",
+    n_probes: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF routing × SQ8 scoring — the composed index whose posting
+    lists store int8 CODES instead of floats (FAISS's IVF-SQ8): queries
+    route to their ``n_probes`` nearest centroids exactly as
+    ``ivf_topk`` (the centroid artifact is tiny and stays full-dim
+    float), and within the probed lists the metric is the SQ8 quantized
+    cosine — integer dot products, 8× fewer posting-list bytes. Where
+    IVF-PQ compresses harder and loses more metric, IVF-SQ8 is the
+    near-lossless middle rung: same routing recall curve as plain IVF
+    (the candidate sets are identical), scoring within lists measured
+    at 0.96 recall vs float on the worst-case fixture (``sq_topk``).
+
+    Centroid modes mirror ``ivf_topk``: default = deterministic
+    lowest-key centroids with ``label_col`` posting lists (the
+    oracle-exact mode); pass k-means centroids for production."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, vec_col, key_col, label_col)
+    )
+    q = queries.select(
+        query_key, _as_double(F.col(vec_col)).alias("qv")
+    )
+    routed = q.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", F.round(cosine(F.col("qv"), F.col("centroid")), 6)
+    )
+    wq = Window.partitionBy(query_key).orderBy(
+        F.desc("csim"), F.asc("cluster_id")
+    )
+    probe = (
+        routed.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= n_probes)
+        .select(query_key, "cluster_id")
+    )
+    qc = sq_encode(queries, vec_col, query_key).select(
+        F.col("key").alias(query_key),
+        F.col("codes").alias("qc"),
+        F.col("sq_norm2").alias("qn2"),
+    )
+    probe = probe.join(qc, query_key)
+    if centroids is None:
+        assigned = corpus.select(
+            F.col(key_col), F.col(label_col).alias("cluster_id"), vec_col
+        )
+    else:
+        assigned = assign_nearest(corpus, cents, vec_col, key_col).select(
+            F.col(key_col), "cluster_id", F.col("cv").alias(vec_col)
+        )
+    c = sq_encode(
+        assigned, vec_col, key_col, keep_cols=("cluster_id",)
+    ).select(
+        F.col("key").alias("corpus_id"),
+        "cluster_id",
+        F.col("codes").alias("cc"),
+        F.col("sq_norm2").alias("cn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("cc"), F.col("qc"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.join(F.broadcast(probe), on="cluster_id")
+        .where(F.col("corpus_id") != F.col(query_key))
+        .withColumn(
+            "cosine_sim",
+            F.when(
+                (F.col("cn2") > 0) & (F.col("qn2") > 0),
+                F.round(
+                    dot
+                    / F.sqrt(
+                        F.col("cn2").cast("double")
+                        * F.col("qn2").cast("double")
                     ),
                     6,
                 ),

@@ -470,6 +470,24 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_topk(emb, queries, k=5, query_key="query_id")
 
 
+def q_ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composed index (operators/annsearch.py:ivfsq_topk):
+    2-probe IVF routing over full-dim centroids, SQ8 integer-dot
+    scoring within the probed posting lists — the near-lossless middle
+    rung between plain IVF (float lists) and IVF-PQ (coarse codes).
+    Value-exact member; candidate sets are identical to 2-probe IVF by
+    construction (routing never quantizes), pinned in
+    tests/test_ann_recall.py. Driver-visible via the ``ivfsq`` variant
+    of ``ann_suite``."""
+    from ..operators.annsearch import ivfsq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfsq_topk(emb, queries, k=5, query_key="query_id", n_probes=2)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-5 (deterministic centroids)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1962,6 +1980,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_project_topk": q_ann_project_topk,
     "ann_sq_topk": q_ann_sq_topk,
+    "ann_ivfsq_topk": q_ann_ivfsq_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_multiprobe_topk": q_ann_ivf_multiprobe_topk,
     "ann_rh_lsh_topk": q_ann_rh_lsh_topk,
@@ -2693,6 +2712,64 @@ def _sq_topk_oracle(dim: int = 64, k: int = 5) -> str:
                       ELSE 0.0 END AS cosine_sim
           FROM c CROSS JOIN q
           WHERE c.corpus_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, corpus_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= {k}
+    """
+
+
+def _ivfsq_oracle(n_probes: int = 2, dim: int = 64, k: int = 5) -> str:
+    """Mirror of q_ann_ivfsq_topk: the IVF routing CTEs with SQ8
+    integer-dot scoring inside the probed lists."""
+    code = (
+        "CASE WHEN s > 0 THEN list_transform(v, x -> "
+        "CAST(floor(x / s * 127 + 0.5) AS INT)) "
+        "ELSE list_transform(v, x -> 0) END"
+    )
+    n2 = "list_sum(list_transform(codes, c -> CAST(c * c AS BIGINT)))"
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> CAST(c.codes[i] * p.qc[i] AS BIGINT)))"
+    )
+    return f"""
+        WITH cents AS (
+          SELECT label AS cluster_id,
+                 arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS centroid
+          FROM embeddings GROUP BY label),
+        raw AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sc AS (
+          SELECT vec_id, label, v,
+                 list_max(list_transform(v, x -> abs(x))) AS s
+          FROM raw),
+        enc AS (SELECT vec_id, label, v, {code} AS codes FROM sc),
+        e AS (SELECT vec_id, label, v, codes, {n2} AS n2 FROM enc),
+        q AS (SELECT vec_id AS query_id, v AS qv, codes AS qc, n2 AS qn2
+              FROM e WHERE vec_id < 5),
+        routed AS (
+          SELECT q.query_id, q.qc, q.qn2, c.cluster_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY round({_COSINE.format(a="q.qv", b="c.centroid")}, 6) DESC,
+                                             c.cluster_id ASC) AS rn
+          FROM q CROSS JOIN cents c),
+        probe AS (
+          SELECT query_id, qc, qn2, cluster_id FROM routed
+          WHERE rn <= {n_probes}),
+        scored AS (
+          SELECT p.query_id, c.vec_id AS corpus_id,
+                 CASE WHEN c.n2 > 0 AND p.qn2 > 0
+                      THEN round({dot}
+                           / sqrt(CAST(c.n2 AS DOUBLE)
+                                  * CAST(p.qn2 AS DOUBLE)), 6)
+                      ELSE 0.0 END AS cosine_sim
+          FROM e c JOIN probe p ON c.label = p.cluster_id
+          WHERE c.vec_id <> p.query_id),
         ranked AS (
           SELECT query_id, corpus_id, cosine_sim,
                  row_number() OVER (PARTITION BY query_id
@@ -4541,6 +4618,7 @@ ORACLES: dict[str, str] = {
     """,
     "ann_project_topk": _jl_project_oracle(),
     "ann_sq_topk": _sq_topk_oracle(),
+    "ann_ivfsq_topk": _ivfsq_oracle(),
     "ann_ivf_topk": _ivf_oracle(1),
     "ann_ivf_multiprobe_topk": _ivf_oracle(2),
     # md5-bucket stratified sample: en kept iff first-8-hex bucket < 0.3·16^8

@@ -845,7 +845,9 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, all strategies under one row: exact brute-force
     cosine baseline, exact cosine in JL-projected 16-dim space
     (``project`` — the shuffle-byte reducer), SQ8 int8-code cosine
-    (``sq`` — 8× compression, near-lossless), IVF (1- and 2-probe),
+    (``sq`` — 8× compression, near-lossless) plus its composed index
+    (``ivfsq`` — IVF routing × SQ8 posting lists), IVF (1- and
+    2-probe),
     RH-LSH (exact-bucket and Hamming-1 multi-probe), and PQ
     asymmetric-distance top-k (``pq`` mode — its metric is the L2² ADC
     distance, carried in the shared metric column)."""
@@ -853,6 +855,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cosine", pipeline.q_ann_cosine_topk),
         ("project", pipeline.q_ann_project_topk),
         ("sq", pipeline.q_ann_sq_topk),
+        ("ivfsq", pipeline.q_ann_ivfsq_topk),
         ("ivf", pipeline.q_ann_ivf_topk),
         ("ivf_multiprobe", pipeline.q_ann_ivf_multiprobe_topk),
         ("rh_lsh", pipeline.q_ann_rh_lsh_topk),
@@ -2075,6 +2078,7 @@ ORACLES: dict[str, str] = {
             ("cosine", _P["ann_cosine_topk"]),
             ("project", _P["ann_project_topk"]),
             ("sq", _P["ann_sq_topk"]),
+            ("ivfsq", _P["ann_ivfsq_topk"]),
             ("ivf", _P["ann_ivf_topk"]),
             ("ivf_multiprobe", _P["ann_ivf_multiprobe_topk"]),
             ("rh_lsh", _P["ann_rh_lsh_topk"]),

@@ -380,3 +380,20 @@ def test_sq8_quantization_near_lossless_and_code_spec(spark):
     )
     got = sq_topk(rows, q, k=2, query_key="query_id").collect()
     assert [r["cosine_sim"] for r in got] == [0.0, 0.0]
+
+
+def test_ivfsq_matches_ivf_candidates_with_sq_scores(spark):
+    """IVF-SQ8's structural contract: routing never quantizes, so its
+    result pairs equal 2-probe float IVF's wherever SQ8 scoring agrees
+    on the top-5 cut — measured ≥ 0.9 overlap on the worst-case fixture
+    — and its recall vs brute force matches 2-probe IVF's measured 0.24
+    within the quantization wiggle."""
+    from mgo_liveagent_data_pipeline_spark.plans import pipeline as P
+
+    ivf2 = _pairs(P.q_ann_ivf_multiprobe_topk(spark, SF_DIR))
+    ivfsq = _pairs(P.q_ann_ivfsq_topk(spark, SF_DIR))
+    assert len(ivfsq) == 25
+    assert len(ivfsq & ivf2) / len(ivf2) >= 0.9
+    truth = _pairs(P.q_ann_cosine_topk(spark, SF_DIR))
+    r = len(ivfsq & truth) / len(truth)
+    assert abs(r - 0.24) <= 0.08  # 2-probe IVF's measured recall band
