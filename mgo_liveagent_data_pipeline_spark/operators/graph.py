@@ -26,103 +26,16 @@ from pyspark.sql import functions as F
 from .dedup import lineage_cut
 
 
-def truss_communities(
-    edges: DataFrame,
-    src_col: str = "src",
-    dst_col: str = "dst",
-    *,
-    min_support: int = 1,
-    max_degree: int = 10_000,
+def _string_components(
+    strong: DataFrame,
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Triangle-supported (3-truss) community detection over the same
-    edge relation ``pagerank`` ranks: link-farm rings and template
-    mirror networks are TRIANGLE-dense, while the bridges connecting a
-    community to the open web sit in no triangle — so communities =
-    connected components of the edges with ≥ ``min_support`` common
-    neighbors (Cohen's k-truss at k=3 for the default), and a bridge
-    can never merge two communities no matter how central it is.
-
-    Chosen over classic label propagation deliberately: deterministic
-    synchronous LPA needs a tie-break, and ANY order-free tie-break
-    (minimum label) floods the lexicographically smallest label across
-    bridges in the early all-distinct-labels rounds — measured here to
-    converge to plain connected components on triangle+bridge graphs,
-    i.e. no community signal at all. Triangle support is order-free BY
-    CONSTRUCTION, so it stays engine-exact without sacrificing the
-    community structure (the DuckDB twin mirrors it with the recursive
-    min-label walk every CC oracle in this repo uses — it works on
-    string nodes directly).
-
-    Spec: edges are the symmetrized distinct pair set, self-loops
-    dropped; support(u,v) = |N(u) ∩ N(v)| on that undirected graph;
-    strong edges (support ≥ min_support) are clustered by min-label
-    pointer jumping; every node outside a strong edge is its own
-    singleton community. Nodes whose degree exceeds ``max_degree``
-    raise — support counting is Σ deg² work and a hub that big needs
-    degree-capped sampling, which should be an explicit caller choice,
-    not a silent one.
-
-    Returns (node, community, community_size): community = the
-    lexicographically smallest member, the same canonical-min
-    convention every cluster id in this repo follows.
-    """
-    from .dedup import _scoped_persist, lineage_cut
-
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .where(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
-    )
-    # scoped persist: registered for release_intermediates(), the same
-    # lifecycle every multi-consumer cache in the dedup family has
-    sym = _scoped_persist(
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .repartition("src")
-    )
-    hub = (
-        sym.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .where(F.col("deg") > max_degree)
-        .limit(1)
-        .collect()
-    )
-    if hub:
-        raise ValueError(
-            f"truss_communities: node {hub[0]['src']!r} has degree "
-            f"{hub[0]['deg']} (max_degree={max_degree}) — cap or sample "
-            "hub neighborhoods before support counting"
-        )
-    # support(u,v) for undirected pairs u<v that ARE edges: common
-    # neighbors via the wedge join (u,w)⋈(v,w) — self-loops are absent,
-    # so w ≠ u and w ≠ v automatically
-    a = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    b = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    wedges = a.join(b, "w").where(F.col("u") < F.col("v"))
-    support = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("s"))
-    und = sym.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    )
-    strong = (
-        und.join(support, ["u", "v"])
-        .where(F.col("s") >= min_support)
-        .select("u", "v")
-    )
-    strong = lineage_cut(strong, checkpoint_dir, eager=True)
-
-    # min-label pointer jumping on STRING nodes (the dedup CC operator
-    # is long-keyed; labels here are domains, convergence detected by a
-    # changed-row count — one bounded action per round)
+    """Min-label pointer jumping on STRING nodes over an undirected
+    (u, v) edge relation (the dedup CC operator is long-keyed; labels
+    here are domains). Convergence detected by a changed-row count —
+    one bounded action per round. Returns (node, lbl) for every edge
+    endpoint; isolated nodes are the caller's singletons."""
     labels = (
         strong.select(F.col("u").alias("node"))
         .unionByName(strong.select(F.col("v").alias("node")))
@@ -168,13 +81,265 @@ def truss_communities(
             break
     else:
         raise RuntimeError(
-            f"truss_communities: no fixpoint in {max_iterations} rounds"
+            f"_string_components: no fixpoint in {max_iterations} rounds"
         )
+    return labels
+
+
+def _sym(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Symmetrized distinct edge set, self-loops and NULLs dropped."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def edge_support(sym: DataFrame) -> DataFrame:
+    """Common-neighbor support for every undirected edge (u < v) of a
+    SYMMETRIZED edge relation — the wedge join. This is the Σ deg² term
+    of truss detection; at scale it is the thing worth maintaining
+    INCREMENTALLY (``incremental_edge_support``) instead of recomputing.
+    Returns (u, v, s) with s ≥ 0 for every edge."""
+    a = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = a.join(b, "w").where(F.col("u") < F.col("v"))
+    support = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("s"))
+    und = sym.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return und.join(support, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("s", F.lit(0)).cast("long").alias("s")
+    )
+
+
+def truss_communities(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    min_support: int = 1,
+    max_degree: int = 10_000,
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Triangle-supported (3-truss) community detection over the same
+    edge relation ``pagerank`` ranks: link-farm rings and template
+    mirror networks are TRIANGLE-dense, while the bridges connecting a
+    community to the open web sit in no triangle — so communities =
+    connected components of the edges with ≥ ``min_support`` common
+    neighbors (Cohen's k-truss at k=3 for the default), and a bridge
+    can never merge two communities no matter how central it is.
+
+    Chosen over classic label propagation deliberately: deterministic
+    synchronous LPA needs a tie-break, and ANY order-free tie-break
+    (minimum label) floods the lexicographically smallest label across
+    bridges in the early all-distinct-labels rounds — measured here to
+    converge to plain connected components on triangle+bridge graphs,
+    i.e. no community signal at all. Triangle support is order-free BY
+    CONSTRUCTION, so it stays engine-exact without sacrificing the
+    community structure (the DuckDB twin mirrors it with the recursive
+    min-label walk every CC oracle in this repo uses — it works on
+    string nodes directly).
+
+    Spec: edges are the symmetrized distinct pair set, self-loops
+    dropped; support(u,v) = |N(u) ∩ N(v)| on that undirected graph;
+    strong edges (support ≥ min_support) are clustered by min-label
+    pointer jumping; every node outside a strong edge is its own
+    singleton community. Nodes whose degree exceeds ``max_degree``
+    raise — support counting is Σ deg² work and a hub that big needs
+    degree-capped sampling, which should be an explicit caller choice,
+    not a silent one.
+
+    Returns (node, community, community_size): community = the
+    lexicographically smallest member, the same canonical-min
+    convention every cluster id in this repo follows.
+    """
+    from .dedup import _scoped_persist, lineage_cut
+
+    # scoped persist: registered for release_intermediates(), the same
+    # lifecycle every multi-consumer cache in the dedup family has
+    sym = _scoped_persist(_sym(edges, src_col, dst_col).repartition("src"))
+    hub = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") > max_degree)
+        .limit(1)
+        .collect()
+    )
+    if hub:
+        raise ValueError(
+            f"truss_communities: node {hub[0]['src']!r} has degree "
+            f"{hub[0]['deg']} (max_degree={max_degree}) — cap or sample "
+            "hub neighborhoods before support counting"
+        )
+    # support(u,v) for undirected pairs u<v that ARE edges: common
+    # neighbors via the wedge join (u,w)⋈(v,w) — self-loops are absent,
+    # so w ≠ u and w ≠ v automatically
+    strong = (
+        edge_support(sym)
+        .where(F.col("s") >= min_support)
+        .select("u", "v")
+    )
+    strong = lineage_cut(strong, checkpoint_dir, eager=True)
+
+    labels = _string_components(strong, max_iterations, checkpoint_dir)
 
     nodes = sym.select(F.col("src").alias("node")).distinct()
     assigned = (
         nodes.join(labels, "node", "left")
         .select("node", F.coalesce("lbl", F.col("node")).alias("community"))
+    )
+    sizes = assigned.groupBy("community").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return assigned.join(sizes, "community").select(
+        "node", "community", "community_size"
+    )
+
+
+def incremental_edge_support(
+    corpus_support: DataFrame,
+    corpus_edges: DataFrame,
+    delta_edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Maintain the stored (u, v, s) support relation under an edge
+    ingest WITHOUT re-running the corpus wedge join: support only ever
+    GROWS (edges are never removed), and a triangle is NEW exactly when
+    at least one of its three edges is a delta edge. For an OLD pair
+    that means a wedge with a delta leg; a DELTA pair additionally
+    collects its corpus-corpus wedges (the pair itself is the new
+    third edge — the case a legs-only decomposition misses, caught by
+    the unit test):
+
+        gain(u,v) = |{w: (u,w)∈D, (v,w)∈E}| + |{w: (u,w)∈E, (v,w)∈D}|
+                  + |{w: (u,w)∈D, (v,w)∈D}|
+                  + [ (u,v)∈D ] · |{w: (u,w)∈E, (v,w)∈E}|
+
+    (terms disjoint because D is deduplicated against E). The first
+    three terms are DELTA-sized joins; the fourth is the corpus wedge
+    join RESTRICTED to delta pairs before it forms — |D|·deg work, not
+    Σ deg² — so the full corpus wedge join never re-runs. New support =
+    stored + gain for old edges; gain alone for delta edges.
+
+    A delta edge already present in the corpus (either direction) is
+    dropped, mirroring the batch operator's distinct(); the returned
+    relation is the complete updated (u, v, s) — the stored index for
+    the next ingest.
+    """
+    esym = _sym(corpus_edges, src_col, dst_col)
+    dsym = _sym(delta_edges, src_col, dst_col).join(
+        esym, ["src", "dst"], "left_anti"
+    )
+
+    def term(left: DataFrame, right: DataFrame) -> DataFrame:
+        a = left.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        b = right.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        return (
+            a.join(b, "w")
+            .where(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("g"))
+        )
+
+    d_und = dsym.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    # term 4: corpus-corpus wedges of the DELTA pairs themselves —
+    # restricted to d_und before the second corpus leg joins, so the
+    # work is |D|·deg, never the full corpus wedge join
+    ee = (
+        d_und.join(
+            esym.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            "u",
+        )
+        .join(
+            esym.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            ["v", "w"],
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("g"))
+    )
+    gains = (
+        term(dsym, esym)
+        .unionByName(term(esym, dsym))
+        .unionByName(term(dsym, dsym))
+        .unionByName(ee)
+        .groupBy("u", "v")
+        .agg(F.sum("g").alias("gain"))
+    )
+    all_edges = corpus_support.select("u", "v", "s").unionByName(
+        d_und.select("u", "v", F.lit(0).cast("long").alias("s"))
+    )
+    return (
+        all_edges.join(gains, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            (F.col("s") + F.coalesce("gain", F.lit(0))).cast("long").alias("s"),
+        )
+    )
+
+
+def incremental_truss_communities(
+    corpus_edges: DataFrame,
+    delta_edges: DataFrame,
+    *,
+    corpus_support: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_support: int = 1,
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Delta-vs-corpus truss communities — the incremental member of
+    the graph family: the stored support relation absorbs the delta via
+    ``incremental_edge_support`` (delta-sized joins only; the corpus
+    wedge join never re-runs), the strong set is re-derived from it
+    (support ≥ min_support — monotone, so strong edges only appear,
+    communities only MERGE), and clustering runs over the strong set —
+    which is metadata-scale (strong edges ≪ edges ≪ corpus), so
+    recomputing the CC tail is the cheap part by design.
+
+    The subtle case this handles exactly: a delta edge can flip an OLD
+    edge strong (the new edge closes a triangle over it) — gains land
+    on every affected old pair, not just delta pairs — so arrivals like
+    "the ring existed, the chords just landed" produce exactly the
+    batch communities (the fixture the driver member runs).
+
+    Result equals ``truss_communities(corpus ∪ delta)`` verbatim — the
+    oracle. Returns (node, community, community_size) for every node
+    of corpus ∪ delta.
+    """
+    sup = (
+        corpus_support
+        if corpus_support is not None
+        else edge_support(_sym(corpus_edges, src_col, dst_col))
+    )
+    new_sup = incremental_edge_support(
+        sup, corpus_edges, delta_edges, src_col, dst_col
+    )
+    strong = new_sup.where(F.col("s") >= min_support).select("u", "v")
+    strong = lineage_cut(strong, checkpoint_dir, eager=True)
+    labels = _string_components(strong, max_iterations, checkpoint_dir)
+    nodes = (
+        new_sup.select(F.col("u").alias("node"))
+        .unionByName(new_sup.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    assigned = nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("lbl", F.col("node")).alias("community")
     )
     sizes = assigned.groupBy("community").agg(
         F.count(F.lit(1)).alias("community_size")

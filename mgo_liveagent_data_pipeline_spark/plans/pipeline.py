@@ -1465,6 +1465,21 @@ def q_text_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ring_edges(spark, n: int, fmt: str, hops=(1, 2)):
+    """Planted link-farm ring: n nodes with edges at the given hop
+    distances (ring alone at hops=(1,) is triangle-FREE; the distance-2
+    chords are what close the triangles)."""
+    r = spark.range(n)
+    out = None
+    for d in hops:
+        h = r.select(
+            F.format_string(fmt, F.col("id")).alias("src"),
+            F.format_string(fmt, (F.col("id") + d) % n).alias("dst"),
+        )
+        out = h if out is None else out.unionByName(h)
+    return out
+
+
 def q_text_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph community detection (operators/graph.py:
     truss_communities) over the web-text citation graph
@@ -1490,19 +1505,45 @@ def q_text_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("site%d.com", F.col("doc_id") % 17).alias("src"),
         F.col("registered_domain").alias("dst"),
     )
-
-    def ring(n: int, fmt: str):
-        r = spark.range(n)
-        hop = lambda d: r.select(  # noqa: E731
-            F.format_string(fmt, F.col("id")).alias("src"),
-            F.format_string(fmt, (F.col("id") + d) % n).alias("dst"),
-        )
-        return hop(1).unionByName(hop(2))
-
-    edges = cite.unionByName(ring(7, "farm%d.biz")).unionByName(
-        ring(5, "mirror%d.net")
+    edges = cite.unionByName(_ring_edges(spark, 7, "farm%d.biz")).unionByName(
+        _ring_edges(spark, 5, "mirror%d.net")
     )
     return truss_communities(edges).select(
+        F.col("node").alias("domain"), "community", "community_size"
+    )
+
+
+def q_text_communities_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental truss communities (operators/graph.py:
+    incremental_truss_communities): the standing corpus is the citation
+    graph plus the BARE farm/mirror rings — triangle-free, every node a
+    singleton, every stored support 0 — and the delta is the rings'
+    distance-2 CHORDS, whose arrival closes the triangles and flips the
+    OLD ring edges strong (the support-gain-on-old-edges case a naive
+    delta-only recompute misses). Stored support is derived in-member
+    (a table in production); drained result == the full-batch
+    ``truss_communities`` over all edges — the ``text_communities``
+    oracle verbatim. Driver-visible via the ``trussinc`` mode of
+    ``text_corpus_stats``."""
+    from ..operators.graph import incremental_truss_communities
+    from ..operators.textops import extract_urls, psl_dim
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = extract_urls(
+        _web_text_fixture(docs), "web_text", "doc_id", psl=psl_dim(spark)
+    )
+    cite = u.select(
+        F.format_string("site%d.com", F.col("doc_id") % 17).alias("src"),
+        F.col("registered_domain").alias("dst"),
+    )
+    corpus = (
+        cite.unionByName(_ring_edges(spark, 7, "farm%d.biz", hops=(1,)))
+        .unionByName(_ring_edges(spark, 5, "mirror%d.net", hops=(1,)))
+    )
+    delta = _ring_edges(spark, 7, "farm%d.biz", hops=(2,)).unionByName(
+        _ring_edges(spark, 5, "mirror%d.net", hops=(2,))
+    )
+    return incremental_truss_communities(corpus, delta).select(
         F.col("node").alias("domain"), "community", "community_size"
     )
 
@@ -1996,6 +2037,7 @@ QUERIES = {
     "text_url_domains": q_text_url_domains,
     "text_pagerank": q_text_pagerank,
     "text_communities": q_text_communities,
+    "text_communities_inc": q_text_communities_inc,
     "text_group_sample": q_text_group_sample,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
@@ -5013,6 +5055,8 @@ ORACLES: dict[str, str] = {
     "text_url_domains": _URL_DOMAINS_SQL,
     "text_pagerank": _PAGERANK_SQL,
     "text_communities": _TRUSS_SQL,
+    # drained incremental == full-batch truss, verbatim
+    "text_communities_inc": _TRUSS_SQL,
     # the composed six-stage curation chain's per-stage ledger
     "curation_pipeline": _curation_sql(),
     # the nine-stage SCORED chain (model gates composed in, BPE budgets)

@@ -474,10 +474,14 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 9, ``pr`` rows (fixed-unroll integer domain PageRank over the
     web-text link graph, operators/graph.py:pagerank — rank rides key_n
     so it is hash-checked to the unit, n packs out_deg*1000 + in_deg)
-    and ``truss`` rows (triangle-supported communities over the same
+    ``truss`` rows (triangle-supported communities over the same
     graph plus planted link-farm rings,
     operators/graph.py:truss_communities — the spam-ring /
-    mirror-network prior; domain>community rides key_s)."""
+    mirror-network prior; domain>community rides key_s), and
+    ``trussinc`` rows (the incremental path: the ring CHORDS arrive as
+    a delta against the stored support relation, flipping old ring
+    edges strong — drained == the batch truss verbatim,
+    operators/graph.py:incremental_truss_communities)."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -648,6 +652,15 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         F.col("community_size").alias("n"),
     )
+    # trussinc: the chords arrive as a delta against the stored support
+    # relation; drained == the batch truss result verbatim
+    trussinc = pipeline.q_text_communities_inc(spark, sf_dir).select(
+        F.lit("trussinc").alias("mode"),
+        F.concat_ws(">", "domain", "community").alias("key_s"),
+        _null("long").alias("key_n"),
+        _null("double").alias("metric"),
+        F.col("community_size").alias("n"),
+    )
     return (
         tfidf.unionByName(sample)
         .unionByName(rep_tok)
@@ -670,6 +683,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bpe)
         .unionByName(pr)
         .unionByName(truss)
+        .unionByName(trussinc)
     )
 
 
@@ -1961,6 +1975,13 @@ ORACLES: dict[str, str] = {
         + _tagged(
             _P["text_communities"],
             "'truss' AS mode, domain || '>' || community AS key_s, "
+            "CAST(NULL AS BIGINT) AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, community_size AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_communities_inc"],
+            "'trussinc' AS mode, domain || '>' || community AS key_s, "
             "CAST(NULL AS BIGINT) AS key_n, "
             "CAST(NULL AS DOUBLE) AS metric, community_size AS n",
         )

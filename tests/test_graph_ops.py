@@ -115,3 +115,52 @@ def test_truss_communities_semantics(spark):
 
     with pytest.raises(ValueError):
         truss_communities(edges, max_degree=2).collect()
+
+
+def test_incremental_truss_matches_batch_and_gains(spark):
+    """incremental_edge_support's gain algebra (D-E, E-D, D-D wedges)
+    and the old-edge-flip case: the triangle's third edge arrives last
+    and flips the two standing edges strong; incremental == batch."""
+    from mgo_liveagent_data_pipeline_spark.operators.graph import (
+        edge_support,
+        incremental_edge_support,
+        incremental_truss_communities,
+        truss_communities,
+        _sym,
+    )
+
+    corpus = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    delta = spark.createDataFrame(
+        # closes the a-b-c triangle; adds a fresh pair; duplicates an
+        # existing corpus edge (must be dropped, not double-counted)
+        [("c", "a"), ("p", "q"), ("b", "a")],
+        ["src", "dst"],
+    )
+    sup = {
+        (r["u"], r["v"]): r["s"]
+        for r in incremental_edge_support(
+            edge_support(_sym(corpus, "src", "dst")), corpus, delta
+        ).collect()
+    }
+    # every triangle edge now has support 1; non-triangle edges 0
+    assert sup[("a", "b")] == 1 and sup[("b", "c")] == 1
+    assert sup[("a", "c")] == 1  # the delta edge's own D-E x D-E wedge
+    assert sup[("x", "y")] == 0 and sup[("p", "q")] == 0
+    assert len(sup) == 5  # the duplicate delta edge was dropped
+
+    inc = {
+        r["node"]: (r["community"], r["community_size"])
+        for r in incremental_truss_communities(corpus, delta).collect()
+    }
+    full = {
+        r["node"]: (r["community"], r["community_size"])
+        for r in truss_communities(
+            corpus.unionByName(delta)
+        ).collect()
+    }
+    assert inc == full
+    # the triangle emerged from the delta; the pairs stay singletons
+    assert inc["a"] == inc["b"] == inc["c"] == ("a", 3)
+    assert inc["x"] == ("x", 1) and inc["q"] == ("q", 1)
