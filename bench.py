@@ -25,6 +25,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the flagship agg, the heaviest joins/windows, the LLM-
 # pipeline operators with real shuffle work, plus the enrichment stage.
+# Round 10 extends it with the newest heavy families (parity chain, ER,
+# PageRank, composed ANN index) so a perf regression in exactly the
+# newest code shows in the round-over-round trace; the original 11 keep
+# their continuity (BENCHNOTES records the re-baseline).
 HEADLINE = [
     "a1_pricing_summary",
     "j1_broadcast_enrich",
@@ -37,6 +41,11 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "u1_convo_analysis",
+    # round-10 additions
+    "elt_parity_pipeline",
+    "entity_resolution",
+    "text_pagerank",
+    "ann_ivfsq_topk",
 ]
 
 
@@ -134,6 +143,11 @@ def main() -> None:
             fn(spark, SF_DIR).count()
             t[name] = time.time() - t0
         during = _cpu_pcts(pa, _cpu_snap())
+        # parity/sink queries write fresh scratch tables per call; purge
+        # between passes so repeated passes don't accumulate disk (their
+        # results are fully consumed by the count above — nothing cached
+        # references the files; dedup's Spark-side caches are separate)
+        purge_scratch()
         # gate on BOTH sides of the pass: a co-tenant episode that starts
         # mid-pass is invisible to the pre-pass sample but shows in the
         # post-pass ambient sample (Spark is idle again), and its timings

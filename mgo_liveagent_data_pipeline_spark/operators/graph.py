@@ -104,6 +104,94 @@ def _sym(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     ).distinct()
 
 
+def cap_degree(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_degree: int,
+    policy: str = "md5_sample",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Deterministic hub degree capping — the operator that makes
+    ``truss_communities``' "cap or sample hub neighborhoods first"
+    instruction satisfiable INSIDE the engine (before round 10 the
+    refusal named a preprocessing step the engine didn't ship).
+
+    Each node RANKS its neighbors on the symmetrized distinct graph and
+    keeps its ``max_degree`` best; an undirected edge survives iff BOTH
+    endpoints keep it, which guarantees every node of the result has
+    degree ≤ ``max_degree`` (each endpoint keeps at most that many, and
+    removals only shrink degrees). Policies, both total orders so the
+    result is engine-exact:
+
+    * ``md5_sample`` — uniform deterministic sample: neighbors ranked
+      by md5(src ‖ '|' ‖ dst) ascending (per-edge independent hashing,
+      no weight needed);
+    * ``top_by_weight`` — keep the strongest links: neighbors ranked by
+      ``weight_col`` DESCENDING, ties broken by neighbor ascending; an
+      edge seen with several weights (both directions / duplicates)
+      counts its MAX, keeping the relation symmetric.
+
+    Recall contract (pinned by test): a node at-or-under the cap loses
+    an edge ONLY when its over-cap neighbor trimmed it — subgraphs with
+    all degrees ≤ ``max_degree`` pass through untouched, so planted
+    communities away from hubs are preserved exactly. Triangles through
+    a trimmed hub edge are lost — that is the sampling trade the loud
+    refusal in ``truss_communities`` exists to make explicit.
+
+    At 100 TB: one hash shuffle on ``src`` for the per-node window rank
+    + one semi-join of the kept set against its own reversal — no
+    degree² term anywhere (that is the point).
+
+    Returns the undirected capped edge set (u, v) with u < v — feed it
+    straight to ``truss_communities`` / ``pagerank``.
+    """
+    from pyspark.sql import Window
+
+    if policy not in ("md5_sample", "top_by_weight"):
+        raise ValueError(f"unknown cap_degree policy {policy!r}")
+    if policy == "top_by_weight":
+        if weight_col is None:
+            raise ValueError("top_by_weight needs weight_col")
+        e = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).alias("w"),
+        ).where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        sym = (
+            e.unionByName(
+                e.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.max("w").alias("w"))
+        )
+        order = [F.col("w").desc(), F.col("dst").asc()]
+    else:
+        sym = _sym(edges, src_col, dst_col)
+        order = [F.md5(F.concat_ws("|", "src", "dst")).asc()]
+    rk = F.row_number().over(Window.partitionBy("src").orderBy(*order))
+    kept = (
+        sym.withColumn("rk", rk)
+        .where(F.col("rk") <= max_degree)
+        .select("src", "dst")
+    )
+    both = kept.join(
+        kept.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    return both.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+
+
 def edge_support(sym: DataFrame) -> DataFrame:
     """Common-neighbor support for every undirected edge (u < v) of a
     SYMMETRIZED edge relation — the wedge join. This is the Σ deg² term
@@ -300,6 +388,7 @@ def incremental_truss_communities(
     src_col: str = "src",
     dst_col: str = "dst",
     min_support: int = 1,
+    max_degree: int = 10_000,
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -321,7 +410,39 @@ def incremental_truss_communities(
     Result equals ``truss_communities(corpus ∪ delta)`` verbatim — the
     oracle. Returns (node, community, community_size) for every node
     of corpus ∪ delta.
+
+    Hub refusal mirrors the batch contract but restricted to DELTA
+    endpoints: the |D|·deg fourth wedge term blows up exactly when a
+    delta edge lands ON a hub, so nodes the delta touches are degree-
+    checked over corpus ∪ delta (``max_degree``, same error, same
+    ``cap_degree`` escape hatch) while untouched corpus nodes — guarded
+    when they were built — cost nothing per ingest.
     """
+    dnodes = (
+        delta_edges.select(F.col(src_col).alias("node"))
+        .unionByName(delta_edges.select(F.col(dst_col).alias("node")))
+        .where(F.col("node").isNotNull())
+        .distinct()
+    )
+    allsym = _sym(corpus_edges, src_col, dst_col).unionByName(
+        _sym(delta_edges, src_col, dst_col)
+    ).distinct()
+    hub = (
+        allsym.join(
+            F.broadcast(dnodes), allsym["src"] == dnodes["node"], "left_semi"
+        )
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") > max_degree)
+        .limit(1)
+        .collect()
+    )
+    if hub:
+        raise ValueError(
+            f"incremental_truss_communities: node {hub[0]['src']!r} has "
+            f"degree {hub[0]['deg']} (max_degree={max_degree}) — cap or "
+            "sample hub neighborhoods before support counting"
+        )
     sup = (
         corpus_support
         if corpus_support is not None
@@ -357,6 +478,7 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     base: int = 10**12,
+    dangling: str = "leak",
     checkpoint_every: int = 3,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -372,9 +494,21 @@ def pagerank(
         contrib(u→v) = rank(u) DIV out_deg(u)            (floor div)
         rank'(v) = (100-d)·base DIV 100
                  + (d · Σ_{u→v} contrib(u→v)) DIV 100
-      with d = ``damping_pct``. Dangling nodes (no out-edges) leak
-      their mass — the deliberately simple spec variant (no dangling
-      redistribution), stated here because implementations differ;
+      with d = ``damping_pct``. ``dangling`` picks what happens to the
+      mass of nodes with no out-edges, stated here because
+      implementations differ:
+        * ``'leak'`` (default) — dangling mass disappears; fine for
+          link-farm detection over extracted URLs, where only the
+          ordering matters;
+        * ``'redistribute'`` — each iteration sums the dangling mass
+          and floor-divides it equally across ALL nodes BEFORE damping:
+          rank'(v) = teleport + d·(Σ contrib(·→v) + dang DIV N) DIV 100.
+          Total mass is then conserved up to bounded floor remainders
+          (< N units per division site per iteration — at
+          base = 10¹² that is parts-per-billion; the conservation test
+          pins the bound), which is the variant to use before anyone
+          reads ranks as probabilities. Computed as a 1-row aggregate
+          cross-joined back — no per-iteration driver action;
     * ``iterations`` is FIXED, not convergence-tested: a fixed unroll
       is what makes the computation a deterministic relational
       expression both engines can evaluate identically.
@@ -397,6 +531,8 @@ def pagerank(
         raise ValueError("iterations must be >= 1")
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(f"dangling must be 'leak' or 'redistribute', got {dangling!r}")
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -420,6 +556,7 @@ def pagerank(
     ed = e.join(out_deg, "src")
 
     teleport = ((100 - damping_pct) * base) // 100
+    nn = nodes.agg(F.count(F.lit(1)).alias("nn"))
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
     for i in range(iterations):
         inbound = (
@@ -431,15 +568,39 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("m"))
         )
-        ranks = nodes.join(inbound, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.expr(
-                    f"({damping_pct} * coalesce(m, 0)) div 100"
+        if dangling == "redistribute":
+            # 1-row (dangling mass, node count) relation broadcast onto
+            # every node's update — the share is integer floor division,
+            # no driver action, no float
+            share = (
+                ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
+                .crossJoin(nn)
+                .select(F.expr("dm div nn").alias("sh"))
+            )
+            ranks = (
+                nodes.join(inbound, "node", "left")
+                .crossJoin(F.broadcast(share))
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.expr(
+                            f"({damping_pct} * (coalesce(m, 0) + sh)) div 100"
+                        )
+                    ).cast("long").alias("rank"),
                 )
-            ).cast("long").alias("rank"),
-        )
+            )
+        else:
+            ranks = nodes.join(inbound, "node", "left").select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(m, 0)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = lineage_cut(ranks, checkpoint_dir, eager=True)
 

@@ -715,10 +715,13 @@ def q_stream_er_golden(
     touched entities and MERGEs them, and a self-healing stale sweep
     MERGE-DELETEs golden keys superseded by entity merges (an entity
     swallowed by a bridge record must DISAPPEAR from the dimension —
-    the delete leg plain upserts cannot express,
-    sinks/writers.py:delete_keys). The drained golden table equals the
+    the delete leg plain upserts cannot express). Since round 10 the
+    dimension is a BUCKETED ptable: MERGE and sweep rewrite only
+    affected buckets (sinks/writers.py:partitioned_delete_keys), not
+    the whole table per batch. The drained golden table equals the
     full-batch golden records — the ``entity_resolution`` member's
     oracle verbatim."""
+    from ..sinks.writers import read_partitioned
     from ..streaming.windows import stream_entity_resolution
     from .relational import _er_records
 
@@ -732,7 +735,8 @@ def q_stream_er_golden(
             "name": "first_by_key", "phone": "min", "address": "longest"
         },
     )
-    return spark.read.parquet(golden_path).select(
+    assert golden_path is not None
+    return read_partitioned(spark, base_dir, "er_golden").select(
         "entity_id", "n_records", "name", "phone", "address"
     )
 

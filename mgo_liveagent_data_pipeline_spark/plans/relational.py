@@ -620,14 +620,12 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(events, "user_id", "ts")
 
 
-def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dirty-CRM record fixture shared by the batch and incremental
-    ER members: every customer contributes its base record plus the
-    deterministic re-typed variants described in ``q_entity_resolution``.
-    The synthetic customer table carries no contact columns — phone and
-    address derive from the key so both engines build identical bytes."""
+def _er_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer projection the ER fixtures share. The synthetic customer
+    table carries no contact columns — phone and address derive from the
+    key so both engines build identical bytes."""
     k = F.col("c_custkey")
-    c = load_table(spark, sf_dir, "customer").select(
+    return load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
         "c_nationkey",
@@ -638,6 +636,15 @@ def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "%d %s Street", k % 97, F.col("c_mktsegment")
         ).alias("c_address"),
     )
+
+
+def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dirty-CRM record fixture shared by the batch and incremental
+    ER members: every customer contributes its base record plus the
+    deterministic re-typed variants described in
+    ``q_entity_resolution``."""
+    k = F.col("c_custkey")
+    c = _er_cust(spark, sf_dir)
     cols = lambda rid, name, phone, addr: [  # noqa: E731
         rid.alias("rec_id"), name.alias("name"), phone.alias("phone"),
         addr.alias("address"), F.col("c_nationkey").alias("block_key"),
@@ -696,6 +703,53 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     records = _er_records(spark, sf_dir)
     asg = resolve_entities(records)
+    return golden_records(
+        records,
+        asg,
+        rules={"name": "first_by_key", "phone": "min", "address": "longest"},
+    )
+
+
+def _er_multi_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-pass blocking fixture: the dirty-CRM records plus a
+    ``%7`` v4 variant whose nationkey block is CORRUPTED (+1000 — the
+    classic data-entry miss single-key blocking can never recover: the
+    record lands in a block nobody else inhabits), and a second
+    blocking column derived from the phone digits' 4-digit prefix
+    (NULL when the phone is absent — a multi-pass key is allowed to be
+    missing on most records; NULLs never equi-join, so phone-less
+    records simply skip the pass)."""
+    c = _er_cust(spark, sf_dir)
+    k = F.col("c_custkey")
+    v4 = c.where(k % 7 == 0).select(
+        (k * 10 + 4).alias("rec_id"),
+        F.lower("c_name").alias("name"),
+        F.regexp_replace("c_phone", "-", " ").alias("phone"),
+        F.col("c_address").alias("address"),
+        (F.col("c_nationkey") + 1000).alias("block_key"),
+    )
+    recs = _er_records(spark, sf_dir).unionByName(v4)
+    digits = F.regexp_replace("phone", "[^0-9]", "")
+    return recs.withColumn(
+        "block_key2",
+        F.when(F.length(digits) >= 4, F.substring(digits, 1, 4)),
+    )
+
+
+def q_entity_resolution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocking entity resolution (operators/entity.py:
+    entity_pairs with ``block_col=[...]``): the dirty-CRM fixture plus a
+    v4 variant whose nationkey block key is corrupted, so SINGLE-key
+    blocking provably strands it as a singleton (a pytest pins that) —
+    the union of a nationkey pass and a phone-digit-prefix pass recovers
+    the pair and the survivorship golden records absorb the variant.
+    Mirrors the reference's user matching on THREE id columns
+    (core/TicketMessageProcessor.py:24-37). Driver-visible via the
+    ``er_multi`` mode of ``metrics_new_vs_existing``."""
+    from ..operators.entity import golden_records, resolve_entities
+
+    records = _er_multi_records(spark, sf_dir)
+    asg = resolve_entities(records, block_col=["block_key", "block_key2"])
     return golden_records(
         records,
         asg,
@@ -1183,6 +1237,89 @@ _ER_CTES = r"""cust AS (
           SELECT p.rec_id, COALESCE(c.entity_id, p.rec_id) AS entity_id
           FROM prep p LEFT JOIN comp c ON c.node = p.rec_id)"""
 
+# multi-pass blocking mirror: the same fixture plus the corrupted-block
+# v4 variant, a phone-prefix second blocking key, and candidate pairs as
+# the UNION of the two passes (deduped before scoring) — everything else
+# (score spec, recursive CC walk, survivorship) identical to _ER_CTES
+_ER_MULTI_CTES = r"""cust AS (
+          SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                 printf('%02d-%03d-%04d', c_custkey % 80 + 10,
+                        c_custkey % 1000, c_custkey % 10000) AS c_phone,
+                 printf('%d %s Street', c_custkey % 97, c_mktsegment)
+                   AS c_address
+          FROM customer),
+        recs AS (
+          SELECT c_custkey * 10 AS rec_id, c_name AS name,
+                 c_phone AS phone, c_address AS address,
+                 c_nationkey AS bk
+          FROM cust
+          UNION ALL
+          SELECT c_custkey * 10 + 1, lower(c_name) || ' inc', c_phone,
+                 c_address || ' suite ' || CAST(c_custkey % 10 AS VARCHAR),
+                 c_nationkey
+          FROM cust WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey * 10 + 2, upper(c_name),
+                 replace(c_phone, '-', ''), substr(c_address, 1, 5),
+                 c_nationkey
+          FROM cust WHERE c_custkey % 6 = 0
+          UNION ALL
+          SELECT c_custkey * 10 + 3, lower(c_name), NULL, c_address,
+                 c_nationkey
+          FROM cust WHERE c_custkey % 5 = 0
+          UNION ALL
+          SELECT c_custkey * 10 + 4, lower(c_name),
+                 replace(c_phone, '-', ' '), c_address,
+                 c_nationkey + 1000
+          FROM cust WHERE c_custkey % 7 = 0),
+        prep AS (
+          SELECT rec_id, bk, name, phone, address,
+                 COALESCE(list_distinct(list_filter(
+                   string_split_regex(lower(trim(name)), '\s+'),
+                   x -> x <> '')), []) AS toks,
+                 COALESCE(regexp_replace(phone, '[^0-9]', '', 'g'), '')
+                   AS ph,
+                 CASE WHEN length(COALESCE(
+                        regexp_replace(phone, '[^0-9]', '', 'g'), '')) >= 4
+                      THEN substr(COALESCE(
+                        regexp_replace(phone, '[^0-9]', '', 'g'), ''), 1, 4)
+                 END AS bk2
+          FROM recs),
+        cand AS (
+          SELECT a.rec_id AS id_a, b.rec_id AS id_b
+          FROM prep a JOIN prep b
+            ON a.bk = b.bk AND a.rec_id < b.rec_id
+          UNION
+          SELECT a.rec_id, b.rec_id
+          FROM prep a JOIN prep b
+            ON a.bk2 = b.bk2 AND a.rec_id < b.rec_id),
+        pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN prep a ON a.rec_id = c.id_a
+          JOIN prep b ON b.rec_id = c.id_b
+          WHERE (CASE WHEN a.ph <> '' AND b.ph <> '' AND a.ph = b.ph
+                      THEN 500 ELSE 0 END)
+              + 500 * (CASE WHEN length(list_distinct(
+                                 list_concat(a.toks, b.toks))) > 0
+                       THEN 1000 * length(list_intersect(a.toks, b.toks))
+                            // length(list_distinct(
+                                 list_concat(a.toks, b.toks)))
+                       ELSE 0 END) // 1000
+              >= 450),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        comp AS (SELECT node, min(lbl) AS entity_id FROM walk GROUP BY node),
+        asg AS (
+          SELECT p.rec_id, COALESCE(c.entity_id, p.rec_id) AS entity_id
+          FROM prep p LEFT JOIN comp c ON c.node = p.rec_id)"""
+
 ORACLES: dict[str, str] = {
     "s6_sql_scan": """
         SELECT o_orderstatus, count(*) AS n_orders,
@@ -1586,6 +1723,20 @@ ORACLES: dict[str, str] = {
         FROM asg a JOIN prep r ON r.rec_id = a.rec_id
         GROUP BY 1
     """,
+    # multi-pass blocking: candidate pairs are the UNION of the
+    # nationkey pass and the phone-prefix pass — the corrupted-block v4
+    # variant is reachable only through pass 2
+    "entity_resolution_multi": f"""
+        WITH RECURSIVE {_ER_MULTI_CTES}
+        SELECT a.entity_id,
+               CAST(count(*) AS BIGINT) AS n_records,
+               arg_min(r.name, r.rec_id) AS name,
+               min(r.phone) AS phone,
+               substr(max(lpad(CAST(length(r.address) AS VARCHAR), 8, '0')
+                          || '|' || r.address), 10) AS address
+        FROM asg a JOIN prep r ON r.rec_id = a.rec_id
+        GROUP BY 1
+    """,
     # the incremental member's oracle is the FULL-batch assignment —
     # delta-only pair work must reproduce it exactly, merges included
     "entity_resolution_inc": f"""
@@ -1939,6 +2090,7 @@ QUERIES = {
     "funnel": q_funnel,
     "retention_cohorts": q_retention_cohorts,
     "entity_resolution": q_entity_resolution,
+    "entity_resolution_multi": q_entity_resolution_multi,
     "entity_resolution_inc": q_entity_resolution_inc,
     "j8_range_join": q_j8_range_join,
     "ht_rollup": q_ht_rollup,

@@ -149,7 +149,10 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/behavior.py:retention_cohorts) and, since round 9, the
     entity-resolution golden records (``er`` mode — blocking → integer
     milli-scored pairs → connected components → survivorship,
-    operators/entity.py) plus the incremental delta-vs-corpus
+    operators/entity.py), the multi-pass blocking variant (``er_multi``
+    mode — candidate pairs unioned across a nationkey pass and a
+    phone-prefix pass, recovering a corrupted-block record single-key
+    blocking strands) plus the incremental delta-vs-corpus
     assignment (``er_inc`` mode — stored-assignment star edges ∪
     delta-involved pairs, exactly the full-batch components) and the
     declarative data-quality gate (``expect`` mode — every check fused
@@ -214,6 +217,16 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("passed").cast("long").alias("n3"),
         _null("string").alias("top_s"),
     )
+    # er_multi: multi-pass blocking — the corrupted-block v4 variant is
+    # reachable only through the phone-prefix pass
+    er_multi = relational.q_entity_resolution_multi(spark, sf_dir).select(
+        F.lit("er_multi").alias("mode"),
+        F.col("name").alias("key_s"),
+        F.col("entity_id").alias("n1"),
+        F.col("n_records").alias("n2"),
+        _null("long").alias("n3"),
+        F.concat_ws("|", "phone", "address").alias("top_s"),
+    )
     # er_inc: the incremental (delta-vs-corpus) assignment — must equal
     # the full-batch assignment verbatim, merges included
     er_inc = relational.q_entity_resolution_inc(spark, sf_dir).select(
@@ -230,6 +243,7 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fun)
         .unionByName(coh)
         .unionByName(er)
+        .unionByName(er_multi)
         .unionByName(er_inc)
         .unionByName(expect)
     )
@@ -1684,6 +1698,13 @@ ORACLES: dict[str, str] = {
         + _tagged(
             _R["entity_resolution"],
             "'er' AS mode, name AS key_s, entity_id AS n1, "
+            "n_records AS n2, CAST(NULL AS BIGINT) AS n3, "
+            "concat_ws('|', phone, address) AS top_s",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _R["entity_resolution_multi"],
+            "'er_multi' AS mode, name AS key_s, entity_id AS n1, "
             "n_records AS n2, CAST(NULL AS BIGINT) AS n3, "
             "concat_ws('|', phone, address) AS top_s",
         )

@@ -160,8 +160,18 @@ def delete_keys(
     appears in ``keys``. Idempotent (deleting absent keys is a no-op),
     same staged-overwrite mechanics as ``upsert`` — with Delta this is
     the DELETE leg of the same MERGE statement. Absent targets are a
-    no-op (nothing to delete on a table's first batch)."""
+    no-op (nothing to delete on a table's first batch) — but a table
+    mid-swap from a crashed ``_atomic_overwrite`` (``path`` gone,
+    ``.old`` survives) is restored FIRST, the same two lines the writer
+    itself runs, so a crash window never silently skips a delete.
+
+    Rewrites the whole table — fine at dimension scale; a 10⁹-row table
+    wants ``partitioned_delete_keys`` (bucket-pruned I/O) instead."""
     path = table_path(base_dir, name)
+    old = path + ".old"
+    # crash recovery: a previous run died inside its swap window
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     if not os.path.exists(path):
         return path
     target = spark.read.parquet(path)
@@ -629,6 +639,8 @@ def _partitioned_merge(
     keep: int = 2,
     shuffle_partitions: int | None = None,
     range_width: int | None = None,
+    skip_absent_buckets: bool = False,
+    drop_empty_affected: bool = False,
 ) -> str:
     """Shared bucket plumbing for every partition-pruned merge flavor.
 
@@ -639,6 +651,13 @@ def _partitioned_merge(
     metadata collect — the same driver-side step as Delta's touched-file
     listing), reads only those buckets, writes every affected bucket in
     one Spark job, and commits by atomically replacing ``_MANIFEST``.
+
+    Delete-flavored merges set ``skip_absent_buckets`` (a key whose
+    bucket does not exist has nothing to delete — don't create it) and
+    ``drop_empty_affected`` (an affected bucket whose merge result is
+    EMPTY is removed from the manifest instead of silently keeping its
+    old dir — without this, a delete that empties a bucket would
+    resurrect its rows).
     """
     pdir = _ptable_dir(base_dir, name)
     os.makedirs(pdir, exist_ok=True)
@@ -657,6 +676,8 @@ def _partitioned_merge(
             .distinct()
             .collect()
         )
+        if skip_absent_buckets:
+            affected = [b for b in affected if str(b) in man["buckets"]]
         if not affected:
             return pdir
         cur = [
@@ -685,7 +706,16 @@ def _partitioned_merge(
             dropped: list[str] = []
             for b in affected:
                 part_src = os.path.join(staging, f"{_BUCKET_COL}={b}")
-                if not os.path.isdir(part_src):  # pragma: no cover - defensive
+                if not os.path.isdir(part_src):
+                    if drop_empty_affected and str(b) in new_buckets:
+                        # the merge emptied this bucket: retire its dir
+                        # and drop it from the manifest
+                        gone = new_buckets.pop(str(b))
+                        window = [gone] + retired.get(str(b), [])
+                        retired[str(b)], extra = (
+                            window[: keep - 1], window[keep - 1:]
+                        )
+                        dropped.extend(extra)
                     continue
                 old = new_buckets.get(str(b))
                 v = int(old.rsplit("_v", 1)[1]) + 1 if old else 1
@@ -786,6 +816,40 @@ def partitioned_upsert(
         spark, source, base_dir, name, key, merge,
         num_buckets=num_buckets, keep=keep,
         shuffle_partitions=shuffle_partitions, range_width=range_width,
+    )
+
+
+def partitioned_delete_keys(
+    spark: SparkSession,
+    keys: DataFrame,
+    base_dir: str,
+    name: str,
+    key: str,
+    keep: int = 2,
+    shuffle_partitions: int | None = None,
+) -> str:
+    """MERGE-DELETE on a bucketed ptable: rewrites ONLY the buckets that
+    can contain the given keys — I/O is O(|keys| + |affected buckets|)
+    instead of the full-table rewrite flat ``delete_keys`` pays, which
+    is the difference between "per micro-batch sweep" and "impossible"
+    on a 10⁹-row dimension. Idempotent: keys in absent buckets are
+    skipped (nothing to delete — the bucket is not even created), a
+    bucket whose rows are ALL deleted leaves the manifest (its dir is
+    retired through the same keep-window in-flight readers rely on),
+    and untouched buckets' files are never opened, let alone rewritten
+    (pinned by test). The manifest flip is ``os.replace`` — atomic, so
+    any crash window replays cleanly."""
+
+    def merge(target: DataFrame | None, src: DataFrame) -> DataFrame:
+        # target is never None: absent buckets are skipped before read
+        return target.join(
+            src.select(key).distinct(), on=key, how="left_anti"
+        )
+
+    return _partitioned_merge(
+        spark, keys, base_dir, name, key, merge,
+        keep=keep, shuffle_partitions=shuffle_partitions,
+        skip_absent_buckets=True, drop_empty_affected=True,
     )
 
 

@@ -466,6 +466,9 @@ def stream_semantic_dedup(
     n_state_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     centroids: DataFrame | None = None,
+    stream_cluster_cap: int | None = None,
+    refused_name: str = "sem_refused",
+    src_df: DataFrame | None = None,
 ) -> tuple[str, str]:
     """Continuous embedding ingestion with streaming SemDeDup — each
     micro-batch is verdict-ed against the corpus-so-far through the
@@ -498,6 +501,25 @@ def stream_semantic_dedup(
     cluster stays <= max_cluster_size throughout the stream (and the
     batch comparison uses the same cap).
 
+    ``stream_cluster_cap`` is the STREAMING-SAFE cap that restores the
+    loud-refusal contract every other pair generator has, without the
+    divergence above: a delta vector whose cluster's STANDING index
+    size (the delta's own keys excluded, so the decision is
+    replay-invariant) is already ≥ the cap is REFUSED — quarantined
+    byte-preserved into ``refused_name`` (the ``gated`` pattern), never
+    verdict-ed, never indexed, and NO stored verdict ever flips because
+    of a refusal. The drained verdicts then equal the batch run over
+    exactly the ACCEPTED subset (pinned by test), and the refusal
+    count is surfaced as the quarantine table's row count. Within one
+    batch the cluster may overshoot by the batch's own members —
+    admission control is per-ingest, the same granularity as the
+    MERGEs. A refused vector stays refused (re-admission is a
+    re-ingest through the supersede path, an explicit operator
+    decision, not an ambient one).
+
+    ``src_df`` substitutes the staged corpus (same contract as
+    ``stage_doc_batches``); default reads ``table`` from ``sf_dir``.
+
     Centroids are FROZEN from the staged table up front — the versioned-
     artifact model the ``corpus_index`` contract documents (and the
     condition under which the drained state equals the batch operator,
@@ -515,6 +537,7 @@ def stream_semantic_dedup(
     stage = stage_doc_batches(
         spark, sf_dir, base_dir, n_batches, table,
         key_col="vec_id", cols=("vec_id", "embedding", "label"),
+        src_df=src_df,
     )
     src_schema = spark.read.parquet(stage).schema
     emb_stream = (
@@ -554,10 +577,41 @@ def stream_semantic_dedup(
             [], "vec_id long, cluster_id int, centroid_sim double, kept int"
         ),
     )
+    if stream_cluster_cap is not None:
+        ensure_table(
+            spark, base_dir, refused_name,
+            spark.createDataFrame([], src_schema),
+        )
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         delta = batch_df.select("vec_id", "embedding", "label")
         index = spark.read.parquet(index_path)
+        if stream_cluster_cap is not None:
+            # admission control: clusters already at the cap refuse NEW
+            # members. The standing count excludes the delta's own keys
+            # so a crash replay (index merge landed, offset didn't)
+            # makes the identical decision.
+            asg = semantic_assign(delta, cents)
+            standing = (
+                index.join(
+                    F.broadcast(delta.select(F.col("vec_id").alias("key"))),
+                    "key",
+                    "left_anti",
+                )
+                .groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            over = standing.where(
+                F.col("n") >= stream_cluster_cap
+            ).select("cluster_id")
+            refused_keys = (
+                asg.join(F.broadcast(over), "cluster_id", "left_semi")
+                .select(F.col("key").alias("vec_id"))
+            )
+            refused_rows = batch_df.join(refused_keys, "vec_id", "left_semi")
+            upsert(spark, refused_rows, base_dir, refused_name, "vec_id")
+            delta = delta.join(refused_keys, "vec_id", "left_anti")
+            delta = delta.localCheckpoint(eager=True)
         out = incremental_semantic_dedup(
             None,
             delta,
@@ -780,6 +834,7 @@ def stream_entity_resolution(
     checkpoint_dir: str | None = None,
     golden_rules: dict[str, str] | None = None,
     golden_name: str = "er_golden",
+    golden_num_buckets: int = 16,
 ) -> tuple[str, str | None]:
     """Continuous record ingestion with streaming entity resolution —
     the streaming member of the ER family (batch ``resolve_entities`` →
@@ -815,16 +870,32 @@ def stream_entity_resolution(
     assignment rows) and MERGEs them by entity_id — and because an
     entity that merges INTO another must DISAPPEAR from the dimension,
     each batch also runs a stale sweep: golden keys that are no longer
-    any record's entity_id are MERGE-DELETEd (``writers.delete_keys``).
-    The sweep is a pure function of current state (golden keys ∖ live
-    labels — key-only, entity-scale), so it is self-healing under ANY
-    crash window: a stale row left by a crash between the golden MERGE
-    and the sweep is removed by the replay, or by the next batch.
+    any record's entity_id are MERGE-DELETEd. The golden dimension is a
+    BUCKETED ptable (``partitioned_upsert`` / ``partitioned_delete_keys``
+    over ``golden_num_buckets`` key-hash buckets): both the MERGE and
+    the sweep rewrite only the buckets their keys land in, so the
+    per-batch dimension cost is O(|touched entities| + affected
+    buckets), not a full-table rewrite — the 10⁹-entity version of this
+    loop is the same code with more buckets. The sweep is a pure
+    function of current state (golden keys ∖ live labels — key-only,
+    entity-scale), so it is self-healing under ANY crash window: a
+    stale row left by a crash between the golden MERGE and the sweep is
+    removed by the replay, or by the next batch; the ptable's manifest
+    flip is ``os.replace`` — atomic.
 
-    Returns (assignment path, golden path or None).
+    Returns (assignment path, golden ptable dir or None — read it back
+    with ``writers.read_partitioned``).
     """
     from ..operators.entity import golden_records, incremental_resolve_entities
-    from ..sinks.writers import delete_keys, ensure_table, table_path, upsert
+    from ..sinks.writers import (
+        _ptable_dir,
+        ensure_table,
+        partitioned_delete_keys,
+        partitioned_upsert,
+        read_partitioned,
+        table_path,
+        upsert,
+    )
 
     stage = os.path.join(base_dir, "er_ingest")
     os.makedirs(stage, exist_ok=True)
@@ -856,18 +927,7 @@ def stream_entity_resolution(
         asg_name,
         spark.createDataFrame([], "rec_id long, entity_id long, n_records long"),
     )
-    golden_path = None
-    if golden_rules:
-        golden_path = ensure_table(
-            spark,
-            base_dir,
-            golden_name,
-            spark.createDataFrame(
-                [],
-                "entity_id long, n_records long, "
-                + ", ".join(f"{c} string" for c in golden_rules),
-            ),
-        )
+    golden_path = _ptable_dir(base_dir, golden_name) if golden_rules else None
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         corpus = spark.read.parquet(rec_path)
@@ -877,8 +937,12 @@ def stream_entity_resolution(
         # MERGEing them over the stored table IS the full assignment,
         # and the per-batch cost tracks the delta's neighborhood, not
         # the standing corpus
+        # check_overlap=False: `fresh` is already anti-joined against
+        # the record table above, so the operator's own overlap probe
+        # would be a redundant second corpus-key scan per batch
         changed = incremental_resolve_entities(
-            corpus, fresh, corpus_assignment=asg, emit="changed"
+            corpus, fresh, corpus_assignment=asg, emit="changed",
+            check_overlap=False,
         )
         changed = changed.localCheckpoint(eager=True)
         upsert(spark, changed, base_dir, asg_name, "rec_id")
@@ -889,19 +953,25 @@ def stream_entity_resolution(
                 F.broadcast(changed.select("rec_id")), "rec_id"
             )
             g = golden_records(members, changed, rules=golden_rules)
-            upsert(spark, g, base_dir, golden_name, "entity_id")
+            partitioned_upsert(
+                spark, g, base_dir, golden_name, "entity_id",
+                num_buckets=golden_num_buckets,
+            )
             # stale sweep: golden keys no longer any record's label —
             # pure function of current state, self-healing under any
-            # crash window
+            # crash window; bucket-pruned, so only the stale keys'
+            # buckets are rewritten
             live = spark.read.parquet(asg_path).select(
                 F.col("entity_id")
             ).distinct()
             stale = (
-                spark.read.parquet(table_path(base_dir, golden_name))
+                read_partitioned(spark, base_dir, golden_name)
                 .select("entity_id")
                 .join(live, "entity_id", "left_anti")
             )
-            delete_keys(spark, stale, base_dir, golden_name, "entity_id")
+            partitioned_delete_keys(
+                spark, stale, base_dir, golden_name, "entity_id"
+            )
         upsert(spark, fresh, base_dir, rec_name, "rec_id")
 
     with state_partitions(spark, n_state_partitions), _checkpoint(
@@ -928,6 +998,7 @@ def stream_gated_ingest(
     n_batches: int = 3,
     n_state_partitions: int | None = None,
     checkpoint_dir: str | None = None,
+    key_col: str = "doc_id",
 ) -> tuple[str, str]:
     """Expectation-gated continuous ingestion with a quarantine
     (dead-letter) table — the Delta-Live-Tables ``expect_all`` shape:
@@ -949,6 +1020,10 @@ def stream_gated_ingest(
     gate passes, quarantine = the rest — a pure function of the batch
     split, mirrored per-batch in SQL.
 
+    ``key_col`` is the upsert/batch-split key — any keyed corpus gates
+    through here, not just document tables (the generic signature was a
+    lie while 'doc_id' was hardcoded).
+
     Returns (kept_path, quarantine_path)."""
     from ..operators.aggregations import validate_expectations
     from ..sinks.writers import ensure_table, table_path, upsert
@@ -958,7 +1033,7 @@ def stream_gated_ingest(
     for b in range(n_batches):
         tmp = os.path.join(base_dir, f"__gstage_{b}")
         docs_df.where(
-            F.col("doc_id") % n_batches == b
+            F.col(key_col) % n_batches == b
         ).coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(
             f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
@@ -992,7 +1067,7 @@ def stream_gated_ingest(
             batch_df,
             base_dir,
             kept_name if ok else quarantine_name,
-            "doc_id",
+            key_col,
         )
 
     with state_partitions(spark, n_state_partitions), _checkpoint(

@@ -145,3 +145,93 @@ def test_incremental_resolve_matches_full_batch_with_bridge_merge(spark):
             corpus.limit(1),
             corpus_assignment=corpus_asg,
         ).collect()
+
+
+MULTI = [
+    # (rec_id, block_key, block_key2, name, phone)
+    (10, 1, "2598", "Acme Metals Corp", "25-989-741"),
+    (11, 1, "2598", "acme metals corp inc", "25989741"),
+    # 13: re-type of A with a CORRUPTED block_key (9) — single-key
+    # blocking can never pair it; its phone-prefix block still holds A
+    (13, 9, "2598", "acme metals corp", "25 989 741"),
+    (20, 1, "7711", "Blue Harbour Ltd", "77-111-222"),
+    (30, 1, None, "Cedar Freight", None),  # no phone → pass-2 absent
+]
+
+
+def _multi_df(spark):
+    return spark.createDataFrame(
+        MULTI, ["rec_id", "block_key", "block_key2", "name", "phone"]
+    )
+
+
+def test_single_key_blocking_provably_misses_dirty_block(spark):
+    """The round-10 contract: a record whose block key is corrupted is
+    stranded by single-key blocking (the classic ER miss) and recovered
+    by the union of passes — pinned side by side."""
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        resolve_entities,
+    )
+
+    df = _multi_df(spark)
+    single = {
+        r["rec_id"]: r["entity_id"]
+        for r in resolve_entities(df, block_col="block_key").collect()
+    }
+    multi = {
+        r["rec_id"]: r["entity_id"]
+        for r in resolve_entities(
+            df, block_col=["block_key", "block_key2"]
+        ).collect()
+    }
+    # single-key: 13 is alone in block 9 → stranded singleton
+    assert single[13] == 13 and single[10] == single[11] == 10
+    # multi-pass: the phone-prefix pass recovers it (phone eq 500 +
+    # name jac {acme,metals,corp}+{inc}: 750//1000*500... = 875 ≥ 450)
+    assert multi[13] == 10 and multi[10] == multi[11] == 10
+    # records outside both overlaps are unaffected by the second pass
+    assert multi[20] == 20 and multi[30] == 30
+    # NULL second key never joins: 30 stays a singleton even though
+    # another NULL-key record exists
+    df2 = df.unionByName(
+        _multi_df(spark).where("rec_id = 30").selectExpr(
+            "31 as rec_id", "2 as block_key",
+            "cast(null as string) as block_key2",
+            "'Cedar Freight' as name", "cast(null as string) as phone",
+        )
+    )
+    multi2 = {
+        r["rec_id"]: r["entity_id"]
+        for r in resolve_entities(
+            df2, block_col=["block_key", "block_key2"]
+        ).collect()
+    }
+    assert multi2[30] == 30 and multi2[31] == 31
+
+
+def test_incremental_multi_pass_matches_full_batch(spark):
+    """Multi-pass incremental == multi-pass full batch, including a
+    delta record reachable only through the SECOND pass."""
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        incremental_resolve_entities,
+        resolve_entities,
+    )
+
+    blocks = ["block_key", "block_key2"]
+    corpus = _multi_df(spark).where("rec_id <> 13")
+    corpus_asg = resolve_entities(corpus, block_col=blocks)
+    delta = _multi_df(spark).where("rec_id = 13")
+    inc = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in incremental_resolve_entities(
+            corpus, delta, corpus_assignment=corpus_asg, block_col=blocks
+        ).collect()
+    }
+    full = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in resolve_entities(
+            _multi_df(spark), block_col=blocks
+        ).collect()
+    }
+    assert inc == full
+    assert inc[13] == (10, 3)  # linked through pass 2 only

@@ -164,3 +164,159 @@ def test_incremental_truss_matches_batch_and_gains(spark):
     # the triangle emerged from the delta; the pairs stay singletons
     assert inc["a"] == inc["b"] == inc["c"] == ("a", 3)
     assert inc["x"] == ("x", 1) and inc["q"] == ("q", 1)
+
+
+def py_pagerank_rd(edges, iterations=5, damping_pct=85, base=10**12):
+    """Pure-Python reference of the dangling='redistribute' spec:
+    per-iteration dangling mass floor-divided equally across ALL nodes
+    before damping."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    out_deg = {}
+    for s, _ in e:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    teleport = ((100 - damping_pct) * base) // 100
+    rank = {x: base for x in nodes}
+    for _ in range(iterations):
+        inbound = {x: 0 for x in nodes}
+        for s, d in e:
+            inbound[d] += rank[s] // out_deg[s]
+        sh = sum(rank[x] for x in nodes if x not in out_deg) // n
+        rank = {
+            x: teleport + (damping_pct * (inbound[x] + sh)) // 100
+            for x in nodes
+        }
+    return rank
+
+
+def test_pagerank_redistribute_conserves_mass(spark):
+    """dangling='redistribute' matches the pure-Python spec bit-for-bit
+    and conserves total mass up to bounded floor remainders, while the
+    'leak' default visibly loses the dangling mass."""
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+        ("b", "e"),  # e dangles
+        ("d", "a"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, iterations=4, dangling="redistribute", checkpoint_every=2
+        ).collect()
+    }
+    want = py_pagerank_rd(edges, iterations=4)
+    assert got == want
+    # conservation: total mass stays within bounded floor remainders of
+    # n*base (each contrib/share/damping floor loses < 1 unit per site
+    # per iteration — parts-per-billion at base=1e12)
+    n, base, iters = 5, 10**12, 4
+    total = sum(got.values())
+    assert n * base - total < iters * (len(edges) + 3 * n) * 100
+    assert total <= n * base
+    # the leak default really leaks: the dangling node's whole damped
+    # mass disappears each round — orders of magnitude more than floors
+    leak_total = sum(
+        r["rank"] for r in pagerank(df, iterations=4).collect()
+    )
+    assert n * base - leak_total > 10**11
+    with pytest.raises(ValueError):
+        pagerank(df, dangling="drop")
+
+
+def test_cap_degree_policies_and_recall(spark):
+    """cap_degree: degree bound guaranteed, under-cap subgraphs pass
+    through untouched (the recall contract), md5 policy deterministic,
+    top_by_weight keeps the strongest links — and it unblocks
+    truss_communities over a hub graph that the loud refusal rejects."""
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.graph import (
+        cap_degree,
+        truss_communities,
+    )
+
+    # hub h fans out to 8 spokes; a triangle community lives elsewhere
+    hub = [("h", f"s{i}") for i in range(8)]
+    tri = [("a1", "a2"), ("a2", "a3"), ("a3", "a1")]
+    df = spark.createDataFrame(hub + tri, ["src", "dst"])
+
+    with pytest.raises(ValueError, match="cap or sample"):
+        truss_communities(df, max_degree=4).collect()
+
+    capped = cap_degree(df, max_degree=4)
+    rows = {(r["u"], r["v"]) for r in capped.collect()}
+    # degree bound on the capped graph
+    deg = {}
+    for u, v in rows:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert max(deg.values()) <= 4 and deg["h"] == 4
+    # recall contract: the under-cap triangle is untouched
+    assert {("a1", "a2"), ("a2", "a3"), ("a1", "a3")} <= rows
+    # every removed edge touches the over-cap hub
+    removed = {("h", f"s{i}") for i in range(8)} - rows
+    assert len(removed) == 4 and all(u == "h" for u, _ in removed)
+    # deterministic: same result across partitionings
+    rows13 = {
+        (r["u"], r["v"])
+        for r in cap_degree(df.repartition(13), max_degree=4).collect()
+    }
+    assert rows13 == rows
+    # and truss now runs over the capped graph: triangle preserved
+    out = {
+        r["node"]: r["community"]
+        for r in truss_communities(
+            capped, src_col="u", dst_col="v", max_degree=4
+        ).collect()
+    }
+    assert out["a1"] == out["a2"] == out["a3"] == "a1"
+    assert out["h"] == "h"  # hub edges sit in no triangle
+
+    # top_by_weight: keep the heaviest spokes; max-weight symmetrization
+    wdf = spark.createDataFrame(
+        [("h", f"s{i}", float(i)) for i in range(8)]
+        + [("s7", "h", 99.0)],  # reverse duplicate with a bigger weight
+        ["src", "dst", "w"],
+    )
+    kept = {
+        (r["u"], r["v"])
+        for r in cap_degree(
+            wdf, max_degree=3, policy="top_by_weight", weight_col="w"
+        ).collect()
+    }
+    assert kept == {("h", "s7"), ("h", "s6"), ("h", "s5")}
+    with pytest.raises(ValueError):
+        cap_degree(wdf, max_degree=3, policy="top_by_weight")
+    with pytest.raises(ValueError):
+        cap_degree(wdf, max_degree=3, policy="random")
+
+
+def test_incremental_truss_hub_guard_is_delta_scoped(spark):
+    """The incremental path refuses a delta landing ON a hub (mirroring
+    the batch contract) but does NOT pay for — or refuse on — corpus
+    hubs the delta never touches (they were guarded when built)."""
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.graph import (
+        incremental_truss_communities,
+    )
+
+    hub = spark.createDataFrame(
+        [("h", f"s{i}") for i in range(8)], ["src", "dst"]
+    )
+    # delta touching the hub: refused at the batch threshold
+    onto_hub = spark.createDataFrame([("h", "z1")], ["src", "dst"])
+    with pytest.raises(ValueError, match="cap or sample"):
+        incremental_truss_communities(
+            hub, onto_hub, max_degree=4
+        ).collect()
+    # delta elsewhere: the untouched corpus hub does not refuse
+    away = spark.createDataFrame([("p", "q")], ["src", "dst"])
+    out = incremental_truss_communities(hub, away, max_degree=4)
+    assert out.count() > 0

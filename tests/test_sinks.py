@@ -354,6 +354,94 @@ def test_partitioned_upsert_leaves_untouched_buckets_byte_identical(
     assert rows[6] == 12 and len(rows) == 1000
 
 
+def test_partitioned_delete_keys_prunes_and_drops_empty(spark, tmp_path):
+    """The round-10 sweep contract: a MERGE-DELETE rewrites ONLY the
+    buckets containing its keys (untouched buckets byte-identical),
+    skips keys whose bucket doesn't exist (no bucket is created), and a
+    bucket whose rows all die LEAVES the manifest instead of silently
+    resurrecting its rows."""
+    import json as _json
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _ptable_dir,
+        partitioned_delete_keys,
+        partitioned_upsert,
+        read_partitioned,
+    )
+
+    tmp = str(tmp_path)
+    base = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    partitioned_upsert(spark, base, tmp, "pt", "id", num_buckets=16)
+    pdir = _ptable_dir(tmp, "pt")
+    with open(os.path.join(pdir, "_MANIFEST")) as f:
+        man_before = _json.load(f)
+    inv_before = _file_inventory(pdir)
+
+    # delete three keys (≤ 3 buckets) + one key far outside the table
+    keys = spark.createDataFrame(
+        [(5,), (42,), (777,), (10**9,)], ["id"]
+    )
+    partitioned_delete_keys(spark, keys, tmp, "pt", "id")
+
+    with open(os.path.join(pdir, "_MANIFEST")) as f:
+        man_after = _json.load(f)
+    changed = {
+        b for b in man_after["buckets"]
+        if man_after["buckets"][b] != man_before["buckets"].get(b)
+    }
+    unchanged = set(man_before["buckets"]) - changed
+    assert changed and len(changed) <= 4 and unchanged
+    # no bucket was created for the absent key's hash
+    assert set(man_after["buckets"]) <= set(man_before["buckets"])
+    inv_after = _file_inventory(pdir)
+    for b in unchanged:
+        d = man_before["buckets"][b]
+        before = {k: v for k, v in inv_before.items() if k.startswith(d + os.sep)}
+        after = {k: v for k, v in inv_after.items() if k.startswith(d + os.sep)}
+        assert before == after, f"bucket {b} files changed: {d}"
+
+    rows = {r["id"]: r["v"] for r in read_partitioned(spark, tmp, "pt").collect()}
+    assert len(rows) == 997 and 5 not in rows and 777 not in rows
+    assert rows[6] == 12
+
+    # idempotent: same delete again is a no-op
+    partitioned_delete_keys(spark, keys, tmp, "pt", "id")
+    assert read_partitioned(spark, tmp, "pt").count() == 997
+
+    # emptying a whole bucket removes it from the manifest
+    all_keys = spark.range(0, 1000).select("id")
+    partitioned_delete_keys(spark, all_keys, tmp, "pt", "id")
+    with open(os.path.join(pdir, "_MANIFEST")) as f:
+        man_empty = _json.load(f)
+    assert man_empty["buckets"] == {}
+
+
+def test_flat_delete_keys_restores_crashed_swap(spark, tmp_path):
+    """delete_keys self-heals the '.old' crash window before deciding
+    the table is absent — a stale sweep after a crashed swap must not
+    be silently skipped."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        delete_keys,
+        table_path,
+        upsert,
+    )
+
+    base = str(tmp_path)
+    df = spark.range(0, 10).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    upsert(spark, df, base, "t", "id")
+    path = table_path(base, "t")
+    # simulate a crash inside _atomic_overwrite's swap window
+    os.rename(path, path + ".old")
+    delete_keys(
+        spark, spark.createDataFrame([(3,)], ["id"]), base, "t", "id"
+    )
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert got == set(range(10)) - {3}
+    assert not os.path.exists(path + ".old")
+
+
 def test_partitioned_upsert_inserts_new_bucket_and_prunes_versions(
     spark, tmp_path
 ):

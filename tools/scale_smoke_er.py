@@ -44,16 +44,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def replicate_records(records, factor: int, n_keys: int):
     """Shift record keys and block keys per replica: block count grows
-    factor×, per-block composition is identical in every replica."""
+    factor×, per-block composition is identical in every replica. A
+    ``block_key2`` column (the multi-pass fixture's phone-prefix pass)
+    is shifted too — replicas share phone digits, so an unshifted
+    second key would grow pass-2 block SIZES with the factor instead of
+    block count (NULLs stay NULL: F.concat propagates them)."""
     out = records
+    has_bk2 = "block_key2" in records.columns
     for i in range(1, factor):
-        out = out.unionByName(
-            records.withColumn(
-                "rec_id", F.col("rec_id") + F.lit(i * 10 * n_keys)
-            ).withColumn(
-                "block_key", F.col("block_key") + F.lit(i * 100)
+        # 10_000 shift clears the multi fixture's +1000 v4 offset for
+        # any factor ≤ 10 000 — replica blocks never collide
+        rep = records.withColumn(
+            "rec_id", F.col("rec_id") + F.lit(i * 10 * n_keys)
+        ).withColumn("block_key", F.col("block_key") + F.lit(i * 10_000))
+        if has_bk2:
+            rep = rep.withColumn(
+                "block_key2",
+                F.concat(F.lit(f"{i}|"), F.col("block_key2")),
             )
-        )
+        out = out.unionByName(rep)
     return out
 
 
@@ -145,6 +154,60 @@ def main() -> None:
         results["inc_changed_1x"]["t"], 1e-9
     )
     results["inc_changed_ratio"] = {"ratio": round(r, 1)}
+
+    # ---- multi-pass blocking (round 10): nationkey ∪ phone-prefix ----
+    from mgo_liveagent_data_pipeline_spark.plans.relational import (
+        _er_multi_records,
+    )
+
+    blocks = ["block_key", "block_key2"]
+    mbase = _er_multi_records(spark, SF_DIR)
+    mn_keys = mbase.agg(F.max("rec_id")).collect()[0][0] + 1
+    m_1x = mbase.localCheckpoint(eager=True)
+    m_nx = replicate_records(m_1x, factor, mn_keys).localCheckpoint(
+        eager=True
+    )
+    timed("batch_multi_1x", lambda: resolve_entities(m_1x, block_col=blocks))
+    timed(
+        f"batch_multi_{factor}x",
+        lambda: resolve_entities(m_nx, block_col=blocks, max_block=20_000),
+    )
+    r = results[f"batch_multi_{factor}x"]["t"] / max(
+        results["batch_multi_1x"]["t"], 1e-9
+    )
+    results["batch_multi_ratio"] = {
+        "ratio": round(r, 1), "ratio_per_unit": round(r / factor, 3)
+    }
+
+    m_delta = m_1x.where(is_delta).localCheckpoint(eager=True)
+    m_corpus_1x = m_1x.where(~is_delta).localCheckpoint(eager=True)
+    m_corpus_nx = m_nx.where(
+        ~(is_delta & (F.col("rec_id") < 10 * mn_keys))
+    ).localCheckpoint(eager=True)
+    masg_1x = resolve_entities(
+        m_corpus_1x, block_col=blocks
+    ).localCheckpoint(eager=True)
+    masg_nx = resolve_entities(
+        m_corpus_nx, block_col=blocks, max_block=20_000
+    ).localCheckpoint(eager=True)
+    timed(
+        "inc_multi_1x",
+        lambda: incremental_resolve_entities(
+            m_corpus_1x, m_delta, corpus_assignment=masg_1x,
+            block_col=blocks, emit="changed",
+        ),
+    )
+    timed(
+        f"inc_multi_{factor}x",
+        lambda: incremental_resolve_entities(
+            m_corpus_nx, m_delta, corpus_assignment=masg_nx,
+            block_col=blocks, max_block=20_000, emit="changed",
+        ),
+    )
+    r = results[f"inc_multi_{factor}x"]["t"] / max(
+        results["inc_multi_1x"]["t"], 1e-9
+    )
+    results["inc_multi_ratio"] = {"ratio": round(r, 1)}
 
     print(json.dumps({"factor": factor, "cases": results}))
 
