@@ -1465,6 +1465,34 @@ def q_text_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pagerank_rd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain PageRank with dangling-mass REDISTRIBUTION
+    (operators/graph.py:pagerank ``dangling='redistribute'``) over the
+    same link graph as ``q_text_pagerank``: each iteration's dangling
+    mass is summed and floor-divided equally across all nodes before
+    damping, conserving total mass to bounded floor remainders — the
+    variant to use before ranks are read as probabilities (the organic
+    citation graph is full of dangling target domains, so the two
+    variants genuinely differ here). Driver-visible via the ``pr2``
+    mode of ``text_corpus_stats``; the oracle unrolls the same five
+    integer iterations with the per-iteration share as a scalar
+    subquery."""
+    from ..operators.graph import pagerank
+    from ..operators.textops import extract_urls, psl_dim
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = extract_urls(
+        _web_text_fixture(docs), "web_text", "doc_id", psl=psl_dim(spark)
+    )
+    edges = u.select(
+        F.format_string("site%d.com", F.col("doc_id") % 17).alias("src"),
+        F.col("registered_domain").alias("dst"),
+    )
+    return pagerank(edges, iterations=5, dangling="redistribute").select(
+        F.col("node").alias("domain"), "rank", "out_deg", "in_deg"
+    )
+
+
 def _ring_edges(spark, n: int, fmt: str, hops=(1, 2)):
     """Planted link-farm ring: n nodes with edges at the given hop
     distances (ring alone at hops=(1,) is triangle-FREE; the distance-2
@@ -1511,6 +1539,64 @@ def q_text_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truss_communities(edges).select(
         F.col("node").alias("domain"), "community", "community_size"
     )
+
+
+def q_text_communities_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truss communities over a HUB-containing graph, unblocked by
+    ``cap_degree`` (operators/graph.py): the citation-graph + ring
+    fixture gains a promiscuous ``hub0.portal`` domain citing every
+    site, farm, and mirror node (degree 29, vs the organic maximum of
+    17 — degree here is scale-invariant, bounded by the fixture's
+    domain moduli) — at ``max_degree=17`` the plain
+    ``truss_communities`` refuses it loudly, and before round 10 the
+    engine shipped no operator to satisfy the refusal's own "cap or
+    sample hubs first" instruction. Here the hub's neighborhood is
+    md5-sampled down to 17 (both-endpoints-keep, so the bound is
+    guaranteed), and the capped graph flows through the same truss at
+    the same ``max_degree``. The hub's surviving ring edges DO close
+    triangles with adjacent ring nodes — a portal citing a whole farm
+    honestly joins its 3-truss — which the oracle mirrors exactly
+    (deterministic md5 ranking on both engines). Driver-visible via
+    the ``cap`` mode of ``text_corpus_stats``."""
+    from ..operators.graph import cap_degree, truss_communities
+    from ..operators.textops import extract_urls, psl_dim
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = extract_urls(
+        _web_text_fixture(docs), "web_text", "doc_id", psl=psl_dim(spark)
+    )
+    cite = u.select(
+        F.format_string("site%d.com", F.col("doc_id") % 17).alias("src"),
+        F.col("registered_domain").alias("dst"),
+    )
+    hub = (
+        spark.range(17)
+        .select(
+            F.lit("hub0.portal").alias("src"),
+            F.format_string("site%d.com", F.col("id")).alias("dst"),
+        )
+        .unionByName(
+            spark.range(7).select(
+                F.lit("hub0.portal").alias("src"),
+                F.format_string("farm%d.biz", F.col("id")).alias("dst"),
+            )
+        )
+        .unionByName(
+            spark.range(5).select(
+                F.lit("hub0.portal").alias("src"),
+                F.format_string("mirror%d.net", F.col("id")).alias("dst"),
+            )
+        )
+    )
+    edges = (
+        cite.unionByName(_ring_edges(spark, 7, "farm%d.biz"))
+        .unionByName(_ring_edges(spark, 5, "mirror%d.net"))
+        .unionByName(hub)
+    )
+    capped = cap_degree(edges, max_degree=17)
+    return truss_communities(
+        capped, src_col="u", dst_col="v", max_degree=17
+    ).select(F.col("node").alias("domain"), "community", "community_size")
 
 
 def q_text_communities_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2036,7 +2122,9 @@ QUERIES = {
     "text_quality_filter": q_text_quality_filter,
     "text_url_domains": q_text_url_domains,
     "text_pagerank": q_text_pagerank,
+    "text_pagerank_rd": q_text_pagerank_rd,
     "text_communities": q_text_communities,
+    "text_communities_capped": q_text_communities_capped,
     "text_communities_inc": q_text_communities_inc,
     "text_group_sample": q_text_group_sample,
     "text_repetition": q_text_repetition,
@@ -2206,6 +2294,51 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _pagerank_rd_sql(iterations: int = 5) -> str:
+    """Unrolled mirror of q_text_pagerank_rd: the leak mirror plus a
+    per-iteration dangling-share scalar (Σ rank of nodes with no
+    out-edges, floor-divided by the node count) added to every node's
+    inbound mass before damping — all BIGINT/HUGEINT floor arithmetic,
+    bit-equal by construction."""
+    teleport = (15 * 10**12) // 100
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""dg{i} AS (
+          SELECT COALESCE(SUM(rk), 0)
+                   // (SELECT count(*) FROM nodes) AS sh
+          FROM r{i - 1}
+          WHERE node NOT IN (SELECT src FROM deg)),
+        r{i} AS (
+          SELECT n.node,
+                 CAST({teleport}
+                      + (85 * (COALESCE(s.m, 0) + dg{i}.sh)) // 100
+                      AS BIGINT) AS rk
+          FROM nodes n
+          CROSS JOIN dg{i}
+          LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rk // d.out_deg) AS m
+            FROM e JOIN r{i - 1} r ON r.node = e.src
+                   JOIN deg d ON d.src = e.src
+            GROUP BY 1) s ON s.node = n.node)"""
+        )
+    return (
+        "\n        WITH " + _link_edges_ctes() + r""",
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+        ideg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY 1),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rk FROM nodes),
+        """ + ",\n        ".join(iters) + f"""
+        SELECT n.node AS domain, r{iterations}.rk AS rank,
+               CAST(COALESCE(deg.out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(ideg.in_deg, 0) AS BIGINT) AS in_deg
+        FROM nodes n JOIN r{iterations} ON r{iterations}.node = n.node
+        LEFT JOIN deg ON deg.src = n.node
+        LEFT JOIN ideg ON ideg.dst = n.node
+    """
+    )
+
+
 def _truss_sql() -> str:
     """Unrolled mirror of q_text_communities: the shared edge
     extraction, wedge-join common-neighbor support, strong (>= 1
@@ -2260,9 +2393,88 @@ def _truss_sql() -> str:
     )
 
 
+def _truss_capped_sql() -> str:
+    """Mirror of q_text_communities_capped: the truss mirror's edge set
+    plus the planted hub, then the md5-ranked both-endpoints-keep cap
+    (cap_degree's exact spec — row_number over md5(src‖'|'‖dst), keep
+    rank ≤ 17, an edge survives iff kept in BOTH directions) before the
+    same support/strong/min-label walk."""
+    return (
+        "\n        WITH RECURSIVE " + _link_edges_ctes() + r""",
+        ring AS (
+          SELECT printf('farm%d.biz', i) AS src,
+                 printf('farm%d.biz', (i + 1) % 7) AS dst FROM range(7) t(i)
+          UNION ALL
+          SELECT printf('farm%d.biz', i), printf('farm%d.biz', (i + 2) % 7)
+          FROM range(7) t(i)
+          UNION ALL
+          SELECT printf('mirror%d.net', i), printf('mirror%d.net', (i + 1) % 5)
+          FROM range(5) t(i)
+          UNION ALL
+          SELECT printf('mirror%d.net', i), printf('mirror%d.net', (i + 2) % 5)
+          FROM range(5) t(i)),
+        hub AS (
+          SELECT 'hub0.portal' AS src, printf('site%d.com', i) AS dst
+          FROM range(17) t(i)
+          UNION ALL
+          SELECT 'hub0.portal', printf('farm%d.biz', i) FROM range(7) t(i)
+          UNION ALL
+          SELECT 'hub0.portal', printf('mirror%d.net', i) FROM range(5) t(i)),
+        e2 AS (
+          SELECT src, dst FROM e
+          UNION ALL SELECT src, dst FROM ring
+          UNION ALL SELECT src, dst FROM hub),
+        sym0 AS (
+          SELECT src, dst FROM e2 WHERE src <> dst
+          UNION
+          SELECT dst, src FROM e2 WHERE src <> dst),
+        kept AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (
+                     PARTITION BY src ORDER BY md5(src || '|' || dst)
+                   ) AS rk
+            FROM sym0) WHERE rk <= 17),
+        sym AS (
+          SELECT k.src, k.dst
+          FROM kept k JOIN kept r2 ON r2.src = k.dst AND r2.dst = k.src),
+        und AS (SELECT src AS u, dst AS v FROM sym WHERE src < dst),
+        support AS (
+          SELECT a.src AS u, b.src AS v, count(*) AS s
+          FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+          GROUP BY 1, 2),
+        strong AS (
+          SELECT und.u, und.v FROM und JOIN support USING (u, v)
+          WHERE s >= 1),
+        sedges AS (
+          SELECT u AS x, v AS y FROM strong
+          UNION
+          SELECT v, u FROM strong),
+        walk(node, lbl) AS (
+          SELECT x, x FROM sedges
+          UNION
+          SELECT e3.y, w.lbl FROM walk w JOIN sedges e3 ON e3.x = w.node),
+        comp AS (SELECT node, min(lbl) AS community FROM walk GROUP BY node),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        asg AS (
+          SELECT n.node, coalesce(c.community, n.node) AS community
+          FROM nodes n LEFT JOIN comp c ON c.node = n.node)
+        SELECT a.node AS domain, a.community,
+               CAST(s2.cs AS BIGINT) AS community_size
+        FROM asg a JOIN (
+          SELECT community, count(*) AS cs FROM asg GROUP BY 1) s2
+          USING (community)
+    """
+    )
+
+
 _TRUSS_SQL = _truss_sql()
 
+_TRUSS_CAPPED_SQL = _truss_capped_sql()
+
 _PAGERANK_SQL = _pagerank_sql()
+
+_PAGERANK_RD_SQL = _pagerank_rd_sql()
 
 # distinct word 3-shingles of a document (tokens on \s+, space-joined runs)
 _SHINGLES = r"""
@@ -5054,7 +5266,9 @@ ORACLES: dict[str, str] = {
     # host normalization / registered-domain mirror extract_urls
     "text_url_domains": _URL_DOMAINS_SQL,
     "text_pagerank": _PAGERANK_SQL,
+    "text_pagerank_rd": _PAGERANK_RD_SQL,
     "text_communities": _TRUSS_SQL,
+    "text_communities_capped": _TRUSS_CAPPED_SQL,
     # drained incremental == full-batch truss, verbatim
     "text_communities_inc": _TRUSS_SQL,
     # the composed six-stage curation chain's per-stage ledger

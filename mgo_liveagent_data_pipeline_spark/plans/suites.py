@@ -495,7 +495,12 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``trussinc`` rows (the incremental path: the ring CHORDS arrive as
     a delta against the stored support relation, flipping old ring
     edges strong — drained == the batch truss verbatim,
-    operators/graph.py:incremental_truss_communities)."""
+    operators/graph.py:incremental_truss_communities); and since round
+    10, ``pr2`` rows (the dangling-mass-redistributing PageRank
+    variant, mass-conserving to floor remainders) and ``cap`` rows
+    (a planted over-cap hub md5-sampled down by
+    operators/graph.py:cap_degree, then the same truss — the refusal's
+    "cap or sample hubs first" instruction satisfied in-engine)."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -656,11 +661,27 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         (F.col("out_deg") * 1000 + F.col("in_deg")).alias("n"),
     )
+    # pr2: dangling-mass-redistributing PageRank — mass-conserving ranks
+    pr2 = pipeline.q_text_pagerank_rd(spark, sf_dir).select(
+        F.lit("pr2").alias("mode"),
+        F.col("domain").alias("key_s"),
+        F.col("rank").alias("key_n"),
+        _null("double").alias("metric"),
+        (F.col("out_deg") * 1000 + F.col("in_deg")).alias("n"),
+    )
     # truss: triangle-supported communities — planted link-farm rings
     # found, the bipartite organic graph left singleton;
     # domain>community rides key_s, community size in n
     truss = pipeline.q_text_communities(spark, sf_dir).select(
         F.lit("truss").alias("mode"),
+        F.concat_ws(">", "domain", "community").alias("key_s"),
+        _null("long").alias("key_n"),
+        _null("double").alias("metric"),
+        F.col("community_size").alias("n"),
+    )
+    # cap: hub graph unblocked by cap_degree, then the same truss
+    cap = pipeline.q_text_communities_capped(spark, sf_dir).select(
+        F.lit("cap").alias("mode"),
         F.concat_ws(">", "domain", "community").alias("key_s"),
         _null("long").alias("key_n"),
         _null("double").alias("metric"),
@@ -696,7 +717,9 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsirsel)
         .unionByName(bpe)
         .unionByName(pr)
+        .unionByName(pr2)
         .unionByName(truss)
+        .unionByName(cap)
         .unionByName(trussinc)
     )
 
@@ -1994,8 +2017,22 @@ ORACLES: dict[str, str] = {
         )
         + " UNION ALL "
         + _tagged(
+            _P["text_pagerank_rd"],
+            "'pr2' AS mode, domain AS key_s, \"rank\" AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, "
+            "out_deg * 1000 + in_deg AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
             _P["text_communities"],
             "'truss' AS mode, domain || '>' || community AS key_s, "
+            "CAST(NULL AS BIGINT) AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, community_size AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_communities_capped"],
+            "'cap' AS mode, domain || '>' || community AS key_s, "
             "CAST(NULL AS BIGINT) AS key_n, "
             "CAST(NULL AS DOUBLE) AS metric, community_size AS n",
         )
