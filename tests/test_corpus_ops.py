@@ -1701,3 +1701,80 @@ def test_bpe_train_matches_published_walkthrough(spark):
     )
     rows = {r["doc_id"]: r for r in bpe_encode(edge).collect()}
     assert rows[2]["n_bpe_tokens"] == 0 and rows[3]["n_words"] == 0
+
+
+def test_bpe_train_batched_equals_sequential(spark):
+    """The round-10 batched merge learning is EXACT: merges_per_round>1
+    returns the identical merge table (order and counts included) as
+    the one-per-round reference, while finishing in fewer rounds — the
+    driver-round-trip collapse that makes a 32k-merge vocab trainable.
+    An all-tied adversarial corpus degrades to one merge per round,
+    never to a wrong table."""
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        bpe_train,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seq_stats: dict = {}
+    bat_stats: dict = {}
+    seq = bpe_train(docs, 24, merges_per_round=1, stats=seq_stats)
+    bat = bpe_train(docs, 24, merges_per_round=8, stats=bat_stats)
+    assert bat == seq
+    assert seq_stats["rounds"] == 24
+    # early merges are tie-heavy (the strict-dominance rule defers on
+    # ties), so the collapse here is modest; the scale smoke shows the
+    # larger-vocab regime where counts separate and rounds ≪ merges
+    assert bat_stats["rounds"] < seq_stats["rounds"] * 0.75
+
+    # disjoint ties are SAFE to batch: four token-disjoint pairs all
+    # tied at 3 collapse into one round, exactly in sequential order
+    corpus = " ".join(["ab", "cd", "ef", "gh"] * 3)
+    df = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    tied_seq = bpe_train(df, 4, merges_per_round=1)
+    tied_bat_stats: dict = {}
+    tied_bat = bpe_train(df, 4, merges_per_round=4, stats=tied_bat_stats)
+    assert tied_bat == tied_seq
+    assert tied_bat_stats["rounds"] == 1
+
+    # SHARING ties are the adversarial case: (a,b) and (b,c) tied —
+    # the strict-dominance rule defers (b,c) to the recount (where the
+    # sequential pick is really (ab,c)), degrading to one merge per
+    # round, never to a wrong table
+    corpus2 = " ".join(["abc"] * 3)
+    df2 = spark.createDataFrame([(1, corpus2)], ["doc_id", "text"])
+    adv_seq = bpe_train(df2, 2, merges_per_round=1)
+    adv_bat_stats: dict = {}
+    adv_bat = bpe_train(df2, 2, merges_per_round=4, stats=adv_bat_stats)
+    assert adv_bat == adv_seq == [("a", "b", 3), ("ab", "c", 3)]
+    assert adv_bat_stats["rounds"] == 2
+
+
+def test_bpe_train_approximate_mode_collapses_rounds(spark):
+    """exact=False is the production-throughput batching: rounds
+    collapse toward merges ÷ merges_per_round, the result is fully
+    deterministic (two runs identical), and the learned table is a
+    well-formed merge chain (every non-initial token is producible by
+    an earlier merge)."""
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.textops import (
+        bpe_train,
+    )
+
+    word = F.substring(F.md5(F.col("id").cast("string")), 1, 6)
+    zipf = spark.range(1, 200).select(
+        F.explode(
+            F.array_repeat(word, (F.lit(600) / F.col("id")).cast("int") + 1)
+        ).alias("text"),
+        F.col("id").alias("doc_id"),
+    )
+    st1: dict = {}
+    m1 = bpe_train(zipf, 32, merges_per_round=8, exact=False, stats=st1)
+    m2 = bpe_train(zipf, 32, merges_per_round=8, exact=False)
+    assert m1 == m2 and len(m1) == 32
+    assert st1["rounds"] <= 10  # ~32/8 with tie-deferral slack
+    # chain validity: every merged token decomposes into earlier tokens
+    known = set("0123456789abcdef")
+    for a, b, n in m1:
+        assert a in known and b in known and n >= 2
+        known.add(a + b)
