@@ -109,6 +109,55 @@ def main() -> None:
     )
     results["truss_sanity"] = {"communities_1x": n_comm, "expected": n1}
 
+    # ---- incremental truss (round 10): fixed chord delta vs N× corpus.
+    # The corpus additionally carries one BARE 7-ring on fresh nodes;
+    # the delta is its distance-2 chords — the old-edge-flip case. The
+    # stored support relation is precomputed (a table in production).
+    # Expected shape: the gains are delta-sized, the CC runs over the
+    # (delta-sized) strong set, but the support-union carry, node
+    # distinct, and size join are LINEAR scans of narrow relations —
+    # the operator returns the FULL assignment (no emit='changed' yet),
+    # so the ratio reflects that carry term honestly.
+    from mgo_liveagent_data_pipeline_spark.operators.graph import (
+        _sym,
+        edge_support,
+        incremental_truss_communities,
+    )
+
+    def dring(hop):
+        return spark.range(7).select(
+            F.format_string("d%d", F.col("id")).alias("src"),
+            F.format_string("d%d", (F.col("id") + hop) % 7).alias("dst"),
+        )
+
+    chords = dring(2).localCheckpoint(eager=True)
+    corp1 = g1.unionByName(dring(1)).localCheckpoint(eager=True)
+    corpn = gn.unionByName(dring(1)).localCheckpoint(eager=True)
+    sup1 = edge_support(_sym(corp1, "src", "dst")).localCheckpoint(eager=True)
+    supn = edge_support(_sym(corpn, "src", "dst")).localCheckpoint(eager=True)
+
+    incremental_truss_communities(
+        corp1, chords, corpus_support=sup1
+    ).count()  # warm
+    timed(
+        "trussinc_1x",
+        lambda: incremental_truss_communities(
+            corp1, chords, corpus_support=sup1
+        ),
+    )
+    timed(
+        f"trussinc_{factor}x",
+        lambda: incremental_truss_communities(
+            corpn, chords, corpus_support=supn
+        ),
+    )
+    r = results[f"trussinc_{factor}x"]["t"] / max(
+        results["trussinc_1x"]["t"], 1e-9
+    )
+    results["trussinc_ratio"] = {
+        "ratio": round(r, 1), "ratio_per_unit": round(r / factor, 3)
+    }
+
     print(json.dumps({"factor": factor, "cases": results}))
 
 

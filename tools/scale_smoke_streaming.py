@@ -176,10 +176,118 @@ def main() -> None:
         release_intermediates()
         return wall, {"delta_kept": n_kept, "diff_vs_direct": diff}
 
+    # ---- round 10: the golden-dimension and gated-ingest modes ----
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        golden_records,
+        incremental_resolve_entities,
+        resolve_entities,
+    )
+    from mgo_liveagent_data_pipeline_spark.plans.relational import _er_records
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        partitioned_upsert,
+        read_partitioned,
+    )
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_entity_resolution,
+        stream_gated_ingest,
+    )
+    from scale_smoke_er import replicate_records
+
+    RULES = {"name": "first_by_key", "phone": "min", "address": "longest"}
+    er_base = _er_records(spark, SF_DIR)
+    er_keys = er_base.agg(F.max("rec_id")).collect()[0][0] + 1
+    er_1x = er_base.localCheckpoint(eager=True)
+    er_nx = replicate_records(er_1x, factor, er_keys)
+    # fixed record delta: the 1x %41 slice, ids shifted past every
+    # replica, block keys unchanged (a fixed block neighborhood)
+    er_delta = er_1x.where(F.col("rec_id") % 41 == 0).withColumn(
+        "rec_id", F.col("rec_id") + F.lit((factor + 2) * 10 * er_keys)
+    ).localCheckpoint(eager=True)
+
+    def run_ergold(corpus):
+        corpus = corpus.localCheckpoint(eager=True)
+        base = tempfile.mkdtemp(prefix="st_", dir=big)
+        # prep (untimed, a table in production): records + assignment +
+        # the golden ptable for the standing corpus
+        asg = resolve_entities(corpus, max_block=20_000).localCheckpoint(
+            eager=True
+        )
+        corpus.write.mode("overwrite").parquet(table_path(base, "er_records"))
+        asg.write.mode("overwrite").parquet(
+            table_path(base, "er_assignment")
+        )
+        partitioned_upsert(
+            spark,
+            golden_records(corpus, asg, rules=RULES),
+            base, "er_golden", "entity_id", num_buckets=16,
+        )
+        t0 = time.time()
+        _asgp, _gp = stream_entity_resolution(
+            spark, er_delta, base, n_batches=1, golden_rules=RULES,
+        )
+        wall = time.time() - t0
+        # correctness guard: the stored assignment's recomputed rows
+        # equal the direct incremental operator on the same state
+        want = incremental_resolve_entities(
+            corpus, er_delta, corpus_assignment=asg,
+            max_block=20_000, emit="changed", check_overlap=False,
+        ).localCheckpoint(eager=True)
+        got = spark.read.parquet(table_path(base, "er_assignment")).join(
+            want.select("rec_id"), "rec_id"
+        )
+        diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+        # and the golden dimension carries every live label the delta's
+        # neighborhood produced
+        n_golden = read_partitioned(spark, base, "er_golden").count()
+        release_intermediates()
+        return wall, {"diff_vs_direct": diff, "golden_rows": n_golden}
+
+    gate_delta = docs_delta.localCheckpoint(eager=True)
+
+    def _run_gated(corpus, num_buckets):
+        corpus = corpus.select("doc_id", "text")
+        base = tempfile.mkdtemp(prefix="st_", dir=big)
+        if num_buckets is None:
+            corpus.write.mode("overwrite").parquet(
+                table_path(base, "gated_kept")
+            )
+        else:
+            partitioned_upsert(
+                spark, corpus, base, "gated_kept", "doc_id",
+                num_buckets=num_buckets,
+            )
+        t0 = time.time()
+        kept_path, _q = stream_gated_ingest(
+            spark,
+            gate_delta.select("doc_id", "text"),
+            base,
+            expectations=[("not_null", "text")],
+            n_batches=1,
+            num_buckets=num_buckets,
+        )
+        wall = time.time() - t0
+        kept = (
+            spark.read.parquet(kept_path)
+            if num_buckets is None
+            else read_partitioned(spark, base, "gated_kept")
+        )
+        n_new = kept.count() - corpus.count()
+        release_intermediates()
+        return wall, {"accepted": n_new}
+
+    def run_gated_flat(corpus):
+        return _run_gated(corpus, None)
+
+    def run_gated_ptable(corpus):
+        return _run_gated(corpus, 64)
+
     modes = {
         "stream_incdedup": (run_incdedup, docs_1x, docs_nx),
         "stream_scored_ingest": (run_scored, docs_1x, docs_nx),
         "stream_incsem": (run_incsem, emb_1x, emb_nx),
+        "stream_ergold": (run_ergold, er_1x, er_nx),
+        "stream_gated_flat": (run_gated_flat, docs_1x, docs_nx),
+        "stream_gated_ptable": (run_gated_ptable, docs_1x, docs_nx),
     }
     if only:
         unknown = only - set(modes)
