@@ -385,12 +385,14 @@ def incremental_truss_communities(
     delta_edges: DataFrame,
     *,
     corpus_support: DataFrame | None = None,
+    corpus_assignment: DataFrame | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
     min_support: int = 1,
     max_degree: int = 10_000,
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
+    emit: str = "all",
 ) -> DataFrame:
     """Delta-vs-corpus truss communities — the incremental member of
     the graph family: the stored support relation absorbs the delta via
@@ -410,6 +412,23 @@ def incremental_truss_communities(
     Result equals ``truss_communities(corpus ∪ delta)`` verbatim — the
     oracle. Returns (node, community, community_size) for every node
     of corpus ∪ delta.
+
+    With ``corpus_assignment`` (the STORED output of a previous
+    ``truss_communities`` / this function — it must cover every corpus
+    node), the CC is pruned to TOUCHED communities, the same
+    star-edge argument the ER family uses: support is monotone (strong
+    edges only APPEAR), so only components adjacent to a NEWLY-strong
+    edge can change; the newly-strong set is delta-neighborhood-sized,
+    the stored assignment's star edges carry exactly the old strong
+    connectivity of the touched components, and every other stored row
+    rides through verbatim — labels included (community ids are
+    component minima; a merge re-labels to the smaller minimum exactly
+    as the batch run would). ``emit='changed'`` returns only the
+    recomputed rows (the production MERGE shape — upserting them over
+    the stored assignment IS the full answer; cost tracks the delta's
+    neighborhood, no full-assignment carry scan); ``emit='all'``
+    unions the untouched stored rows back. ``emit='changed'``
+    requires ``corpus_assignment``.
 
     Hub refusal mirrors the batch contract but restricted to DELTA
     endpoints: the |D|·deg fourth wedge term blows up exactly when a
@@ -443,6 +462,12 @@ def incremental_truss_communities(
             f"degree {hub[0]['deg']} (max_degree={max_degree}) — cap or "
             "sample hub neighborhoods before support counting"
         )
+    if emit not in ("all", "changed"):
+        raise ValueError(f"emit must be 'all' or 'changed', got {emit!r}")
+    if emit == "changed" and corpus_assignment is None:
+        raise ValueError(
+            "emit='changed' needs corpus_assignment (the stored table)"
+        )
     sup = (
         corpus_support
         if corpus_support is not None
@@ -451,23 +476,82 @@ def incremental_truss_communities(
     new_sup = incremental_edge_support(
         sup, corpus_edges, delta_edges, src_col, dst_col
     )
-    strong = new_sup.where(F.col("s") >= min_support).select("u", "v")
-    strong = lineage_cut(strong, checkpoint_dir, eager=True)
-    labels = _string_components(strong, max_iterations, checkpoint_dir)
-    nodes = (
-        new_sup.select(F.col("u").alias("node"))
-        .unionByName(new_sup.select(F.col("v").alias("node")))
+    if corpus_assignment is None:
+        # full path: CC over the whole strong set, assignment for every
+        # node of corpus ∪ delta
+        strong = new_sup.where(F.col("s") >= min_support).select("u", "v")
+        strong = lineage_cut(strong, checkpoint_dir, eager=True)
+        labels = _string_components(strong, max_iterations, checkpoint_dir)
+        nodes = (
+            new_sup.select(F.col("u").alias("node"))
+            .unionByName(new_sup.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        assigned = nodes.join(labels, "node", "left").select(
+            "node", F.coalesce("lbl", F.col("node")).alias("community")
+        )
+        sizes = assigned.groupBy("community").agg(
+            F.count(F.lit(1)).alias("community_size")
+        )
+        return assigned.join(sizes, "community").select(
+            "node", "community", "community_size"
+        )
+    # touched-community prune: only components adjacent to a NEWLY
+    # strong edge can change (support is monotone); everything else
+    # rides through from the stored assignment verbatim
+    old_strong = sup.where(F.col("s") >= min_support).select("u", "v")
+    newly = (
+        new_sup.where(F.col("s") >= min_support)
+        .select("u", "v")
+        .join(old_strong, ["u", "v"], "left_anti")
+    )
+    newly = lineage_cut(newly, checkpoint_dir, eager=True)
+    endpoints = (
+        newly.select(F.col("u").alias("__n"))
+        .unionByName(newly.select(F.col("v").alias("__n")))
         .distinct()
     )
-    assigned = nodes.join(labels, "node", "left").select(
+    touched = (
+        corpus_assignment.join(
+            F.broadcast(endpoints),
+            corpus_assignment["node"] == F.col("__n"),
+        )
+        .select("community")
+        .distinct()
+    )
+    touched_rows = corpus_assignment.join(
+        F.broadcast(touched), "community", "left_semi"
+    )
+    star = touched_rows.where(F.col("node") != F.col("community")).select(
+        F.col("node").alias("u"), F.col("community").alias("v")
+    )
+    labels = _string_components(
+        newly.unionByName(star), max_iterations, checkpoint_dir
+    )
+    # rows that may change: NEW nodes the delta introduces ∪ members of
+    # touched components; corpus nodes a merely-WEAK delta edge lands on
+    # keep their stored row (weak edges never move communities)
+    new_nodes = dnodes.join(
+        corpus_assignment.select("node"), "node", "left_anti"
+    )
+    need = new_nodes.unionByName(
+        touched_rows.select("node")
+    ).distinct()
+    assigned = need.join(F.broadcast(labels), "node", "left").select(
         "node", F.coalesce("lbl", F.col("node")).alias("community")
     )
     sizes = assigned.groupBy("community").agg(
         F.count(F.lit(1)).alias("community_size")
     )
-    return assigned.join(sizes, "community").select(
+    changed = assigned.join(F.broadcast(sizes), "community").select(
         "node", "community", "community_size"
     )
+    if emit == "changed":
+        return changed
+    untouched = corpus_assignment.join(
+        F.broadcast(touched), "community", "left_anti"
+    ).select("node", "community", "community_size")
+    return changed.unionByName(untouched)
 
 
 def pagerank(

@@ -1634,6 +1634,57 @@ def q_text_communities_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_communities_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE shape of incremental truss (operators/graph.py:
+    incremental_truss_communities with ``corpus_assignment`` +
+    ``emit='changed'``): same fixture as ``trussinc``, but the member
+    passes the STORED assignment (derived in-member; a table in
+    production), receives only the recomputed rows — touched
+    communities ∪ new nodes, the delta's neighborhood — and MERGEs
+    them over the stored table. The merged relation must equal the
+    full-batch ``truss_communities`` verbatim (the ``text_communities``
+    oracle), proving the untouched-rows carry can be skipped entirely:
+    the production ingest pays no full-assignment scan. Driver-visible
+    via the ``trussmrg`` mode of ``text_corpus_stats``."""
+    from ..operators.graph import (
+        _sym,
+        edge_support,
+        incremental_truss_communities,
+        truss_communities,
+    )
+    from ..operators.textops import extract_urls, psl_dim
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = extract_urls(
+        _web_text_fixture(docs), "web_text", "doc_id", psl=psl_dim(spark)
+    )
+    cite = u.select(
+        F.format_string("site%d.com", F.col("doc_id") % 17).alias("src"),
+        F.col("registered_domain").alias("dst"),
+    )
+    corpus = (
+        cite.unionByName(_ring_edges(spark, 7, "farm%d.biz", hops=(1,)))
+        .unionByName(_ring_edges(spark, 5, "mirror%d.net", hops=(1,)))
+    )
+    delta = _ring_edges(spark, 7, "farm%d.biz", hops=(2,)).unionByName(
+        _ring_edges(spark, 5, "mirror%d.net", hops=(2,))
+    )
+    stored = truss_communities(corpus).localCheckpoint(eager=True)
+    changed = incremental_truss_communities(
+        corpus,
+        delta,
+        corpus_support=edge_support(_sym(corpus, "src", "dst")),
+        corpus_assignment=stored,
+        emit="changed",
+    )
+    merged = stored.join(
+        changed.select("node"), "node", "left_anti"
+    ).unionByName(changed)
+    return merged.select(
+        F.col("node").alias("domain"), "community", "community_size"
+    )
+
+
 def q_text_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-quota sampling (operators/textops.py:group_sample_k): 20
     docs per language in deterministic md5(key) order. Driver-visible
@@ -2126,6 +2177,7 @@ QUERIES = {
     "text_communities": q_text_communities,
     "text_communities_capped": q_text_communities_capped,
     "text_communities_inc": q_text_communities_inc,
+    "text_communities_merge": q_text_communities_merge,
     "text_group_sample": q_text_group_sample,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
@@ -5271,6 +5323,8 @@ ORACLES: dict[str, str] = {
     "text_communities_capped": _TRUSS_CAPPED_SQL,
     # drained incremental == full-batch truss, verbatim
     "text_communities_inc": _TRUSS_SQL,
+    # changed rows MERGEd over the stored assignment == the batch truss
+    "text_communities_merge": _TRUSS_SQL,
     # the composed six-stage curation chain's per-stage ledger
     "curation_pipeline": _curation_sql(),
     # the nine-stage SCORED chain (model gates composed in, BPE budgets)

@@ -500,7 +500,10 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant, mass-conserving to floor remainders) and ``cap`` rows
     (a planted over-cap hub md5-sampled down by
     operators/graph.py:cap_degree, then the same truss — the refusal's
-    "cap or sample hubs first" instruction satisfied in-engine)."""
+    "cap or sample hubs first" instruction satisfied in-engine), and
+    ``trussmrg`` rows (the MERGE shape: ``emit='changed'`` recomputed
+    rows upserted over the stored assignment == the batch truss, no
+    full-assignment carry)."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -696,6 +699,15 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         F.col("community_size").alias("n"),
     )
+    # trussmrg: the MERGE shape — changed rows over the stored
+    # assignment reproduce the batch truss with no full-corpus carry
+    trussmrg = pipeline.q_text_communities_merge(spark, sf_dir).select(
+        F.lit("trussmrg").alias("mode"),
+        F.concat_ws(">", "domain", "community").alias("key_s"),
+        _null("long").alias("key_n"),
+        _null("double").alias("metric"),
+        F.col("community_size").alias("n"),
+    )
     return (
         tfidf.unionByName(sample)
         .unionByName(rep_tok)
@@ -721,6 +733,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(truss)
         .unionByName(cap)
         .unionByName(trussinc)
+        .unionByName(trussmrg)
     )
 
 
@@ -2040,6 +2053,13 @@ ORACLES: dict[str, str] = {
         + _tagged(
             _P["text_communities_inc"],
             "'trussinc' AS mode, domain || '>' || community AS key_s, "
+            "CAST(NULL AS BIGINT) AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, community_size AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_communities_merge"],
+            "'trussmrg' AS mode, domain || '>' || community AS key_s, "
             "CAST(NULL AS BIGINT) AS key_n, "
             "CAST(NULL AS DOUBLE) AS metric, community_size AS n",
         )

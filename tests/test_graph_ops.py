@@ -320,3 +320,78 @@ def test_incremental_truss_hub_guard_is_delta_scoped(spark):
     away = spark.createDataFrame([("p", "q")], ["src", "dst"])
     out = incremental_truss_communities(hub, away, max_degree=4)
     assert out.count() > 0
+
+
+def test_incremental_truss_pruned_and_merge_shape(spark):
+    """corpus_assignment prunes the CC to touched communities and
+    emit='changed' returns only the recomputed rows — MERGEd over the
+    stored assignment they equal the batch truss exactly, including a
+    community MERGE caused by a delta edge and untouched communities
+    carried verbatim (weak delta edges on them included)."""
+    from mgo_liveagent_data_pipeline_spark.operators.graph import (
+        _sym,
+        edge_support,
+        incremental_truss_communities,
+        truss_communities,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            # two triangles (strong) + a bare pair (weak singletons)
+            ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+            ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+            ("x", "y"),
+        ],
+        ["src", "dst"],
+    )
+    delta = spark.createDataFrame(
+        [
+            # closes triangles over the bridge a1-b1: merges A and B
+            ("a1", "b1"), ("a2", "b1"), ("a1", "b2"),
+            # a WEAK edge landing on the untouched pair + a new node
+            ("x", "z9"),
+        ],
+        ["src", "dst"],
+    )
+    stored = truss_communities(corpus).localCheckpoint(eager=True)
+    sup = edge_support(_sym(corpus, "src", "dst")).localCheckpoint(
+        eager=True
+    )
+    full = {
+        r["node"]: (r["community"], r["community_size"])
+        for r in truss_communities(corpus.unionByName(delta)).collect()
+    }
+    # pruned emit='all' == batch
+    pruned_all = {
+        r["node"]: (r["community"], r["community_size"])
+        for r in incremental_truss_communities(
+            corpus, delta, corpus_support=sup, corpus_assignment=stored
+        ).collect()
+    }
+    assert pruned_all == full
+    # emit='changed' MERGEd over stored == batch; untouched rows absent
+    changed = incremental_truss_communities(
+        corpus, delta, corpus_support=sup, corpus_assignment=stored,
+        emit="changed",
+    ).collect()
+    ch = {r["node"]: (r["community"], r["community_size"]) for r in changed}
+    merged = {
+        r["node"]: (r["community"], r["community_size"])
+        for r in stored.collect()
+        if r["node"] not in ch
+    }
+    merged.update(ch)
+    assert merged == full
+    # the A∪B merge happened and is labelled by the global minimum
+    assert full["b2"] == ("a1", 6) and ch["b2"] == ("a1", 6)
+    # x/y untouched (weak delta edge): NOT in the changed set
+    assert "x" not in ch and "y" not in ch
+    # the weak-edge new node z9 IS emitted (a new singleton)
+    assert ch["z9"] == ("z9", 1)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="corpus_assignment"):
+        incremental_truss_communities(
+            corpus, delta, corpus_support=sup, emit="changed"
+        )

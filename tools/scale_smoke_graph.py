@@ -158,6 +158,34 @@ def main() -> None:
         "ratio": round(r, 1), "ratio_per_unit": round(r / factor, 3)
     }
 
+    # the MERGE shape: stored assignment + emit='changed' — recomputed
+    # rows only, so the per-ingest cost should hold ~flat (no
+    # full-assignment carry, CC pruned to touched communities)
+    asg1 = truss_communities(corp1).localCheckpoint(eager=True)
+    asgn = truss_communities(corpn).localCheckpoint(eager=True)
+    incremental_truss_communities(
+        corp1, chords, corpus_support=sup1, corpus_assignment=asg1,
+        emit="changed",
+    ).count()  # warm
+    timed(
+        "trussmrg_1x",
+        lambda: incremental_truss_communities(
+            corp1, chords, corpus_support=sup1, corpus_assignment=asg1,
+            emit="changed",
+        ),
+    )
+    timed(
+        f"trussmrg_{factor}x",
+        lambda: incremental_truss_communities(
+            corpn, chords, corpus_support=supn, corpus_assignment=asgn,
+            emit="changed",
+        ),
+    )
+    r = results[f"trussmrg_{factor}x"]["t"] / max(
+        results["trussmrg_1x"]["t"], 1e-9
+    )
+    results["trussmrg_ratio"] = {"ratio": round(r, 1)}
+
     print(json.dumps({"factor": factor, "cases": results}))
 
 
