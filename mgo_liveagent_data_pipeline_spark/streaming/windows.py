@@ -835,6 +835,7 @@ def stream_entity_resolution(
     golden_rules: dict[str, str] | None = None,
     golden_name: str = "er_golden",
     golden_num_buckets: int = 16,
+    block_col="block_key",
 ) -> tuple[str, str | None]:
     """Continuous record ingestion with streaming entity resolution —
     the streaming member of the ER family (batch ``resolve_entities`` →
@@ -940,9 +941,11 @@ def stream_entity_resolution(
         # check_overlap=False: `fresh` is already anti-joined against
         # the record table above, so the operator's own overlap probe
         # would be a redundant second corpus-key scan per batch
+        # block_col passes through — multi-pass blocking works in the
+        # streaming loop too (a list unions the per-pass candidates)
         changed = incremental_resolve_entities(
             corpus, fresh, corpus_assignment=asg, emit="changed",
-            check_overlap=False,
+            check_overlap=False, block_col=block_col,
         )
         changed = changed.localCheckpoint(eager=True)
         upsert(spark, changed, base_dir, asg_name, "rec_id")

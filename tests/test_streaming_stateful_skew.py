@@ -1163,3 +1163,40 @@ def test_stream_semantic_dedup_cluster_cap_quarantines(spark, tmp_path):
     # member survives, the repo's SemDeDup keep rule), cold kept
     assert drained[6] == (0, 1) and drained[3] == (0, 0)
     assert drained[9][1] == 1 and drained[5][1] == 1
+
+
+def test_stream_gated_ingest_ptable_destinations(spark, tmp_path):
+    """num_buckets routes both gated destinations through the bucketed
+    ptable: same kept/quarantine CONTENT as the flat path, but per-batch
+    MERGEs rewrite only affected buckets (the flat path rewrites the
+    whole table per batch — the 64× smoke row)."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+    )
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_gated_ingest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, None if i == 2 else f"text {i}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    kept_path, quar_path = stream_gated_ingest(
+        spark, docs, str(tmp_path), expectations=[("not_null", "text")],
+        n_batches=2, n_state_partitions=1, num_buckets=4,
+    )
+    kept = {
+        r["doc_id"]
+        for r in read_partitioned(spark, str(tmp_path), "gated_kept").collect()
+    }
+    quar = {
+        r["doc_id"]
+        for r in read_partitioned(
+            spark, str(tmp_path), "gated_quarantine"
+        ).collect()
+    }
+    # batch 0 (even ids) carries the NULL → quarantined; batch 1 kept
+    assert kept == {1, 3, 5} and quar == {0, 2, 4}
+    import os
+
+    assert os.path.isfile(os.path.join(kept_path, "_MANIFEST"))
