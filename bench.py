@@ -43,7 +43,16 @@ HEADLINE = [
     "u1_convo_analysis",
     # round-10 additions
     "elt_parity_pipeline",
-    "entity_resolution",
+    # round 11: the ER bench line is the SCALE-KEYED member — nationkey
+    # blocking gave 25 fixed blocks, so its pair count grew quadratically
+    # with scale factor (22.3 s of the 45.8 s r10 wall measured fixture
+    # pair growth, and the member refuses at sf1 under default
+    # max_block). entity_resolution_name blocks on the lowercased first
+    # name token (cardinality ∝ N, ≤ 4 records/block), so the line
+    # measures the ER pipeline's per-record cost and runs unchanged at
+    # any SF; the nationkey fixture stays a correctness-only row (the
+    # 'er' mode of metrics_new_vs_existing).
+    "entity_resolution_name",
     "text_pagerank",
     "ann_ivfsq_topk",
 ]

@@ -23,6 +23,8 @@ LSH bucket caps follow.
 """
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -90,31 +92,45 @@ def _prep(
 
 def _guard_blocks(
     records: DataFrame,
-    block_col: str,
+    block_cols: list[str],
     max_block: int,
     delta: DataFrame | None = None,
 ) -> None:
     """Loud refusal for degenerate blocking keys (the ER scale contract):
-    one bounded action, never a data collect. NULL block values never
-    equi-join — they generate no pairs — so they are exempt from the
-    bound (a multi-pass key is ALLOWED to be absent on most records;
-    e.g. a phone-prefix pass over a corpus where half the phones are
-    missing must not refuse on the "no phone" group).
+    ONE scan of the record relation regardless of pass count — each row
+    posexplodes into its (pass, block-value) memberships and a single
+    groupBy bounds every pass's blocks at once (the round-10 per-pass
+    loop ran B count-aggregate scans before any pairing). Values are
+    compared after a string cast, which is injective within a pass (all
+    values of one pass come from one column of one atomic type), so the
+    per-pass counts are exactly the per-column groupBy's. One bounded
+    action, never a data collect; the refusal message still names the
+    offending pass's COLUMN (the posexplode index maps back to it).
 
-    With ``delta``, only blocks the delta inhabits are counted: blocks
-    no delta record touches generate no NEW pairs this ingest (they were
-    guarded when they were built), so the per-ingest groupBy aggregates
-    the delta's block neighborhood, not the standing corpus."""
-    src = records.where(F.col(block_col).isNotNull())
+    NULL block values never equi-join — they generate no pairs — so
+    they are exempt from the bound (a multi-pass key is ALLOWED to be
+    absent on most records; e.g. a phone-prefix pass over a corpus
+    where half the phones are missing must not refuse on the "no phone"
+    group).
+
+    With ``delta``, only (pass, block) groups the delta inhabits are
+    counted: blocks no delta record touches generate no NEW pairs this
+    ingest (they were guarded when they were built), so the per-ingest
+    groupBy aggregates the delta's block neighborhood, not the standing
+    corpus."""
+
+    def _memberships(df: DataFrame) -> DataFrame:
+        arr = F.array(*[F.col(c).cast("string") for c in block_cols])
+        return df.select(
+            F.posexplode(arr).alias("p", "bk")
+        ).where(F.col("bk").isNotNull())
+
+    src = _memberships(records)
     if delta is not None:
-        dbk = (
-            delta.select(block_col)
-            .where(F.col(block_col).isNotNull())
-            .distinct()
-        )
-        src = src.join(F.broadcast(dbk), block_col, "left_semi")
+        dbk = _memberships(delta).distinct()
+        src = src.join(F.broadcast(dbk), ["p", "bk"], "left_semi")
     oversized = (
-        src.groupBy(block_col)
+        src.groupBy("p", "bk")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > max_block)
         .limit(1)
@@ -123,7 +139,7 @@ def _guard_blocks(
     if oversized:
         r = oversized[0]
         raise ValueError(
-            f"entity_pairs: block {block_col}={r[block_col]!r} has "
+            f"entity_pairs: block {block_cols[r['p']]}={r['bk']!r} has "
             f"{r['n']} records (max_block={max_block}) — refine the "
             "blocking key"
         )
@@ -158,7 +174,7 @@ def _scored(
 def entity_pairs(
     records: DataFrame,
     key_col: str = "rec_id",
-    block_col="block_key",
+    block_col: str | Sequence[str] = "block_key",
     name_col: str = "name",
     phone_col: str = "phone",
     *,
@@ -189,8 +205,7 @@ def entity_pairs(
     Returns (id_a, id_b, score_milli).
     """
     blocks = _block_cols(block_col)
-    for bc in blocks:
-        _guard_blocks(records, bc, max_block)
+    _guard_blocks(records, blocks, max_block)
     base = _prep(records, key_col, blocks, name_col, phone_col)
     # each pass scores INSIDE its own block join (the single-pass shape,
     # repeated), so the threshold prunes before anything crosses passes:
@@ -228,7 +243,7 @@ def entity_pairs(
 def resolve_entities(
     records: DataFrame,
     key_col: str = "rec_id",
-    block_col="block_key",
+    block_col: str | Sequence[str] = "block_key",
     name_col: str = "name",
     phone_col: str = "phone",
     *,
@@ -281,7 +296,7 @@ def incremental_resolve_entities(
     *,
     corpus_assignment: DataFrame,
     key_col: str = "rec_id",
-    block_col="block_key",
+    block_col: str | Sequence[str] = "block_key",
     name_col: str = "name",
     phone_col: str = "phone",
     name_weight: int = 500,
@@ -375,8 +390,7 @@ def incremental_resolve_entities(
             )
     blocks = _block_cols(block_col)
     allrecs = corpus.unionByName(delta)
-    for bc in blocks:
-        _guard_blocks(allrecs, bc, max_block, delta=delta)
+    _guard_blocks(allrecs, blocks, max_block, delta=delta)
 
     dp = _prep(delta, key_col, blocks, name_col, phone_col)
     ap = _prep(allrecs, key_col, blocks, name_col, phone_col)

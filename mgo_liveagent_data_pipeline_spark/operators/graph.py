@@ -554,6 +554,13 @@ def incremental_truss_communities(
     return changed.unionByName(untouched)
 
 
+# observability for the early-stop path: how many rounds the last
+# pagerank() call actually ran (== the requested unroll unless
+# early_stop detected a fixed point). Read by smokes/tests; never part
+# of the relational result.
+PAGERANK_LAST: dict[str, int | None] = {"iterations_run": None}
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -563,6 +570,7 @@ def pagerank(
     damping_pct: int = 85,
     base: int = 10**12,
     dangling: str = "leak",
+    early_stop: bool = False,
     checkpoint_every: int = 3,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -596,6 +604,23 @@ def pagerank(
     * ``iterations`` is FIXED, not convergence-tested: a fixed unroll
       is what makes the computation a deterministic relational
       expression both engines can evaluate identically.
+      ``early_stop=True`` (opt-in; the fixed unroll stays the default
+      for twin reproducibility) adds a DETERMINISTIC early exit that
+      cannot change the answer: each iteration is a pure function of
+      the integer rank vector, so if one round leaves every rank
+      exactly unchanged the vector is a fixed point and every remaining
+      round of the unroll would reproduce it bit-for-bit — stopping
+      there returns exactly what ``iterations`` rounds would. The check
+      is one bounded changed-row probe per round (join on node, filter
+      rank ≠ previous, limit 1 — never a data collect), and each round
+      is lineage-cut eagerly (the probe materializes it anyway), which
+      replaces the ``checkpoint_every`` cadence. Worth it on
+      fast-converging graphs (DAG-like link graphs quench in
+      longest-path+2 rounds); on cyclic graphs with ``base = 10¹²``
+      integer convergence takes ~log₁₀₀⁄₈₅(base) ≈ 170 rounds, so a
+      small unroll cap never triggers it. ``PAGERANK_LAST[
+      'iterations_run']`` records how many rounds actually ran —
+      observability for smokes/tests, not part of the result.
 
     Scale shape (the part that matters at 100 TB): the edge relation is
     |domains|-keyed, orders of magnitude smaller than the corpus that
@@ -642,7 +667,9 @@ def pagerank(
     teleport = ((100 - damping_pct) * base) // 100
     nn = nodes.agg(F.count(F.lit(1)).alias("nn"))
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    PAGERANK_LAST["iterations_run"] = iterations
     for i in range(iterations):
+        prev = ranks
         inbound = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select(
@@ -685,7 +712,28 @@ def pagerank(
                     )
                 ).cast("long").alias("rank"),
             )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+        if early_stop:
+            # eager cut first (the probe materializes the round anyway,
+            # and it doubles as the per-round lineage cut), then ONE
+            # bounded changed-row probe: an exactly-unchanged vector is
+            # a fixed point — every remaining unroll round would emit
+            # the same bits, so stopping here is a pure optimization
+            ranks = lineage_cut(ranks, checkpoint_dir, eager=True)
+            changed = (
+                ranks.join(
+                    prev.select(
+                        "node", F.col("rank").alias("__prev")
+                    ),
+                    "node",
+                )
+                .where(F.col("rank") != F.col("__prev"))
+                .limit(1)
+                .collect()
+            )
+            if not changed:
+                PAGERANK_LAST["iterations_run"] = i + 1
+                break
+        elif (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = lineage_cut(ranks, checkpoint_dir, eager=True)
 
     out = (

@@ -1493,6 +1493,41 @@ def q_text_pagerank_rd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pagerank_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with the DETERMINISTIC early stop
+    (operators/graph.py:pagerank ``early_stop=True``): the web-text
+    link graph restricted to its pure-sink edges (dst never appears as
+    a src — self-loops and site-to-site links drop, leaving the
+    bipartite site→external-domain citation graph). On that DAG the
+    integer rank vector reaches its exact fixed point in three rounds
+    — sources (no in-edges) quench after round 1, sinks after round 2,
+    round 3 reproduces round 2 bit-for-bit — so the 12-round unroll cap
+    stops at 3 (``PAGERANK_LAST``; a pytest pins it), while the oracle
+    unrolls the FULL 12 CTE rounds: the driver hash-match is itself the
+    proof that stopping at a fixed point returns exactly what the whole
+    unroll would. Driver-visible via the ``pres`` mode of
+    ``text_corpus_stats``."""
+    from ..operators.graph import pagerank
+    from ..operators.textops import extract_urls, psl_dim
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = extract_urls(
+        _web_text_fixture(docs), "web_text", "doc_id", psl=psl_dim(spark)
+    )
+    edges = u.select(
+        F.format_string("site%d.com", F.col("doc_id") % 17).alias("src"),
+        F.col("registered_domain").alias("dst"),
+    )
+    sinks_only = edges.join(
+        F.broadcast(edges.select(F.col("src").alias("__s")).distinct()),
+        F.col("dst") == F.col("__s"),
+        "left_anti",
+    )
+    return pagerank(sinks_only, iterations=12, early_stop=True).select(
+        F.col("node").alias("domain"), "rank", "out_deg", "in_deg"
+    )
+
+
 def _ring_edges(spark, n: int, fmt: str, hops=(1, 2)):
     """Planted link-farm ring: n nodes with edges at the given hop
     distances (ring alone at hops=(1,) is triangle-FREE; the distance-2
@@ -2174,6 +2209,7 @@ QUERIES = {
     "text_url_domains": q_text_url_domains,
     "text_pagerank": q_text_pagerank,
     "text_pagerank_rd": q_text_pagerank_rd,
+    "text_pagerank_es": q_text_pagerank_es,
     "text_communities": q_text_communities,
     "text_communities_capped": q_text_communities_capped,
     "text_communities_inc": q_text_communities_inc,
@@ -2334,6 +2370,46 @@ def _pagerank_sql(iterations: int = 5) -> str:
         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
         ideg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY 1),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rk FROM nodes),
+        """ + ",\n        ".join(iters) + f"""
+        SELECT n.node AS domain, r{iterations}.rk AS rank,
+               CAST(COALESCE(deg.out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(ideg.in_deg, 0) AS BIGINT) AS in_deg
+        FROM nodes n JOIN r{iterations} ON r{iterations}.node = n.node
+        LEFT JOIN deg ON deg.src = n.node
+        LEFT JOIN ideg ON ideg.dst = n.node
+    """
+    )
+
+
+def _pagerank_dag_sql(iterations: int = 12) -> str:
+    """Unrolled mirror of q_text_pagerank_es: the leak-variant unroll
+    over the SINK-ONLY edge subset (dst never appears as a src). The
+    oracle deliberately unrolls ALL ``iterations`` CTE rounds while the
+    Spark member stops at the round-3 fixed point — the driver's
+    hash-match is the cross-engine proof the early stop is exact."""
+    teleport = (15 * 10**12) // 100
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""r{i} AS (
+          SELECT n.node,
+                 CAST({teleport} + (85 * COALESCE(s.m, 0)) // 100
+                      AS BIGINT) AS rk
+          FROM nodes n LEFT JOIN (
+            SELECT ed.dst AS node, SUM(r.rk // d.out_deg) AS m
+            FROM ed JOIN r{i - 1} r ON r.node = ed.src
+                    JOIN deg d ON d.src = ed.src
+            GROUP BY 1) s ON s.node = n.node)"""
+        )
+    return (
+        "\n        WITH " + _link_edges_ctes() + r""",
+        ed AS (
+          SELECT src, dst FROM e
+          WHERE dst NOT IN (SELECT DISTINCT src FROM e)),
+        nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        deg AS (SELECT src, count(*) AS out_deg FROM ed GROUP BY 1),
+        ideg AS (SELECT dst, count(*) AS in_deg FROM ed GROUP BY 1),
         r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rk FROM nodes),
         """ + ",\n        ".join(iters) + f"""
         SELECT n.node AS domain, r{iterations}.rk AS rank,
@@ -2527,6 +2603,8 @@ _TRUSS_CAPPED_SQL = _truss_capped_sql()
 _PAGERANK_SQL = _pagerank_sql()
 
 _PAGERANK_RD_SQL = _pagerank_rd_sql()
+
+_PAGERANK_DAG_SQL = _pagerank_dag_sql()
 
 # distinct word 3-shingles of a document (tokens on \s+, space-joined runs)
 _SHINGLES = r"""
@@ -5319,6 +5397,9 @@ ORACLES: dict[str, str] = {
     "text_url_domains": _URL_DOMAINS_SQL,
     "text_pagerank": _PAGERANK_SQL,
     "text_pagerank_rd": _PAGERANK_RD_SQL,
+    # the full 12-round unroll vs Spark's round-3 early stop — the
+    # hash-match IS the exactness proof
+    "text_pagerank_es": _PAGERANK_DAG_SQL,
     "text_communities": _TRUSS_SQL,
     "text_communities_capped": _TRUSS_CAPPED_SQL,
     # drained incremental == full-batch truss, verbatim

@@ -757,6 +757,38 @@ def q_entity_resolution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_resolution_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with a SCALE-CARDINALITY blocking key: the same
+    dirty-CRM fixture as ``q_entity_resolution``, blocked on the
+    lowercased first name token instead of nationkey. Nationkey gives
+    25 fixed blocks, so block size — and scored pairs — grow
+    quadratically with scale factor (the round-10 headline member's
+    measured 0.256/unit at 64×, refusing at sf1 under the default
+    ``max_block``); the name token's cardinality grows WITH the data
+    (one block per customer family, ≤ 4 records each), so pair count is
+    linear in N and the member runs unchanged at any scale factor under
+    default guards. This is the production blocking choice the operator
+    docstring prescribes ("refine the blocking key") and the bench
+    member that measures the ER pipeline's real per-record cost
+    (normalize → block join → integer milli-score → connected
+    components → survivorship) instead of a fixture's pair-count
+    growth; the nationkey member stays as the deliberate stress /
+    correctness row. Driver-visible via the ``er_name`` mode of
+    ``metrics_new_vs_existing``."""
+    from ..operators.entity import golden_records, resolve_entities
+
+    records = _er_records(spark, sf_dir).withColumn(
+        "block_key",
+        F.split(F.lower(F.trim("name")), r"\s+").getItem(0),
+    )
+    asg = resolve_entities(records)
+    return golden_records(
+        records,
+        asg,
+        rules={"name": "first_by_key", "phone": "min", "address": "longest"},
+    )
+
+
 def q_entity_resolution_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental entity resolution (operators/entity.py:
     incremental_resolve_entities): the v1/v3 variant records (rec_id %
@@ -1236,6 +1268,17 @@ _ER_CTES = r"""cust AS (
         asg AS (
           SELECT p.rec_id, COALESCE(c.entity_id, p.rec_id) AS entity_id
           FROM prep p LEFT JOIN comp c ON c.node = p.rec_id)"""
+
+# scale-keyed mirror: IDENTICAL to _ER_CTES except the blocking key —
+# prep's bk becomes the lowercased first name token (cardinality ∝ N,
+# one block per customer family) instead of recs' 25-value nationkey.
+# Derived by single substitution so the twins can never drift anywhere
+# except the one line that differs.
+_ER_NAME_CTES = _ER_CTES.replace(
+    "SELECT rec_id, bk, name, phone, address,",
+    r"SELECT rec_id, string_split_regex(lower(trim(name)), '\s+')[1]"
+    " AS bk, name, phone, address,",
+)
 
 # multi-pass blocking mirror: the same fixture plus the corrupted-block
 # v4 variant, a phone-prefix second blocking key, and candidate pairs as
@@ -1737,6 +1780,19 @@ ORACLES: dict[str, str] = {
         FROM asg a JOIN prep r ON r.rec_id = a.rec_id
         GROUP BY 1
     """,
+    # scale-keyed ER: the name-token blocking twin — one substituted
+    # line vs the nationkey oracle (see _ER_NAME_CTES)
+    "entity_resolution_name": f"""
+        WITH RECURSIVE {_ER_NAME_CTES}
+        SELECT a.entity_id,
+               CAST(count(*) AS BIGINT) AS n_records,
+               arg_min(r.name, r.rec_id) AS name,
+               min(r.phone) AS phone,
+               substr(max(lpad(CAST(length(r.address) AS VARCHAR), 8, '0')
+                          || '|' || r.address), 10) AS address
+        FROM asg a JOIN prep r ON r.rec_id = a.rec_id
+        GROUP BY 1
+    """,
     # the incremental member's oracle is the FULL-batch assignment —
     # delta-only pair work must reproduce it exactly, merges included
     "entity_resolution_inc": f"""
@@ -2091,6 +2147,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "entity_resolution": q_entity_resolution,
     "entity_resolution_multi": q_entity_resolution_multi,
+    "entity_resolution_name": q_entity_resolution_name,
     "entity_resolution_inc": q_entity_resolution_inc,
     "j8_range_join": q_j8_range_join,
     "ht_rollup": q_ht_rollup,

@@ -149,7 +149,10 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/behavior.py:retention_cohorts) and, since round 9, the
     entity-resolution golden records (``er`` mode — blocking → integer
     milli-scored pairs → connected components → survivorship,
-    operators/entity.py), the multi-pass blocking variant (``er_multi``
+    operators/entity.py), the scale-keyed variant (``er_name`` mode —
+    lowercased-first-name-token blocking whose cardinality grows with
+    the data; the round-11 headline bench member), the multi-pass
+    blocking variant (``er_multi``
     mode — candidate pairs unioned across a nationkey pass and a
     phone-prefix pass, recovering a corrupted-block record single-key
     blocking strands) plus the incremental delta-vs-corpus
@@ -217,6 +220,17 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("passed").cast("long").alias("n3"),
         _null("string").alias("top_s"),
     )
+    # er_name: the scale-cardinality blocking key (lowercased first name
+    # token — one block per customer family, pairs linear in N); the
+    # round-11 headline bench member's correctness twin
+    er_name = relational.q_entity_resolution_name(spark, sf_dir).select(
+        F.lit("er_name").alias("mode"),
+        F.col("name").alias("key_s"),
+        F.col("entity_id").alias("n1"),
+        F.col("n_records").alias("n2"),
+        _null("long").alias("n3"),
+        F.concat_ws("|", "phone", "address").alias("top_s"),
+    )
     # er_multi: multi-pass blocking — the corrupted-block v4 variant is
     # reachable only through the phone-prefix pass
     er_multi = relational.q_entity_resolution_multi(spark, sf_dir).select(
@@ -243,6 +257,7 @@ def q_metrics_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fun)
         .unionByName(coh)
         .unionByName(er)
+        .unionByName(er_name)
         .unionByName(er_multi)
         .unionByName(er_inc)
         .unionByName(expect)
@@ -503,7 +518,10 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cap or sample hubs first" instruction satisfied in-engine), and
     ``trussmrg`` rows (the MERGE shape: ``emit='changed'`` recomputed
     rows upserted over the stored assignment == the batch truss, no
-    full-assignment carry)."""
+    full-assignment carry); and since round 11, ``pres`` rows (the
+    deterministic early-stop PageRank over the sink-only DAG subset —
+    Spark stops at the round-3 integer fixed point while the oracle
+    unrolls all 12 rounds, so the hash-match proves the stop exact)."""
     tfidf = pipeline.q_text_tfidf_top_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("mode"),
         F.col("term").alias("key_s"),
@@ -672,6 +690,15 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("metric"),
         (F.col("out_deg") * 1000 + F.col("in_deg")).alias("n"),
     )
+    # pres: deterministic early-stop PageRank over the sink-only DAG —
+    # Spark stops at the round-3 fixed point, the oracle unrolls 12
+    pres = pipeline.q_text_pagerank_es(spark, sf_dir).select(
+        F.lit("pres").alias("mode"),
+        F.col("domain").alias("key_s"),
+        F.col("rank").alias("key_n"),
+        _null("double").alias("metric"),
+        (F.col("out_deg") * 1000 + F.col("in_deg")).alias("n"),
+    )
     # truss: triangle-supported communities — planted link-farm rings
     # found, the bipartite organic graph left singleton;
     # domain>community rides key_s, community size in n
@@ -730,6 +757,7 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bpe)
         .unionByName(pr)
         .unionByName(pr2)
+        .unionByName(pres)
         .unionByName(truss)
         .unionByName(cap)
         .unionByName(trussinc)
@@ -1746,6 +1774,13 @@ ORACLES: dict[str, str] = {
         )
         + " UNION ALL "
         + _tagged(
+            _R["entity_resolution_name"],
+            "'er_name' AS mode, name AS key_s, entity_id AS n1, "
+            "n_records AS n2, CAST(NULL AS BIGINT) AS n3, "
+            "concat_ws('|', phone, address) AS top_s",
+        )
+        + " UNION ALL "
+        + _tagged(
             _R["entity_resolution_inc"],
             "'er_inc' AS mode, CAST(NULL AS VARCHAR) AS key_s, "
             "rec_id AS n1, entity_id AS n2, n_records AS n3, "
@@ -2032,6 +2067,13 @@ ORACLES: dict[str, str] = {
         + _tagged(
             _P["text_pagerank_rd"],
             "'pr2' AS mode, domain AS key_s, \"rank\" AS key_n, "
+            "CAST(NULL AS DOUBLE) AS metric, "
+            "out_deg * 1000 + in_deg AS n",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _P["text_pagerank_es"],
+            "'pres' AS mode, domain AS key_s, \"rank\" AS key_n, "
             "CAST(NULL AS DOUBLE) AS metric, "
             "out_deg * 1000 + in_deg AS n",
         )

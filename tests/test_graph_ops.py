@@ -395,3 +395,50 @@ def test_incremental_truss_pruned_and_merge_shape(spark):
         incremental_truss_communities(
             corpus, delta, corpus_support=sup, emit="changed"
         )
+
+
+def test_pagerank_early_stop_exact_and_observable(spark):
+    """early_stop is a pure optimization: on a DAG the integer vector
+    reaches its exact fixed point in depth+2 rounds, the stop triggers
+    there, and the result is bit-identical to the full fixed unroll;
+    on a cyclic graph a small cap never triggers it."""
+    from mgo_liveagent_data_pipeline_spark.operators.graph import (
+        PAGERANK_LAST,
+        pagerank,
+    )
+
+    # bipartite: 3 sources -> 4 sinks, no cycles
+    edges = [
+        ("s1", "t1"), ("s1", "t2"), ("s2", "t2"), ("s2", "t3"),
+        ("s3", "t3"), ("s3", "t4"), ("s1", "t4"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    full = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=15).collect()
+    }
+    assert PAGERANK_LAST["iterations_run"] == 15
+    es = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=15, early_stop=True).collect()
+    }
+    # sources quench after round 1, sinks after round 2; round 3
+    # reproduces round 2 -> detected and stopped at 3
+    assert PAGERANK_LAST["iterations_run"] == 3
+    assert es == full
+
+    # asymmetric cyclic graph (a symmetric ring IS the uniform fixed
+    # point and legitimately stops at round 1): integer convergence
+    # from base=10**12 takes ~170 rounds, so a 5-round cap runs all 5
+    ring = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
+    )
+    r_full = {
+        r["node"]: r["rank"] for r in pagerank(ring, iterations=5).collect()
+    }
+    r_es = {
+        r["node"]: r["rank"]
+        for r in pagerank(ring, iterations=5, early_stop=True).collect()
+    }
+    assert PAGERANK_LAST["iterations_run"] == 5
+    assert r_es == r_full
