@@ -410,6 +410,8 @@ def ivf_topk(
     n_probes: int = 1,
     centroids: DataFrame | None = None,
     corpus_preassigned: bool = False,
+    predicate: Column | str | None = None,
+    filter_mode: str = "pre",
 ) -> DataFrame:
     """IVF probe: route each query to its ``n_probes`` nearest centroids,
     scan only those posting lists. Approximate (recall < 1 vs brute force)
@@ -440,12 +442,44 @@ def ivf_topk(
     the posting lists are read as stored. The caller owns the contract
     that the stored assignments were produced by ``assign_nearest``
     against the SAME frozen centroid artifact — the versioned-artifact
-    rule every stored index in this repo follows."""
+    rule every stored index in this repo follows.
+
+    Metadata-filtered search (``predicate``, a Column or SQL string
+    over the CORPUS columns — language / license / source scoping; a
+    real retrieval pipeline almost always carries one, cf. the
+    reference's geocode composing a similarity join with a
+    serviceability predicate, utils/geocode_utils.py:16-27):
+
+    * ``filter_mode='pre'`` (default, the correct production shape):
+      the predicate prunes posting-list MEMBERS before ranking, so the
+      top-k is the true top-k of the eligible subset — k results come
+      back whenever the probed lists hold ≥ k eligible candidates, and
+      the scan cost DROPS with selectivity (the filter pushes into the
+      posting-list scan). Routing still uses the SHARED index: the
+      centroid artifact is derived from (or passed for) the FULL
+      corpus, exactly like a stored index serving many differently-
+      scoped queries — a per-predicate re-clustered index would be
+      neither stored nor shared.
+    * ``filter_mode='post'``: rank the unfiltered top-k first, then
+      drop non-matching rows — the classic under-fill bug shipped as a
+      contract: a selective predicate returns FEWER than k rows (often
+      zero; ranks keep their unfiltered positions, so gaps in the
+      sequence are the visible artifact). It exists so the trade is
+      measurable against 'pre' (tests pin under-fill vs full-k on the
+      same fixture); never the production path.
+    """
+    if filter_mode not in ("pre", "post"):
+        raise ValueError(f"filter_mode must be 'pre' or 'post', got {filter_mode!r}")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     cents = (
         centroids
         if centroids is not None
         else ivf_centroids(corpus, vec_col, key_col, label_col)
     )
+    # centroid artifact derived BEFORE any predicate: routing uses the
+    # shared full-corpus index, the filter scopes only list members
+    if pred is not None and filter_mode == "pre":
+        corpus = corpus.where(pred)
     q = queries.select(
         query_key, _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", norm2(F.col("qv")))
@@ -496,11 +530,23 @@ def ivf_topk(
         )
     )
     w = Window.partitionBy(query_key).orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_key, "corpus_id", "cosine_sim", "rank")
     )
+    if pred is not None and filter_mode == "post":
+        # drop ineligible rows AFTER ranking: ranks keep their
+        # unfiltered positions (gaps = the visible under-fill artifact)
+        # keys-only semi join; AQE broadcasts it when the eligible set
+        # is small (no forced hint — post-filter is the documented-bad
+        # path and must not assume selectivity)
+        ranked = ranked.join(
+            corpus.where(pred).select(F.col(key_col).alias("corpus_id")),
+            "corpus_id",
+            "left_semi",
+        )
+    return ranked
 
 
 # ----------------------------------------------------- product quantization
@@ -616,6 +662,8 @@ def ivfsq_topk(
     query_key: str = "query_id",
     n_probes: int = 2,
     centroids: DataFrame | None = None,
+    predicate: Column | str | None = None,
+    filter_mode: str = "pre",
 ) -> DataFrame:
     """IVF routing × SQ8 scoring — the composed index whose posting
     lists store int8 CODES instead of floats (FAISS's IVF-SQ8): queries
@@ -630,12 +678,23 @@ def ivfsq_topk(
 
     Centroid modes mirror ``ivf_topk``: default = deterministic
     lowest-key centroids with ``label_col`` posting lists (the
-    oracle-exact mode); pass k-means centroids for production."""
+    oracle-exact mode); pass k-means centroids for production.
+    ``predicate``/``filter_mode`` carry the metadata-filtered-search
+    contract, same semantics as ``ivf_topk`` (see its docstring):
+    'pre' prunes posting-list members before the int8 scoring — the
+    centroid artifact still derives from the full corpus — and 'post'
+    exposes the under-fill trade."""
+    if filter_mode not in ("pre", "post"):
+        raise ValueError(f"filter_mode must be 'pre' or 'post', got {filter_mode!r}")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     cents = (
         centroids
         if centroids is not None
         else ivf_centroids(corpus, vec_col, key_col, label_col)
     )
+    full_corpus = corpus
+    if pred is not None and filter_mode == "pre":
+        corpus = corpus.where(pred)
     q = queries.select(
         query_key, _as_double(F.col(vec_col)).alias("qv")
     )
@@ -698,11 +757,18 @@ def ivfsq_topk(
     w = Window.partitionBy(query_key).orderBy(
         F.desc("cosine_sim"), F.asc("corpus_id")
     )
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_key, "corpus_id", "cosine_sim", "rank")
     )
+    if pred is not None and filter_mode == "post":
+        ranked = ranked.join(
+            full_corpus.where(pred).select(F.col(key_col).alias("corpus_id")),
+            "corpus_id",
+            "left_semi",
+        )
+    return ranked
 
 
 def _l2sq(a: Column, b: Column) -> Column:

@@ -488,6 +488,37 @@ def q_ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfsq_topk(emb, queries, k=5, query_key="query_id", n_probes=2)
 
 
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN (operators/annsearch.py:ivf_topk
+    ``predicate=…, filter_mode='pre'``): the embeddings corpus carries
+    its document metadata (lang, via the 1:1 doc_id join) and the
+    search is scoped to ``lang = 'de'`` (~14% of the corpus) with
+    2-probe IVF routing. The predicate prunes posting-list members
+    BEFORE ranking, so every query returns the full k among eligible
+    candidates — the under-fill failure of post-filtering the
+    unfiltered top-k is pinned by a pytest on the same fixture —
+    while routing still uses the SHARED full-corpus centroid artifact
+    (a stored index serves many differently-scoped queries). The
+    reference's geocode composes exactly this shape — similarity join
+    × serviceability predicate (utils/geocode_utils.py:16-27).
+    Driver-visible via the ``filtered`` variant of ``ann_suite``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    corpus = emb.join(docs, emb["vec_id"] == docs["doc_id"]).drop("doc_id")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        corpus,
+        queries,
+        k=5,
+        query_key="query_id",
+        n_probes=2,
+        predicate=F.col("lang") == "de",
+        filter_mode="pre",
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-5 (deterministic centroids)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2195,6 +2226,7 @@ QUERIES = {
     "ann_sq_topk": q_ann_sq_topk,
     "ann_ivfsq_topk": q_ann_ivfsq_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "ann_ivf_multiprobe_topk": q_ann_ivf_multiprobe_topk,
     "ann_rh_lsh_topk": q_ann_rh_lsh_topk,
     "ann_rh_multiprobe_topk": q_ann_rh_multiprobe_topk,
@@ -3252,6 +3284,46 @@ def _rh_multiprobe_oracle(num_planes: int = 8, dim: int = 64, k: int = 5) -> str
           FROM scored)
         SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
         FROM ranked WHERE rn <= {k}
+    """
+
+
+def _ivf_filtered_oracle(n_probes: int = 2, lang: str = "de") -> str:
+    """Mirror of q_ann_filtered_topk: identical to _ivf_oracle except
+    the scored CTE joins the documents dimension and keeps only
+    eligible posting-list members BEFORE the rank window — centroids
+    still derive from the FULL corpus (shared-index routing)."""
+    return f"""
+        WITH cents AS (
+          SELECT label AS cluster_id,
+                 arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS centroid
+          FROM embeddings GROUP BY label),
+        q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        routed AS (
+          SELECT q.query_id, q.qv, c.cluster_id,
+                 round({_COSINE.format(a="q.qv", b="c.centroid")}, 6) AS csim,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY round({_COSINE.format(a="q.qv", b="c.centroid")}, 6) DESC,
+                                             c.cluster_id ASC) AS rn
+          FROM q CROSS JOIN cents c),
+        probe AS (
+          SELECT query_id, qv, cluster_id FROM routed WHERE rn <= {n_probes}),
+        scored AS (
+          SELECT p.query_id, e.vec_id AS corpus_id,
+                 round({_COSINE.format(a="list_transform(e.embedding, x -> CAST(x AS DOUBLE))", b="p.qv")}, 6) AS cosine_sim
+          FROM embeddings e
+          JOIN documents d ON d.doc_id = e.vec_id AND d.lang = '{lang}'
+          JOIN probe p ON e.label = p.cluster_id
+          WHERE e.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, corpus_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, corpus_id, cosine_sim, CAST(rn AS INT) AS "rank"
+        FROM ranked WHERE rn <= 5
     """
 
 
@@ -5004,6 +5076,9 @@ ORACLES: dict[str, str] = {
     "ann_sq_topk": _sq_topk_oracle(),
     "ann_ivfsq_topk": _ivfsq_oracle(),
     "ann_ivf_topk": _ivf_oracle(1),
+    # pre-filter: eligibility applied before the rank window, routing
+    # over the full-corpus centroid artifact
+    "ann_filtered_topk": _ivf_filtered_oracle(2),
     "ann_ivf_multiprobe_topk": _ivf_oracle(2),
     # md5-bucket stratified sample: en kept iff first-8-hex bucket < 0.3·16^8
     "text_stratified_sample": """

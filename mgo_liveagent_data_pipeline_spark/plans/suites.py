@@ -939,7 +939,9 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``project`` — the shuffle-byte reducer), SQ8 int8-code cosine
     (``sq`` — 8× compression, near-lossless) plus its composed index
     (``ivfsq`` — IVF routing × SQ8 posting lists), IVF (1- and
-    2-probe),
+    2-probe), metadata-filtered IVF (``filtered`` — lang-scoped
+    posting-list pre-filter over the shared full-corpus centroid
+    artifact; round 11),
     RH-LSH (exact-bucket and Hamming-1 multi-probe), and PQ
     asymmetric-distance top-k (``pq`` mode — its metric is the L2² ADC
     distance, carried in the shared metric column)."""
@@ -949,6 +951,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("sq", pipeline.q_ann_sq_topk),
         ("ivfsq", pipeline.q_ann_ivfsq_topk),
         ("ivf", pipeline.q_ann_ivf_topk),
+        ("filtered", pipeline.q_ann_filtered_topk),
         ("ivf_multiprobe", pipeline.q_ann_ivf_multiprobe_topk),
         ("rh_lsh", pipeline.q_ann_rh_lsh_topk),
         ("rh_multiprobe", pipeline.q_ann_rh_multiprobe_topk),
@@ -2221,6 +2224,7 @@ ORACLES: dict[str, str] = {
             ("sq", _P["ann_sq_topk"]),
             ("ivfsq", _P["ann_ivfsq_topk"]),
             ("ivf", _P["ann_ivf_topk"]),
+            ("filtered", _P["ann_filtered_topk"]),
             ("ivf_multiprobe", _P["ann_ivf_multiprobe_topk"]),
             ("rh_lsh", _P["ann_rh_lsh_topk"]),
             ("rh_multiprobe", _P["ann_rh_multiprobe_topk"]),

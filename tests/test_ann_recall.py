@@ -397,3 +397,64 @@ def test_ivfsq_matches_ivf_candidates_with_sq_scores(spark):
     truth = _pairs(P.q_ann_cosine_topk(spark, SF_DIR))
     r = len(ivfsq & truth) / len(truth)
     assert abs(r - 0.24) <= 0.08  # 2-probe IVF's measured recall band
+
+
+def test_filtered_ann_prefilter_full_k_postfilter_underfills(spark):
+    """The metadata-filter contract: 'pre' prunes posting-list members
+    before ranking (full k whenever the probed lists hold >= k eligible
+    candidates, every hit satisfies the predicate); 'post' ranks the
+    unfiltered top-k first and drops non-matching rows — the classic
+    under-fill bug, shipped only so the trade is measurable."""
+    from mgo_liveagent_data_pipeline_spark.operators.annsearch import (
+        ivf_topk,
+        ivfsq_topk,
+    )
+    from mgo_liveagent_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    corpus = emb.join(docs, emb["vec_id"] == docs["doc_id"]).drop("doc_id")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pred = F.col("lang") == "de"
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in docs.where(pred).collect()
+    }
+
+    pre = ivf_topk(
+        corpus, queries, k=5, query_key="query_id", n_probes=2,
+        predicate=pred, filter_mode="pre",
+    ).collect()
+    # full k per query, every hit eligible, ranks contiguous 1..5
+    by_q = {}
+    for r in pre:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["corpus_id"] in langs
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        assert sorted(x["rank"] for x in rows) == [1, 2, 3, 4, 5]
+
+    post = ivf_topk(
+        corpus, queries, k=5, query_key="query_id", n_probes=2,
+        predicate=pred, filter_mode="post",
+    ).collect()
+    # 'de' is ~14% of each posting list, so the unfiltered top-5 rarely
+    # contains 5 eligible rows: post-filter returns FEWER rows in total
+    assert len(post) < len(pre)
+    for r in post:
+        assert r["corpus_id"] in langs
+
+    # the SQ8-composed path carries the same contract
+    pre_sq = ivfsq_topk(
+        corpus, queries, k=5, query_key="query_id", n_probes=2,
+        predicate=pred, filter_mode="pre",
+    ).collect()
+    assert len(pre_sq) == 25
+    assert all(r["corpus_id"] in langs for r in pre_sq)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="filter_mode"):
+        ivf_topk(corpus, queries, predicate=pred, filter_mode="bogus")
