@@ -15,9 +15,16 @@ entropy decode, dequantization, full 2-D IDCT, YCbCr→RGB,
 4:4:4/4:2:2/4:2:0 sampling, DRI/RSTn restart intervals). Still stubbed,
 because they genuinely need external codec libraries: MP3/AAC audio,
 video containers, progressive (SOF2) JPEG, and alpha/16-bit PNG — those
-slots raise ``NotImplementedError`` rather than mis-decode. Swapping in
-Pillow/torchaudio changes ~5 lines inside a UDF and nothing in the
-plan.
+slots raise ``NotImplementedError`` rather than mis-decode. Since round
+11 the refusal sites carry OPT-IN feature-detected adapters
+(``pillow_image_decode`` / ``pillow_resize`` / ``soundfile_audio_decode``
+behind ``allow_adapter=True`` on ``real_decode`` / ``real_resize`` /
+``audio_decode``): when Pillow/soundfile are installed those payloads
+decode for real, when absent the refusals are byte-identical to before,
+and the stdlib decoders remain the oracle-checked default either way —
+zero new required dependencies. The once-untested "swap in Pillow
+changes ~5 lines inside a UDF" claim is now the adapter itself, with a
+pytest that skips (not fails) when the library is absent.
 
 WAV audio, however, needs no third-party codec: ``real_audio_features``
 GENUINELY decodes 16-bit PCM RIFF/WAVE payloads with stdlib ``wave`` and
@@ -89,27 +96,148 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
-def real_decode(payload: bytes) -> tuple[int, int]:
+def real_decode(payload: bytes, allow_adapter: bool = False) -> tuple[int, int]:
     """Format-dispatching real-codec slot: BMP, PNG, GIF, and baseline
     JPEG are genuinely decodable here (``real_image_decode`` /
     ``real_png_decode`` / ``real_gif_decode`` / ``real_jpeg_decode``);
-    WebP/AVIF and other formats still need Pillow/libvips."""
-    if payload[:2] == b"BM":
-        d = real_image_decode(payload)
-        return (d["width"], d["height"])
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        d = real_png_decode(payload)
-        return (d["width"], d["height"])
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        d = real_gif_decode(payload)
-        return (d["width"], d["height"])
-    if payload[:2] == b"\xff\xd8":
-        d = real_jpeg_decode(payload)
-        return (d["width"], d["height"])
-    raise NotImplementedError(
-        "only BMP/PNG/GIF/baseline-JPEG decode without external codecs; "
-        "decode_image_meta uses the deterministic fake instead"
-    )
+    WebP/AVIF and other formats still need Pillow/libvips.
+    ``allow_adapter=True`` OPTS IN to the feature-detected Pillow
+    fallback (``pillow_image_decode``) for exactly the payloads the
+    stdlib decoders refuse — stdlib still runs first, so every
+    oracle-checked decode is byte-identical with or without the lib,
+    and with the default ``False`` the refusal contract is unchanged
+    no matter what is installed."""
+    try:
+        if payload[:2] == b"BM":
+            d = real_image_decode(payload)
+            return (d["width"], d["height"])
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            d = real_png_decode(payload)
+            return (d["width"], d["height"])
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            d = real_gif_decode(payload)
+            return (d["width"], d["height"])
+        if payload[:2] == b"\xff\xd8":
+            d = real_jpeg_decode(payload)
+            return (d["width"], d["height"])
+        raise NotImplementedError(
+            "only BMP/PNG/GIF/baseline-JPEG decode without external codecs; "
+            "decode_image_meta uses the deterministic fake instead"
+        )
+    except NotImplementedError:
+        if allow_adapter and _pillow() is not None:
+            d = pillow_image_decode(payload)
+            return (d["width"], d["height"])
+        raise
+
+
+# ------------------------------------------------- optional codec adapters
+#
+# Feature-detected externals behind the honest refusal sites: the stdlib
+# decoders above stay the ORACLE-CHECKED default (deterministic, zero
+# dependencies, refusals included), and nothing in this repo requires
+# Pillow/soundfile — but when one IS installed, these adapters close the
+# refusal gaps a real multimodal corpus hits in its first hour
+# (MP3/AAC, progressive SOF2 JPEG, alpha/16-bit PNG, WebP, real video
+# containers via per-frame stills). They are OPT-IN at the call site
+# (`allow_adapter=True`), never ambient: a refusal a test or routing
+# policy pins must not silently flip because a library appeared on the
+# image. The "swap in Pillow changes ~5 lines inside a UDF" claim from
+# the module docstring is exactly `pillow_image_decode` — and a pytest
+# (skipped, not failed, when the lib is absent) finally exercises it.
+
+
+def _pillow():
+    """Feature-detect Pillow; None when absent (adapter unavailable)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:  # pragma: no cover - env-dependent
+        return None
+
+
+def _soundfile():
+    """Feature-detect soundfile; None when absent."""
+    try:
+        import soundfile
+
+        return soundfile
+    except ImportError:  # pragma: no cover - env-dependent
+        return None
+
+
+def pillow_image_decode(payload: bytes) -> dict:
+    """Pillow-backed decode for formats the stdlib decoders refuse.
+    Raises NotImplementedError (the same refusal contract) when Pillow
+    is not installed."""
+    Image = _pillow()
+    if Image is None:
+        raise NotImplementedError(
+            "Pillow is not installed — the optional image adapter is "
+            "unavailable; stdlib decoders cover BMP/PNG/GIF/baseline-JPEG"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return {"width": im.width, "height": im.height, "mode": im.mode}
+
+
+def pillow_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Pillow-backed real resize (PNG-serialized output — deterministic
+    given one Pillow version; cross-version byte stability is NOT
+    promised, which is why the oracle-checked default stays the fake)."""
+    Image = _pillow()
+    if Image is None:
+        raise NotImplementedError(
+            "Pillow is not installed — the optional resize adapter is "
+            "unavailable; resize_image uses the deterministic fake"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        out = io.BytesIO()
+        im.resize((width, height)).save(out, format="PNG")
+        return out.getvalue()
+
+
+def soundfile_audio_decode(payload: bytes) -> dict:
+    """soundfile-backed decode for audio the stdlib ``wave`` reader
+    refuses (MP3, float/24-bit WAV, FLAC, OGG — whatever the linked
+    libsndfile supports). Same output contract as
+    ``real_audio_decode``'s header fields."""
+    sf = _soundfile()
+    if sf is None:
+        raise NotImplementedError(
+            "soundfile is not installed — the optional audio adapter is "
+            "unavailable; stdlib wave covers 16-bit PCM WAV"
+        )
+    import io
+
+    with sf.SoundFile(io.BytesIO(payload)) as f:
+        n_frames = len(f)
+        return {
+            "sample_rate": f.samplerate,
+            "n_channels": f.channels,
+            "n_frames": n_frames,
+            "duration_ms": n_frames * 1000 // f.samplerate,
+        }
+
+
+def audio_decode(payload: bytes, allow_adapter: bool = False) -> dict:
+    """Dispatching audio entry point mirroring ``real_decode``'s
+    contract: stdlib ``real_audio_decode`` first (16-bit PCM WAV, the
+    oracle-checked path), and with ``allow_adapter=True`` the
+    feature-detected soundfile fallback for what it refuses — both the
+    in-container refusal (non-PCM16 WAV → NotImplementedError) and
+    not-a-WAV-at-all payloads like MP3 (→ ValueError from the codec
+    guard), which ARE decodable audio to libsndfile."""
+    try:
+        return real_audio_decode(payload)
+    except (NotImplementedError, ValueError):
+        if allow_adapter and _soundfile() is not None:
+            return soundfile_audio_decode(payload)
+        raise
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
@@ -180,8 +308,15 @@ AUDIO_META_SCHEMA = T.StructType(
 )
 
 
-def real_resize(payload: bytes, width: int, height: int) -> bytes:
-    """The real-resize slot. Plug Pillow/libvips here in production."""
+def real_resize(
+    payload: bytes, width: int, height: int, allow_adapter: bool = False
+) -> bytes:
+    """The real-resize slot. ``allow_adapter=True`` opts in to the
+    feature-detected Pillow path (``pillow_resize``); the default keeps
+    the honest refusal so ``resize_image``'s oracle-checked fake stays
+    the deterministic contract."""
+    if allow_adapter and _pillow() is not None:
+        return pillow_resize(payload, width, height)
     raise NotImplementedError(
         "media codecs are not available in this environment; "
         "resize_image uses the deterministic fake instead"

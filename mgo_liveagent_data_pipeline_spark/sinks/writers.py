@@ -583,13 +583,61 @@ def _read_manifest(pdir: str) -> dict:
         return json.load(f)
 
 
+def ensure_partitioned(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    template: DataFrame,
+    num_buckets: int = 64,
+    range_width: int | None = None,
+) -> str:
+    """K1 for ptables: create-if-absent — an EMPTY committed manifest
+    carrying the template's schema, so a destination that never receives
+    a batch (every batch quarantined the other way, an empty first
+    golden set, …) still reads back as an empty table through
+    ``read_partitioned`` instead of raising FileNotFoundError — the
+    same guarantee ``ensure_table`` gives flat destinations. A manifest
+    already present (any state) is left untouched."""
+    pdir = _ptable_dir(base_dir, name)
+    os.makedirs(pdir, exist_ok=True)
+    manifest_path = os.path.join(pdir, "_MANIFEST")
+    if not os.path.exists(manifest_path):
+        man = {
+            "num_buckets": num_buckets,
+            "range_width": range_width,
+            "buckets": {},
+            "retired": {},
+            "schema": template.schema.jsonValue(),
+        }
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, manifest_path)
+    return pdir
+
+
 def read_partitioned(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     """Resolve ``_MANIFEST`` and read every bucket's current version dir.
     A key-equality scan would pass only the relevant bucket paths here —
-    manifest pruning replaces directory listing at any scale."""
+    manifest pruning replaces directory listing at any scale.
+
+    A manifest with NO live buckets (freshly ``ensure_partitioned``-ed,
+    or every bucket emptied by deletes) reads back as an empty DataFrame
+    with the manifest's recorded schema — the stamp every merge flip
+    refreshes."""
+    from pyspark.sql.types import StructType
+
     pdir = _ptable_dir(base_dir, name)
     man = _read_manifest(pdir)
     paths = [os.path.join(pdir, d) for d in man["buckets"].values()]
+    if not paths:
+        sch = man.get("schema")
+        if sch is None:
+            raise FileNotFoundError(
+                f"ptable {pdir} has no buckets and no recorded schema — "
+                "create it with ensure_partitioned"
+            )
+        return spark.createDataFrame([], StructType.fromJson(sch))
     return spark.read.parquet(*paths)
 
 
@@ -720,14 +768,29 @@ def _partitioned_merge(
                 old = new_buckets.get(str(b))
                 v = int(old.rsplit("_v", 1)[1]) + 1 if old else 1
                 dest = f"b{b}_v{v}"
-                os.rename(part_src, os.path.join(pdir, dest))
+                dest_path = os.path.join(pdir, dest)
+                if os.path.exists(dest_path):
+                    # leftover of a crash between a previous attempt's
+                    # rename and its manifest flip: the committed
+                    # manifest still names v-1 (and `retired` only ever
+                    # names versions < v), so this dir is an
+                    # uncommitted orphan — remove it or the replay's
+                    # os.rename fails ENOTEMPTY and the "any crash
+                    # window replays cleanly" contract breaks
+                    shutil.rmtree(dest_path)
+                os.rename(part_src, dest_path)
                 new_buckets[str(b)] = dest
                 if old:
                     window = [old] + retired.get(str(b), [])
                     retired[str(b)], extra = window[: keep - 1], window[keep - 1 :]
                     dropped.extend(extra)
             man2 = {"num_buckets": nb, "range_width": rw,
-                    "buckets": new_buckets, "retired": retired}
+                    "buckets": new_buckets, "retired": retired,
+                    # schema stamp: lets an all-buckets-emptied (or
+                    # never-written) table read back as an empty
+                    # DataFrame; refreshed each flip so it tracks the
+                    # current table schema
+                    "schema": merged.drop(_BUCKET_COL).schema.jsonValue()}
             tmp = manifest_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(man2, f)

@@ -453,6 +453,13 @@ def stream_incremental_dedup(
     return table_path(base_dir, pairs_name), corpus_path
 
 
+# per-stream observability for stream_semantic_dedup: one row per
+# micro-batch with the standing index's hottest cluster AFTER that
+# batch's merge. Reset at stream start; read by tests/operators — the
+# "no silent unbounded growth" surface for the uncapped default.
+STREAM_SEM_LAST: dict[str, list] = {"hot_clusters": []}
+
+
 def stream_semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -516,6 +523,19 @@ def stream_semantic_dedup(
     MERGEs. A refused vector stays refused (re-admission is a
     re-ingest through the supersede path, an explicit operator
     decision, not an ambient one).
+
+    The DEFAULT (``stream_cluster_cap=None``) stays uncapped — the
+    only choice whose drained state cannot diverge from the batch
+    operator — but it is no longer SILENT: after every batch's index
+    merge, one bounded aggregate (groupBy cluster over the index's key
+    column, |centroids| result rows, riding the same per-batch scan
+    budget as the flat index MERGE itself) records the hottest
+    cluster's (batch_id, cluster_id, size) into
+    ``STREAM_SEM_LAST['hot_clusters']`` — the operational surface for
+    noticing a cluster running away BEFORE anyone opts into
+    ``stream_cluster_cap``. A production loop alerts on that series;
+    a ptable index would maintain the sizes additively instead of
+    re-aggregating.
 
     ``src_df`` substitutes the staged corpus (same contract as
     ``stage_doc_batches``); default reads ``table`` from ``sf_dir``.
@@ -629,7 +649,23 @@ def stream_semantic_dedup(
             index_name,
             "key",
         )
+        # hot-cluster observability (see docstring): one bounded
+        # aggregate over the merged index's (key, cluster_id) columns,
+        # replay-invariant because the index MERGE is idempotent
+        hot = (
+            spark.read.parquet(index_path)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("cluster_id"))
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            STREAM_SEM_LAST["hot_clusters"].append(
+                (_batch_id, hot[0]["cluster_id"], hot[0]["n"])
+            )
 
+    STREAM_SEM_LAST["hot_clusters"] = []
     with state_partitions(spark, n_state_partitions), _checkpoint(
         checkpoint_dir
     ) as ckpt:
@@ -836,6 +872,7 @@ def stream_entity_resolution(
     golden_name: str = "er_golden",
     golden_num_buckets: int = 16,
     block_col="block_key",
+    full_sweep_every: int = 16,
 ) -> tuple[str, str | None]:
     """Continuous record ingestion with streaming entity resolution —
     the streaming member of the ER family (batch ``resolve_entities`` →
@@ -877,19 +914,38 @@ def stream_entity_resolution(
     the sweep rewrite only the buckets their keys land in, so the
     per-batch dimension cost is O(|touched entities| + affected
     buckets), not a full-table rewrite — the 10⁹-entity version of this
-    loop is the same code with more buckets. The sweep is a pure
-    function of current state (golden keys ∖ live labels — key-only,
-    entity-scale), so it is self-healing under ANY crash window: a
-    stale row left by a crash between the golden MERGE and the sweep is
-    removed by the replay, or by the next batch; the ptable's manifest
-    flip is ``os.replace`` — atomic.
+    loop is the same code with more buckets.
+
+    The stale sweep is DELTA-DERIVED (round 11 — the round-10 version
+    scanned the standing dimension per batch, the residual linear term
+    in incgold's 2.2x 64x row): an entity disappears from the dimension
+    exactly when it was a label before the batch and is not one after,
+    and because ``changed`` carries EVERY member of every touched
+    component, that set is ``old_labels(changed) ∖ new_labels(changed)``
+    — pure delta-neighborhood arithmetic, no golden-key scan, no
+    live-label distinct (old labels come from one broadcast keys-probe
+    of the stored assignment, the move a ptable assignment would
+    bucket-prune). This is exact in normal operation, but NOT under one
+    documented crash window: a crash between the assignment MERGE and
+    the sweep replays the batch against an assignment that already
+    carries the new labels, the old∖new difference comes back empty,
+    and the stale golden row leaks. The backstop is the round-10
+    STATE-BASED sweep (golden keys ∖ live labels — a pure function of
+    current state, removes any leaked row whenever it runs) on a
+    compaction-style cadence: every ``full_sweep_every``-th batch
+    (default 16; ``0`` disables it — only for tests that pin the
+    leak window). The ptable's manifest flip is ``os.replace`` —
+    atomic; the golden ptable is seeded with an empty committed
+    manifest up front, so the sweep's read-back (and
+    ``read_partitioned`` by any consumer) works even when the first
+    golden set is empty.
 
     Returns (assignment path, golden ptable dir or None — read it back
     with ``writers.read_partitioned``).
     """
     from ..operators.entity import golden_records, incremental_resolve_entities
     from ..sinks.writers import (
-        _ptable_dir,
+        ensure_partitioned,
         ensure_table,
         partitioned_delete_keys,
         partitioned_upsert,
@@ -928,7 +984,23 @@ def stream_entity_resolution(
         asg_name,
         spark.createDataFrame([], "rec_id long, entity_id long, n_records long"),
     )
-    golden_path = _ptable_dir(base_dir, golden_name) if golden_rules else None
+    golden_path = None
+    if golden_rules:
+        # seed the golden ptable with an empty committed manifest (the
+        # schema comes from the lazy golden_records plan over empty
+        # inputs — no job runs): an empty first golden set must not
+        # leave the dimension unreadable for the sweep or any consumer
+        g_template = golden_records(
+            spark.createDataFrame([], src_schema),
+            spark.createDataFrame(
+                [], "rec_id long, entity_id long, n_records long"
+            ),
+            rules=golden_rules,
+        )
+        golden_path = ensure_partitioned(
+            spark, base_dir, golden_name, g_template,
+            num_buckets=golden_num_buckets,
+        )
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         corpus = spark.read.parquet(rec_path)
@@ -948,6 +1020,17 @@ def stream_entity_resolution(
             check_overlap=False, block_col=block_col,
         )
         changed = changed.localCheckpoint(eager=True)
+        if golden_rules:
+            # PRE-merge labels of the recomputed rows — one broadcast
+            # keys-probe of the stored assignment (bucket-prunable with
+            # a ptable assignment), materialized BEFORE the assignment
+            # MERGE swaps the files the lazy plan would read
+            old_labels = (
+                asg.join(F.broadcast(changed.select("rec_id")), "rec_id")
+                .select("entity_id")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
         upsert(spark, changed, base_dir, asg_name, "rec_id")
         if golden_rules:
             # golden rows for the touched entities: `changed` carries
@@ -960,21 +1043,37 @@ def stream_entity_resolution(
                 spark, g, base_dir, golden_name, "entity_id",
                 num_buckets=golden_num_buckets,
             )
-            # stale sweep: golden keys no longer any record's label —
-            # pure function of current state, self-healing under any
-            # crash window; bucket-pruned, so only the stale keys'
-            # buckets are rewritten
-            live = spark.read.parquet(asg_path).select(
-                F.col("entity_id")
-            ).distinct()
-            stale = (
-                read_partitioned(spark, base_dir, golden_name)
-                .select("entity_id")
-                .join(live, "entity_id", "left_anti")
+            # DELTA-DERIVED stale sweep: `changed` carries every member
+            # of every touched component, so an entity vanishes exactly
+            # when it is in old_labels but not in changed's new labels
+            # — delta-neighborhood arithmetic, no standing-state scan.
+            # Exact in normal operation; leaks only under the
+            # crash-between-assignment-MERGE-and-sweep replay (old
+            # labels already overwritten), which the periodic full
+            # sweep below self-heals. Bucket-pruned delete either way.
+            stale = old_labels.join(
+                changed.select("entity_id").distinct(),
+                "entity_id",
+                "left_anti",
             )
             partitioned_delete_keys(
                 spark, stale, base_dir, golden_name, "entity_id"
             )
+            if full_sweep_every and (_batch_id + 1) % full_sweep_every == 0:
+                # compaction-style backstop: golden keys ∖ live labels
+                # — a pure function of current state, removes any row a
+                # crash-replay window leaked past the delta sweep
+                live = spark.read.parquet(asg_path).select(
+                    F.col("entity_id")
+                ).distinct()
+                stale_full = (
+                    read_partitioned(spark, base_dir, golden_name)
+                    .select("entity_id")
+                    .join(live, "entity_id", "left_anti")
+                )
+                partitioned_delete_keys(
+                    spark, stale_full, base_dir, golden_name, "entity_id"
+                )
         upsert(spark, fresh, base_dir, rec_name, "rec_id")
 
     with state_partitions(spark, n_state_partitions), _checkpoint(
@@ -1038,7 +1137,7 @@ def stream_gated_ingest(
     Returns (kept_path, quarantine_path)."""
     from ..operators.aggregations import validate_expectations
     from ..sinks.writers import (
-        _ptable_dir,
+        ensure_partitioned,
         ensure_table,
         partitioned_upsert,
         table_path,
@@ -1077,8 +1176,19 @@ def stream_gated_ingest(
             spark.createDataFrame([], src_schema),
         )
     else:
-        kept_path = _ptable_dir(base_dir, kept_name)
-        quarantine_path = _ptable_dir(base_dir, quarantine_name)
+        # seed BOTH destinations with an empty committed manifest: a
+        # destination that never receives a batch (e.g. every batch
+        # passes, so the quarantine is never written) must still read
+        # back as an empty table via read_partitioned — the same
+        # guarantee ensure_table gives the flat path
+        template = spark.createDataFrame([], src_schema)
+        kept_path = ensure_partitioned(
+            spark, base_dir, kept_name, template, num_buckets=num_buckets
+        )
+        quarantine_path = ensure_partitioned(
+            spark, base_dir, quarantine_name, template,
+            num_buckets=num_buckets,
+        )
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         report = validate_expectations(batch_df, expectations).collect()

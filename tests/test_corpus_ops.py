@@ -1778,3 +1778,136 @@ def test_bpe_train_approximate_mode_collapses_rounds(spark):
     for a, b, n in m1:
         assert a in known and b in known and n >= 2
         known.add(a + b)
+
+
+# ---------------------------------------------------- optional codec adapters
+
+
+def test_adapter_refusals_unchanged_when_libs_absent():
+    """With Pillow/soundfile absent (this container), the opt-in
+    adapter flag changes NOTHING: every refusal raises exactly as
+    before, including with allow_adapter=True — the adapter is
+    feature-detected, never assumed. (Skipped if the libs ARE
+    installed; the positive tests below take over there.)"""
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        _pillow,
+        _soundfile,
+        audio_decode,
+        real_decode,
+        real_resize,
+    )
+
+    if _pillow() is not None or _soundfile() is not None:
+        pytest.skip("codec libs installed — refusal-path test not applicable")
+    webp = b"RIFF\x00\x00\x00\x00WEBPVP8 "
+    with pytest.raises(NotImplementedError):
+        real_decode(webp)
+    with pytest.raises(NotImplementedError):
+        real_decode(webp, allow_adapter=True)
+    with pytest.raises(NotImplementedError):
+        real_resize(b"BM....", 4, 4, allow_adapter=True)
+    with pytest.raises((NotImplementedError, ValueError)):
+        audio_decode(b"ID3\x04\x00\x00\x00\x00\x00\x00", allow_adapter=True)
+
+
+def test_pillow_adapter_decodes_what_stdlib_refuses():
+    """With Pillow installed: payloads the stdlib decoders refuse
+    (alpha PNG, progressive JPEG) decode through the opt-in adapter,
+    stdlib-decodable payloads are untouched by the flag (stdlib runs
+    first), and the default allow_adapter=False still refuses."""
+    import io
+
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        pillow_resize,
+        real_decode,
+    )
+
+    # alpha (RGBA) PNG — stdlib real_png_decode refuses color type 6
+    buf = io.BytesIO()
+    PIL_Image.new("RGBA", (7, 5), (1, 2, 3, 4)).save(buf, format="PNG")
+    alpha_png = buf.getvalue()
+    with pytest.raises(NotImplementedError):
+        real_decode(alpha_png)
+    assert real_decode(alpha_png, allow_adapter=True) == (7, 5)
+
+    # progressive JPEG — stdlib real_jpeg_decode refuses SOF2
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (9, 4), (10, 20, 30)).save(
+        buf, format="JPEG", progressive=True
+    )
+    prog_jpeg = buf.getvalue()
+    with pytest.raises(NotImplementedError):
+        real_decode(prog_jpeg)
+    assert real_decode(prog_jpeg, allow_adapter=True) == (9, 4)
+
+    # the resize slot: real bytes out, decodable back to the new dims
+    out = pillow_resize(alpha_png, 3, 2)
+    assert real_decode(out, allow_adapter=True) == (3, 2)
+
+    # the '~5 lines inside a UDF' claim: the adapter runs inside an
+    # Arrow-batched mapInPandas crossing on the real plumbing
+    import pandas as pd
+
+    from mgo_liveagent_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        "adapter_udf", master="local[2]", shuffle_partitions=2
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(alpha_png)), (2, bytearray(prog_jpeg))],
+        "doc_id long, media binary",
+    )
+
+    def dims(batches):
+        from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+            real_decode as rd,
+        )
+
+        for b in batches:
+            w, h = zip(*(rd(bytes(p), allow_adapter=True) for p in b["media"]))
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"], "width": w, "height": h}
+            )
+
+    got = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in df.mapInPandas(
+            dims, "doc_id long, width long, height long"
+        ).collect()
+    }
+    assert got == {1: (7, 5), 2: (9, 4)}
+
+
+def test_soundfile_adapter_decodes_what_wave_refuses():
+    """With soundfile installed: float-PCM WAV (stdlib wave refuses
+    non-16-bit) decodes through the opt-in audio adapter with the same
+    header contract."""
+    import pytest
+
+    sf = pytest.importorskip("soundfile")
+
+    import io
+
+    import numpy as np
+
+    from mgo_liveagent_data_pipeline_spark.operators.multimodal import (
+        audio_decode,
+    )
+
+    buf = io.BytesIO()
+    sf.write(
+        buf, np.zeros(800, dtype="float32"), 8000,
+        format="WAV", subtype="FLOAT",
+    )
+    payload = buf.getvalue()
+    with pytest.raises((NotImplementedError, ValueError)):
+        audio_decode(payload)
+    got = audio_decode(payload, allow_adapter=True)
+    assert got["sample_rate"] == 8000 and got["n_frames"] == 800
+    assert got["duration_ms"] == 100

@@ -1221,3 +1221,73 @@ def test_compaction_lease_contention_kill_replay(spark, tmp_path):
     want = {(i * 100 + j, i) for i in (0, 1, 2, 3, 9) for j in range(5)}
     assert {(r["k"], r["writer"]) for r in rows} == want
     assert len(rows) == len(want)
+
+
+def test_partitioned_merge_replays_over_orphan_version_dir(spark, tmp_path):
+    """Crash window between a bucket-dir rename and the manifest flip:
+    the renamed b{b}_v{v} dir exists on disk while the committed
+    manifest still names v-1. The replay computes the same dest — it
+    must remove the uncommitted orphan and rename cleanly (round-10
+    raised ENOTEMPTY here), and the committed content equals the merge
+    result."""
+    import os
+
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _read_manifest,
+        partitioned_upsert,
+        read_partitioned,
+    )
+
+    base = str(tmp_path)
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    pdir = partitioned_upsert(spark, df0, base, "t", "k", num_buckets=4)
+    man = _read_manifest(pdir)
+    # fabricate the orphan: for one live bucket, create the NEXT
+    # version dir with junk content (as a crashed attempt would leave)
+    b, cur = next(iter(man["buckets"].items()))
+    v = int(cur.rsplit("_v", 1)[1]) + 1
+    orphan = os.path.join(pdir, f"b{b}_v{v}")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "leftover"), "w") as f:
+        f.write("junk from the crashed attempt")
+
+    # the replay: same keys, updated values — must not ENOTEMPTY
+    df1 = spark.createDataFrame([(1, "a2"), (2, "b2")], ["k", "v"])
+    partitioned_upsert(spark, df1, base, "t", "k", num_buckets=4)
+    got = {
+        (r["k"], r["v"]) for r in read_partitioned(spark, base, "t").collect()
+    }
+    assert got == {(1, "a2"), (2, "b2")}
+    # the committed manifest names the new versions and the junk file
+    # is gone from every referenced dir
+    man2 = _read_manifest(pdir)
+    for d in man2["buckets"].values():
+        assert "leftover" not in os.listdir(os.path.join(pdir, d))
+
+
+def test_ensure_partitioned_empty_manifest_roundtrip(spark, tmp_path):
+    """ensure_partitioned seeds an empty committed manifest whose
+    schema read_partitioned honors (empty DataFrame, right columns);
+    a later merge stamps the schema and an existing manifest is left
+    untouched by re-ensure."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _read_manifest,
+        ensure_partitioned,
+        partitioned_upsert,
+        read_partitioned,
+    )
+
+    base = str(tmp_path)
+    template = spark.createDataFrame([], "k long, v string")
+    pdir = ensure_partitioned(spark, base, "t", template, num_buckets=4)
+    empty = read_partitioned(spark, base, "t")
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+    partitioned_upsert(
+        spark, spark.createDataFrame([(1, "a")], ["k", "v"]),
+        base, "t", "k", num_buckets=4,
+    )
+    # re-ensure is a no-op on the live table
+    ensure_partitioned(spark, base, "t", template, num_buckets=4)
+    assert {r["k"] for r in read_partitioned(spark, base, "t").collect()} == {1}
+    assert _read_manifest(pdir).get("schema") is not None

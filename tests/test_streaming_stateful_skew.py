@@ -1200,3 +1200,212 @@ def test_stream_gated_ingest_ptable_destinations(spark, tmp_path):
     import os
 
     assert os.path.isfile(os.path.join(kept_path, "_MANIFEST"))
+
+
+def test_stream_gated_ptable_unwritten_destination_reads_empty(spark, tmp_path):
+    """A gated ptable destination that never receives a batch (every
+    batch passes) must still read back as an empty table — the empty
+    committed manifest ensure_partitioned seeds, matching the flat
+    path's ensure_table guarantee."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+    )
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_gated_ingest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    stream_gated_ingest(
+        spark, docs, str(tmp_path), expectations=[("not_null", "text")],
+        n_batches=2, n_state_partitions=1, num_buckets=4,
+    )
+    quar = read_partitioned(spark, str(tmp_path), "gated_quarantine")
+    assert quar.count() == 0
+    assert quar.columns == ["doc_id", "text"]
+    kept = read_partitioned(spark, str(tmp_path), "gated_kept")
+    assert {r["doc_id"] for r in kept.collect()} == set(range(6))
+
+
+def test_stream_er_golden_delta_sweep_empty_first_batch(spark, tmp_path):
+    """The golden ptable is seeded up front: a stream whose FIRST batch
+    is empty (rec_id % n_batches hits nothing for b=0) still maintains
+    the dimension — round-10's unseeded ptable crashed in the sweep's
+    read_partitioned on exactly this shape — and the drained golden
+    rows equal the full-batch golden records via the DELTA-DERIVED
+    sweep alone (full_sweep_every never fires in 3 batches)."""
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        golden_records,
+        resolve_entities,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+    )
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_entity_resolution,
+    )
+
+    # no rec_id % 3 == 0: batch 0 is EMPTY; the bridge (rec 7, A-name +
+    # B-phone) arrives last and swallows entity 20 — the delta sweep
+    # must delete its golden row
+    recs = [
+        (10, 1, "Acme Metals Corp", "25-989-741", "12 Dock Rd"),
+        (11, 1, "acme metals corp inc", "25989741", "12 Dock Road Pier 4"),
+        (20, 1, "Blue Harbour Ltd", "77-111-222", "9 Quay St"),
+        (22, 1, "BH Logistics", "77111222", "9 Quay Street"),
+        (7, 1, "Acme Metals Corp", "77-111-222", "somewhere"),
+    ]
+    cols = ["rec_id", "block_key", "name", "phone", "address"]
+    df = spark.createDataFrame(recs, cols)
+    RULES = {"name": "first_by_key", "phone": "min", "address": "longest"}
+    base = str(tmp_path / "er")
+    _asg, golden_path = stream_entity_resolution(
+        spark, df, base, n_batches=3, n_state_partitions=1,
+        golden_rules=RULES, golden_num_buckets=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["entity_id"]: (r["n_records"], r["name"], r["phone"])
+        for r in read_partitioned(spark, base, "er_golden").collect()
+    }
+    want = {
+        r["entity_id"]: (r["n_records"], r["name"], r["phone"])
+        for r in golden_records(df, resolve_entities(df), rules=RULES).collect()
+    }
+    assert got == want
+    assert 20 not in got and got[7][0] == 5  # all five records merged
+
+
+def test_er_golden_leak_window_and_periodic_backstop(spark, tmp_path):
+    """The exact leak window DESIGN.md documents for the delta-derived
+    sweep: a crash between the assignment MERGE and the sweep replays
+    the batch against an assignment that ALREADY carries the new
+    labels, so old_labels ∖ new_labels is empty and the swallowed
+    entity's golden row leaks past the delta sweep — and the periodic
+    STATE-BASED sweep (the full_sweep_every backstop) removes it."""
+    from pyspark.sql import functions as F
+
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        golden_records,
+        incremental_resolve_entities,
+        resolve_entities,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        ensure_partitioned,
+        ensure_table,
+        partitioned_delete_keys,
+        partitioned_upsert,
+        read_partitioned,
+        upsert,
+    )
+
+    cols = ["rec_id", "block_key", "name", "phone", "address"]
+    corpus_rows = [
+        (10, 1, "Acme Metals Corp", "25-989-741", "12 Dock Rd"),
+        (20, 1, "Blue Harbour Ltd", "77-111-222", "9 Quay St"),
+    ]
+    bridge = [(15, 1, "Acme Metals Corp", "77-111-222", "somewhere")]
+    corpus = spark.createDataFrame(corpus_rows, cols)
+    delta = spark.createDataFrame(bridge, cols)
+    RULES = {"name": "first_by_key", "phone": "min", "address": "longest"}
+    base = str(tmp_path / "leak")
+
+    # standing state: corpus resolved, golden dimension materialized
+    asg0 = resolve_entities(corpus)
+    ensure_table(spark, base, "asg", asg0.limit(0))
+    upsert(spark, asg0, base, "asg", "rec_id")
+    g0 = golden_records(corpus, asg0, rules=RULES)
+    ensure_partitioned(spark, base, "gold", g0.limit(0), num_buckets=4)
+    partitioned_upsert(spark, g0, base, "gold", "entity_id", num_buckets=4)
+    assert 20 in {
+        r["entity_id"]
+        for r in read_partitioned(spark, base, "gold").collect()
+    }
+
+    # the batch's first attempt: assignment MERGE lands, then CRASH
+    # (golden upsert + sweep never ran)
+    asg_before = spark.read.parquet(base + "/asg.parquet")
+    changed = incremental_resolve_entities(
+        corpus, delta, corpus_assignment=asg_before, emit="changed",
+        check_overlap=False,
+    ).localCheckpoint(eager=True)
+    upsert(spark, changed, base, "asg", "rec_id")
+
+    # the REPLAY: old_labels now read from the already-merged
+    # assignment — the new labels — so the delta-derived stale set is
+    # empty and entity 20's golden row survives the delta sweep
+    asg_replay = spark.read.parquet(base + "/asg.parquet")
+    changed2 = incremental_resolve_entities(
+        corpus, delta, corpus_assignment=asg_replay, emit="changed",
+        check_overlap=False,
+    ).localCheckpoint(eager=True)
+    old_labels = (
+        asg_replay.join(F.broadcast(changed2.select("rec_id")), "rec_id")
+        .select("entity_id").distinct().localCheckpoint(eager=True)
+    )
+    upsert(spark, changed2, base, "asg", "rec_id")
+    members = corpus.unionByName(delta).join(
+        F.broadcast(changed2.select("rec_id")), "rec_id"
+    )
+    partitioned_upsert(
+        spark, golden_records(members, changed2, rules=RULES),
+        base, "gold", "entity_id", num_buckets=4,
+    )
+    stale = old_labels.join(
+        changed2.select("entity_id").distinct(), "entity_id", "left_anti"
+    )
+    partitioned_delete_keys(spark, stale, base, "gold", "entity_id")
+    leaked = {
+        r["entity_id"]
+        for r in read_partitioned(spark, base, "gold").collect()
+    }
+    assert 20 in leaked  # the documented leak — delta sweep misses it
+
+    # the periodic state-based backstop: golden keys ∖ live labels
+    live = spark.read.parquet(base + "/asg.parquet").select(
+        "entity_id"
+    ).distinct()
+    stale_full = (
+        read_partitioned(spark, base, "gold")
+        .select("entity_id").join(live, "entity_id", "left_anti")
+    )
+    partitioned_delete_keys(spark, stale_full, base, "gold", "entity_id")
+    healed = {
+        r["entity_id"]
+        for r in read_partitioned(spark, base, "gold").collect()
+    }
+    assert healed == {10}  # leaked row removed, merged entity remains
+
+
+def test_stream_semantic_dedup_hot_cluster_metric(spark, tmp_path):
+    """The uncapped default is observable: STREAM_SEM_LAST records one
+    (batch_id, cluster_id, size) row per micro-batch — the hottest
+    standing cluster after that batch's merge — so unbounded growth is
+    visible without opting into stream_cluster_cap."""
+    from mgo_liveagent_data_pipeline_spark.streaming import windows as W
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cluster_id int, centroid array<double>",
+    )
+    rows = [
+        (3, [1.0, 0.0], "h3"), (6, [0.999, 0.001], "h6"),
+        (1, [0.998, 0.002], "h1"), (4, [0.997, 0.003], "h4"),
+        (2, [0.996, 0.004], "h2"), (9, [0.0, 1.0], "c9"),
+    ]
+    src = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    W.stream_semantic_dedup(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "s"),
+        threshold=0.9, n_batches=3, n_state_partitions=1,
+        centroids=cents, src_df=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    hot = W.STREAM_SEM_LAST["hot_clusters"]
+    assert len(hot) == 3
+    # the hot cluster (0) accumulates: sizes nondecreasing, final = 5
+    assert [h[1] for h in hot] == [0, 0, 0]
+    sizes = [h[2] for h in hot]
+    assert sizes == sorted(sizes) and sizes[-1] == 5

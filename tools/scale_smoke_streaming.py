@@ -242,6 +242,56 @@ def main() -> None:
         release_intermediates()
         return wall, {"diff_vs_direct": diff, "golden_rows": n_golden}
 
+    # ---- round 11: streaming MULTI-PASS ER (block_col list) + the
+    # bucketed golden dimension at a high bucket count — the 64× row
+    # for the round-10 block_col pass-through (pytest-only until now)
+    from mgo_liveagent_data_pipeline_spark.plans.relational import (
+        _er_multi_records,
+    )
+
+    erm_base = _er_multi_records(spark, SF_DIR)
+    erm_keys = erm_base.agg(F.max("rec_id")).collect()[0][0] + 1
+    erm_1x = erm_base.localCheckpoint(eager=True)
+    erm_nx = replicate_records(erm_1x, factor, erm_keys)
+    erm_delta = erm_1x.where(F.col("rec_id") % 41 == 0).withColumn(
+        "rec_id", F.col("rec_id") + F.lit((factor + 2) * 10 * erm_keys)
+    ).localCheckpoint(eager=True)
+    ERM_BLOCKS = ["block_key", "block_key2"]
+
+    def run_ermulti(corpus):
+        corpus = corpus.localCheckpoint(eager=True)
+        base = tempfile.mkdtemp(prefix="st_", dir=big)
+        asg = resolve_entities(
+            corpus, block_col=ERM_BLOCKS, max_block=20_000
+        ).localCheckpoint(eager=True)
+        corpus.write.mode("overwrite").parquet(table_path(base, "er_records"))
+        asg.write.mode("overwrite").parquet(
+            table_path(base, "er_assignment")
+        )
+        partitioned_upsert(
+            spark,
+            golden_records(corpus, asg, rules=RULES),
+            base, "er_golden", "entity_id", num_buckets=64,
+        )
+        t0 = time.time()
+        stream_entity_resolution(
+            spark, erm_delta, base, n_batches=1, golden_rules=RULES,
+            golden_num_buckets=64, block_col=ERM_BLOCKS,
+        )
+        wall = time.time() - t0
+        want = incremental_resolve_entities(
+            corpus, erm_delta, corpus_assignment=asg,
+            block_col=ERM_BLOCKS, max_block=20_000,
+            emit="changed", check_overlap=False,
+        ).localCheckpoint(eager=True)
+        got = spark.read.parquet(table_path(base, "er_assignment")).join(
+            want.select("rec_id"), "rec_id"
+        )
+        diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+        n_golden = read_partitioned(spark, base, "er_golden").count()
+        release_intermediates()
+        return wall, {"diff_vs_direct": diff, "golden_rows": n_golden}
+
     gate_delta = docs_delta.localCheckpoint(eager=True)
 
     def _run_gated(corpus, num_buckets):
@@ -286,6 +336,7 @@ def main() -> None:
         "stream_scored_ingest": (run_scored, docs_1x, docs_nx),
         "stream_incsem": (run_incsem, emb_1x, emb_nx),
         "stream_ergold": (run_ergold, er_1x, er_nx),
+        "stream_ermulti": (run_ermulti, erm_1x, erm_nx),
         "stream_gated_flat": (run_gated_flat, docs_1x, docs_nx),
         "stream_gated_ptable": (run_gated_ptable, docs_1x, docs_nx),
     }
