@@ -393,17 +393,30 @@ def incremental_resolve_entities(
     _guard_blocks(allrecs, blocks, max_block, delta=delta)
 
     dp = _prep(delta, key_col, blocks, name_col, phone_col)
-    ap = _prep(allrecs, key_col, blocks, name_col, phone_col)
+    # corpus-side normalization is DEFERRED until after a narrow
+    # neighborhood semi-join: the token-split/regex projection is the
+    # expensive part of the corpus scan (measured — the round-11 64×
+    # streaming smoke's residual linear term was exactly `_prep` over
+    # every standing record per ingest), and only records in the
+    # delta's block/candidate neighborhood can pair, so the full-corpus
+    # pass touches just the raw block/key columns (cheap comparisons)
+    # and the feature expressions run once per SURVIVING record.
     if len(blocks) == 1:
         # delta side probes only blocks it inhabits — the corpus-side
-        # scan is block-semi-joined down before any pair forms
+        # scan is block-semi-joined down BEFORE the feature projection
         a = dp.select(
             F.col("bk0").alias("bk"),
             F.col("k").alias("id_a"),
             F.col("toks").alias("toks_a"),
             F.col("ph").alias("ph_a"),
         )
-        b = ap.select(
+        dbk = dp.select(F.col("bk0").alias("__dbk")).distinct()
+        neighborhood = allrecs.join(
+            F.broadcast(dbk),
+            F.col(blocks[0]) == F.col("__dbk"),
+            "left_semi",
+        )
+        b = _prep(neighborhood, key_col, blocks, name_col, phone_col).select(
             F.col("bk0").alias("bk"),
             F.col("k").alias("id_b"),
             F.col("toks").alias("toks_b"),
@@ -414,14 +427,20 @@ def incremental_resolve_entities(
         )
     else:
         # multi-pass: each pass is a KEYS-ONLY broadcast probe of the
-        # corpus projection (narrow scan per pass), candidates deduped
-        # across passes once, then the comparison arrays attach via ONE
-        # broadcast join against the feature projection — the wide
-        # token/phone columns are read once, not once per pass
+        # raw block/key columns (narrow scan per pass — no feature
+        # expressions), candidates deduped across passes once, then the
+        # comparison arrays attach via ONE broadcast join against the
+        # feature projection of ONLY the candidate records (semi-joined
+        # down first — normalization runs per surviving record, never
+        # per standing-corpus record)
         cand = None
         for i in range(len(blocks)):
             pi = (
-                ap.select(F.col(f"bk{i}").alias("bk"), F.col("k").alias("id_b"))
+                allrecs.select(
+                    F.col(blocks[i]).alias("bk"),
+                    F.col(key_col).alias("id_b"),
+                )
+                .where(F.col("bk").isNotNull())
                 .join(
                     F.broadcast(
                         dp.select(
@@ -446,9 +465,13 @@ def incremental_resolve_entities(
             ),
             "id_a",
         )
-        # corpus side streams against a broadcast of the (delta-
-        # neighborhood-sized) candidate set — no corpus shuffle
-        probed = ap.select(
+        # feature projection over the candidate records only
+        cand_recs = allrecs.join(
+            F.broadcast(cand.select(F.col("id_b").alias("__ck")).distinct()),
+            F.col(key_col) == F.col("__ck"),
+            "left_semi",
+        )
+        probed = _prep(cand_recs, key_col, blocks, name_col, phone_col).select(
             F.col("k").alias("id_b"),
             F.col("toks").alias("toks_b"),
             F.col("ph").alias("ph_b"),

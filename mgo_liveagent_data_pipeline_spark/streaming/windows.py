@@ -873,6 +873,7 @@ def stream_entity_resolution(
     golden_num_buckets: int = 16,
     block_col="block_key",
     full_sweep_every: int = 16,
+    state_num_buckets: int | None = None,
 ) -> tuple[str, str | None]:
     """Continuous record ingestion with streaming entity resolution —
     the streaming member of the ER family (batch ``resolve_entities`` →
@@ -940,6 +941,18 @@ def stream_entity_resolution(
     ``read_partitioned`` by any consumer) works even when the first
     golden set is empty.
 
+    ``state_num_buckets`` switches the RECORD and ASSIGNMENT tables to
+    bucketed ptables too (the golden dimension already is one): the
+    flat path's per-batch `upsert` is a FULL-table rewrite — linear in
+    standing-corpus bytes, the dominant term in the incgold 64× row
+    once the sweep went delta-derived — while the ptable MERGEs rewrite
+    O(|batch| + affected buckets), the fresh-key anti-join probes only
+    the batch's buckets (``read_partitioned_for_keys``), and the
+    delta sweep's old-label probe is bucket-pruned the same way. The
+    full reads that remain (the ER operator's corpus/assignment inputs)
+    are lazy manifest-resolved scans the operator itself prunes with
+    its block semi-joins. Returned paths are then ptable dirs.
+
     Returns (assignment path, golden ptable dir or None — read it back
     with ``writers.read_partitioned``).
     """
@@ -950,6 +963,7 @@ def stream_entity_resolution(
         partitioned_delete_keys,
         partitioned_upsert,
         read_partitioned,
+        read_partitioned_for_keys,
         table_path,
         upsert,
     )
@@ -975,15 +989,25 @@ def stream_entity_resolution(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    rec_path = ensure_table(
-        spark, base_dir, rec_name, spark.createDataFrame([], src_schema)
-    )
-    asg_path = ensure_table(
-        spark,
-        base_dir,
-        asg_name,
-        spark.createDataFrame([], "rec_id long, entity_id long, n_records long"),
-    )
+    asg_schema = "rec_id long, entity_id long, n_records long"
+    if state_num_buckets is None:
+        rec_path = ensure_table(
+            spark, base_dir, rec_name, spark.createDataFrame([], src_schema)
+        )
+        asg_path = ensure_table(
+            spark, base_dir, asg_name, spark.createDataFrame([], asg_schema)
+        )
+    else:
+        rec_path = ensure_partitioned(
+            spark, base_dir, rec_name,
+            spark.createDataFrame([], src_schema),
+            num_buckets=state_num_buckets,
+        )
+        asg_path = ensure_partitioned(
+            spark, base_dir, asg_name,
+            spark.createDataFrame([], asg_schema),
+            num_buckets=state_num_buckets,
+        )
     golden_path = None
     if golden_rules:
         # seed the golden ptable with an empty committed manifest (the
@@ -1003,9 +1027,19 @@ def stream_entity_resolution(
         )
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        corpus = spark.read.parquet(rec_path)
-        asg = spark.read.parquet(asg_path)
-        fresh = batch_df.join(corpus.select("rec_id"), "rec_id", "left_anti")
+        if state_num_buckets is None:
+            corpus = spark.read.parquet(rec_path)
+            asg = spark.read.parquet(asg_path)
+            corpus_keys = corpus.select("rec_id")
+        else:
+            corpus = read_partitioned(spark, base_dir, rec_name)
+            asg = read_partitioned(spark, base_dir, asg_name)
+            # the fresh-key probe touches only the batch's buckets
+            corpus_keys = read_partitioned_for_keys(
+                spark, base_dir, rec_name,
+                batch_df.select("rec_id"), "rec_id",
+            ).select("rec_id")
+        fresh = batch_df.join(corpus_keys, "rec_id", "left_anti")
         # emit='changed': only the recomputed (delta ∪ touched) rows —
         # MERGEing them over the stored table IS the full assignment,
         # and the per-batch cost tracks the delta's neighborhood, not
@@ -1022,20 +1056,44 @@ def stream_entity_resolution(
         changed = changed.localCheckpoint(eager=True)
         if golden_rules:
             # PRE-merge labels of the recomputed rows — one broadcast
-            # keys-probe of the stored assignment (bucket-prunable with
-            # a ptable assignment), materialized BEFORE the assignment
-            # MERGE swaps the files the lazy plan would read
+            # keys-probe of the stored assignment (bucket-PRUNED in
+            # ptable mode), materialized BEFORE the assignment MERGE
+            # swaps the files the lazy plan would read
+            old_src = (
+                asg
+                if state_num_buckets is None
+                else read_partitioned_for_keys(
+                    spark, base_dir, asg_name,
+                    changed.select("rec_id"), "rec_id",
+                )
+            )
             old_labels = (
-                asg.join(F.broadcast(changed.select("rec_id")), "rec_id")
+                old_src.join(F.broadcast(changed.select("rec_id")), "rec_id")
                 .select("entity_id")
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-        upsert(spark, changed, base_dir, asg_name, "rec_id")
+        if state_num_buckets is None:
+            upsert(spark, changed, base_dir, asg_name, "rec_id")
+        else:
+            partitioned_upsert(
+                spark, changed, base_dir, asg_name, "rec_id",
+                num_buckets=state_num_buckets,
+            )
         if golden_rules:
             # golden rows for the touched entities: `changed` carries
-            # exactly their member records (delta ∪ touched components)
-            members = corpus.unionByName(fresh).join(
+            # exactly their member records (delta ∪ touched components);
+            # in ptable mode the record probe reads only the changed
+            # keys' buckets instead of scanning the standing corpus
+            member_src = (
+                corpus
+                if state_num_buckets is None
+                else read_partitioned_for_keys(
+                    spark, base_dir, rec_name,
+                    changed.select("rec_id"), "rec_id",
+                )
+            )
+            members = member_src.unionByName(fresh).join(
                 F.broadcast(changed.select("rec_id")), "rec_id"
             )
             g = golden_records(members, changed, rules=golden_rules)
@@ -1063,9 +1121,12 @@ def stream_entity_resolution(
                 # compaction-style backstop: golden keys ∖ live labels
                 # — a pure function of current state, removes any row a
                 # crash-replay window leaked past the delta sweep
-                live = spark.read.parquet(asg_path).select(
-                    F.col("entity_id")
-                ).distinct()
+                live_src = (
+                    spark.read.parquet(asg_path)
+                    if state_num_buckets is None
+                    else read_partitioned(spark, base_dir, asg_name)
+                )
+                live = live_src.select(F.col("entity_id")).distinct()
                 stale_full = (
                     read_partitioned(spark, base_dir, golden_name)
                     .select("entity_id")
@@ -1074,7 +1135,13 @@ def stream_entity_resolution(
                 partitioned_delete_keys(
                     spark, stale_full, base_dir, golden_name, "entity_id"
                 )
-        upsert(spark, fresh, base_dir, rec_name, "rec_id")
+        if state_num_buckets is None:
+            upsert(spark, fresh, base_dir, rec_name, "rec_id")
+        else:
+            partitioned_upsert(
+                spark, fresh, base_dir, rec_name, "rec_id",
+                num_buckets=state_num_buckets,
+            )
 
     with state_partitions(spark, n_state_partitions), _checkpoint(
         checkpoint_dir
@@ -1087,7 +1154,10 @@ def stream_entity_resolution(
             .start()
         )
         q.awaitTermination()
-    return table_path(base_dir, asg_name), golden_path
+    return (
+        asg_path if state_num_buckets is not None
+        else table_path(base_dir, asg_name)
+    ), golden_path
 
 
 def stream_gated_ingest(

@@ -1409,3 +1409,62 @@ def test_stream_semantic_dedup_hot_cluster_metric(spark, tmp_path):
     assert [h[1] for h in hot] == [0, 0, 0]
     sizes = [h[2] for h in hot]
     assert sizes == sorted(sizes) and sizes[-1] == 5
+
+
+def test_stream_er_ptable_state_tables_drained_equals_batch(spark, tmp_path):
+    """state_num_buckets routes the RECORD and ASSIGNMENT tables through
+    bucketed ptables (the golden dimension already was one): same
+    drained assignment and golden rows as the full-batch resolve, with
+    per-batch MERGEs rewriting only affected buckets instead of the
+    flat path's full-table rewrite — the remaining linear term of the
+    incgold 64x row."""
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        golden_records,
+        resolve_entities,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+    )
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_entity_resolution,
+    )
+
+    recs = [
+        (10, 1, "Acme Metals Corp", "25-989-741", "12 Dock Rd"),
+        (11, 1, "acme metals corp inc", "25989741", "12 Dock Road Pier 4"),
+        (12, 1, "ACME METALS CORP", None, "12 D"),
+        (20, 1, "Blue Harbour Ltd", "77-111-222", "9 Quay St"),
+        (21, 1, "BH Logistics", "77111222", "9 Quay Street"),
+        (30, 1, "Cedar Freight", "55-000-111", "1 Yard Ln"),
+        (15, 1, "Acme Metals Corp", "77-111-222", "somewhere"),
+    ]
+    cols = ["rec_id", "block_key", "name", "phone", "address"]
+    df = spark.createDataFrame(recs, cols)
+    RULES = {"name": "first_by_key", "phone": "min", "address": "longest"}
+    base = str(tmp_path / "erp")
+    asg_path, golden_path = stream_entity_resolution(
+        spark, df, base, n_batches=3, n_state_partitions=1,
+        golden_rules=RULES, golden_num_buckets=4, state_num_buckets=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert asg_path.endswith(".ptable")
+    got = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in read_partitioned(spark, base, "er_assignment").collect()
+    }
+    want = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in resolve_entities(df).collect()
+    }
+    assert got == want
+    recs_back = read_partitioned(spark, base, "er_records")
+    assert {r["rec_id"] for r in recs_back.collect()} == {r[0] for r in recs}
+    gold = {
+        r["entity_id"]: (r["n_records"], r["name"])
+        for r in read_partitioned(spark, base, "er_golden").collect()
+    }
+    want_gold = {
+        r["entity_id"]: (r["n_records"], r["name"])
+        for r in golden_records(df, resolve_entities(df), rules=RULES).collect()
+    }
+    assert gold == want_gold

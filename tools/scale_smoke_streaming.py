@@ -204,7 +204,7 @@ def main() -> None:
         "rec_id", F.col("rec_id") + F.lit((factor + 2) * 10 * er_keys)
     ).localCheckpoint(eager=True)
 
-    def run_ergold(corpus):
+    def _run_ergold(corpus, state_num_buckets):
         corpus = corpus.localCheckpoint(eager=True)
         base = tempfile.mkdtemp(prefix="st_", dir=big)
         # prep (untimed, a table in production): records + assignment +
@@ -212,10 +212,22 @@ def main() -> None:
         asg = resolve_entities(corpus, max_block=20_000).localCheckpoint(
             eager=True
         )
-        corpus.write.mode("overwrite").parquet(table_path(base, "er_records"))
-        asg.write.mode("overwrite").parquet(
-            table_path(base, "er_assignment")
-        )
+        if state_num_buckets is None:
+            corpus.write.mode("overwrite").parquet(
+                table_path(base, "er_records")
+            )
+            asg.write.mode("overwrite").parquet(
+                table_path(base, "er_assignment")
+            )
+        else:
+            partitioned_upsert(
+                spark, corpus, base, "er_records", "rec_id",
+                num_buckets=state_num_buckets,
+            )
+            partitioned_upsert(
+                spark, asg, base, "er_assignment", "rec_id",
+                num_buckets=state_num_buckets,
+            )
         partitioned_upsert(
             spark,
             golden_records(corpus, asg, rules=RULES),
@@ -224,6 +236,7 @@ def main() -> None:
         t0 = time.time()
         _asgp, _gp = stream_entity_resolution(
             spark, er_delta, base, n_batches=1, golden_rules=RULES,
+            state_num_buckets=state_num_buckets,
         )
         wall = time.time() - t0
         # correctness guard: the stored assignment's recomputed rows
@@ -232,15 +245,24 @@ def main() -> None:
             corpus, er_delta, corpus_assignment=asg,
             max_block=20_000, emit="changed", check_overlap=False,
         ).localCheckpoint(eager=True)
-        got = spark.read.parquet(table_path(base, "er_assignment")).join(
-            want.select("rec_id"), "rec_id"
+        stored_asg = (
+            spark.read.parquet(table_path(base, "er_assignment"))
+            if state_num_buckets is None
+            else read_partitioned(spark, base, "er_assignment")
         )
+        got = stored_asg.join(want.select("rec_id"), "rec_id")
         diff = got.exceptAll(want).count() + want.exceptAll(got).count()
         # and the golden dimension carries every live label the delta's
         # neighborhood produced
         n_golden = read_partitioned(spark, base, "er_golden").count()
         release_intermediates()
         return wall, {"diff_vs_direct": diff, "golden_rows": n_golden}
+
+    def run_ergold(corpus):
+        return _run_ergold(corpus, None)
+
+    def run_ergold_ptable(corpus):
+        return _run_ergold(corpus, 64)
 
     # ---- round 11: streaming MULTI-PASS ER (block_col list) + the
     # bucketed golden dimension at a high bucket count — the 64× row
@@ -336,6 +358,7 @@ def main() -> None:
         "stream_scored_ingest": (run_scored, docs_1x, docs_nx),
         "stream_incsem": (run_incsem, emb_1x, emb_nx),
         "stream_ergold": (run_ergold, er_1x, er_nx),
+        "stream_ergold_ptable": (run_ergold_ptable, er_1x, er_nx),
         "stream_ermulti": (run_ermulti, erm_1x, erm_nx),
         "stream_gated_flat": (run_gated_flat, docs_1x, docs_nx),
         "stream_gated_ptable": (run_gated_ptable, docs_1x, docs_nx),
