@@ -706,6 +706,40 @@ def q_stream_entity_resolution(
     )
 
 
+def q_stream_er_indexed(
+    spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
+) -> DataFrame:
+    """§2.8 + streaming ER on the fully INDEXED state layout — record
+    and assignment tables as bucketed ptables (``state_num_buckets``)
+    plus the secondary BLOCK INDEX (``block_index_buckets``): each
+    ingest reads only the index buckets its block values hash to,
+    resolves the delta-neighborhood rec_ids, and reads only those
+    records' buckets, so per-batch scan I/O tracks the delta's
+    neighborhood instead of the standing corpus
+    (streaming/windows.py:stream_entity_resolution — the round-11
+    removal of the records-side linear term). Same fixture and batch
+    split as ``stream_entity_resolution``; the index is pure I/O
+    pruning, so the drained assignment equals the full-batch
+    ``resolve_entities`` — the ``entity_resolution_inc`` oracle
+    verbatim."""
+    from ..sinks.writers import read_partitioned
+    from ..streaming.windows import stream_entity_resolution
+    from .relational import _er_records
+
+    base_dir = scratch_dir("mgo_stream_eridx_")
+    stream_entity_resolution(
+        spark,
+        _er_records(spark, sf_dir),
+        base_dir,
+        n_state_partitions=n_state_partitions,
+        state_num_buckets=16,
+        block_index_buckets=16,
+    )
+    return read_partitioned(spark, base_dir, "er_assignment").select(
+        "rec_id", "entity_id", "n_records"
+    )
+
+
 def q_stream_er_golden(
     spark: SparkSession, sf_dir: str, n_state_partitions: int | None = 1
 ) -> DataFrame:
@@ -924,6 +958,7 @@ QUERIES = {
     "stream_semantic_dedup": q_stream_semantic_dedup,
     "stream_media_dedup": q_stream_media_dedup,
     "stream_entity_resolution": q_stream_entity_resolution,
+    "stream_er_indexed": q_stream_er_indexed,
     "stream_gated_ingest": q_stream_gated_ingest,
     "stream_er_golden": q_stream_er_golden,
     "stream_hypertable_rollup": q_stream_hypertable_rollup,
@@ -995,6 +1030,8 @@ ORACLES: dict[str, str] = {
     "stream_media_dedup": _media_stream_pairs_sql(),
     # drained streaming-ER assignment == the full-batch assignment
     "stream_entity_resolution": _relational_oracles["entity_resolution_inc"],
+    # the block index is pure I/O pruning — same drained state, same oracle
+    "stream_er_indexed": _relational_oracles["entity_resolution_inc"],
     # drained streaming golden dimension == the full-batch golden records
     "stream_er_golden": _relational_oracles["entity_resolution"],
     # per-batch gate reproduced in SQL: a doc_id%3 batch is quarantined

@@ -1379,6 +1379,11 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``increr`` — each record batch resolved delta-vs-corpus against
     the stored assignment, entity merges propagated by changed-row
     MERGEs; drained table == full-batch resolve_entities, its oracle),
+    the same loop on the fully indexed state layout (``increridx``,
+    round 11 — ptable record/assignment state plus the secondary block
+    index, so per-batch scan I/O tracks the delta's neighborhood; the
+    index is pure I/O pruning, so the drained assignment shares
+    increr's oracle),
     expectation-gated ingestion (``gated`` — each batch through the
     declarative quality gate, failing batches MERGE into a quarantine
     table instead of the kept one; the per-batch gate is reproduced in
@@ -1462,6 +1467,12 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         increr_fut = ex.submit(
             persistence.q_stream_entity_resolution, spark, sf_dir, None
         )
+        # increridx: the same loop on the fully indexed state layout —
+        # ptable record/assignment state + the secondary block index,
+        # so per-batch scan I/O tracks the delta's neighborhood
+        increridx_fut = ex.submit(
+            persistence.q_stream_er_indexed, spark, sf_dir, None
+        )
         # gated: expectation-gated ingestion with a quarantine table —
         # a batch with any failing check never reaches the kept table
         gated_fut = ex.submit(
@@ -1485,6 +1496,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         incrollup_df = incrollup_fut.result()
         incann_df = incann_fut.result()
         increr_df = increr_fut.result()
+        increridx_df = increridx_fut.result()
         gated_df = gated_fut.result()
         incgold_df = incgold_fut.result()
     parts = [
@@ -1583,6 +1595,14 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entity_id").alias("n_events"),
         F.col("n_records").cast("double").alias("total_value"),
     )
+    increridx_part = increridx_df.select(
+        F.lit("increridx").alias("mode"),
+        F.col("rec_id").cast("string").alias("grp"),
+        _null("timestamp").alias("window_start"),
+        _null("timestamp").alias("window_end"),
+        F.col("entity_id").alias("n_events"),
+        F.col("n_records").cast("double").alias("total_value"),
+    )
     gated_part = gated_df.select(
         F.lit("gated").alias("mode"),
         F.col("verdict").alias("grp"),
@@ -1612,6 +1632,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(incrollup_part)
         .unionByName(incann_part)
         .unionByName(increr_part)
+        .unionByName(increridx_part)
         .unionByName(gated_part)
         .unionByName(incgold_part)
     )
@@ -2434,6 +2455,15 @@ ORACLES: dict[str, str] = {
         + _tagged(
             _K["stream_entity_resolution"],
             "'increr' AS mode, CAST(rec_id AS VARCHAR) AS grp, "
+            "CAST(NULL AS TIMESTAMP) AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "entity_id AS n_events, "
+            "CAST(n_records AS DOUBLE) AS total_value",
+        )
+        + " UNION ALL "
+        + _tagged(
+            _K["stream_er_indexed"],
+            "'increridx' AS mode, CAST(rec_id AS VARCHAR) AS grp, "
             "CAST(NULL AS TIMESTAMP) AS window_start, "
             "CAST(NULL AS TIMESTAMP) AS window_end, "
             "entity_id AS n_events, "

@@ -590,6 +590,7 @@ def ensure_partitioned(
     template: DataFrame,
     num_buckets: int = 64,
     range_width: int | None = None,
+    bucket_col: str | None = None,
 ) -> str:
     """K1 for ptables: create-if-absent — an EMPTY committed manifest
     carrying the template's schema, so a destination that never receives
@@ -607,6 +608,7 @@ def ensure_partitioned(
             "range_width": range_width,
             "buckets": {},
             "retired": {},
+            "bucket_col": bucket_col,
             "schema": template.schema.jsonValue(),
         }
         tmp = manifest_path + ".tmp"
@@ -689,6 +691,7 @@ def _partitioned_merge(
     range_width: int | None = None,
     skip_absent_buckets: bool = False,
     drop_empty_affected: bool = False,
+    bucket_col: str | None = None,
 ) -> str:
     """Shared bucket plumbing for every partition-pruned merge flavor.
 
@@ -706,6 +709,20 @@ def _partitioned_merge(
     EMPTY is removed from the manifest instead of silently keeping its
     old dir — without this, a delete that empties a bucket would
     resurrect its rows).
+
+    ``bucket_col`` (secondary-index co-location): bucket PLACEMENT
+    hashes this column instead of the merge key, so point reads that
+    probe by it (``read_partitioned_for_keys(..., key=bucket_col)``)
+    prune to its buckets — the lakehouse analog of partitioning a table
+    by its query column while deduping on its row key. CONTRACT: the
+    bucket column must be functionally determined by the merge key
+    (same key ⇒ same bucket value) — otherwise two versions of one key
+    could land in different buckets and the per-bucket anti-join dedup
+    would miss the stale copy. The natural shape is a key that EMBEDS
+    the bucket value (``concat(bucket_val, sep, ...)``) — then the
+    dependence holds by construction. Recorded in the manifest at
+    creation; the manifest's value wins thereafter, like
+    ``num_buckets``.
     """
     pdir = _ptable_dir(base_dir, name)
     os.makedirs(pdir, exist_ok=True)
@@ -715,12 +732,13 @@ def _partitioned_merge(
             man = _read_manifest(pdir)
         else:
             man = {"num_buckets": num_buckets, "range_width": range_width,
-                   "buckets": {}, "retired": {}}
+                   "buckets": {}, "retired": {}, "bucket_col": bucket_col}
         nb = int(man["num_buckets"])
         rw = man.get("range_width")
+        bcol = man.get("bucket_col") or key
         affected = sorted(
             r[0]
-            for r in source.select(_bucket_expr(key, nb, rw).alias(_BUCKET_COL))
+            for r in source.select(_bucket_expr(bcol, nb, rw).alias(_BUCKET_COL))
             .distinct()
             .collect()
         )
@@ -735,7 +753,7 @@ def _partitioned_merge(
         ]
         target = spark.read.parquet(*cur) if cur else None
         merged = merge_fn(target, source).withColumn(
-            _BUCKET_COL, _bucket_expr(key, nb, rw)
+            _BUCKET_COL, _bucket_expr(bcol, nb, rw)
         )
         if shuffle_partitions:
             merged = merged.repartition(shuffle_partitions, F.col(_BUCKET_COL))
@@ -785,6 +803,7 @@ def _partitioned_merge(
                     retired[str(b)], extra = window[: keep - 1], window[keep - 1 :]
                     dropped.extend(extra)
             man2 = {"num_buckets": nb, "range_width": rw,
+                    "bucket_col": man.get("bucket_col"),
                     "buckets": new_buckets, "retired": retired,
                     # schema stamp: lets an all-buckets-emptied (or
                     # never-written) table read back as an empty
@@ -852,11 +871,15 @@ def partitioned_upsert(
     keep: int = 2,
     shuffle_partitions: int | None = None,
     range_width: int | None = None,
+    bucket_col: str | None = None,
 ) -> str:
     """K4 MERGE that rewrites ONLY the key-hash buckets containing source
     keys. Same idempotent replace-matched/insert-new semantics as
     ``upsert`` (proven equal by test); I/O is O(|delta| + |affected
-    buckets|) instead of O(|table|).
+    buckets|) instead of O(|table|). ``bucket_col`` places rows by a
+    probe column instead of the merge key (secondary-index co-location
+    — see ``_partitioned_merge`` for the functional-dependence
+    contract).
 
     ``num_buckets`` is fixed at table creation (the manifest's value wins
     thereafter). Size it so one bucket ≈ a few GB at the target scale —
@@ -879,6 +902,7 @@ def partitioned_upsert(
         spark, source, base_dir, name, key, merge,
         num_buckets=num_buckets, keep=keep,
         shuffle_partitions=shuffle_partitions, range_width=range_width,
+        bucket_col=bucket_col,
     )
 
 
@@ -901,7 +925,12 @@ def partitioned_delete_keys(
     retired through the same keep-window in-flight readers rely on),
     and untouched buckets' files are never opened, let alone rewritten
     (pinned by test). The manifest flip is ``os.replace`` — atomic, so
-    any crash window replays cleanly."""
+    any crash window replays cleanly.
+
+    On a ``bucket_col`` table the keys DataFrame must carry the bucket
+    column too (placement hashes it, not the merge key) — a keys-only
+    probe fails loudly in the bucket-id select rather than deleting
+    from the wrong buckets."""
 
     def merge(target: DataFrame | None, src: DataFrame) -> DataFrame:
         # target is never None: absent buckets are skipped before read

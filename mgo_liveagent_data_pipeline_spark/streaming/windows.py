@@ -859,6 +859,148 @@ def stream_media_dedup(
     return table_path(base_dir, pairs_name), index_path
 
 
+def _er_block_memberships(df: DataFrame, bcols: list) -> DataFrame:
+    """(p, bk, rec_id, ikey) block-membership rows of a record relation —
+    one row per non-null block value per pass; ``ikey`` embeds the
+    bucket value first, so the index ptable's bucket_col contract
+    (bucket value functionally determined by the merge key) holds by
+    construction."""
+    arr = F.array(*[F.col(c).cast("string") for c in bcols])
+    return (
+        df.select(F.col("rec_id"), F.posexplode(arr).alias("p", "bk"))
+        .where(F.col("bk").isNotNull())
+        .select(
+            "p", "bk", "rec_id",
+            F.concat_ws(
+                "\x1f",
+                F.col("bk"),
+                F.col("p").cast("string"),
+                F.col("rec_id").cast("string"),
+            ).alias("ikey"),
+        )
+    )
+
+
+def _er_index_tail_dir(base_dir: str, name: str) -> str:
+    return os.path.join(base_dir, f"{name}.tail")
+
+
+def _er_index_tail_write(
+    spark: SparkSession, rows: DataFrame, base_dir: str, name: str,
+    token: int,
+) -> None:
+    """Append one TOKEN-NAMED delta-sized file to the index tail — the
+    LSM move that keeps per-batch index maintenance O(delta): a bucketed
+    MERGE rewrites every affected bucket's full contents (measured 2.4x
+    vs 1.7x at the 64x smoke when the per-batch MERGE carried the
+    index), while the tail write is exactly the batch's membership
+    bytes. Exactly-once per token: a replayed batch finds its file
+    already present and skips — no duplicates, no manifest needed."""
+    tdir = _er_index_tail_dir(base_dir, name)
+    os.makedirs(tdir, exist_ok=True)
+    dest = os.path.join(tdir, f"t{token:09d}.parquet")
+    if os.path.exists(dest):
+        return
+    tmp = os.path.join(tdir, f".t{token:09d}.tmp")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_er_block_index(
+    spark: SparkSession, base_dir: str, name: str = "er_blockindex",
+    bk_probe: DataFrame | None = None,
+) -> DataFrame:
+    """Current index contents: the bucketed BASE (bucket-pruned to the
+    probe's block values when ``bk_probe`` — a one-column ``bk``
+    DataFrame — is given) unioned with the un-compacted TAIL files
+    (small by construction: ≤ compaction-cadence batches of delta-sized
+    memberships, scanned whole). During the compaction crash window a
+    membership can appear in both base and tail — consumers take
+    ``.distinct()`` over (p, bk, rec_id) exactly as the neighborhood
+    probe does, so the duplicate is harmless; the contract is
+    dedup-at-read, pinned by test."""
+    from ..sinks.writers import read_partitioned, read_partitioned_for_keys
+
+    base = (
+        read_partitioned(spark, base_dir, name)
+        if bk_probe is None
+        else read_partitioned_for_keys(spark, base_dir, name, bk_probe, "bk")
+    )
+    tdir = _er_index_tail_dir(base_dir, name)
+    if os.path.isdir(tdir):
+        toks = [
+            os.path.join(tdir, f)
+            for f in sorted(os.listdir(tdir))
+            if f.endswith(".parquet")
+        ]
+        if toks:
+            base = base.unionByName(spark.read.parquet(*toks))
+    return base
+
+
+def compact_er_block_index(
+    spark: SparkSession, base_dir: str, name: str = "er_blockindex",
+    num_buckets: int = 64,
+) -> None:
+    """Fold the tail into the bucketed base: one MERGE of every tail
+    row (idempotent on the embedded composite key), then the folded
+    token files are removed. A crash between the MERGE and the removes
+    replays as a re-MERGE of identical keys — a no-op — so any crash
+    window is clean; mid-compaction readers may see a membership in
+    both base and tail, which the dedup-at-read contract absorbs."""
+    from ..sinks.writers import partitioned_upsert
+
+    tdir = _er_index_tail_dir(base_dir, name)
+    if not os.path.isdir(tdir):
+        return
+    toks = [
+        os.path.join(tdir, f)
+        for f in sorted(os.listdir(tdir))
+        if f.endswith(".parquet")
+    ]
+    if not toks:
+        return
+    partitioned_upsert(
+        spark, spark.read.parquet(*toks), base_dir, name, "ikey",
+        num_buckets=num_buckets, bucket_col="bk",
+    )
+    for t in toks:
+        try:
+            os.remove(t)
+        except OSError:
+            pass
+
+
+def build_er_block_index(
+    spark: SparkSession,
+    records: DataFrame,
+    base_dir: str,
+    block_col="block_key",
+    num_buckets: int = 64,
+    name: str = "er_blockindex",
+) -> str:
+    """Bootstrap/backfill the secondary block index
+    ``stream_entity_resolution(block_index_buckets=...)`` maintains
+    incrementally: one scan of the record relation → membership rows →
+    one bucket_col-co-located MERGE. Required whenever the record table
+    was seeded OUTSIDE the stream loop (migration onto the indexed
+    path), and doubles as the self-heal if an index is ever suspected
+    incomplete — the MERGE is idempotent on the embedded composite key,
+    so re-running it over the full record table repairs any hole
+    without disturbing valid rows. Cost is O(|records|) — a bootstrap
+    price, paid once, not per ingest."""
+    from ..operators.entity import _block_cols
+    from ..sinks.writers import partitioned_upsert
+
+    rows = _er_block_memberships(records, _block_cols(block_col))
+    return partitioned_upsert(
+        spark, rows, base_dir, name, "ikey",
+        num_buckets=num_buckets, bucket_col="bk",
+    )
+
+
 def stream_entity_resolution(
     spark: SparkSession,
     records_df: DataFrame,
@@ -874,6 +1016,9 @@ def stream_entity_resolution(
     block_col="block_key",
     full_sweep_every: int = 16,
     state_num_buckets: int | None = None,
+    block_index_buckets: int | None = None,
+    blockindex_name: str = "er_blockindex",
+    index_compact_every: int = 16,
 ) -> tuple[str, str | None]:
     """Continuous record ingestion with streaming entity resolution —
     the streaming member of the ER family (batch ``resolve_entities`` →
@@ -953,10 +1098,46 @@ def stream_entity_resolution(
     are lazy manifest-resolved scans the operator itself prunes with
     its block semi-joins. Returned paths are then ptable dirs.
 
+    ``block_index_buckets`` (requires ``state_num_buckets``) removes the
+    records-side standing scan entirely with a SECONDARY BLOCK INDEX —
+    a ptable of (pass, block value, rec_id) memberships bucketed by
+    BLOCK VALUE (``bucket_col`` co-location) and MERGE-keyed by the
+    embedded composite (memberships of an immutable record never
+    change, so the index is append-shaped and replay-idempotent). The
+    index is LSM-shaped: each batch appends a token-named delta-sized
+    TAIL file (a per-batch bucketed MERGE rewrites every affected
+    bucket's full contents — measured 2.4x vs 1.7x at the 64x smoke —
+    while the tail write is exactly the batch's membership bytes), and
+    every ``index_compact_every``-th batch folds the tail into the
+    bucketed base (idempotent on the composite key, so the compaction
+    crash window replays cleanly; mid-compaction readers may see a
+    membership twice — dedup-at-read, the neighborhood probe's
+    ``.distinct()``). Each ingest then (1) reads the index base buckets
+    the batch's block values hash to plus the small tail, (2) resolves
+    the delta-neighborhood rec_ids, (3) reads only THOSE records'
+    buckets, and passes that neighborhood as the operator's corpus —
+    block probes, feature projection, and the block-size guard all see
+    exactly the records the full-corpus scan would have kept (the
+    index is complete for every stored record), so results are
+    bit-identical while scan I/O per ingest is O(delta neighborhood +
+    pruned index slice) instead of O(standing corpus). The tail write
+    runs FIRST in the batch: a crash window can only leave the index a
+    SUPERSET of the record table (extra probe keys — harmless), never
+    a hole (a missed membership would silently drop true pairs
+    forever). Pruning pays when the delta's block-value footprint is
+    small against the bucket count (point-y ingests on a key whose
+    cardinality grows with the data); a delta inhabiting every block —
+    the smoke's 25-block stress fixture — degrades the base probe to a
+    narrow full-index read, which is the same cost shape as the
+    un-indexed narrow corpus scan, not worse. The residual standing
+    terms are the ASSIGNMENT-side narrow scans (touched-component
+    expansion needs entity→members, an access path the rec_id-keyed
+    ptable cannot prune).
+
     Returns (assignment path, golden ptable dir or None — read it back
     with ``writers.read_partitioned``).
     """
-    from ..operators.entity import golden_records, incremental_resolve_entities
+    from ..operators.entity import _block_cols, golden_records, incremental_resolve_entities
     from ..sinks.writers import (
         ensure_partitioned,
         ensure_table,
@@ -967,6 +1148,18 @@ def stream_entity_resolution(
         table_path,
         upsert,
     )
+
+    if block_index_buckets is not None and state_num_buckets is None:
+        raise ValueError(
+            "block_index_buckets needs state_num_buckets: the index "
+            "resolves neighborhood rec_ids, and only a bucketed record "
+            "ptable can turn those into a pruned read — against a flat "
+            "record table the probe still scans every file"
+        )
+    bcols = _block_cols(block_col)
+
+    def _idx_rows(df: DataFrame) -> DataFrame:
+        return _er_block_memberships(df, bcols)
 
     stage = os.path.join(base_dir, "er_ingest")
     os.makedirs(stage, exist_ok=True)
@@ -1025,6 +1218,15 @@ def stream_entity_resolution(
             spark, base_dir, golden_name, g_template,
             num_buckets=golden_num_buckets,
         )
+    if block_index_buckets is not None:
+        ensure_partitioned(
+            spark, base_dir, blockindex_name,
+            spark.createDataFrame(
+                [], "p int, bk string, rec_id long, ikey string"
+            ),
+            num_buckets=block_index_buckets,
+            bucket_col="bk",
+        )
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if state_num_buckets is None:
@@ -1032,13 +1234,50 @@ def stream_entity_resolution(
             asg = spark.read.parquet(asg_path)
             corpus_keys = corpus.select("rec_id")
         else:
-            corpus = read_partitioned(spark, base_dir, rec_name)
             asg = read_partitioned(spark, base_dir, asg_name)
             # the fresh-key probe touches only the batch's buckets
             corpus_keys = read_partitioned_for_keys(
                 spark, base_dir, rec_name,
                 batch_df.select("rec_id"), "rec_id",
             ).select("rec_id")
+            if block_index_buckets is None:
+                corpus = read_partitioned(spark, base_dir, rec_name)
+            else:
+                # index TAIL write first: any crash window leaves the
+                # index a SUPERSET of the record table (extra probe keys
+                # are harmless; a hole would drop true pairs forever) —
+                # the token-named file makes the replay an exact no-op.
+                # A tail APPEND, not a bucketed MERGE: the MERGE rewrote
+                # every affected bucket's full contents per batch (the
+                # 64x smoke measured that write amplification at 2.4x vs
+                # the un-indexed ptable path's 1.7x), while the tail
+                # write is exactly the batch's membership bytes;
+                # compaction folds the tail in on a cadence below.
+                _er_index_tail_write(
+                    spark, _idx_rows(batch_df), base_dir, blockindex_name,
+                    _batch_id,
+                )
+                # delta-neighborhood corpus: index base buckets for the
+                # batch's block values (+ the small tail) → (pass,
+                # value)-exact rec_ids → those records' buckets — scan
+                # I/O tracks the delta's neighborhood plus the index's
+                # narrow pruned slice, not the standing corpus
+                dmem = (
+                    _idx_rows(batch_df).select("p", "bk").distinct()
+                    .localCheckpoint(eager=True)
+                )
+                neigh_ids = (
+                    read_er_block_index(
+                        spark, base_dir, blockindex_name,
+                        bk_probe=dmem.select("bk"),
+                    )
+                    .join(F.broadcast(dmem), ["p", "bk"])
+                    .select("rec_id")
+                    .distinct()
+                )
+                corpus = read_partitioned_for_keys(
+                    spark, base_dir, rec_name, neigh_ids, "rec_id"
+                )
         fresh = batch_df.join(corpus_keys, "rec_id", "left_anti")
         # emit='changed': only the recomputed (delta ∪ touched) rows —
         # MERGEing them over the stored table IS the full assignment,
@@ -1141,6 +1380,19 @@ def stream_entity_resolution(
             partitioned_upsert(
                 spark, fresh, base_dir, rec_name, "rec_id",
                 num_buckets=state_num_buckets,
+            )
+        if block_index_buckets is not None and index_compact_every and (
+            _batch_id + 1
+        ) % index_compact_every == 0:
+            # compaction runs LAST: every plan that lazily referenced a
+            # tail file (the neighborhood corpus feeding `changed`) has
+            # been materialized by now, so folding the tail and removing
+            # its token files cannot yank a file out from under an
+            # in-flight plan (the bug the first placement had — compact
+            # before the eager checkpoint, FAILED_READ_FILE downstream)
+            compact_er_block_index(
+                spark, base_dir, blockindex_name,
+                num_buckets=block_index_buckets,
             )
 
     with state_partitions(spark, n_state_partitions), _checkpoint(

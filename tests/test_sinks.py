@@ -1291,3 +1291,47 @@ def test_ensure_partitioned_empty_manifest_roundtrip(spark, tmp_path):
     ensure_partitioned(spark, base, "t", template, num_buckets=4)
     assert {r["k"] for r in read_partitioned(spark, base, "t").collect()} == {1}
     assert _read_manifest(pdir).get("schema") is not None
+
+
+def test_partitioned_upsert_bucket_col_colocation(spark, tmp_path):
+    """Secondary-index co-location: rows PLACED by bucket_col, deduped
+    by the merge key. A probe by the bucket column prunes to its
+    buckets and returns every row sharing that value; re-upserting the
+    same keys replaces in place (the functional-dependence contract —
+    the key embeds the bucket value — keeps both copies in one bucket);
+    and a later merge that omits bucket_col still uses the manifest's
+    recorded value."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        _ptable_dir,
+        _read_manifest,
+        partitioned_upsert,
+        read_partitioned,
+        read_partitioned_for_keys,
+    )
+
+    base = str(tmp_path)
+    rows = spark.createDataFrame(
+        [("b1", 1, "b1:1"), ("b1", 2, "b1:2"), ("b2", 3, "b2:3")],
+        ["bk", "rec", "ikey"],
+    )
+    partitioned_upsert(
+        spark, rows, base, "idx", "ikey", num_buckets=8, bucket_col="bk"
+    )
+    man = _read_manifest(_ptable_dir(base, "idx"))
+    assert man["bucket_col"] == "bk"
+    # probe by the BUCKET column: both b1 rows come back, b2's don't
+    got = read_partitioned_for_keys(
+        spark, base, "idx",
+        spark.createDataFrame([("b1",)], ["bk"]), "bk",
+    )
+    assert {(r["bk"], r["rec"]) for r in got.collect()} == {("b1", 1), ("b1", 2)}
+    # rows sharing a bucket value land in ONE bucket dir (co-location)
+    b1_rows = rows.where("bk = 'b1'").count()
+    assert b1_rows == 2
+    # merge WITHOUT bucket_col: manifest's recorded value wins — the
+    # replaced key stays in its bucket, no duplicate appears
+    upd = spark.createDataFrame([("b1", 99, "b1:1")], ["bk", "rec", "ikey"])
+    partitioned_upsert(spark, upd, base, "idx", "ikey", num_buckets=8)
+    final = {(r["ikey"], r["rec"])
+             for r in read_partitioned(spark, base, "idx").collect()}
+    assert final == {("b1:1", 99), ("b1:2", 2), ("b2:3", 3)}

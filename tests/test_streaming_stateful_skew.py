@@ -1468,3 +1468,195 @@ def test_stream_er_ptable_state_tables_drained_equals_batch(spark, tmp_path):
         for r in golden_records(df, resolve_entities(df), rules=RULES).collect()
     }
     assert gold == want_gold
+
+
+def test_stream_er_block_index_drained_equals_batch(spark, tmp_path):
+    """block_index_buckets replaces the records-side standing scan with
+    a secondary block-index probe (index buckets for the delta's block
+    values -> neighborhood rec_ids -> those records' buckets): the
+    drained assignment and golden dimension must still equal the
+    full-batch resolve bit for bit — the index is pure I/O pruning.
+    Built from a FRESH stream (no pre-seeded state), so later batches
+    probe an index earlier batches maintained."""
+    import pytest
+
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        golden_records,
+        resolve_entities,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+    )
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_entity_resolution,
+    )
+
+    recs = [
+        (10, 1, "Acme Metals Corp", "25-989-741", "12 Dock Rd"),
+        (11, 1, "acme metals corp inc", "25989741", "12 Dock Road Pier 4"),
+        (12, 1, "ACME METALS CORP", None, "12 D"),
+        (20, 1, "Blue Harbour Ltd", "77-111-222", "9 Quay St"),
+        (21, 1, "BH Logistics", "77111222", "9 Quay Street"),
+        (30, 1, "Cedar Freight", "55-000-111", "1 Yard Ln"),
+        (15, 1, "Acme Metals Corp", "77-111-222", "somewhere"),
+    ]
+    cols = ["rec_id", "block_key", "name", "phone", "address"]
+    df = spark.createDataFrame(recs, cols)
+    RULES = {"name": "first_by_key", "phone": "min", "address": "longest"}
+    base = str(tmp_path / "erbi")
+    asg_path, _ = stream_entity_resolution(
+        spark, df, base, n_batches=3, n_state_partitions=1,
+        golden_rules=RULES, golden_num_buckets=4, state_num_buckets=4,
+        block_index_buckets=4, index_compact_every=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in read_partitioned(spark, base, "er_assignment").collect()
+    }
+    want = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in resolve_entities(df).collect()
+    }
+    assert got == want
+    gold = {
+        r["entity_id"]: (r["n_records"], r["name"])
+        for r in read_partitioned(spark, base, "er_golden").collect()
+    }
+    want_gold = {
+        r["entity_id"]: (r["n_records"], r["name"])
+        for r in golden_records(df, resolve_entities(df), rules=RULES).collect()
+    }
+    assert gold == want_gold
+    # the index holds exactly the stored records' memberships (one row
+    # per non-null block value), split across the compacted BASE
+    # (batches 0-1, folded at the index_compact_every=2 cadence) and
+    # the TAIL (batch 2) — the reader helper unions both
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        read_er_block_index,
+    )
+
+    idx = read_er_block_index(spark, base)
+    assert {(r["p"], r["bk"], r["rec_id"]) for r in idx.collect()} == {
+        (0, "1", rid) for rid in (10, 11, 12, 20, 21, 30, 15)
+    }
+    assert read_partitioned(spark, base, "er_blockindex").count() > 0  # base
+    import os as _os
+
+    tail = [
+        f for f in _os.listdir(str(tmp_path / "erbi" / "er_blockindex.tail"))
+        if f.endswith(".parquet")
+    ]
+    assert tail  # batch 2's un-compacted token file
+    # the flat path refuses the index (it cannot prune a flat record
+    # table — a silent full scan would betray the option's contract)
+    with pytest.raises(ValueError, match="state_num_buckets"):
+        stream_entity_resolution(
+            spark, df, str(tmp_path / "er2"), block_index_buckets=4,
+        )
+
+
+def test_stream_er_block_index_multi_pass_recovers_dirty_key(spark, tmp_path):
+    """The multi-pass miss-recovery contract survives the indexed path:
+    a record whose primary block key is corrupted is still recovered
+    through its phone-prefix pass, because the index carries one
+    membership row PER PASS and the neighborhood probe matches
+    (pass, value) pairs exactly."""
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        resolve_entities,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+    )
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        stream_entity_resolution,
+    )
+
+    rows = [
+        # (rec_id, block_key, block_key2, name, phone)
+        (10, 1, "2598", "Acme Metals Corp", "25-989-741"),
+        (11, 1, "2598", "acme metals corp inc", "25989741"),
+        # corrupted primary key — only the phone-prefix pass can pair it
+        (13, 9, "2598", "acme metals corp", "25 989 741"),
+        (20, 1, "7711", "Blue Harbour Ltd", "77-111-222"),
+        (30, 1, None, "Cedar Freight", None),
+    ]
+    df = spark.createDataFrame(
+        rows, ["rec_id", "block_key", "block_key2", "name", "phone"]
+    )
+    base = str(tmp_path / "erbim")
+    stream_entity_resolution(
+        spark, df, base, n_batches=3, n_state_partitions=1,
+        block_col=["block_key", "block_key2"],
+        state_num_buckets=4, block_index_buckets=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["rec_id"]: r["entity_id"]
+        for r in read_partitioned(spark, base, "er_assignment").collect()
+    }
+    want = {
+        r["rec_id"]: r["entity_id"]
+        for r in resolve_entities(
+            df, block_col=["block_key", "block_key2"]
+        ).collect()
+    }
+    assert got == want
+    assert got[13] == got[10]  # recovered through pass 2
+    # NULL pass-2 key generates no membership row
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        read_er_block_index,
+    )
+
+    idx = read_er_block_index(spark, base)
+    assert not [r for r in idx.collect() if r["rec_id"] == 30 and r["p"] == 1]
+
+
+def test_build_er_block_index_backfill_matches_streamed(spark, tmp_path):
+    """Bootstrapping the index over an externally-seeded record table
+    produces exactly the rows the stream loop would have maintained —
+    the migration path onto block_index_buckets, and the self-heal for
+    a suspected-incomplete index (idempotent re-MERGE)."""
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+    )
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        build_er_block_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, "77"), (2, 5, None), (3, 6, "77")],
+        ["rec_id", "block_key", "block_key2"],
+    )
+    base = str(tmp_path / "bf")
+    build_er_block_index(
+        spark, df, base, block_col=["block_key", "block_key2"],
+        num_buckets=4,
+    )
+    # re-run = no-op (idempotent on the embedded composite key)
+    build_er_block_index(
+        spark, df, base, block_col=["block_key", "block_key2"],
+        num_buckets=4,
+    )
+    idx = {(r["p"], r["bk"], r["rec_id"])
+           for r in read_partitioned(spark, base, "er_blockindex").collect()}
+    assert idx == {
+        (0, "5", 1), (0, "5", 2), (0, "6", 3), (1, "77", 1), (1, "77", 3),
+    }
+    # mid-compaction duplicate tolerance (the dedup-at-read contract):
+    # a membership present in BOTH base and an un-compacted tail token
+    # appears twice in the raw union, once after the consumer's
+    # (p, bk, rec_id) distinct — exactly what the neighborhood probe does
+    from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        _er_block_memberships,
+        _er_index_tail_write,
+        read_er_block_index,
+    )
+
+    dup = _er_block_memberships(
+        df.where("rec_id = 1"), ["block_key", "block_key2"]
+    )
+    _er_index_tail_write(spark, dup, base, "er_blockindex", 7)
+    raw = read_er_block_index(spark, base)
+    assert raw.count() == 7  # 5 base + 2 duplicated tail rows
+    assert raw.select("p", "bk", "rec_id").distinct().count() == 5

@@ -188,6 +188,7 @@ def main() -> None:
         read_partitioned,
     )
     from mgo_liveagent_data_pipeline_spark.streaming.windows import (
+        build_er_block_index,
         stream_entity_resolution,
         stream_gated_ingest,
     )
@@ -204,7 +205,7 @@ def main() -> None:
         "rec_id", F.col("rec_id") + F.lit((factor + 2) * 10 * er_keys)
     ).localCheckpoint(eager=True)
 
-    def _run_ergold(corpus, state_num_buckets):
+    def _run_ergold(corpus, state_num_buckets, block_index_buckets=None):
         corpus = corpus.localCheckpoint(eager=True)
         base = tempfile.mkdtemp(prefix="st_", dir=big)
         # prep (untimed, a table in production): records + assignment +
@@ -228,6 +229,12 @@ def main() -> None:
                 spark, asg, base, "er_assignment", "rec_id",
                 num_buckets=state_num_buckets,
             )
+        if block_index_buckets is not None:
+            # bootstrap the secondary block index for the seeded corpus
+            # (untimed — the migration cost, paid once, not per ingest)
+            build_er_block_index(
+                spark, corpus, base, num_buckets=block_index_buckets,
+            )
         partitioned_upsert(
             spark,
             golden_records(corpus, asg, rules=RULES),
@@ -237,6 +244,7 @@ def main() -> None:
         _asgp, _gp = stream_entity_resolution(
             spark, er_delta, base, n_batches=1, golden_rules=RULES,
             state_num_buckets=state_num_buckets,
+            block_index_buckets=block_index_buckets,
         )
         wall = time.time() - t0
         # correctness guard: the stored assignment's recomputed rows
@@ -263,6 +271,9 @@ def main() -> None:
 
     def run_ergold_ptable(corpus):
         return _run_ergold(corpus, 64)
+
+    def run_ergold_indexed(corpus):
+        return _run_ergold(corpus, 64, block_index_buckets=64)
 
     # ---- round 11: streaming MULTI-PASS ER (block_col list) + the
     # bucketed golden dimension at a high bucket count — the 64× row
@@ -359,6 +370,7 @@ def main() -> None:
         "stream_incsem": (run_incsem, emb_1x, emb_nx),
         "stream_ergold": (run_ergold, er_1x, er_nx),
         "stream_ergold_ptable": (run_ergold_ptable, er_1x, er_nx),
+        "stream_ergold_indexed": (run_ergold_indexed, er_1x, er_nx),
         "stream_ermulti": (run_ermulti, erm_1x, erm_nx),
         "stream_gated_flat": (run_gated_flat, docs_1x, docs_nx),
         "stream_gated_ptable": (run_gated_ptable, docs_1x, docs_nx),
