@@ -157,6 +157,45 @@ def main() -> None:
             "sec": round(time.time() - t0, 2),
         }
         ipq.unpersist()
+        # metadata-filtered probe (round 11): 'pre' prunes posting-list
+        # MEMBERS before ranking — cost must DROP with selectivity and
+        # the true filtered top-k comes back full; 'post' ranks the
+        # unfiltered lists and drops afterwards — the under-fill
+        # contract, measured here as returned-row shortfall. Recall
+        # baseline is the brute-force top-k of the ELIGIBLE subset.
+        pred = "vec_id % 7 = 0"  # ~14% selectivity at every scale
+        fprobes = 2 if posting["n_lists"] <= 16 else 8
+        t0 = time.time()
+        fexact = cosine_topk(corpus.where(pred), q, k=K).persist()
+        n_full = fexact.count()
+        t_fbrute = round(time.time() - t0, 2)
+        t0 = time.time()
+        fpre = ivf_topk(
+            corpus, q, k=K, n_probes=fprobes,
+            predicate=pred, filter_mode="pre",
+        ).persist()
+        n_pre = fpre.count()
+        t_fpre = round(time.time() - t0, 2)
+        t0 = time.time()
+        fpost = ivf_topk(
+            corpus, q, k=K, n_probes=fprobes,
+            predicate=pred, filter_mode="post",
+        ).persist()
+        n_post = fpost.count()
+        t_fpost = round(time.time() - t0, 2)
+        section["filtered"] = {
+            "n_probes": fprobes,
+            "t_brute_filtered": t_fbrute,
+            "pre": {
+                "recall": recall_at_k(fpre, fexact),
+                "rows": n_pre,
+                "sec": t_fpre,
+            },
+            "post": {"rows": n_post, "rows_full": n_full, "sec": t_fpost},
+        }
+        fpre.unpersist()
+        fpost.unpersist()
+        fexact.unpersist()
         exact.unpersist()
         corpus.unpersist()
         release_intermediates()

@@ -205,7 +205,20 @@ def main() -> None:
         "rec_id", F.col("rec_id") + F.lit((factor + 2) * 10 * er_keys)
     ).localCheckpoint(eager=True)
 
-    def _run_ergold(corpus, state_num_buckets, block_index_buckets=None):
+    # pointy delta: the same fixed slice CONFINED to two blocks — the
+    # trickle-ingest regime where the secondary block index's pruning
+    # can actually bite (the full %41 delta inhabits every one of the
+    # fixture's 25 blocks, so its rows measure the index's overhead
+    # ceiling, not its win case)
+    er_delta_pt = er_1x.where(
+        (F.col("rec_id") % 41 == 0) & F.col("block_key").isin(3, 7)
+    ).withColumn(
+        "rec_id", F.col("rec_id") + F.lit((factor + 2) * 10 * er_keys)
+    ).localCheckpoint(eager=True)
+
+    def _run_ergold(corpus, state_num_buckets, block_index_buckets=None,
+                    delta=None):
+        delta = er_delta if delta is None else delta
         corpus = corpus.localCheckpoint(eager=True)
         base = tempfile.mkdtemp(prefix="st_", dir=big)
         # prep (untimed, a table in production): records + assignment +
@@ -242,7 +255,7 @@ def main() -> None:
         )
         t0 = time.time()
         _asgp, _gp = stream_entity_resolution(
-            spark, er_delta, base, n_batches=1, golden_rules=RULES,
+            spark, delta, base, n_batches=1, golden_rules=RULES,
             state_num_buckets=state_num_buckets,
             block_index_buckets=block_index_buckets,
         )
@@ -250,7 +263,7 @@ def main() -> None:
         # correctness guard: the stored assignment's recomputed rows
         # equal the direct incremental operator on the same state
         want = incremental_resolve_entities(
-            corpus, er_delta, corpus_assignment=asg,
+            corpus, delta, corpus_assignment=asg,
             max_block=20_000, emit="changed", check_overlap=False,
         ).localCheckpoint(eager=True)
         stored_asg = (
@@ -274,6 +287,13 @@ def main() -> None:
 
     def run_ergold_indexed(corpus):
         return _run_ergold(corpus, 64, block_index_buckets=64)
+
+    def run_ergold_ptable_pt(corpus):
+        return _run_ergold(corpus, 64, delta=er_delta_pt)
+
+    def run_ergold_indexed_pt(corpus):
+        return _run_ergold(corpus, 64, block_index_buckets=64,
+                           delta=er_delta_pt)
 
     # ---- round 11: streaming MULTI-PASS ER (block_col list) + the
     # bucketed golden dimension at a high bucket count — the 64× row
@@ -371,6 +391,8 @@ def main() -> None:
         "stream_ergold": (run_ergold, er_1x, er_nx),
         "stream_ergold_ptable": (run_ergold_ptable, er_1x, er_nx),
         "stream_ergold_indexed": (run_ergold_indexed, er_1x, er_nx),
+        "stream_ergold_ptable_pt": (run_ergold_ptable_pt, er_1x, er_nx),
+        "stream_ergold_indexed_pt": (run_ergold_indexed_pt, er_1x, er_nx),
         "stream_ermulti": (run_ermulti, erm_1x, erm_nx),
         "stream_gated_flat": (run_gated_flat, docs_1x, docs_nx),
         "stream_gated_ptable": (run_gated_ptable, docs_1x, docs_nx),
