@@ -114,7 +114,7 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the 8-row ledger (stage_no, stage, rows_in, rows_out,
     checksum). Driver-visible via the ``elt_parity`` mode of
     ``k5_history_sink``; the twin is ``_elt_parity_sql``."""
-    from ..operators.dedup import _scoped_persist
+    from ..operators.dedup import _scoped_persist, lineage_cut
     from ..operators.joins import fuzzy_threshold_join, similarity_join_argmax
     from ..operators.setops import new_vs_existing_counts
     from ..enrich.convo import analyze_conversations
@@ -231,7 +231,15 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(SPECIAL_USER_ID, "Special Raw")], ["id", "name"])
     )
     append(process_messages(raw_msgs, agents, now=now2), base, "messages")
+    # persist AND materialize now (one cheap scan job): five consumers
+    # read this relation (s3 stats, users dim, convo filter, both ledger
+    # branches), and several of them run inside CONCURRENT broadcast-
+    # exchange jobs — a lazy persist lets each racing first consumer
+    # recompute the scan instead of hitting the cache (guide §5: cache
+    # only what is reused; the round-11 event-log profile measured the
+    # same 3-task messages FileScan in 9 separate jobs of one run)
     msgs = _scoped_persist(spark.read.parquet(table_path(base, "messages")))
+    msgs.count()
     s3 = _stats(
         msgs,
         F.concat_ws(
@@ -260,7 +268,17 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ship_package
 
     ship_package(spark)
-    ana = _scoped_persist(
+    # EAGER lineage cut, not a lazy persist: this is the member's most
+    # expensive subtree (groupBy + mapInPandas gateway + schedule-fusion
+    # expressions), and it feeds the geocode argmax, the viability tag,
+    # the history/current writes AND the ledger — several of those run
+    # as concurrent broadcast-exchange jobs, so with a lazy persist each
+    # racing consumer recomputed the whole analysis (the round-11
+    # event-log profile measured the identical 8.6 s analysis stage
+    # running 3× in parallel inside one member execution). The eager cut
+    # materializes it exactly once, synchronously, and truncates the
+    # giant fusion plan out of every downstream optimizer pass.
+    ana = lineage_cut(
         analyze_conversations(
             elig,
             gateway,
@@ -272,7 +290,8 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn(
             "schedule_ts",
             fuse_schedule(F.col("schedule_date"), F.col("schedule_time")),
-        )
+        ),
+        eager=True,
     )
     ck5 = F.concat_ws(
         "|",
@@ -309,9 +328,15 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("location", F.col("g").alias("matched_address"), "geo_level")
     svc = spark.createDataFrame([(m,) for m in _SERVICEABLE], ["muni"])
     vi = fuzzy_threshold_join(locs, svc, "location", "muni", threshold=40.0)
+    # geo and vi are LOCATION-grained (a handful of distinct analysis
+    # locations), but they descend from a mapInPandas output whose size
+    # Catalyst cannot estimate, so the planner fell back to TWO
+    # SortMergeJoins that each shuffled the full analysis relation by
+    # location (guide §3.1: broadcast the side you know is small).
+    # Explicit broadcasts keep the analysis relation un-shuffled.
     anag = _scoped_persist(
-        ana.join(geo, "location", "left")
-        .join(vi.select("location", "viable"), "location")
+        ana.join(F.broadcast(geo), "location", "left")
+        .join(F.broadcast(vi.select("location", "viable")), "location")
     )
     ck6 = F.concat_ws(
         "|",
