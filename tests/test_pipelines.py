@@ -182,6 +182,50 @@ def test_elt_parity_ledger_invariants(spark):
     assert all(rows[i]["checksum"] > 0 for i in range(1, 9))
 
 
+def test_parity_overlap_equals_sequential_and_raises(spark, tmp_path):
+    """The parity chain's `_overlap` (guide §2.6 thread-pool submission
+    of INDEPENDENT writer steps): (a) overlapped history-append +
+    current-merge of one round produce byte-identical table states to
+    the sequential schedule — the independence claim the member's
+    docstring makes; (b) an exception in either thunk propagates to the
+    caller (a silently swallowed writer failure would corrupt the
+    lifecycle mid-chain)."""
+    from mgo_liveagent_data_pipeline_spark.plans.parity import _overlap
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        history_append,
+        table_path,
+        upsert,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["ticket_id", "v"]
+    )
+    seq, par = str(tmp_path / "seq"), str(tmp_path / "par")
+    for _ in range(2):
+        history_append(spark, src, seq, "t")
+        upsert(spark, src, seq, "t", "ticket_id")
+    for _ in range(2):
+        _overlap(
+            lambda: history_append(spark, src, par, "t"),
+            lambda: upsert(spark, src, par, "t", "ticket_id"),
+        )
+    for name in ("t", "t_history"):
+        a = sorted(
+            map(tuple, spark.read.parquet(table_path(seq, name)).collect())
+        )
+        b = sorted(
+            map(tuple, spark.read.parquet(table_path(par, name)).collect())
+        )
+        assert a == b, name
+    assert spark.read.parquet(table_path(par, "t_history")).count() == 6
+
+    def _boom():
+        raise RuntimeError("writer died")
+
+    with pytest.raises(RuntimeError, match="writer died"):
+        _overlap(lambda: None, _boom)
+
+
 def test_logs_pipeline_metrics_row(spark, tmp_path, agents, raw_messages):
     base = str(tmp_path)
     run_message_pipeline(spark, raw_messages, agents, base, now=NOW())
