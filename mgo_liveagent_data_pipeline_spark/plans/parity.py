@@ -89,12 +89,44 @@ def _overlap(*thunks) -> None:
     only already-materialized inputs: every table's own write order is
     preserved by the surrounding control flow, so the final table states
     — the only thing the ledger and the DuckDB twin observe — are
-    byte-identical to the sequential schedule. Exceptions propagate."""
-    from concurrent.futures import ThreadPoolExecutor
+    byte-identical to the sequential schedule.
+
+    Failure semantics (deliberately weaker than the reference's
+    sequential route, where a step raising prevents every later step
+    from starting): all submitted steps run to completion — there is no
+    cancellation, so a failing step does not abort its sibling writers.
+    Every failure is surfaced: the first exception is raised and any
+    further ones are logged before it propagates, so a multi-writer
+    failure is fully reported instead of the extras being discarded."""
+    from concurrent.futures import ThreadPoolExecutor, wait
 
     with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
-        for f in [ex.submit(t) for t in thunks]:
-            f.result()
+        futures = [ex.submit(t) for t in thunks]
+        wait(futures)
+    errs = [e for f in futures if (e := f.exception()) is not None]
+    if errs:
+        import logging
+
+        for extra in errs[1:]:
+            logging.getLogger(__name__).error(
+                "concurrent writer step also failed: %r", extra
+            )
+        raise errs[0]
+
+
+def _run_keyed_persist(df: DataFrame, run_tag: str) -> "DataFrame":
+    """Persist with a run-unique, optimizer-folded predicate so the
+    CacheManager can NOT dedupe this relation against a previous
+    invocation's still-registered cache: every bench pass must re-pay
+    the member's full compute (no result reuse across invocations) —
+    the same no-reuse property the round-11 shape got for free from
+    persisting read-backs of per-run scratch paths. The predicate
+    (run_tag = run_tag, both literals) is constant-folded out of the
+    physical plan, so runtime cost and schema are unchanged; only the
+    analyzed-plan cache key differs per run."""
+    from ..operators.dedup import _scoped_persist
+
+    return _scoped_persist(df.where(F.lit(run_tag) == F.lit(run_tag)))
 
 
 def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,8 +136,11 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       1. ``tickets_upsert``  two extraction waves (full run, then a
          changed-rows run) → process_tickets → K4 staged MERGE
          (Extractor.py:56-100 → transforms/tickets.py + sinks/writers.py)
-      2. ``recent_window``   P3 read-back of the JUST-WRITTEN tickets
-         table, recent-window filter (extraction_helpers.py recent_tickets)
+      2. ``recent_window``   P3 recent-window filter over the merged
+         ticket state (extraction_helpers.py recent_tickets) — derived
+         in-hand with the same MERGE algebra the table write applies,
+         value-identical to the read-back (pinned by test; the ledger's
+         s1 still reads the written table back)
       3. ``messages_enrich`` per-window-ticket messages carrying the
          ticket's (agentid, owner_name) → F1 reference-code regex + F7
          Manila + J1 sender/receiver cascade → K2 append
@@ -120,7 +155,10 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
          Extractor.py:290-296, core/Geocode.py, utils/geocode_utils.py)
       7. ``history_merge``   K5 history append + K4 current-state MERGE,
          run twice: history accumulates 2x, current stays deduped
-         (extractor_bq_helpers.py:83-108)
+         (extractor_bq_helpers.py:83-108). The reference appends history
+         strictly BEFORE each merge; here a round's two writes overlap
+         (different tables), so equivalence to the reference's failure
+         ordering holds on the happy path only — see _overlap
       8. ``logs_metrics``    E1/E2 new-vs-existing key accounting + A1
          token totals → one-row logs append, read back
          (ExtractionLogger.py:95-176)
@@ -176,9 +214,26 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # stage 1 — two runs through the real route: transform + K4 MERGE
-    upsert(spark, process_tickets(w1, now1), base, "tickets", "id")
-    upsert(spark, process_tickets(w2, now2), base, "tickets", "id")
-    tickets = spark.read.parquet(table_path(base, "tickets"))
+    t1 = process_tickets(w1, now1)
+    t2 = process_tickets(w2, now2)
+
+    def _tickets_writes() -> None:
+        upsert(spark, t1, base, "tickets", "id")
+        upsert(spark, t2, base, "tickets", "id")
+
+    # in-hand merged ticket state — the same anti-join ∪ source algebra
+    # the K4 MERGE writes to disk (the first upsert's empty-target fast
+    # path stores t1 verbatim, the second merges t2 over it), so it is
+    # value-identical to a read-back of the written table (deterministic
+    # transforms, exact parquet roundtrip; pinned by
+    # test_parity_inhand_equals_readback). Deriving the recent window
+    # from it lets the stage-3 enrichment compute run WITHOUT waiting
+    # for the physical ticket writes — the two upserts overlap the
+    # enrichment materialization below (guide §2.6). The ledger's s1
+    # still reads back the written table: the certification read.
+    tickets_inhand = t1.join(
+        t2.select("id").distinct(), on="id", how="left_anti"
+    ).unionByName(t2)
     ck1 = F.concat_ws(
         "|",
         "id", "status", "tags", "agentid",
@@ -187,13 +242,13 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fmt(F.col("datetime_extracted")),
     )
     s_in1 = _count(w1.select("id").unionAll(w2.select("id")))
-    s1 = _stats(tickets, ck1)
 
-    # stage 2 — P3 recent window on the read-back (bounds the whole run)
-    win = _scoped_persist(
-        tickets.where(
+    # stage 2 — P3 recent window (bounds the whole run)
+    win = _run_keyed_persist(
+        tickets_inhand.where(
             F.col("date_created") >= F.lit(_CUTOFF).cast("timestamp")
-        ).select("k", "id", "agentid", "owner_name")
+        ).select("k", "id", "agentid", "owner_name"),
+        base,
     )
     s2 = _stats(
         win,
@@ -244,16 +299,27 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         spark.createDataFrame([(SPECIAL_USER_ID, "Special Raw")], ["id", "name"])
     )
-    append(process_messages(raw_msgs, agents, now=now2), base, "messages")
-    # persist AND materialize now (one cheap scan job): five consumers
-    # read this relation (s3 stats, users dim, convo filter, both ledger
-    # branches), and several of them run inside CONCURRENT broadcast-
-    # exchange jobs — a lazy persist lets each racing first consumer
-    # recompute the scan instead of hitting the cache (guide §5: cache
-    # only what is reused; the round-11 event-log profile measured the
-    # same 3-task messages FileScan in 9 separate jobs of one run)
-    msgs = _scoped_persist(spark.read.parquet(table_path(base, "messages")))
-    msgs.count()
+    # The enrichment is computed ONCE into a persisted cache, and the K2
+    # messages append writes FROM that cache — overlapped with stage 4/5
+    # below, off the critical path (guide §2.6; the round-11 shape wrote
+    # the table first and re-scanned it back into the cache, putting the
+    # write job AND the read-back fill in sequence in front of stage 5).
+    # Downstream consumers read the in-hand cache, which is value-
+    # identical to a read-back of the written table (the parquet
+    # roundtrip of these deterministic columns is exact; pinned by
+    # test_parity_inhand_equals_readback against the written files).
+    # Persist AND materialize now: five consumers read this relation
+    # (s3 stats, users dim, convo filter, both ledger branches), several
+    # inside CONCURRENT broadcast-exchange jobs — a lazy persist lets
+    # each racing first consumer recompute the scan instead of hitting
+    # the cache (guide §5; the round-11 event-log profile measured the
+    # same messages subtree in 9 separate jobs of one run).
+    msgs = _run_keyed_persist(
+        process_messages(raw_msgs, agents, now=now2), base
+    )
+    _overlap(_tickets_writes, msgs.count)
+    tickets = spark.read.parquet(table_path(base, "tickets"))
+    s1 = _stats(tickets, ck1)
     s3 = _stats(
         msgs,
         F.concat_ws(
@@ -289,11 +355,16 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running 3× in parallel inside one member execution). The eager cut
     # materializes it exactly once, synchronously, and truncates the
     # giant fusion plan out of every downstream optimizer pass.
-    # The stage-4 users upsert overlaps it (guide §2.6): both read only
-    # the materialized msgs cache and write different outputs (users
-    # table vs checkpoint storage), so the schedule cannot change any
-    # table state — the users write simply hides under the longer
-    # analysis job instead of serializing in front of it.
+    # The stage-3 messages append and stage-4 users upsert overlap it
+    # (guide §2.6): all three read only the materialized msgs cache and
+    # write different outputs (messages table, users table, checkpoint
+    # storage), so the schedule cannot change any table state — the two
+    # writes simply hide under the longer analysis job instead of
+    # serializing in front of it. Failure-semantics divergence from the
+    # reference's sequential route (messages append, THEN users upsert,
+    # THEN analysis): a failing messages write no longer prevents the
+    # users write from completing — equivalence holds on the happy path,
+    # which is all the ledger/twin observe (see _overlap).
     _box: dict[str, DataFrame] = {}
 
     def _build_ana() -> None:
@@ -315,6 +386,7 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _overlap(
         _build_ana,
+        lambda: append(msgs, base, "messages"),
         lambda: upsert(spark, users_src, base, "users", "id"),
     )
     ana = _box["ana"]
@@ -375,20 +447,56 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s6 = _stats(anag, ck6)
 
     # stage 7 — K5 history + K4 merge, run twice (the re-scheduled run):
-    # history accumulates both batches, current stays deduped. The two
-    # writes of a round touch DIFFERENT tables (convo_analysis_history
-    # vs convo_analysis) and read only anag (materialized below) plus
-    # their own table's previous round — which the loop barrier orders —
-    # so overlapping them (guide §2.6) leaves both final table states
-    # identical to the sequential schedule. anag is materialized FIRST
-    # so the round-1 pair shares the cache instead of racing its fill
-    # (the same lazy-persist race the analysis checkpoint fix removed).
+    # history accumulates both batches, current stays deduped. anag is
+    # materialized FIRST so the concurrent writers share the cache
+    # instead of racing its fill (the same lazy-persist race the
+    # analysis checkpoint fix removed).
     anag.count()
-    for _ in range(2):
-        _overlap(
-            lambda: history_append(spark, anag, base, "convo_analysis"),
-            lambda: upsert(spark, anag, base, "convo_analysis", "ticket_id"),
-        )
+
+    # the two rounds form TWO independent per-table chains — history
+    # round 2 needs only history round 1, the current-state merge round 2
+    # needs only merge round 1 — so each table's writes run in order
+    # inside its own thread and the chains overlap each other (guide
+    # §2.6); final table states are identical to the sequential schedule.
+    # Failure-semantics divergence from the reference
+    # (extractor_bq_helpers.py raises on a failed history load BEFORE the
+    # merge runs): overlapped, a history failure can leave convo_analysis
+    # already merged — final states are equivalent on the happy path
+    # only, which is all the ledger and the twin observe (see _overlap).
+    def _hist_rounds() -> None:
+        for _ in range(2):
+            history_append(spark, anag, base, "convo_analysis")
+
+    def _cur_rounds() -> None:
+        for _ in range(2):
+            upsert(spark, anag, base, "convo_analysis", "ticket_id")
+
+    # stage 8 — run metrics: wave-2 keys vs wave-1 pre-existing keys +
+    # token totals from the loaded analysis → one-row logs append. The
+    # token totals come from the in-hand anag cache, which is value-
+    # identical to the read-back current state (anag is ticket_id-unique,
+    # so the idempotent K4 MERGE of it into the fresh table IS anag —
+    # pinned by test_parity_inhand_equals_readback) — making the one-row
+    # logs append independent of the stage-7 tables, so it overlaps both
+    # merge rounds (guide §2.6) instead of serializing after them.
+    run_keys = w2.select("id")
+    counts = new_vs_existing_counts(run_keys, w1.select("id"), "id")
+    tokens = anag.agg(
+        F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.max("model").alias("model"),
+    )
+    logrow = counts.crossJoin(tokens).select(
+        to_manila(now2).alias("extraction_date"),
+        F.col("n_new").cast("long").alias("no_new"),
+        F.col("n_existing").cast("long").alias("no_existing"),
+        F.col("n_total").cast("long").alias("no_total"),
+        "total_tokens",
+        "model",
+    )
+    _overlap(_hist_rounds, _cur_rounds, lambda: append(logrow, base, "logs"))
+    # the ledger still READS BACK the written stage-7/8 tables (the
+    # certification the member exists for): s7/s8 scan the final table
+    # states inside the one ledger-count job
     cur = spark.read.parquet(table_path(base, "convo_analysis"))
     hist = spark.read.parquet(table_path(base, "convo_analysis_history"))
     s7 = _count(cur).crossJoin(
@@ -401,24 +509,6 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ck")
         )
     )
-
-    # stage 8 — run metrics: wave-2 keys vs wave-1 pre-existing keys +
-    # token totals from the loaded analysis → one-row logs append
-    run_keys = w2.select("id")
-    counts = new_vs_existing_counts(run_keys, w1.select("id"), "id")
-    tokens = cur.agg(
-        F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("total_tokens"),
-        F.max("model").alias("model"),
-    )
-    logrow = counts.crossJoin(tokens).select(
-        to_manila(now2).alias("extraction_date"),
-        F.col("n_new").cast("long").alias("no_new"),
-        F.col("n_existing").cast("long").alias("no_existing"),
-        F.col("n_total").cast("long").alias("no_total"),
-        "total_tokens",
-        "model",
-    )
-    append(logrow, base, "logs")
     logs = spark.read.parquet(table_path(base, "logs"))
     s8 = _stats(
         logs,

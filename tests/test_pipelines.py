@@ -182,6 +182,80 @@ def test_elt_parity_ledger_invariants(spark):
     assert all(rows[i]["checksum"] > 0 for i in range(1, 9))
 
 
+def test_parity_inhand_equals_readback(spark, monkeypatch):
+    """Round-12 in-hand replacements inside the parity chain (the
+    recent window derived from the MERGE algebra instead of the tickets
+    read-back, the messages cache written-from instead of re-read, the
+    stage-8 token totals taken from anag instead of the current-state
+    read-back) are VALUE-IDENTICAL to read-backs of the written tables
+    — the hand-off certification the removed physical read-backs used
+    to provide per run, pinned once here."""
+    import mgo_liveagent_data_pipeline_spark.plans.parity as parity
+    from mgo_liveagent_data_pipeline_spark.scratch import scratch_dir
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import table_path
+
+    captured: dict[str, str] = {}
+
+    def capturing(prefix: str, dir=None) -> str:
+        d = scratch_dir(prefix, dir)
+        captured["base"] = d
+        return d
+
+    monkeypatch.setattr(parity, "scratch_dir", capturing)
+    rows = {
+        r["stage_no"]: r
+        for r in parity.q_elt_parity_pipeline(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    base = captured["base"]
+
+    def ck_agg(df, ck):
+        got = df.agg(
+            F.count(F.lit(1)).cast("long"),
+            F.sum(parity._hex8_md5(ck)).cast("long"),
+        ).first()
+        return got[0], got[1]
+
+    # stage 2: the ledger's recent-window stats (computed from the
+    # in-hand merged ticket state) equal the same stats recomputed from
+    # the READ-BACK written tickets table
+    tickets = spark.read.parquet(table_path(base, "tickets"))
+    win = tickets.where(
+        F.col("date_created") >= F.lit(parity._CUTOFF).cast("timestamp")
+    )
+    got2 = ck_agg(
+        win,
+        F.concat_ws(
+            "|", "id", "agentid", F.coalesce(F.col("owner_name"), F.lit("-"))
+        ),
+    )
+    assert got2 == (rows[2]["rows_out"], rows[2]["checksum"])
+    # stage 3: the ledger's messages stats (in-hand enrichment cache)
+    # equal the same stats recomputed from the READ-BACK messages table
+    msgs = spark.read.parquet(table_path(base, "messages"))
+    got3 = ck_agg(
+        msgs,
+        F.concat_ws(
+            "|",
+            "message_id", "userid", "sender_name", "sender_type",
+            "receiver_name", "receiver_type", "agent_name", "reference_code",
+            parity._fmt(F.col("message_datecreated")),
+        ),
+    )
+    assert got3 == (rows[3]["rows_out"], rows[3]["checksum"])
+    # stage 7/8: the logs row's token total (taken from in-hand anag) and
+    # the ledger's current-state count equal the READ-BACK table's
+    cur = spark.read.parquet(table_path(base, "convo_analysis"))
+    logs = spark.read.parquet(table_path(base, "logs")).collect()
+    assert len(logs) == 1
+    assert (
+        logs[0]["total_tokens"]
+        == cur.agg(F.coalesce(F.sum("tokens"), F.lit(0))).first()[0]
+    )
+    assert rows[7]["rows_out"] == cur.count()
+
+
 def test_parity_overlap_equals_sequential_and_raises(spark, tmp_path):
     """The parity chain's `_overlap` (guide §2.6 thread-pool submission
     of INDEPENDENT writer steps): (a) overlapped history-append +
@@ -224,6 +298,14 @@ def test_parity_overlap_equals_sequential_and_raises(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="writer died"):
         _overlap(lambda: None, _boom)
+
+    # multi-failure: every step runs, the FIRST (submission-order)
+    # exception propagates, the rest are logged — not silently discarded
+    def _boom2():
+        raise ValueError("second writer died")
+
+    with pytest.raises(RuntimeError, match="writer died"):
+        _overlap(_boom, _boom2)
 
 
 def test_logs_pipeline_metrics_row(spark, tmp_path, agents, raw_messages):

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("PROFILE_REPS", "3"))
+PLANS_DIR = os.environ.get("PLANS_DIR", "plans/r12")
 
 
 def main() -> None:
@@ -38,7 +39,7 @@ def main() -> None:
 
     names = only or HEADLINE
     spark = get_spark("profile_headline")
-    os.makedirs("plans/r11", exist_ok=True)
+    os.makedirs(PLANS_DIR, exist_ok=True)
     # warm the JVM same as bench.py
     spark.range(1000).selectExpr("sum(id)").collect()
     from pyspark.sql import functions as F
@@ -59,7 +60,7 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        with open(f"plans/r11/{name}_{tag}.txt", "w") as f:
+        with open(f"{PLANS_DIR}/{name}_{tag}.txt", "w") as f:
             f.write(plan)
         exch = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
         purge_scratch()
