@@ -180,7 +180,12 @@ def q_elt_parity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     now2 = F.lit(_NOW2).cast("timestamp")
 
     orders = load_table(spark, sf_dir, "orders")
-    nation = load_table(spark, sf_dir, "nation")
+    # no table-level broadcast hint: both nation uses here flow into
+    # UNIONs (the agents dim, the gazetteer), where a buried hint is
+    # dropped by the optimizer with a HintErrorLogger WARN and does
+    # nothing — the actual joins are explicitly broadcast at their
+    # sites (process_messages' dims, the geo/vi attaches)
+    nation = load_table(spark, sf_dir, "nation", broadcast_dim=False)
 
     # ---- raw-extraction synthesis (the REST payloads, deterministically
     # shaped from orders/lineitem so the twin can regenerate them)

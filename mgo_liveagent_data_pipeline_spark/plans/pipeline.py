@@ -1491,7 +1491,13 @@ def q_text_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("site%d.com", F.col("doc_id") % 17).alias("src"),
         F.col("registered_domain").alias("dst"),
     )
-    return pagerank(edges, iterations=5).select(
+    # checkpoint_every=5 (= iterations): no mid-unroll lineage cut — a
+    # 5-round unroll is a bounded plan, and the default cadence's eager
+    # localCheckpoint after round 3 measured ~1 s of pure materialization
+    # latency at sf0.1 in an interleaved A/B (2.9-3.5 s vs 1.8-2.3 s)
+    # while changing no result bit (guide §5: cut/cache only what pays
+    # for itself). Long unrolls keep the default cadence.
+    return pagerank(edges, iterations=5, checkpoint_every=5).select(
         F.col("node").alias("domain"), "rank", "out_deg", "in_deg"
     )
 
@@ -1519,7 +1525,11 @@ def q_text_pagerank_rd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("site%d.com", F.col("doc_id") % 17).alias("src"),
         F.col("registered_domain").alias("dst"),
     )
-    return pagerank(edges, iterations=5, dangling="redistribute").select(
+    # checkpoint_every=5: same no-mid-unroll-cut rationale as
+    # q_text_pagerank above — bounded 5-round plan, result-identical
+    return pagerank(
+        edges, iterations=5, dangling="redistribute", checkpoint_every=5
+    ).select(
         F.col("node").alias("domain"), "rank", "out_deg", "in_deg"
     )
 

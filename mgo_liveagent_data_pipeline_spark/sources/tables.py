@@ -58,16 +58,28 @@ def _normalize_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, broadcast_dim: bool = True
+) -> DataFrame:
     """Scan one table. Lazy; no IO until an action runs. Known small
     dimensions carry a broadcast hint — every join against them becomes a
     broadcast hash join regardless of size estimation (the reference kept
-    exactly these as in-process dict caches)."""
+    exactly these as in-process dict caches).
+
+    ``broadcast_dim=False`` skips the table-level hint: a caller that
+    feeds the dimension into a UNION (or any non-join operator) must
+    apply ``F.broadcast`` at its own join sites instead — a hint buried
+    under a Union is not adjacent to any join, so the optimizer drops it
+    with a per-plan HintErrorLogger WARN and it does nothing."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     ts_cols = EVENT_TS_TABLES.get(name)
     if not ts_cols:
         df = spark.read.parquet(path)
-        return F.broadcast(df) if name in BROADCAST_DIMS else df
+        return (
+            F.broadcast(df)
+            if broadcast_dim and name in BROADCAST_DIMS
+            else df
+        )
     # Runtime-settable SQL conf; affects only NANOS-precision columns, so
     # micros tables (orders/lineitem) are untouched.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
