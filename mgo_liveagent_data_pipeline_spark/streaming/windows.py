@@ -942,35 +942,46 @@ def read_er_block_index(
 
 def compact_er_block_index(
     spark: SparkSession, base_dir: str, name: str = "er_blockindex",
-    num_buckets: int = 64,
-) -> None:
+    num_buckets: int = 64, remove_tail: bool = True,
+) -> list[str]:
     """Fold the tail into the bucketed base: one MERGE of every tail
     row (idempotent on the embedded composite key), then the folded
     token files are removed. A crash between the MERGE and the removes
     replays as a re-MERGE of identical keys — a no-op — so any crash
     window is clean; mid-compaction readers may see a membership in
-    both base and tail, which the dedup-at-read contract absorbs."""
+    both base and tail, which the dedup-at-read contract absorbs.
+
+    ``remove_tail=False`` runs only the fold and returns the folded
+    token paths WITHOUT unlinking them — the background-compaction
+    split (guide §2.6): the fold (the expensive Spark MERGE) can run
+    concurrently with subsequent ingests because it only ADDS the
+    tail's rows to the base (dup-at-read tolerated), while the unlinks
+    — the one step that could yank a file out from under an in-flight
+    lazy plan — are deferred to a batch boundary, where no plan exists
+    yet. Returns the folded token paths (empty when nothing to fold)."""
     from ..sinks.writers import partitioned_upsert
 
     tdir = _er_index_tail_dir(base_dir, name)
     if not os.path.isdir(tdir):
-        return
+        return []
     toks = [
         os.path.join(tdir, f)
         for f in sorted(os.listdir(tdir))
         if f.endswith(".parquet")
     ]
     if not toks:
-        return
+        return []
     partitioned_upsert(
         spark, spark.read.parquet(*toks), base_dir, name, "ikey",
         num_buckets=num_buckets, bucket_col="bk",
     )
-    for t in toks:
-        try:
-            os.remove(t)
-        except OSError:
-            pass
+    if remove_tail:
+        for t in toks:
+            try:
+                os.remove(t)
+            except OSError:
+                pass
+    return toks
 
 
 def build_er_block_index(
@@ -1016,6 +1027,7 @@ def stream_entity_resolution(
     block_col="block_key",
     full_sweep_every: int = 16,
     state_num_buckets: int | None = None,
+    state_auto_threshold: int | None = None,
     block_index_buckets: int | None = None,
     blockindex_name: str = "er_blockindex",
     index_compact_every: int = 16,
@@ -1098,6 +1110,34 @@ def stream_entity_resolution(
     are lazy manifest-resolved scans the operator itself prunes with
     its block semi-joins. Returned paths are then ptable dirs.
 
+    ``state_auto_threshold`` picks the state layout AT THE MEASURED
+    CROSSOVER instead of statically: the stream starts (or resumes) on
+    whatever layout the state directory already holds — flat when
+    neither table has a committed ptable manifest — and, before a
+    batch, if the layout is still flat and the standing record count
+    (a parquet-FOOTER metadata read, no Spark job) has reached the
+    threshold, both state tables are migrated to bucketed ptables of
+    ``state_num_buckets`` (default 64) buckets in one O(table) step and
+    every later batch runs the bucketed path. Crash-clean: the mode
+    test requires BOTH manifests (a crash between the two ptable
+    publishes resumes flat and re-migrates idempotently — the MERGEs
+    key on rec_id), and the flat dirs are removed only after both
+    commits (leftovers are swept at resume). Threshold guidance from
+    the streaming smoke on this host (single pointy ingest walls):
+    flat 6.7 s at 1x / 10.0 s at 16x / 18.1 s at 64x (1.76 M standing
+    records) vs bucketed 18-19 s at 1x-16x and ~49 s at 64x — at these
+    sizes the bucketed path is dominated by many-small-file state
+    reads and manifest machinery, so the absolute crossover sits
+    BEYOND the smoke's range and the threshold is strictly a
+    deployment knob: set it where a full-table rewrite per ingest
+    stops fitting the ingest budget (the asymptotic O(delta +
+    affected buckets) vs O(table) argument at real dimension scale —
+    e.g. standing bytes >> executor memory), not from this host's
+    curve. Below it the flat default is preserved. Incompatible with
+    ``block_index_buckets`` (the secondary index requires bucketed
+    state from the first batch; bootstrap at migration is a
+    documented follow-up).
+
     ``block_index_buckets`` (requires ``state_num_buckets``) removes the
     records-side standing scan entirely with a SECONDARY BLOCK INDEX —
     a ptable of (pass, block value, rec_id) memberships bucketed by
@@ -1109,10 +1149,14 @@ def stream_entity_resolution(
     bucket's full contents — measured 2.4x vs 1.7x at the 64x smoke —
     while the tail write is exactly the batch's membership bytes), and
     every ``index_compact_every``-th batch folds the tail into the
-    bucketed base (idempotent on the composite key, so the compaction
-    crash window replays cleanly; mid-compaction readers may see a
-    membership twice — dedup-at-read, the neighborhood probe's
-    ``.distinct()``). Each ingest then (1) reads the index base buckets
+    bucketed base IN A BACKGROUND THREAD off the ingest critical path
+    (guide §2.6): the fold is idempotent on the composite key (the
+    compaction crash window replays cleanly; mid-compaction readers may
+    see a membership twice — dedup-at-read, the neighborhood probe's
+    ``.distinct()``), and the folded tail tokens are unlinked only at a
+    later batch boundary or at stream end, so no in-flight lazy plan
+    can lose a file. One fold runs at a time; a fold error surfaces at
+    the next sync point. Each ingest then (1) reads the index base buckets
     the batch's block values hash to plus the small tail, (2) resolves
     the delta-neighborhood rec_ids, (3) reads only THOSE records'
     buckets, and passes that neighborhood as the operator's corpus —
@@ -1156,6 +1200,13 @@ def stream_entity_resolution(
             "ptable can turn those into a pruned read — against a flat "
             "record table the probe still scans every file"
         )
+    if state_auto_threshold is not None and block_index_buckets is not None:
+        raise ValueError(
+            "state_auto_threshold is incompatible with "
+            "block_index_buckets: the secondary index requires bucketed "
+            "state from the first batch (index bootstrap at migration "
+            "is a documented follow-up)"
+        )
     bcols = _block_cols(block_col)
 
     def _idx_rows(df: DataFrame) -> DataFrame:
@@ -1183,24 +1234,90 @@ def stream_entity_resolution(
         .parquet(stage)
     )
     asg_schema = "rec_id long, entity_id long, n_records long"
-    if state_num_buckets is None:
-        rec_path = ensure_table(
+    # mutable state-layout mode: {"buckets": None} = flat tables,
+    # {"buckets": N} = bucketed ptables. Static unless
+    # state_auto_threshold enables the mid-stream migration.
+    _flat_rec, _flat_asg = (
+        table_path(base_dir, rec_name), table_path(base_dir, asg_name)
+    )
+    _pt_rec = os.path.join(base_dir, f"{rec_name}.ptable")
+    _pt_asg = os.path.join(base_dir, f"{asg_name}.ptable")
+    auto_buckets = state_num_buckets or 64
+
+    def _ptable_state_committed() -> bool:
+        # BOTH manifests must exist: a crash between the two migration
+        # publishes must resume FLAT and re-migrate (idempotent MERGEs)
+        return os.path.exists(
+            os.path.join(_pt_rec, "_MANIFEST")
+        ) and os.path.exists(os.path.join(_pt_asg, "_MANIFEST"))
+
+    if state_auto_threshold is not None:
+        if _ptable_state_committed():
+            mode = {"buckets": auto_buckets}
+            # sweep flat leftovers of a crash-after-commit window
+            shutil.rmtree(_flat_rec, ignore_errors=True)
+            shutil.rmtree(_flat_asg, ignore_errors=True)
+        else:
+            mode = {"buckets": None}
+    else:
+        mode = {"buckets": state_num_buckets}
+    if mode["buckets"] is None:
+        ensure_table(
             spark, base_dir, rec_name, spark.createDataFrame([], src_schema)
         )
-        asg_path = ensure_table(
+        ensure_table(
             spark, base_dir, asg_name, spark.createDataFrame([], asg_schema)
         )
     else:
-        rec_path = ensure_partitioned(
+        ensure_partitioned(
             spark, base_dir, rec_name,
             spark.createDataFrame([], src_schema),
-            num_buckets=state_num_buckets,
+            num_buckets=mode["buckets"],
         )
-        asg_path = ensure_partitioned(
+        ensure_partitioned(
             spark, base_dir, asg_name,
             spark.createDataFrame([], asg_schema),
-            num_buckets=state_num_buckets,
+            num_buckets=mode["buckets"],
         )
+
+    def _flat_row_count(path: str) -> int:
+        """Standing row count from the parquet FOOTERS — driver-side
+        metadata, no Spark job (the migration check must not tax the
+        flat path it exists to protect)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in os.listdir(path):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                total += pq.ParquetFile(
+                    os.path.join(path, f)
+                ).metadata.num_rows
+        return total
+
+    def _maybe_migrate_state() -> None:
+        """Flat → ptable migration at the threshold: one O(table) step,
+        crash-clean (see docstring), after which every batch runs the
+        bucketed path."""
+        if state_auto_threshold is None or mode["buckets"] is not None:
+            return
+        if _flat_row_count(_flat_rec) < state_auto_threshold:
+            return
+        recs = spark.read.parquet(_flat_rec)
+        asgd = spark.read.parquet(_flat_asg)
+        partitioned_upsert(
+            spark, recs, base_dir, rec_name, "rec_id",
+            num_buckets=auto_buckets,
+        )
+        partitioned_upsert(
+            spark, asgd, base_dir, asg_name, "rec_id",
+            num_buckets=auto_buckets,
+        )
+        mode["buckets"] = auto_buckets
+        # drop the flat dirs only after BOTH ptables committed; both
+        # upserts above are materialized, so no lazy plan references
+        # the flat files
+        shutil.rmtree(_flat_rec, ignore_errors=True)
+        shutil.rmtree(_flat_asg, ignore_errors=True)
     golden_path = None
     if golden_rules:
         # seed the golden ptable with an empty committed manifest (the
@@ -1228,12 +1345,48 @@ def stream_entity_resolution(
             bucket_col="bk",
         )
 
+    # background index compaction (guide §2.6): the fold — a full ptable
+    # MERGE, the expensive part — runs in a thread OFF the ingest
+    # critical path; only the folded tokens' unlinks are deferred to the
+    # next batch BOUNDARY (before any lazy plan exists that could
+    # reference them). The tail-first crash contract is unchanged: at
+    # every instant the index (base ∪ tail) is a superset of the record
+    # table, and a fold that crashes or races a reader at worst shows a
+    # membership twice — the dedup-at-read contract. A fold error is
+    # re-raised at the next sync point (batch boundary or stream end),
+    # matching the inline behavior's failure visibility.
+    import threading as _threading
+
+    _compaction: dict = {"thread": None, "folded": [], "error": None}
+
+    def _reap_compaction(wait: bool) -> None:
+        t = _compaction["thread"]
+        if t is None:
+            return
+        if not wait and t.is_alive():
+            return
+        t.join()
+        _compaction["thread"] = None
+        if _compaction["error"] is not None:
+            err, _compaction["error"] = _compaction["error"], None
+            raise err
+        for p in _compaction["folded"]:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        _compaction["folded"] = []
+
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        if state_num_buckets is None:
-            corpus = spark.read.parquet(rec_path)
-            asg = spark.read.parquet(asg_path)
+        _maybe_migrate_state()
+        if mode["buckets"] is None:
+            corpus = spark.read.parquet(_flat_rec)
+            asg = spark.read.parquet(_flat_asg)
             corpus_keys = corpus.select("rec_id")
         else:
+            # batch boundary: settle a finished background fold (delete
+            # its folded tail tokens) before any plan references the tail
+            _reap_compaction(wait=False)
             asg = read_partitioned(spark, base_dir, asg_name)
             # the fresh-key probe touches only the batch's buckets
             corpus_keys = read_partitioned_for_keys(
@@ -1300,7 +1453,7 @@ def stream_entity_resolution(
             # swaps the files the lazy plan would read
             old_src = (
                 asg
-                if state_num_buckets is None
+                if mode["buckets"] is None
                 else read_partitioned_for_keys(
                     spark, base_dir, asg_name,
                     changed.select("rec_id"), "rec_id",
@@ -1312,12 +1465,12 @@ def stream_entity_resolution(
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-        if state_num_buckets is None:
+        if mode["buckets"] is None:
             upsert(spark, changed, base_dir, asg_name, "rec_id")
         else:
             partitioned_upsert(
                 spark, changed, base_dir, asg_name, "rec_id",
-                num_buckets=state_num_buckets,
+                num_buckets=mode["buckets"],
             )
         if golden_rules:
             # golden rows for the touched entities: `changed` carries
@@ -1326,7 +1479,7 @@ def stream_entity_resolution(
             # keys' buckets instead of scanning the standing corpus
             member_src = (
                 corpus
-                if state_num_buckets is None
+                if mode["buckets"] is None
                 else read_partitioned_for_keys(
                     spark, base_dir, rec_name,
                     changed.select("rec_id"), "rec_id",
@@ -1361,8 +1514,8 @@ def stream_entity_resolution(
                 # — a pure function of current state, removes any row a
                 # crash-replay window leaked past the delta sweep
                 live_src = (
-                    spark.read.parquet(asg_path)
-                    if state_num_buckets is None
+                    spark.read.parquet(_flat_asg)
+                    if mode["buckets"] is None
                     else read_partitioned(spark, base_dir, asg_name)
                 )
                 live = live_src.select(F.col("entity_id")).distinct()
@@ -1374,26 +1527,40 @@ def stream_entity_resolution(
                 partitioned_delete_keys(
                     spark, stale_full, base_dir, golden_name, "entity_id"
                 )
-        if state_num_buckets is None:
+        if mode["buckets"] is None:
             upsert(spark, fresh, base_dir, rec_name, "rec_id")
         else:
             partitioned_upsert(
                 spark, fresh, base_dir, rec_name, "rec_id",
-                num_buckets=state_num_buckets,
+                num_buckets=mode["buckets"],
             )
         if block_index_buckets is not None and index_compact_every and (
             _batch_id + 1
         ) % index_compact_every == 0:
-            # compaction runs LAST: every plan that lazily referenced a
-            # tail file (the neighborhood corpus feeding `changed`) has
-            # been materialized by now, so folding the tail and removing
-            # its token files cannot yank a file out from under an
-            # in-flight plan (the bug the first placement had — compact
-            # before the eager checkpoint, FAILED_READ_FILE downstream)
-            compact_er_block_index(
-                spark, base_dir, blockindex_name,
-                num_buckets=block_index_buckets,
-            )
+            # compaction triggers LAST in the batch: every plan that
+            # lazily referenced a tail file (the neighborhood corpus
+            # feeding `changed`) has been materialized by now. The FOLD
+            # runs in a background thread and overlaps the NEXT
+            # ingest(s); it never unlinks — the folded tokens are
+            # removed at a later batch boundary (or stream end) by
+            # _reap_compaction, so no in-flight lazy plan can lose a
+            # file (the bug the first inline placement had — compact
+            # before the eager checkpoint, FAILED_READ_FILE downstream).
+            _reap_compaction(wait=True)  # one fold in flight at a time
+
+            def _fold() -> None:
+                try:
+                    _compaction["folded"] = compact_er_block_index(
+                        spark, base_dir, blockindex_name,
+                        num_buckets=block_index_buckets,
+                        remove_tail=False,
+                    )
+                except BaseException as e:  # surfaced at next sync point
+                    _compaction["error"] = e
+
+            t = _threading.Thread(target=_fold, daemon=True)
+            t.start()
+            _compaction["thread"] = t
 
     with state_partitions(spark, n_state_partitions), _checkpoint(
         checkpoint_dir
@@ -1406,9 +1573,12 @@ def stream_entity_resolution(
             .start()
         )
         q.awaitTermination()
+    # settle any in-flight background fold before returning: the caller
+    # may read, compact or delete the table next, and the stream's state
+    # must be deterministic at return
+    _reap_compaction(wait=True)
     return (
-        asg_path if state_num_buckets is not None
-        else table_path(base_dir, asg_name)
+        _pt_asg if mode["buckets"] is not None else _flat_asg
     ), golden_path
 
 

@@ -2,6 +2,9 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -1553,6 +1556,154 @@ def test_stream_er_block_index_drained_equals_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="state_num_buckets"):
         stream_entity_resolution(
             spark, df, str(tmp_path / "er2"), block_index_buckets=4,
+        )
+
+
+def test_stream_er_auto_state_migrates_at_threshold(spark, tmp_path):
+    """state_auto_threshold picks the state layout at the measured
+    crossover: a run whose standing record count never reaches the
+    threshold stays on the flat default; a run that crosses it migrates
+    BOTH state tables to bucketed ptables mid-stream (one O(table)
+    step, flat dirs swept) and keeps resolving correctly across the
+    boundary — the drained assignment and golden dimension equal the
+    full-batch answer either way."""
+    import mgo_liveagent_data_pipeline_spark.streaming.windows as W
+    from mgo_liveagent_data_pipeline_spark.operators.entity import (
+        golden_records,
+        resolve_entities,
+    )
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+        table_path,
+    )
+
+    recs = [
+        (10, 1, "Acme Metals Corp", "25-989-741", "12 Dock Rd"),
+        (11, 1, "acme metals corp inc", "25989741", "12 Dock Road Pier 4"),
+        (12, 1, "ACME METALS CORP", None, "12 D"),
+        (20, 2, "Blue Harbour Ltd", "77-111-222", "9 Quay St"),
+        (21, 2, "BH Logistics", "77111222", "9 Quay Street"),
+        (30, 3, "Cedar Freight", "55-000-111", "1 Yard Ln"),
+        (15, 1, "Acme Metals Corp", "77-111-222", "somewhere"),
+    ]
+    cols = ["rec_id", "block_key", "name", "phone", "address"]
+    df = spark.createDataFrame(recs, cols)
+    RULES = {"name": "first_by_key", "phone": "min", "address": "longest"}
+
+    # below threshold: flat layout preserved end to end
+    base_lo = str(tmp_path / "auto_lo")
+    asg_path, _ = W.stream_entity_resolution(
+        spark, df, base_lo, n_batches=3, n_state_partitions=1,
+        golden_rules=RULES, golden_num_buckets=4,
+        state_num_buckets=4, state_auto_threshold=1_000_000,
+        checkpoint_dir=str(tmp_path / "ckpt_lo"),
+    )
+    assert asg_path == table_path(base_lo, "er_assignment")
+    assert not os.path.exists(base_lo + "/er_assignment.ptable/_MANIFEST")
+    got_lo = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in spark.read.parquet(asg_path).collect()
+    }
+
+    # crossing mid-stream: batch 0 lands flat (0 standing rows at its
+    # migration check), later batches find >= 2 standing records and
+    # migrate, then keep ingesting on the bucketed path
+    base_hi = str(tmp_path / "auto_hi")
+    asg_path_hi, _ = W.stream_entity_resolution(
+        spark, df, base_hi, n_batches=3, n_state_partitions=1,
+        golden_rules=RULES, golden_num_buckets=4,
+        state_num_buckets=4, state_auto_threshold=2,
+        checkpoint_dir=str(tmp_path / "ckpt_hi"),
+    )
+    assert asg_path_hi.endswith(".ptable")
+    # flat dirs swept after the migration commit
+    assert not os.path.exists(table_path(base_hi, "er_records"))
+    assert not os.path.exists(table_path(base_hi, "er_assignment"))
+    got_hi = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in read_partitioned(spark, base_hi, "er_assignment").collect()
+    }
+    want = {
+        r["rec_id"]: (r["entity_id"], r["n_records"])
+        for r in resolve_entities(df).collect()
+    }
+    assert got_lo == want and got_hi == want
+    gold = {
+        r["entity_id"]: (r["n_records"], r["name"])
+        for r in read_partitioned(spark, base_hi, "er_golden").collect()
+    }
+    want_gold = {
+        r["entity_id"]: (r["n_records"], r["name"])
+        for r in golden_records(
+            df, resolve_entities(df), rules=RULES
+        ).collect()
+    }
+    assert gold == want_gold
+    # the option refuses the secondary index (bucketed-from-batch-0 only)
+    with pytest.raises(ValueError, match="state_auto_threshold"):
+        W.stream_entity_resolution(
+            spark, df, str(tmp_path / "auto_bad"),
+            state_num_buckets=4, state_auto_threshold=2,
+            block_index_buckets=4,
+        )
+
+
+def test_stream_er_background_compaction_settles_and_surfaces_errors(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 background index compaction: (a) after the stream
+    returns, a mid-stream fold has been settled deterministically —
+    folded tail tokens are gone, un-triggered tail tokens remain, and
+    the index content is exact (dedup-at-read never needed at rest);
+    (b) a fold that raises in its background thread surfaces to the
+    caller at the next sync point instead of being swallowed."""
+    import mgo_liveagent_data_pipeline_spark.streaming.windows as W
+    from mgo_liveagent_data_pipeline_spark.sinks.writers import (
+        read_partitioned,
+    )
+
+    recs = [
+        (10, 1, "Acme Metals Corp", "25-989-741", "12 Dock Rd"),
+        (11, 1, "acme metals corp inc", "25989741", "12 Dock Road Pier 4"),
+        (20, 2, "Blue Harbour Ltd", "77-111-222", "9 Quay St"),
+        (30, 3, "Cedar Freight", "55-000-111", "1 Yard Ln"),
+    ]
+    cols = ["rec_id", "block_key", "name", "phone", "address"]
+    df = spark.createDataFrame(recs, cols)
+    base = str(tmp_path / "bgc")
+    W.stream_entity_resolution(
+        spark, df, base, n_batches=4, n_state_partitions=1,
+        state_num_buckets=4, block_index_buckets=4,
+        index_compact_every=2,  # folds after batches 2 and 4
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # stream end settles the last fold: every token folded, none left
+    tail_dir = str(tmp_path / "bgc" / "er_blockindex.tail")
+    leftover = [
+        f for f in os.listdir(tail_dir) if f.endswith(".parquet")
+    ] if os.path.isdir(tail_dir) else []
+    assert leftover == []
+    idx = W.read_er_block_index(spark, base)
+    assert {(r["p"], r["bk"], r["rec_id"]) for r in idx.collect()} == {
+        (0, "1", 10), (0, "1", 11), (0, "2", 20), (0, "3", 30),
+    }
+    assert read_partitioned(spark, base, "er_blockindex").count() == 4
+
+    # (b) a failing background fold must fail the stream, not vanish
+    def _boom(*a, **k):
+        raise RuntimeError("fold died")
+
+    monkeypatch.setattr(W, "compact_er_block_index", _boom)
+    # cadence = n_batches: the fold triggers on the LAST batch, so the
+    # error deterministically surfaces at the stream-end sync point
+    # (a mid-stream fold error surfaces inside the next foreachBatch,
+    # wrapped in StreamingQueryException — same visibility, wrapped)
+    with pytest.raises(RuntimeError, match="fold died"):
+        W.stream_entity_resolution(
+            spark, df, str(tmp_path / "bgc2"), n_batches=2,
+            n_state_partitions=1, state_num_buckets=4,
+            block_index_buckets=4, index_compact_every=2,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
         )
 
 
