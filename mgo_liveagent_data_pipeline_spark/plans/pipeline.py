@@ -1525,11 +1525,15 @@ def q_text_pagerank_rd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("site%d.com", F.col("doc_id") % 17).alias("src"),
         F.col("registered_domain").alias("dst"),
     )
-    # checkpoint_every=5: same no-mid-unroll-cut rationale as
-    # q_text_pagerank above — bounded 5-round plan, result-identical
-    return pagerank(
-        edges, iterations=5, dangling="redistribute", checkpoint_every=5
-    ).select(
+    # DEFAULT checkpoint cadence kept, unlike q_text_pagerank: the
+    # redistribute variant references the rank vector TWICE per round
+    # (inbound + dangling share), so without the mid-unroll cut its
+    # recompute plan doubles per round (audit: exch 132 → 1508 raw) for
+    # a wall measured NEUTRAL (interleaved A/B: ck=3 6.02/5.07 s vs
+    # ck=5 5.30/5.22 s — ReuseExchange collapses the duplicates at
+    # execution, but the plan bloat buys nothing). The cut pays only
+    # for the single-reference leak variant.
+    return pagerank(edges, iterations=5, dangling="redistribute").select(
         F.col("node").alias("domain"), "rank", "out_deg", "in_deg"
     )
 
